@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, predicates, sorts, limits, set ops
+  * (SURVEY.md §2.4 a/b/f/g: Q01-Q06, Q23-Q26).
+  *
+  * Reference behaviors covered: full-table scan + projection
+  * (refluxdb src/persistence.rs:198-220), time-range scan intent
+  * (src/persistence.rs:177-180 — inclusive both ends), tag-map predicates
+  * (intent of README.md:34, see SURVEY Q-C).
+  */
+object CoreQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // Q01: full scan + projection. Column pruning must reach the parquet
+    // scan (ReadSchema shows only 4 of 11 lineitem columns).
+    "q01_scan_projection" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // order by every output column for a total, oracle-stable order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    },
+
+    // Q02: time-range scan, inclusive both ends (reference intent,
+    // src/persistence.rs:178-179 `>= AND <=`). Predicate pushes to parquet.
+    "q02_time_range" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts").between(
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-15 00:00:00").cast("timestamp")))
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Q03: projection with expressions + aliasing.
+    "q03_project_expr" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .as("net_price"),
+          concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"),
+          col("flag_status"))
+    },
+
+    // Q04: comparison + boolean predicate tree (AND/OR/NOT).
+    "q04_predicates" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter((col("l_quantity") > 45 && col("l_discount") <= 0.05) ||
+          (!(col("l_returnflag") === "N") && col("l_tax") >= 0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_tax"))
+    },
+
+    // Q05: BETWEEN / IN / LIKE / IS NULL (null produced via nullif).
+    "q05_between_in_like" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_size").between(10, 40) &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5") &&
+          col("p_name").like("%e%"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          nullif(col("p_type"), lit("PROMO")).isNull.as("is_promo"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Q06: predicate + projection through a MAP column (GetMapValue) — the
+    // intent of refluxdb tags (README.md:34; write-only in the reference,
+    // SURVEY Q-C). Built from events, then filtered/read via map lookups.
+    "q06_map_predicate" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+              lit("uid"), col("user_id").cast("string")).as("tags"))
+        .filter(col("tags")("type") === "click")
+        .select(col("event_id"), col("tags")("uid").cast("long").as("uid"))
+        .orderBy(col("event_id"))
+    },
+
+    // Q23: multi-column sort with ASC/DESC and explicit NULL placement.
+    "q23_multi_sort" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+            .as("pos_bal"))
+        .orderBy(col("c_mktsegment").asc, col("pos_bal").desc_nulls_last,
+          col("c_custkey").asc)
+    },
+
+    // Q24: global top-k — ORDER BY + LIMIT/OFFSET compiles to
+    // TakeOrderedAndProject (no full sort materialization at scale).
+    "q24_limit_offset" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(50)
+    },
+
+    // Q25: UNION ALL and UNION DISTINCT.
+    "q25_union" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      a.unionAll(b).orderBy(col("o_custkey"))
+    },
+    "q25b_union_distinct" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    },
+
+    // Q26: INTERSECT / EXCEPT (both distinct semantics, as in SQL).
+    "q26_intersect" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    },
+    "q26b_except" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q02_time_range" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q03_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
+        |  concat_ws('/', l_returnflag, l_linestatus) AS flag_status
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, flag_status""".stripMargin,
+
+    "q04_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax
+        |FROM lineitem
+        |WHERE (l_quantity > 45 AND l_discount <= 0.05)
+        |   OR (NOT (l_returnflag = 'N') AND l_tax >= 0.07)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax""".stripMargin,
+
+    "q05_between_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_size,
+        |  (nullif(p_type, 'PROMO') IS NULL) AS is_promo
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 40
+        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+        |  AND p_name LIKE '%e%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q06_map_predicate" ->
+      """SELECT event_id, user_id AS uid FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "q23_multi_sort" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, pos_bal DESC NULLS LAST, c_custkey ASC""".stripMargin,
+
+    "q24_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q25_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q25b_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q26_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q26b_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

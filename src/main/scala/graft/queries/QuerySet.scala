@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** One family of oracle-checked queries (SURVEY.md §2.4).
+  *
+  * Contract (driver-enforced, see the builder prompt):
+  *   - `queries(name)(spark, sfDir)` returns a DataFrame whose rows are in a
+  *     total deterministic order (every query ends in a unique ORDER BY).
+  *   - `oracle(name)` is equivalent DuckDB SQL over the same parquet tables,
+  *     with identical column NAMES (driver sorts columns by name, then hashes
+  *     values in row order).
+  *
+  * Cross-engine float policy (FIXTURES.md §C, hardened here):
+  *   - big SUMs of monetary/quantity columns are computed in DECIMAL(18,2) —
+  *     exact in both engines, so no summation-order flakiness;
+  *   - AVG / percentiles / similarity scores stay DOUBLE, wrapped round(_, 6)
+  *     (their magnitudes keep fp error orders of magnitude below 1e-6).
+  */
+trait QuerySet {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracle: Map[String, String]
+
+  /** Exact money/quantity arithmetic: DECIMAL(18,2) on both engines. */
+  protected def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Canonical rounding for DOUBLE outputs. */
+  protected def r6(c: Column): Column = round(c, 6)
+
+  /** Output-timestamp canonicalization: session TZ is pinned UTC, so
+    * casting LTZ→NTZ keeps the UTC wall clock while writing a parquet
+    * type DuckDB reads as a naive TIMESTAMP (same as the oracle side). */
+  protected def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+}
