@@ -13,7 +13,10 @@ object SparkEntry {
 
   /** All query families (SURVEY.md §2.4 categories). */
   private val families: Seq[QuerySet] = Seq(
-    CoreQueries
+    CoreQueries,
+    JoinQueries,
+    AggQueries,
+    WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

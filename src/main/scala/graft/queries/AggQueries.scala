@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WeightedAvg
+
+/** Aggregations (SURVEY.md §2.4 d: Q14-Q18 + UDAF + approx sketches).
+  *
+  * The reference delegates all aggregation to GlueSQL 0.9 and its own result
+  * decoder cannot even return an aggregate row (SURVEY Q-E,
+  * refluxdb src/utils/db.rs:34-49); "pre-calculated stats" is an explicit
+  * TODO (README.md:58). Spark gives partial (map-side) + final hash
+  * aggregation for free — at 100 TB the partial agg is what keeps the
+  * shuffle small.
+  *
+  * Exactness policy: SUMs in DECIMAL(18,2) (bit-equal across engines),
+  * AVG/percentile as round-6 doubles (fp error << 1e-6 at these magnitudes).
+  */
+object AggQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // Q14: the TPC-H Q1 shape — multi-aggregate hash agg with group keys.
+    "q14_groupby_agg" -> { (s, dir) =>
+      val one = lit(1).cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          r6(avg(col("l_extendedprice"))).as("avg_price"),
+          r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Q15: COUNT(DISTINCT) x2 (expand + two-phase agg) with HAVING.
+    "q15_distinct_having" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_parts") >= 400)
+        .orderBy(col("l_suppkey"))
+    },
+
+    // Q16: rollup + grouping() marker.
+    "q16_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)
+    },
+
+    // Q16b: cube over status x order-year.
+    "q16b_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("yr")).cast("int").as("g_yr"))
+        .orderBy(col("g_status"), col("g_yr"),
+          col("o_orderstatus").asc_nulls_last, col("yr").asc_nulls_last)
+    },
+
+    // Q17: conditional aggregation + scalar conditionals
+    // (CASE WHEN / nullif / coalesce / greatest inside agg).
+    "q17_conditional_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
+            .otherwise(dec(lit(0)))).as("open_total"),
+          r6(avg(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)))
+            .as("pct_f"),
+          max(greatest(col("o_totalprice"), lit(250000.0))).as("max_or_250k"),
+          sum(when(nullif(col("o_orderstatus"), lit("P")).isNull, 1L)
+            .otherwise(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q18: exact percentiles per group (oracle: quantile_cont).
+    "q18_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          r6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+          r6(expr("percentile(l_discount, 0.25)")).as("p25_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Approx sketches (HLL distinct, approx quantile): tolerance-bounded by
+    // nature, so no DuckDB hash oracle — the driver records rows>0 and the
+    // ScalaTest spec asserts the tolerance against exact values.
+    "q_approx_sketches" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("approx_median_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Custom UDAF surface (§2.4k): time-weighted average of events.value per
+    // user — weight = seconds until the next event of the same user.
+    // The weighting is a window (lag-free, shuffle once by user), the
+    // aggregation is a typed Aggregator registered via functions.udaf.
+    "q_udaf_time_weighted_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wavg = udaf(WeightedAvg)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("weight",
+          col("next_ts").cast("double") - col("ts").cast("double"))
+        .groupBy(col("user_id"))
+        .agg(r6(wavg(col("value"), col("weight"))).as("tw_avg"))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q15_distinct_having" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(DISTINCT l_partkey) >= 400
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
+
+    "q16b_cube" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(yr) AS INT) AS g_yr
+        |FROM orders GROUP BY CUBE (o_orderstatus, yr)
+        |ORDER BY g_status, g_yr, o_orderstatus NULLS LAST, yr NULLS LAST""".stripMargin,
+
+    "q17_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS open_total,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS pct_f,
+        |  max(greatest(o_totalprice, 250000.0)) AS max_or_250k,
+        |  sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_udaf_time_weighted_avg" ->
+      """WITH weighted AS (
+        |  SELECT user_id, value,
+        |         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch(ts) AS weight
+        |  FROM events)
+        |SELECT user_id,
+        |       round(sum(value * weight) / sum(weight), 6) AS tw_avg
+        |FROM weighted WHERE weight IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.4 c: Q07-Q13).
+  *
+  * The reference cannot execute any cross-series query (one table per sled DB,
+  * SURVEY Q-F; refluxdb src/utils/db.rs:113-121 takes the first table only) —
+  * our single-catalog design makes every join below real.
+  *
+  * Scale notes (100 TB posture):
+  *  - small dims (nation/region/supplier) are broadcast — no shuffle;
+  *  - fact-fact joins shuffle on their equi-keys and AQE handles skew;
+  *  - the "range join" (q12) anchors on an equi user_id key so it compiles to
+  *    a hash/sort-merge join + residual range filter, NOT a nested loop;
+  *  - the as-of join (q13) is the union+running-max window form: one shuffle
+  *    by user_id, no per-row subquery.
+  */
+object JoinQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // Q07: inner equi-join chain with an explicit broadcast of the dim.
+    "q07_inner_join" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+
+    // Q08: left outer join — customers keep a row even with zero orders.
+    "q08_left_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))),
+            lit(0).cast("decimal(28,2)")).as("total_price"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Q08b: right outer join — parts never shipped still appear.
+    "q08b_right_join" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_lines"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Q09: full outer join of two daily aggregates.
+    "q09_full_outer_join" -> { (s, dir) =>
+      val od = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ld = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_ship"))
+      od.join(ld, Seq("day"), "full")
+        .select(ntz(col("day")).as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+        .orderBy(col("day"))
+    },
+
+    // Q10: left semi (EXISTS) / left anti (NOT EXISTS).
+    "q10_semi_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    "q10b_anti_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Q11: bounded cross join (5 x 25 dims).
+    "q11_cross_join" -> { (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Q12: range join — errors within 5 minutes after a click by the same
+    // user. The user_id equi-key keeps this a hash join with a residual
+    // range predicate (never a nested loop), which is what survives 100 TB.
+    "q12_range_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("ts").as("err_ts"),
+          col("event_id").as("err_id"))
+      clicks.join(errs,
+          col("cu") === col("eu") &&
+          col("err_ts") > col("click_ts") &&
+          col("err_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("click_id"), col("err_id"))
+        .orderBy(col("click_id"), col("err_id"))
+    },
+
+    // Q13: as-of join — for each purchase, the latest click at ts <= purchase
+    // ts by the same user. Union + running-max window: clicks sort before
+    // purchases at equal ts (kind 0 < 1), making the bound inclusive.
+    "q13_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), ntz(col("ts")).as("ts"),
+          ntz(col("click_ts")).as("click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q07_inner_join" ->
+      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q08_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q08b_right_join" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_lines
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q09_full_outer_join" ->
+      """WITH od AS (SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day, count(*) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |     ld AS (SELECT date_trunc('day', l_shipdate)::TIMESTAMP AS day, count(*) AS n_ship
+        |            FROM lineitem GROUP BY 1)
+        |SELECT coalesce(od.day, ld.day) AS day,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_ship, 0) AS n_ship
+        |FROM od FULL OUTER JOIN ld ON od.day = ld.day
+        |ORDER BY day""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10b_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q12_range_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS err_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |ORDER BY click_id, err_id""".stripMargin,
+
+    "q13_asof_join" ->
+      """SELECT p.event_id, p.ts,
+        |       (SELECT max(c.ts) FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND c.ts <= p.ts) AS click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin
+  )
+}
