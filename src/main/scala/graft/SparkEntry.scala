@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries,
     JoinQueries,
     AggQueries,
-    WindowQueries
+    WindowQueries,
+    FunctionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
