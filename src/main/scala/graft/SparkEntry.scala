@@ -17,7 +17,10 @@ object SparkEntry {
     JoinQueries,
     AggQueries,
     WindowQueries,
-    FunctionQueries
+    FunctionQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.4 i,
+  * Q33 + near-dup family): exact, MinHash+LSH banding, SimHash, n-gram
+  * Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a hash groupBy on sha256(text) — one shuffle of
+  *    (hash, id), never of the documents themselves;
+  *  - MinHash candidates come from BAND-KEY EQUI-JOINS (union of 3 band
+  *    joins), never an O(n^2) cross product; candidate pairs then get an
+  *    exact word-5-gram Jaccard verification — the standard LSH recipe;
+  *  - SimHash pairs join on a 28-bit prefix block before computing Hamming
+  *    distance, so comparisons stay within blocks;
+  *  - embedding near-dup buckets by an 8-bit random-hyperplane (sign) LSH
+  *    key and only computes cosine within a bucket.
+  *
+  * All hashing is engine-portable (md5 hex strings, lexicographic mins, hex
+  * digit arithmetic) so DuckDB computes bit-identical results.
+  */
+object DedupQueries extends QuerySet {
+
+  /** words → word 5-gram shingles, as (doc_id, sh) rows. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(w) - 4, 1))")).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), col("i"), lit(5)), " ").as("sh"))
+
+  /** 6 portable MinHashes (min of md5(seed || shingle)) + 3 bands of 2. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val mins = (1 to 6).map(i =>
+      min(md5(concat(lit(s"s$i"), col("sh")))).as(s"h$i"))
+    shingles(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        concat(col("h1"), col("h2")).as("b1"),
+        concat(col("h3"), col("h4")).as("b2"),
+        concat(col("h5"), col("h6")).as("b3"))
+  }
+
+  /** LSH candidates: union of three band-key equi-joins (no cross product). */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    def bandJoin(b: String): DataFrame = {
+      val a = sig.select(col("doc_id").as("doc_a"), col(b).as("k"))
+      val c = sig.select(col("doc_id").as("doc_b"), col(b).as("k"))
+      a.join(c, Seq("k")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    bandJoin("b1").union(bandJoin("b2")).union(bandJoin("b3")).distinct()
+  }
+
+  /** 60-bit portable SimHash over word tokens (15 md5 hex digits x 4 bits). */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"),
+        explode(expr("sequence(1, 15)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        (instr(lit("0123456789abcdef"), substring(col("h"), col("j"), lit(1))) - 1)
+          .as("dv"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("doc_id"),
+        ((col("j") - 1) * 4 + col("b")).as("bitpos"),
+        expr("(shiftright(dv, CAST(b AS INT)) & 1) * 2 - 1").as("c"))
+      .groupBy(col("doc_id"), col("bitpos")).agg(sum(col("c")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sc") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT))"))
+        .otherwise(0L)).as("simhash"))
+
+  val queries: Map[String, Q] = Map(
+    // Q33: exact dedup by content hash — canonical survivor = min doc_id.
+    "q33_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("text_hash", sha2(col("text"), 256))
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Q33b: exact row-level dedup (DISTINCT on a projection).
+    "q33b_dedup_rows" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // MinHash+LSH candidate pairs (banded equi-joins, no O(n^2)).
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // LSH candidates verified with exact word-5-gram Jaccard similarity —
+    // the full near-dup pipeline in one plan.
+    "q_dedup_jaccard_verify" -> { (s, dir) =>
+      val sets = shingles(s, dir).distinct()
+      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = candidates(s, dir)
+      val inter = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          r6(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash fingerprint per document (60-bit portable).
+    "q_dedup_simhash" -> { (s, dir) =>
+      simhash(s, dir).orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup: block on 28-bit prefix, Hamming <= 8 within block.
+    "q_dedup_simhash_pairs" -> { (s, dir) =>
+      val sh = simhash(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        shiftright(col("simhash"), 32).as("blk"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        shiftright(col("simhash"), 32).as("blk"))
+      a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Embedding-cosine near-dup: 8-bit sign-LSH bucket, cosine within bucket.
+    "q_dedup_embedding" -> { (s, dir) =>
+      val bucketExpr = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
+          .otherwise(lit(0))).reduce(_ + _)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("bucket"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("bucket"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          r6(aggregate(zip_with(col("ea"), col("eb"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+            (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.8)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  )
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(w[i:i+4], ' ')
+      |                 FOR i IN range(1, greatest(len(w) - 4, 1) + 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  private val sigSql =
+    s"""$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    min(md5('s1' || sh)) || min(md5('s2' || sh)) AS b1,
+       |    min(md5('s3' || sh)) || min(md5('s4' || sh)) AS b2,
+       |    min(md5('s5' || sh)) || min(md5('s6' || sh)) AS b3
+       |  FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bits AS (
+      |  SELECT doc_id, (j - 1) * 4 + b AS bitpos,
+      |         (((strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1) >> b) & 1) * 2 - 1 AS c
+      |  FROM tok, (SELECT unnest(range(1, 16)) AS j) jj,
+      |       (SELECT unnest(range(0, 4)) AS b) bb),
+      |sh AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN sc > 0 THEN (1::BIGINT << CAST(bitpos AS INT)) ELSE 0 END) AS simhash
+      |  FROM (SELECT doc_id, bitpos, sum(c) AS sc FROM bits GROUP BY doc_id, bitpos)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q33_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    "q33b_dedup_rows" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $sigSql
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_jaccard_verify" ->
+      s"""WITH $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE round(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON (a.simhash >> 32) = (b.simhash >> 32) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |              p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

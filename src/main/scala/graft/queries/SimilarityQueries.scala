@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embeddings (SURVEY.md §2.4 i, Q34).
+  *
+  * Two plans, same semantics:
+  *  - brute-force: scan all vectors, cosine against a broadcast query vector,
+  *    global top-k via TakeOrderedAndProject — the exact baseline. At 100 TB
+  *    this is one pass over the data with no shuffle (top-k is partial).
+  *  - IVF: centroids per cluster (label = the coarse quantizer here),
+  *    pick the nearest centroid to the query, then scan ONLY that cluster —
+  *    the scale path: the probe turns a full scan into a partition-pruned
+  *    scan when the table is partitioned by cluster id.
+  *
+  * Dot products use higher-order functions (zip_with + aggregate), which
+  * stay inside codegen — no UDF.
+  */
+object SimilarityQueries extends QuerySet {
+
+  /** Cosine similarity between two ARRAY<FLOAT> columns, in double. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def nrm(x: Column): Column =
+      sqrt(aggregate(x, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot(a, b) / (nrm(a) * nrm(b))
+  }
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+
+  val queries: Map[String, Q] = Map(
+    // Q34: brute-force cosine top-k against the vec_id=0 query vector.
+    "q34_cosine_topk" -> { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id"),
+          r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Q34b: IVF probe — nearest centroid first, then exact cosine inside
+    // that cluster only. Centroids computed in long (label, pos, v) format
+    // so the aggregation scales to any dimensionality.
+    "q34b_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val centLong = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("cv"))
+      val qLong = queryVec(s, dir)
+        .select(posexplode(col("qe")))
+        .select(col("pos"), col("col").cast("double").as("qv"))
+      val bestLabel = centLong.join(broadcast(qLong), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(sum(col("cv") * col("qv")).as("ip"))
+        .orderBy(col("ip").desc, col("label"))
+        .limit(1)
+        .select(col("label"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(bestLabel), Seq("label"))
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id"), col("label"),
+          r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+
+  private val cosSql =
+    """round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |        p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q34_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $cosSql AS cos_sim
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q34b_ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cent AS (
+         |  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+         |  GROUP BY label, i),
+         |best AS (
+         |  SELECT c.label
+         |  FROM cent c JOIN (SELECT i AS pos, qe[i]::DOUBLE AS qv
+         |                    FROM q, (SELECT unnest(range(1, 65)) AS i) ii) qq
+         |    ON qq.pos = c.pos
+         |  GROUP BY c.label
+         |  ORDER BY sum(c.cv * qq.qv) DESC, c.label LIMIT 1)
+         |SELECT e.vec_id, e.label, $cosSql AS cos_sim
+         |FROM embeddings e JOIN best USING (label), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  )
+}

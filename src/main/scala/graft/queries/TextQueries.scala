@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline (SURVEY.md §2.4 i, Q35 +
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything is per-document arithmetic over split/regexp/higher-order
+  * functions — embarrassingly parallel, no shuffle except the final sort;
+  * at 100 TB these run as a single map stage over the document scan.
+  */
+object TextQueries extends QuerySet {
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "une", "et"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  val queries: Map[String, Q] = Map(
+    // Q35: token/char statistics + type-token ratio.
+    "q35_text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          size(col("w")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          r6(expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
+            .cast("double") / size(col("w"))).as("mean_tok_len"),
+          r6(size(array_distinct(col("w"))).cast("double") / size(col("w")))
+            .as("ttr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: stopword-profile scores + deterministic argmax
+    // (first language in de<en<es<fr<zh order wins ties).
+    "q_text_langid" -> { (s, dir) =>
+      val scored = stopwords.foldLeft(
+        t(s, dir, "documents").withColumn("w", split(col("text"), " "))) {
+        case (df, (l, words)) =>
+          val arr = array(words.map(lit): _*)
+          df.withColumn(s"s_$l",
+            r6(size(filter(col("w"), tk => array_contains(arr, tk)))
+              .cast("double") / size(col("w"))))
+      }
+      val g = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+      val predicted = stopwords.foldRight(lit("und")) {
+        case ((l, _), acc) => when(col(s"s_$l") === g, lit(l)).otherwise(acc)
+      }
+      // foldRight gives "first match wins" in declaration order
+      scored.select(
+        col("doc_id") +: col("lang").as("labeled") +:
+          stopwords.map { case (l, _) => col(s"s_$l") } :+
+          predicted.as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality score: length, stopword ratio, special-char ratio, word length.
+    "q_text_quality" -> { (s, dir) =>
+      val en = array(stopwords.toMap.apply("en").map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("double"))
+        .withColumn("stop_ratio",
+          size(filter(col("w"), tk => array_contains(en, tk)))
+            .cast("double") / col("n_tok"))
+        .withColumn("special_ratio",
+          length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+            length(col("text")).cast("double"))
+        .withColumn("mean_len",
+          expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
+            .cast("double") / col("n_tok"))
+        .select(col("doc_id"),
+          r6(col("stop_ratio")).as("stop_ratio"),
+          r6(col("special_ratio")).as("special_ratio"),
+          // fixed-point micro-units: floor(x*1e6 + 0.5) is bit-identical
+          // across engines, unlike round() at exact .5 micro-boundaries
+          // (these weighted small-int ratios do land on them).
+          floor((least(col("n_tok") / 100.0, lit(1.0)) * 0.3 +
+             col("stop_ratio") * 0.3 +
+             (lit(1.0) - col("special_ratio")) * 0.2 +
+             least(col("mean_len") / 8.0, lit(1.0)) * 0.2) * 1000000.0 + 0.5)
+            .cast("long").as("quality_micro"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprint: md5 over the sorted distinct token set —
+    // an order-invariant content signature (bag-of-words identity).
+    "q_text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+            " ")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer comparison: whitespace tokens vs BPE-ish regex tokens
+    // (runs of letters / digits / single specials) + est. subword count.
+    "q_text_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("rtoks",
+          expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_ws_tokens"),
+          size(col("rtoks")).as("n_re_tokens"),
+          expr("CAST(aggregate(transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)")
+            .as("n_bpe_est"),
+          element_at(col("rtoks"), 1).as("first_tok"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def langScoreSql(l: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"round(CAST(len(list_filter(w, t -> list_contains($arr, t))) AS DOUBLE) / len(w), 6) AS s_$l"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q35_text_stats" ->
+      """WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  length(text) AS len_chars,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+        |  round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w), 6) AS mean_tok_len,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang AS labeled,
+         |    ${stopwords.map { case (l, ws) => langScoreSql(l, ws) }.mkString(",\n    ")}
+         |  FROM d)
+         |SELECT doc_id, labeled, s_de, s_en, s_es, s_fr, s_zh,
+         |  CASE
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |    ELSE 'zh' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) / n_tok AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS special_ratio,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / n_tok AS mean_len,
+        |    n_tok
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(special_ratio, 6) AS special_ratio,
+        |  CAST(floor((least(n_tok / 100.0, 1.0) * 0.3 + stop_ratio * 0.3
+        |        + (1.0 - special_ratio) * 0.2 + least(mean_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """WITH d AS (SELECT *, string_split(text, ' ') AS w,
+        |                  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS rtoks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_ws_tokens,
+        |  CAST(len(rtoks) AS INT) AS n_re_tokens,
+        |  CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
+        |  rtoks[1] AS first_tok
+        |FROM d ORDER BY doc_id""".stripMargin
+  )
+}
