@@ -20,7 +20,8 @@ object SparkEntry {
     FunctionQueries,
     DedupQueries,
     SimilarityQueries,
-    TextQueries
+    TextQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.time.{Instant, OffsetDateTime}
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.IngestPipeline
+
+/** The engine facade — Spark-native replacement for the reference's
+  * `TimeseriesDiskPersistenceManager` + HTTP handlers (refluxdb
+  * src/persistence.rs, src/handlers.rs).
+  *
+  * One canonical partitioned table replaces "one sled DB per series"
+  * (SURVEY Q-F lift): parquet under `warehouse/measurements/series=_/day=_`.
+  * Series isolation becomes partition pruning; the catalog is the partition
+  * listing; cross-series joins become legal.
+  *
+  * Reference endpoints → methods:
+  *  - `GET /`        → [[listSeries]]   (R9, src/handlers.rs:24-32)
+  *  - `GET /range`   → [[range]]        (R11 intent — the reference SQL is
+  *                     double-broken, SURVEY Q-B; we filter `time` inclusive
+  *                     both ends, deviation D2)
+  *  - `POST /query`  → [[query]]        (R12/R14; the substring blocklist
+  *                     gate becomes a real parse — SURVEY Q-D/§7.3)
+  *  - `POST /write`  → [[ingestLines]] / [[ingestStream]] (R4-R6)
+  *
+  * Empty results are empty DataFrames, never errors (deviation D4); tags
+  * round-trip and are queryable (D3).
+  */
+class Engine(val spark: SparkSession, warehouse: String) {
+
+  val tablePath = s"$warehouse/measurements"
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Append a batch of raw protocol lines; returns (ok rows, error rows).
+    * Create-on-first-write (reference R7, src/utils/db.rs:60-108) is
+    * implicit: the first append materializes the partition directories. */
+  def ingestLines(lines: Seq[String]): (Long, Long) = {
+    val df = lines.toDF("value")
+    val parsed = IngestPipeline.parseLines(spark, df).cache()
+    val errs = IngestPipeline.parseErrors(spark, df).count()
+    val n = parsed.count()
+    if (n > 0) writeBatch(parsed)
+    parsed.unpersist()
+    (n, errs)
+  }
+
+  /** Attach a streaming source of raw lines (column `value`) — micro-batch
+    * appends with checkpointing (reference E3 loop, replayable). */
+  def ingestStream(lines: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestPipeline.parseLines(spark, lines)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch) }
+      .start()
+  }
+
+  private def writeBatch(parsed: DataFrame): Unit =
+    parsed
+      .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+      .write.mode("append")
+      .partitionBy("series", "day")
+      .parquet(tablePath)
+
+  // --------------------------------------------------------------- catalog
+
+  /** All measurements (empty frame with canonical schema if none yet). */
+  def table(): DataFrame =
+    if (exists) spark.read.parquet(tablePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "series STRING, id STRING, time TIMESTAMP, created_at TIMESTAMP, " +
+          "name STRING, value DOUBLE, tags MAP<STRING,STRING>, day STRING"))
+
+  private def exists: Boolean =
+    new java.io.File(tablePath).exists()
+
+  /** R9: series catalog (partition listing — no data scan). */
+  def listSeries(): Seq[String] =
+    if (!exists) Seq.empty
+    else table().select(col("series")).distinct()
+      .as[String].collect().toSeq.sorted
+
+  /** R10: series-exists probe. */
+  def seriesExists(series: String): Boolean =
+    if (!exists) false
+    else !table().filter(col("series") === series).isEmpty
+
+  // ----------------------------------------------------------------- range
+
+  /** R11 intent (D2): inclusive [start, end] slice of one series; RFC3339
+    * inputs like the reference (src/handlers.rs:36-42), clean error instead
+    * of panic on bad input; empty slice = empty frame (D4). Partition
+    * pruning on `series` and `day` bounds the scan before `time` filters. */
+  def range(series: String, startRfc3339: String, endRfc3339: String)
+      : Either[String, DataFrame] = {
+    def parseTs(s: String): Either[String, Instant] =
+      Try(OffsetDateTime.parse(s).toInstant)
+        .toEither.left.map(e => s"invalid datetime '$s': ${e.getMessage}")
+    for {
+      start <- parseTs(startRfc3339)
+      end <- parseTs(endRfc3339)
+    } yield {
+      val s0 = Timestamp.from(start)
+      val e0 = Timestamp.from(end)
+      table()
+        .filter(col("series") === series &&
+          // day-partition pruning bounds, then exact time bounds
+          col("day") >= date_format(lit(s0), "yyyy-MM-dd") &&
+          col("day") <= date_format(lit(e0), "yyyy-MM-dd") &&
+          col("time").between(lit(s0), lit(e0)))
+        .drop("day")
+    }
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** R12/R14: ad-hoc SQL over the series catalog. The reference's substring
+    * blocklist (rejects any query mentioning `created_at`! SURVEY Q-D) is
+    * replaced by a real parse: anything that is a command/DML is rejected,
+    * plain SELECTs — including aggregates, joins across series (Q-F lift),
+    * and `created_at` filters — run through Catalyst. */
+  def query(sql: String): Either[String, DataFrame] = {
+    val plan: Either[String, LogicalPlan] =
+      Try(spark.sessionState.sqlParser.parsePlan(sql))
+        .toEither.left.map(e => s"parse error: ${e.getMessage}")
+    plan.flatMap { p =>
+      val writeNode = p.collectFirst {
+        case c: Command => c.nodeName
+        case i: InsertIntoStatement => i.nodeName
+        case s: ParsedStatement => s.nodeName
+      }
+      writeNode match {
+        case Some(n) => Left(s"only read-only SELECT is allowed (got $n)")
+        case None =>
+          table().createOrReplaceTempView("measurements")
+          listSeries().foreach { s =>
+            // per-series view, like the reference's per-series tables
+            if (s.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              table().filter(col("series") === s).createOrReplaceTempView(s)
+          }
+          Try(spark.sql(sql)).toEither.left.map(e => s"analysis error: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** R16: real JSON rows (the reference returns Rust debug strings inside a
+    * JSON string, SURVEY Q-J). */
+  def toJsonRows(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+}

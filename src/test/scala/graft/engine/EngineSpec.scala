@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral parity with the reference's endpoints (SURVEY §5.2-5), with
+  * the documented deviations D1-D5 asserted explicitly.
+  */
+class EngineSpec extends SparkSpec {
+
+  private lazy val engine = {
+    val e = new Engine(spark, tmpDir("graft-engine"))
+    // the two README demo lines (refluxdb README.md:20,23) + extras
+    val (ok, err) = e.ingestLines(Seq(
+      "test,host=server,region=us-east1 value=0.80 1234567890000000000",
+      "cpu_load,host=server,region=us-east1 value=0.64 1234567891000000000",
+      "cpu_load,host=server,region=us-east1 value=0.70,idle=0.30 1234567952000000000",
+      "not a valid line at all",
+      "m f=\"notanumber\" 1"))
+    assert(ok == 4) // 2 + fan-out of 2 fields (R5) — errors excluded
+    assert(err == 2)
+    e
+  }
+
+  test("create-on-first-write + catalog listing (R7/R9)") {
+    assert(engine.listSeries() == Seq("cpu_load", "test"))
+    assert(engine.seriesExists("cpu_load")) // R10
+    assert(!engine.seriesExists("nope"))
+  }
+
+  test("per-field fan-out duplicates tags (R5, handlers.rs:113-134)") {
+    val rows = engine.table()
+      .filter(col("series") === "cpu_load" && col("name") === "idle")
+    assert(rows.count() == 1)
+    assert(rows.select(col("tags")("host")).head().getString(0) == "server")
+  }
+
+  test("event time honored from line timestamp (D1, ns->us)") {
+    val ts = engine.table().filter(col("series") === "test")
+      .select(col("time")).head().getTimestamp(0)
+    assert(ts.toInstant.toEpochMilli == 1234567890000L)
+  }
+
+  test("range slice inclusive both ends (R11/D2) + empty = empty (D4)") {
+    val r = engine.range("cpu_load",
+      "2009-02-13T23:31:31Z", "2009-02-13T23:32:32Z").toOption.get
+    // 1234567891s and 1234567952s are both inside inclusive bounds
+    assert(r.count() == 3)
+    val empty = engine.range("cpu_load",
+      "2030-01-01T00:00:00Z", "2030-01-02T00:00:00Z").toOption.get
+    assert(empty.count() == 0) // empty, not error
+    assert(engine.range("cpu_load", "garbage", "2030-01-01T00:00:00Z").isLeft)
+  }
+
+  test("query gate: parse-based, no false positives (Q-D fix)") {
+    // the reference rejects this query because it contains 'CREATE' inside
+    // 'created_at' (substring blocklist, persistence.rs:147-152); we run it
+    assert(engine.query(
+      "SELECT name, value FROM cpu_load WHERE created_at IS NOT NULL").isRight)
+    // real writes are rejected by plan type, not substring
+    assert(engine.query("DROP TABLE cpu_load").isLeft)
+    assert(engine.query("CREATE TABLE x (a INT)").isLeft)
+    assert(engine.query("INSERT INTO cpu_load VALUES (1)").isLeft)
+  }
+
+  test("aggregates and cross-series joins are reachable (Q-E/Q-F lift)") {
+    val agg = engine.query(
+      "SELECT name, count(*) AS n, round(avg(value), 6) AS avg_value " +
+        "FROM cpu_load GROUP BY name ORDER BY name").toOption.get
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("idle", 1L), ("value", 2L)))
+    val join = engine.query(
+      "SELECT count(*) AS n FROM cpu_load c JOIN test t ON c.tags['host'] = t.tags['host']")
+      .toOption.get
+    assert(join.head().getLong(0) == 3L)
+  }
+
+  test("results render as real JSON rows (Q-J fix)") {
+    val js = engine.toJsonRows(engine.query(
+      "SELECT name, value FROM test").toOption.get)
+    assert(js == Seq("""{"name":"value","value":0.8}"""))
+  }
+}

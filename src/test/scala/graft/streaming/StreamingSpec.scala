@@ -1,0 +1,201 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.SparkSpec
+import graft.engine.Engine
+
+/** Structured Streaming inventory (SURVEY §2.4 j, st1-st8). MemoryStream
+  * feeds each pipeline; memory sinks + processAllAvailable make the
+  * micro-batches synchronous and deterministic.
+  */
+case class Evt(ts: Timestamp, series: String, value: Double, id: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runAppend[T](ds: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = ds.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("st1: micro-batch ingest pipeline (parse -> explode -> append)") {
+    val in = MemoryStream[String]
+    val engine = new Engine(spark, tmpDir("graft-stream"))
+    val q = engine.ingestStream(in.toDF().toDF("value"), tmpDir("graft-ckpt"))
+    in.addData(
+      "cpu,host=a usage=0.5,idle=0.5 1700000000000000000",
+      "cpu,host=b usage=0.7 1700000060000000000",
+      "garbage line")
+    q.processAllAvailable()
+    in.addData("mem,host=a used=123.0 1700000120000000000")
+    q.processAllAvailable()
+    q.stop()
+    assert(engine.listSeries() == Seq("cpu", "mem"))
+    assert(engine.table().count() == 4) // 3 cpu rows (fan-out) + 1 mem
+    // exactly-once shape: restartable via checkpoint, no dup on re-run
+    assert(engine.table().select("id").distinct().count() == 4)
+  }
+
+  private def evts(rows: (String, String, Double, String)*): Seq[Evt] =
+    rows.map { case (ts, s, v, id) => Evt(t(ts), s, v, id) }
+
+  test("st2: tumbling window aggregation") {
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .groupBy(window(col("ts"), "1 minute"), col("series"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      .select(col("window.start").as("ws"), col("series"), col("n"), col("avg_v"))
+    in.addData(evts(
+      ("2024-01-01 00:00:10", "cpu", 1.0, "a"),
+      ("2024-01-01 00:00:50", "cpu", 3.0, "b"),
+      ("2024-01-01 00:01:10", "cpu", 5.0, "c"),
+      ("2024-01-01 00:00:20", "mem", 7.0, "d")): _*)
+    val out = runAppend(agg, "st2", mode = "complete")
+    val got = out.orderBy("series", "ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "cpu", 2L, 2.0),
+      ("2024-01-01 00:01:00.0", "cpu", 1L, 5.0),
+      ("2024-01-01 00:00:00.0", "mem", 1L, 7.0)))
+  }
+
+  test("st3: sliding window") {
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    in.addData(evts(
+      ("2024-01-01 00:00:30", "cpu", 1.0, "a"),
+      ("2024-01-01 00:01:30", "cpu", 1.0, "b")): _*)
+    val out = runAppend(agg, "st3", mode = "complete")
+    val got = out.orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    // event 1 lands in windows [-1:00,1:00) and [0:00,2:00); event 2 in
+    // [0:00,2:00) and [1:00,3:00)
+    assert(got == Seq(
+      ("2023-12-31 23:59:00.0", 1L),
+      ("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 00:01:00.0", 1L)))
+  }
+
+  test("st4: session window (30s gap)") {
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .groupBy(session_window(col("ts"), "30 seconds"), col("series"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("series"), col("n"))
+    in.addData(evts(
+      ("2024-01-01 00:00:00", "cpu", 1.0, "a"),
+      ("2024-01-01 00:00:20", "cpu", 1.0, "b"), // same session (gap 20s)
+      ("2024-01-01 00:02:00", "cpu", 1.0, "c")): _*) // new session
+    val out = runAppend(agg, "st4", mode = "complete")
+    val got = out.orderBy("ss").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSeq
+    assert(got == Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 00:02:00.0", 1L)))
+  }
+
+  test("st5: watermark drops late data (append mode)") {
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("st5").start()
+    in.addData(evts(("2024-01-01 00:00:10", "cpu", 1.0, "a")): _*)
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    in.addData(evts(("2024-01-01 00:10:00", "cpu", 1.0, "b")): _*)
+    q.processAllAvailable()
+    // late arrival for the long-closed first window: must be dropped
+    in.addData(evts(("2024-01-01 00:00:20", "cpu", 1.0, "late")): _*)
+    q.processAllAvailable()
+    in.addData(evts(("2024-01-01 00:20:00", "cpu", 1.0, "c")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st5").orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    // first window emitted with n=1 — the late event never counted
+    assert(got.contains(("2024-01-01 00:00:00.0", 1L)))
+  }
+
+  test("st6: streaming dedup by id with watermark") {
+    val in = MemoryStream[Evt]
+    val dedup = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .dropDuplicates("id")
+      .select(col("id"), col("value"))
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("st6").start()
+    in.addData(evts(
+      ("2024-01-01 00:00:00", "cpu", 1.0, "x"),
+      ("2024-01-01 00:00:01", "cpu", 99.0, "x"), // dup id in same batch
+      ("2024-01-01 00:00:02", "cpu", 2.0, "y")): _*)
+    q.processAllAvailable()
+    in.addData(evts(("2024-01-01 00:00:03", "cpu", 98.0, "x")): _*) // dup later
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st6").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("x", 1.0), ("y", 2.0)))
+  }
+
+  test("st7: stateful per-series running stats (mapGroupsWithState)") {
+    val in = MemoryStream[Evt]
+    val stats = in.toDS()
+      .groupByKey(_.series)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[Evt], state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          val vs = rows.map(_.value).toSeq
+          val updated = (n0 + vs.size, sum0 + vs.sum)
+          state.update(updated)
+          (series, updated._1, updated._2)
+      }
+    val q = stats.toDF("series", "n", "sum")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st7").start()
+    in.addData(evts(
+      ("2024-01-01 00:00:00", "cpu", 1.0, "a"),
+      ("2024-01-01 00:00:01", "cpu", 2.0, "b")): _*)
+    q.processAllAvailable()
+    in.addData(evts(("2024-01-01 00:00:02", "cpu", 3.0, "c")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // state accumulates across micro-batches: last update is (3, 6.0)
+    val last = spark.table("st7").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(last.contains(("cpu", 3L, 6.0)))
+  }
+
+  test("st8: stream-static join (enrich with dimension)") {
+    val dim = Seq(("cpu", "compute"), ("mem", "memory")).toDF("series", "kind")
+    val in = MemoryStream[Evt]
+    val joined = in.toDF().join(dim, Seq("series"))
+      .select(col("series"), col("kind"), col("value"))
+    in.addData(evts(
+      ("2024-01-01 00:00:00", "cpu", 1.0, "a"),
+      ("2024-01-01 00:00:01", "disk", 2.0, "b"), // no dim row -> dropped
+      ("2024-01-01 00:00:02", "mem", 3.0, "c")): _*)
+    val out = runAppend(joined, "st8")
+    val got = out.orderBy("series").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("cpu", "compute", 1.0), ("mem", "memory", 3.0)))
+  }
+}
