@@ -67,6 +67,10 @@ class Engine(val spark: SparkSession, warehouse: String) {
   private def writeBatch(parsed: DataFrame): Unit =
     parsed
       .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+      // cluster rows by their target partition first: each (series, day)
+      // is then written by one task — bounded file counts instead of
+      // tasks x partitions tiny files (the small-files killer at scale)
+      .repartition(col("series"), col("day"))
       .write.mode("append")
       .partitionBy("series", "day")
       .parquet(tablePath)

@@ -58,24 +58,31 @@ object DedupQueries extends QuerySet {
     bandJoin("b1").union(bandJoin("b2")).union(bandJoin("b3")).distinct()
   }
 
-  /** 60-bit portable SimHash over word tokens (15 md5 hex digits x 4 bits). */
-  private def simhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** 60-bit portable SimHash over word tokens (15 md5 hex digits x 4 bits).
+    *
+    * Single-pass shape: one row per token (md5 computed once), then 60
+    * per-bit sums as aggregate columns — no 60x row explosion, one shuffle
+    * keyed by doc_id. Bit semantics identical to the (explode-formulated)
+    * DuckDB oracle: contribution = ((hexdigit >> bit) & 1) * 2 - 1,
+    * final bit set iff the sum is strictly positive.
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"),
-        explode(expr("sequence(1, 15)")).as("j"))
-      .select(col("doc_id"), col("j"),
-        (instr(lit("0123456789abcdef"), substring(col("h"), col("j"), lit(1))) - 1)
-          .as("dv"),
-        explode(expr("sequence(0, 3)")).as("b"))
-      .select(col("doc_id"),
-        ((col("j") - 1) * 4 + col("b")).as("bitpos"),
-        expr("(shiftright(dv, CAST(b AS INT)) & 1) * 2 - 1").as("c"))
-      .groupBy(col("doc_id"), col("bitpos")).agg(sum(col("c")).as("sc"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sc") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val bitSums = (0 until 60).map { bp =>
+      val j = bp / 4 + 1
+      val b = bp % 4
+      sum(expr(
+        s"(shiftright(instr('0123456789abcdef', substring(h, $j, 1)) - 1, $b) & 1) * 2 - 1"))
+        .as(s"s$bp")
+    }
+    val packed = (0 until 60).map { bp =>
+      when(col(s"s$bp") > 0, lit(1L << bp)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Q33: exact dedup by content hash — canonical survivor = min doc_id.
