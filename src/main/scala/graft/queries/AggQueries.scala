@@ -73,6 +73,20 @@ object AggQueries extends QuerySet {
           col("o_orderstatus").asc_nulls_last, col("yr").asc_nulls_last)
     },
 
+    // Q16c: explicit GROUPING SETS (status-only, priority-only, grand total).
+    "q16c_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)
+    },
+
     // Q17: conditional aggregation + scalar conditionals
     // (CASE WHEN / nullif / coalesce / greatest inside agg).
     "q17_conditional_agg" -> { (s, dir) =>
@@ -170,6 +184,14 @@ object AggQueries extends QuerySet {
         |       CAST(GROUPING(yr) AS INT) AS g_yr
         |FROM orders GROUP BY CUBE (o_orderstatus, yr)
         |ORDER BY g_status, g_yr, o_orderstatus NULLS LAST, yr NULLS LAST""".stripMargin,
+
+    "q16c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
 
     "q17_conditional_agg" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink inventory beyond parquet (SURVEY §2.4a): CSV, JSON, rate
+  * (load-gen), plus plan-shape assertions (broadcast hint) and the spark.ml
+  * MinHashLSH alternative for near-dup (SURVEY Q34/near-dup note).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV and JSON sources round-trip") {
+    val dir = tmpDir("graft-src")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv").orderBy("k")
+    val json = spark.read.json(s"$dir/json").select("k", "s", "v").orderBy("k")
+    assert(csv.collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(json.collect().map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+  }
+
+  test("rate source generates load (streaming load-gen)") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500")
+      .load()
+      .writeStream.format("memory").queryName("rate_out").start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.table("rate_out").isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    assert(!spark.table("rate_out").isEmpty)
+  }
+
+  test("broadcast hint is honored in the physical plan (q07)") {
+    val plan = SparkEntry.queries("q07_inner_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("time-range filter pushes down to the parquet scan (q02)") {
+    val ex = SparkEntry.queries("q01_scan_projection")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(ex.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>")
+      || ex.contains("l_orderkey"), "column pruning missing")
+    val q4 = SparkEntry.queries("q04_predicates")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(q4.contains("PushedFilters: [Or("), s"no pushed filters in:\n$q4")
+  }
+
+  test("spark.ml MinHashLSH finds planted near-duplicates") {
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, Tokenizer}
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and once"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer rules"),
+      (3L, "unrelated words concerning parquet column pruning and pushdown"))
+      .toDF("id", "text")
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val words = tok.transform(docs)
+    val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
+      .setBinary(true).fit(words)
+    val vecs = cv.transform(words)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = lsh.fit(vecs)
+    val pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id"), col("datasetB.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair not found: $pairs")
+    assert(!pairs.contains((2L, 3L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.IngestPipeline
+import graft.queries.AggQueries
+
+/** Custom function surfaces: native Catalyst expression, scalar UDFs,
+  * approx-sketch tolerances (SURVEY §2.4d/k, §7.5).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ParseLine native expression: Column and SQL surfaces") {
+    val df = Seq(
+      "cpu,host=a usage=0.5,idle=0.5 1700000000000000000",
+      "bogus").toDF("value")
+    val viaColumn = df.select(
+      ParseLine.parse_line_expr(col("value")).as("r"))
+      .select(col("r.measurement"), col("r.fields"), col("r.ts"), col("r.error"))
+      .collect()
+    assert(viaColumn(0).getString(0) == "cpu")
+    assert(viaColumn(0).getMap[String, Double](1) ==
+      Map("usage" -> 0.5, "idle" -> 0.5))
+    assert(viaColumn(0).getLong(2) == 1700000000000000000L)
+    assert(viaColumn(1).isNullAt(0) && !viaColumn(1).isNullAt(3))
+
+    ParseLine.register(spark)
+    df.createOrReplaceTempView("raw_lines")
+    val viaSql = spark.sql(
+      "SELECT parse_line_expr(value).measurement AS m FROM raw_lines " +
+        "WHERE parse_line_expr(value).error IS NULL").collect()
+    assert(viaSql.map(_.getString(0)).toSeq == Seq("cpu"))
+  }
+
+  test("parse_line / to_line UDFs round-trip in SQL") {
+    IngestPipeline.registerUdfs(spark)
+    val line = "m,a=1 f=2.5 42"
+    val got = spark.sql(
+      s"""SELECT to_line(r._1, r._2, r._3, r._4) AS line
+         |FROM (SELECT parse_line('$line') AS r)""".stripMargin)
+      .head().getString(0)
+    assert(got == line)
+  }
+
+  test("approx sketches stay within tolerance of exact (q_approx_sketches)") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = AggQueries.queries("q_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_quantity, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = approx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"HLL off for $k: $ad vs $d")
+      assert(math.abs(am - m) <= 1.0, s"approx median off for $k: $am vs $m")
+    }
+  }
+}
