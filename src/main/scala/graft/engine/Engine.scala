@@ -75,6 +75,33 @@ class Engine(val spark: SparkSession, warehouse: String) {
       .partitionBy("series", "day")
       .parquet(tablePath)
 
+  /** Compact the table: rewrite each (series, day) partition into a bounded
+    * number of files. Streaming micro-batch appends accumulate small files
+    * (the classic TSDB-on-object-store failure mode); compaction runs out of
+    * band — stage to a sibling dir, then atomically swap directories.
+    */
+  def compact(): Unit = if (exists) {
+    val staging = new java.io.File(tablePath + ".compacting")
+    val live = new java.io.File(tablePath)
+    val old = new java.io.File(tablePath + ".old")
+    table()
+      .repartition(col("series"), col("day"))
+      .write.mode("overwrite")
+      .partitionBy("series", "day")
+      .parquet(staging.getPath)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"compact: cannot stage out $tablePath")
+    if (!staging.renameTo(live)) {
+      old.renameTo(live) // roll back
+      throw new java.io.IOException(s"compact: cannot swap in $staging")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(old)
+  }
+
   // --------------------------------------------------------------- catalog
 
   /** All measurements (empty frame with canonical schema if none yet). */

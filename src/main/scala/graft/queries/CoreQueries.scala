@@ -84,6 +84,36 @@ object CoreQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // Downsampling — the TSDB workhorse (reference intent: "pre-calculated
+    // stats" TODO, refluxdb README.md:58): hourly buckets per event_type.
+    "q_downsample_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sum_v"),
+          r6(min(col("value"))).as("min_v"),
+          r6(max(col("value"))).as("max_v"),
+          r6(avg(col("value"))).as("avg_v"))
+        .select(ntz(col("hour")).as("hour"), col("event_type"), col("n"),
+          col("sum_v"), col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join) +
+    // uncorrelated IN subquery — the spark.sql facade path (E1).
+    "q_subqueries" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey,
+          |  (SELECT count(*) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_f
+          |FROM customer_v c
+          |WHERE c.c_custkey IN (SELECT o_custkey FROM orders_v
+          |                      WHERE o_totalprice > 400000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     // Q23: multi-column sort with ASC/DESC and explicit NULL placement.
     "q23_multi_sort" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -167,6 +197,24 @@ object CoreQueries extends QuerySet {
     "q06_map_predicate" ->
       """SELECT event_id, user_id AS uid FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "q_downsample_hourly" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_v,
+        |  round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v,
+        |  round(avg(value), 6) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_subqueries" ->
+      """SELECT c.c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_f
+        |FROM customer c
+        |WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+        |                      WHERE o_totalprice > 400000)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q23_multi_sort" ->
       """SELECT c_custkey, c_mktsegment,

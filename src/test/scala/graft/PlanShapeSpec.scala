@@ -1,0 +1,38 @@
+package graft
+
+/** Scale guardrail: no query may silently plan a cartesian product or a
+  * broadcast-nested-loop join — the two shapes that die first at 100 TB.
+  * Intentional exceptions are allowlisted with the reason.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  // queries whose SEMANTICS are a bounded cross product (tiny inputs)
+  private val allowCross = Set(
+    "q11_cross_join", // 5 x 25 dims — declared bounded cross join
+    "q34_cosine_topk", // 1-row broadcast query vector
+    "q34b_ann_ivf") // 1-row broadcast query vector + 1-row best label
+
+  test("no unbounded cartesian/nested-loop joins in any query plan") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val bad = (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) && !allowCross(name)
+        if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {
+    val dir = "/root/testdata/sf0.001"
+    allowCross.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // every nested-loop in these plans must be build-side broadcast
+      assert(!plan.contains("CartesianProduct") || name == "q11_cross_join",
+        s"$name: cartesian without broadcast")
+    }
+  }
+}

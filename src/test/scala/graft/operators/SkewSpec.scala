@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.engine.Engine
+
+/** Salting rewrites must be result-identical to the plain plans; compaction
+  * must reduce file counts without changing data.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted two-phase aggregation matches plain groupBy") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val plain = li.groupBy(col("l_returnflag").as("key"))
+      .agg(sum(col("l_quantity")).as("sum"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(li, col("l_returnflag"),
+      col("l_quantity"), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join matches plain join") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity"))
+    val dim = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = li.join(dim, Seq("k"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedJoin(li, dim, "k", buckets = 8)
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("compaction bounds file count and preserves data") {
+    val engine = new Engine(spark, tmpDir("graft-compact"))
+    // 5 small appends -> many small files across (series, day) dirs
+    (1 to 5).foreach { i =>
+      engine.ingestLines(Seq(
+        s"cpu,host=h$i usage=0.$i 170000000${i}000000000",
+        s"mem,host=h$i used=$i.0 170000000${i}000000000"))
+    }
+    def parquetFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(engine.tablePath))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = engine.table().orderBy("series", "time", "name")
+      .collect().map(_.toString).toSeq
+    val filesBefore = parquetFiles
+    engine.compact()
+    val after = engine.table().orderBy("series", "time", "name")
+      .collect().map(_.toString).toSeq
+    assert(after.map(stripId) == before.map(stripId))
+    assert(parquetFiles < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $parquetFiles")
+  }
+
+  // uuids are regenerated per ingest, not per compact — rows compare minus id?
+  // No: compact rewrites existing rows (ids preserved); strip nothing. Kept
+  // for clarity that ids must survive compaction unchanged.
+  private def stripId(s: String): String = s
+}
