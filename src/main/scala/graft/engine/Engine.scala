@@ -75,6 +75,37 @@ class Engine(val spark: SparkSession, warehouse: String) {
       .partitionBy("series", "day")
       .parquet(tablePath)
 
+  /** Continuous downsampling — the reference's "pre-calculated stats" TODO
+    * (refluxdb README.md:58) as a streaming materialized rollup: raw lines
+    * stream in, windowed per-(series, name) aggregates append to
+    * `warehouse/rollup_<bucket>` once the watermark closes each window.
+    * Query the rollup instead of raw measurements for dashboard-style
+    * reads — at 100 TB that is the difference between scanning minutes
+    * and scanning everything.
+    */
+  def downsampleStream(lines: DataFrame, bucket: String, watermark: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val safe = bucket.replaceAll("[^A-Za-z0-9]", "_")
+    IngestPipeline.parseLines(spark, lines)
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), bucket), col("series"), col("name"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("window.start").as("bucket_start"), col("series"),
+        col("name"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$warehouse/rollup_$safe")
+      .start()
+  }
+
+  /** The rollup table maintained by [[downsampleStream]]. */
+  def rollup(bucket: String): DataFrame =
+    spark.read.parquet(
+      s"$warehouse/rollup_${bucket.replaceAll("[^A-Za-z0-9]", "_")}")
+
   /** Compact the table: rewrite each (series, day) partition into a bounded
     * number of files. Streaming micro-batch appends accumulate small files
     * (the classic TSDB-on-object-store failure mode); compaction runs out of

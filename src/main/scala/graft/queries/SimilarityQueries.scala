@@ -45,6 +45,36 @@ object SimilarityQueries extends QuerySet {
         .limit(10)
     },
 
+    // Q34c: k-NN JOIN — top-3 neighbors for EVERY label-0 query vector in
+    // one plan: block the corpus by sign-LSH bucket (same 8-bit key as the
+    // near-dup op), join queries to their bucket only, rank within query.
+    // At scale this is the shuffle-partitioned batch-ANN shape: no
+    // all-pairs, each query compares against its bucket.
+    "q34c_knn_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bucketExpr = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
+          .otherwise(lit(0))).reduce(_ + _)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          bucketExpr.as("bucket"))
+      val queries = e.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val corpus = e.filter(col("label") =!= 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      queries.join(corpus, Seq("bucket"))
+        .select(col("q_id"), col("c_id"),
+          r6(cosine(col("qe"), col("ce"))).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("c_id"), col("cos_sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+
     // Q34b: IVF probe — nearest centroid first, then exact cosine inside
     // that cluster only. Centroids computed in long (label, pos, v) format
     // so the aggregation scales to any dimensionality.
@@ -85,6 +115,33 @@ object SimilarityQueries extends QuerySet {
          |SELECT e.vec_id, $cosSql AS cos_sim
          |FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q34c_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.bucket = c.bucket
+        |  WHERE q.label = 0 AND c.label <> 0),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos_sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+        |  FROM pairs)
+        |SELECT q_id, rk, c_id, cos_sim FROM ranked WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
 
     "q34b_ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -97,6 +97,22 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // Edit-distance near-dup: Levenshtein over text prefixes for adjacent
+    // doc ids within the same source — a bounded-candidate demonstration of
+    // the edit-distance verifier (candidates would come from LSH at scale).
+    "q_text_levenshtein" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("doc_a"), col("source"),
+        substring(col("text"), 1, 60).as("ta"))
+      val b = d.select(col("doc_id").as("doc_b"), col("source"),
+        substring(col("text"), 1, 60).as("tb"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+        .orderBy(col("doc_a"))
+    },
+
     // Tokenizer comparison: whitespace tokens vs BPE-ish regex tokens
     // (runs of letters / digits / single specials) + est. subword count.
     "q_text_tokens" -> { (s, dir) =>
@@ -168,6 +184,13 @@ object TextQueries extends QuerySet {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_levenshtein" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
 
     "q_text_tokens" ->
       """WITH d AS (SELECT *, string_split(text, ' ') AS w,

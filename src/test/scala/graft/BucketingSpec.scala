@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing: pre-shuffling both fact tables on the join key at write time
+  * means the join itself needs NO exchange — the shuffle is paid once at
+  * ingest instead of per-query. This is the co-located-join lever for the
+  * repeated fact-fact joins (orders ⋈ lineitem) at 100 TB.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val wh = tmpDir("graft-bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = "/root/testdata/sf0.001"
+
+    Tables.load(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.load(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join still shuffles on the bucketed key:\n$plan")
+
+    // and the result matches the unbucketed join
+    val expect = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}

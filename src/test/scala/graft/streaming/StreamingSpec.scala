@@ -184,6 +184,29 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains(("cpu", 3L, 6.0)))
   }
 
+  test("continuous downsample: raw lines -> windowed rollup table") {
+    val in = MemoryStream[String]
+    val engine = new Engine(spark, tmpDir("graft-rollup"))
+    val q = engine.downsampleStream(in.toDF().toDF("value"),
+      bucket = "1 minute", watermark = "0 seconds",
+      checkpoint = tmpDir("graft-rollup-ckpt"))
+    in.addData(
+      "cpu,h=a usage=1.0 1700000000000000000", // 2023-11-14 22:13:20
+      "cpu,h=a usage=3.0 1700000010000000000") // same minute bucket
+    q.processAllAvailable()
+    // advance watermark past the first minute so its window emits
+    in.addData("cpu,h=a usage=9.0 1700000300000000000")
+    q.processAllAvailable()
+    q.stop()
+    val r = engine.rollup("1 minute")
+      .filter(col("series") === "cpu" && col("name") === "usage")
+      .orderBy("bucket_start").collect()
+    assert(r.length >= 1)
+    assert(r.head.getAs[Long]("n") == 2L)
+    assert(r.head.getAs[Double]("sum_v") == 4.0)
+    assert(r.head.getAs[Double]("max_v") == 3.0)
+  }
+
   test("st8: stream-static join (enrich with dimension)") {
     val dim = Seq(("cpu", "compute"), ("mem", "memory")).toDF("series", "kind")
     val in = MemoryStream[Evt]
