@@ -48,32 +48,43 @@ class Engine(val spark: SparkSession, warehouse: String) {
     val parsed = IngestPipeline.parseLines(spark, df).cache()
     val errs = IngestPipeline.parseErrors(spark, df).count()
     val n = parsed.count()
-    if (n > 0) writeBatch(parsed)
+    if (n > 0)
+      writeBatch(parsed, s"b-${java.util.UUID.randomUUID().toString.take(8)}")
     parsed.unpersist()
     (n, errs)
   }
 
-  /** Attach a streaming source of raw lines (column `value`) — micro-batch
-    * appends with checkpointing (reference E3 loop, replayable). */
+  /** Attach a streaming source of raw lines (column `value`) — exactly-once
+    * micro-batch ingest: each micro-batch writes under its own
+    * `ingest_batch=<epoch>` partition tag with dynamic partition overwrite,
+    * so a batch replayed after a crash overwrites its own previous
+    * (possibly partial) output instead of double-appending. */
   def ingestStream(lines: DataFrame, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     IngestPipeline.parseLines(spark, lines)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatch(batch, s"s$id")
+      }
       .start()
   }
 
-  private def writeBatch(parsed: DataFrame): Unit =
+  private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit = {
+    // only partitions present in this batch are replaced (all carry this
+    // batch's tag) — idempotent under micro-batch retry
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parsed
       .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+      .withColumn("ingest_batch", lit(batchTag))
       // cluster rows by their target partition first: each (series, day)
       // is then written by one task — bounded file counts instead of
       // tasks x partitions tiny files (the small-files killer at scale)
       .repartition(col("series"), col("day"))
-      .write.mode("append")
-      .partitionBy("series", "day")
+      .write.mode("overwrite")
+      .partitionBy("ingest_batch", "series", "day")
       .parquet(tablePath)
+  }
 
   /** Continuous downsampling — the reference's "pre-calculated stats" TODO
     * (refluxdb README.md:58) as a streaming materialized rollup: raw lines
@@ -116,9 +127,11 @@ class Engine(val spark: SparkSession, warehouse: String) {
     val live = new java.io.File(tablePath)
     val old = new java.io.File(tablePath + ".old")
     table()
+      .withColumn("ingest_batch",
+        lit(s"compact-${System.currentTimeMillis()}"))
       .repartition(col("series"), col("day"))
       .write.mode("overwrite")
-      .partitionBy("series", "day")
+      .partitionBy("ingest_batch", "series", "day")
       .parquet(staging.getPath)
     if (!live.renameTo(old))
       throw new java.io.IOException(s"compact: cannot stage out $tablePath")
@@ -137,7 +150,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   /** All measurements (empty frame with canonical schema if none yet). */
   def table(): DataFrame =
-    if (exists) spark.read.parquet(tablePath)
+    if (exists) spark.read.parquet(tablePath).drop("ingest_batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(

@@ -76,6 +76,19 @@ class EngineSpec extends SparkSpec {
     assert(join.head().getLong(0) == 3L)
   }
 
+  test("micro-batch retry is idempotent (exactly-once ingest)") {
+    val e = new Engine(spark, tmpDir("graft-idem"))
+    val parsed = graft.ingest.IngestPipeline.parseLines(spark,
+      { import spark.implicits._
+        Seq("cpu,h=a v=1.0,w=2.0 1700000000000000000").toDF("value") })
+    e.writeBatch(parsed, "s42")
+    val n1 = e.table().count()
+    e.writeBatch(parsed, "s42") // simulated retry of the same micro-batch
+    assert(e.table().count() == n1) // overwrote itself, no double-append
+    e.writeBatch(parsed, "s43") // a NEW batch does append
+    assert(e.table().count() == 2 * n1)
+  }
+
   test("results render as real JSON rows (Q-J fix)") {
     val js = engine.toJsonRows(engine.query(
       "SELECT name, value FROM test").toOption.get)
