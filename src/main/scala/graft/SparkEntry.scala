@@ -17,6 +17,7 @@ object SparkEntry {
     JoinQueries,
     AggQueries,
     WindowQueries,
+    TimeseriesQueries,
     FunctionQueries,
     DedupQueries,
     SimilarityQueries,

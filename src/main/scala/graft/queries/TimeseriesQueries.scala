@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Timeseries analytics beyond the reference's reach (SURVEY §2.4 e/j
+  * extensions): pivot, distribution windows, sessionization, gap filling.
+  * These are the batch formulations of the TSDB workhorses; the streaming
+  * twins live in StreamingSpec (session_window, windowed rollups).
+  *
+  * Scale shapes: pivot = one hash agg with a fixed column set (values
+  * enumerated, never inferred by a driver-side distinct at scale);
+  * sessionization and gap-fill are single-shuffle window passes per series
+  * key; the gap-fill grid is generated per-user by a generator (explode of
+  * sequence), NOT a cross join.
+  */
+object TimeseriesQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // Pivot: per-user event-type counts as columns (explicit value list —
+    // at 100 TB you never let pivot() run its inference query).
+    "q_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy(col("user_id"))
+    },
+
+    // Distribution window functions: percent_rank / cume_dist / nth_value.
+    "q19b_distribution" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          nth_value(col("value"), 2).over(wf).as("second_lowest"))
+        .orderBy(col("event_id"))
+    },
+
+    // Sessionization (batch): a session break is a >30 min gap per user;
+    // session id = running count of breaks; then per-session stats.
+    "q_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ntz(min(col("ts"))).as("session_start"),
+          r6(max(col("ts")).cast("double") - min(col("ts")).cast("double"))
+            .as("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Gap filling + forward fill (interpolation): hourly grid for one day
+    // per user (generator, not cross join), left join observed hourly
+    // averages, carry the last observation forward.
+    "q_gapfill" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val grid = e.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(expr(
+          "sequence(timestamp'2024-01-05 00:00:00', timestamp'2024-01-05 23:00:00', interval 1 hour)"))
+          .as("hour"))
+      val obs = e
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(avg(col("value")).as("avg_v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), ntz(col("hour")).as("hour"),
+          r6(last(col("avg_v"), ignoreNulls = true).over(w)).as("filled"),
+          col("avg_v").isNotNull.as("is_observed"))
+        .orderBy(col("user_id"), col("hour"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19b_distribution" ->
+      """SELECT event_id,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY value, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start,
+        |       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, h.hour
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |       (SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                                      TIMESTAMP '2024-01-05 23:00:00',
+        |                                      INTERVAL 1 HOUR)) AS hour) h),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour, avg(value) AS avg_v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT g.user_id, g.hour,
+        |  round(last_value(o.avg_v IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled,
+        |  (o.avg_v IS NOT NULL) AS is_observed
+        |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin
+  )
+}
