@@ -30,9 +30,9 @@ object AggQueries extends QuerySet {
           sum(dec(col("l_extendedprice"))).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
             .as("sum_disc_price"),
-          r6(avg(col("l_quantity"))).as("avg_qty"),
-          r6(avg(col("l_extendedprice"))).as("avg_price"),
-          r6(avg(col("l_discount"))).as("avg_disc"),
+          avgMicro(col("l_quantity"), count(lit(1))).as("avg_qty_micro"),
+          avgMicro(col("l_extendedprice"), count(lit(1))).as("avg_price_micro"),
+          avgMicro(col("l_discount"), count(lit(1))).as("avg_disc_micro"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -96,8 +96,8 @@ object AggQueries extends QuerySet {
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
             .otherwise(dec(lit(0)))).as("open_total"),
-          r6(avg(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)))
-            .as("pct_f"),
+          avgMicro(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0),
+            count(lit(1))).as("pct_f_micro"),
           max(greatest(col("o_totalprice"), lit(250000.0))).as("max_or_250k"),
           sum(when(nullif(col("o_orderstatus"), lit("P")).isNull, 1L)
             .otherwise(0L)).as("n_p"))
@@ -154,9 +154,9 @@ object AggQueries extends QuerySet {
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_qty_micro,
+        |  (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_price_micro,
+        |  (sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_disc_micro,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -197,7 +197,7 @@ object AggQueries extends QuerySet {
       """SELECT o_orderpriority,
         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
         |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS open_total,
-        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS pct_f,
+        |  (sum(CAST(round((CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS pct_f_micro,
         |  max(greatest(o_totalprice, 250000.0)) AS max_or_250k,
         |  sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

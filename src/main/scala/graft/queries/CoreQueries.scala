@@ -93,9 +93,9 @@ object CoreQueries extends QuerySet {
           sum(dec(col("value"))).as("sum_v"),
           r6(min(col("value"))).as("min_v"),
           r6(max(col("value"))).as("max_v"),
-          r6(avg(col("value"))).as("avg_v"))
+          avgMicro(col("value"), count(lit(1))).as("avg_micro"))
         .select(ntz(col("hour")).as("hour"), col("event_type"), col("n"),
-          col("sum_v"), col("min_v"), col("max_v"), col("avg_v"))
+          col("sum_v"), col("min_v"), col("max_v"), col("avg_micro"))
         .orderBy(col("hour"), col("event_type"))
     },
 
@@ -204,7 +204,7 @@ object CoreQueries extends QuerySet {
         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_v,
         |  round(min(value), 6) AS min_v,
         |  round(max(value), 6) AS max_v,
-        |  round(avg(value), 6) AS avg_v
+        |  (sum(CAST(round(value * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_micro
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_subqueries" ->

@@ -121,9 +121,10 @@ object DedupQueries extends QuerySet {
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          r6(col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+          micro(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"))
+            .as("jaccard_micro"))
+        .filter(col("jaccard_micro") >= 500000)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -231,11 +232,11 @@ object DedupQueries extends QuerySet {
          |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT i.doc_a, i.doc_b,
-         |       round(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE), 6) AS jaccard
+         |       CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro
          |FROM inter i
          |JOIN sizes za ON za.doc_id = i.doc_a
          |JOIN sizes zb ON zb.doc_id = i.doc_b
-         |WHERE round(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE), 6) >= 0.5
+         |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_simhash" ->

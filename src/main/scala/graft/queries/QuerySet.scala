@@ -37,6 +37,25 @@ trait QuerySet {
     * type DuckDB reads as a naive TIMESTAMP (same as the oracle side). */
   protected def ntz(c: Column): Column = c.cast("timestamp_ntz")
 
+  /** Fixed-point micro-units for a double that is BIT-IDENTICAL on both
+    * engines (same arithmetic, same order): floor(x*1e6+0.5) is then
+    * deterministic, unlike round(x, 6), whose implementations disagree when
+    * x*1e6 lands exactly on a .5 boundary (ratios of small integers do). */
+  protected def micro(c: Column): Column =
+    floor(c * 1000000.0 + 0.5).cast("long")
+
+  /** Exactly-rounded average in micro-units for 2-decimal source data whose
+    * SUM ORDER varies across engines (groupBy partials): go through exact
+    * integer cents — (sum_cents*10000 + n/2) div n is pure int64 math,
+    * identical everywhere. Spark side; the oracle mirrors it with // . */
+  protected def avgMicro(value: Column, cnt: Column): Column = {
+    val n = sum(round(value * 100).cast("long")) * 10000 +
+      (cnt - pmod(cnt, lit(2))) / 2 // cnt div 2, exact
+    // exact int64 floor-division: subtract the remainder first so the fp
+    // division is of a perfectly divisible numerator
+    ((n - pmod(n, cnt)) / cnt).cast("long")
+  }
+
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 }

@@ -28,10 +28,10 @@ object TextQueries extends QuerySet {
           size(col("w")).as("n_tokens"),
           length(col("text")).as("len_chars"),
           size(array_distinct(col("w"))).as("n_uniq"),
-          r6(expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
-            .cast("double") / size(col("w"))).as("mean_tok_len"),
-          r6(size(array_distinct(col("w"))).cast("double") / size(col("w")))
-            .as("ttr"))
+          micro(expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
+            .cast("double") / size(col("w"))).as("mean_tok_len_micro"),
+          micro(size(array_distinct(col("w"))).cast("double") / size(col("w")))
+            .as("ttr_micro"))
         .orderBy(col("doc_id"))
     },
 
@@ -43,7 +43,7 @@ object TextQueries extends QuerySet {
         case (df, (l, words)) =>
           val arr = array(words.map(lit): _*)
           df.withColumn(s"s_$l",
-            r6(size(filter(col("w"), tk => array_contains(arr, tk)))
+            micro(size(filter(col("w"), tk => array_contains(arr, tk)))
               .cast("double") / size(col("w"))))
       }
       val g = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
@@ -74,8 +74,8 @@ object TextQueries extends QuerySet {
           expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
             .cast("double") / col("n_tok"))
         .select(col("doc_id"),
-          r6(col("stop_ratio")).as("stop_ratio"),
-          r6(col("special_ratio")).as("special_ratio"),
+          micro(col("stop_ratio")).as("stop_ratio_micro"),
+          micro(col("special_ratio")).as("special_ratio_micro"),
           // fixed-point micro-units: floor(x*1e6 + 0.5) is bit-identical
           // across engines, unlike round() at exact .5 micro-boundaries
           // (these weighted small-int ratios do land on them).
@@ -132,7 +132,7 @@ object TextQueries extends QuerySet {
 
   private def langScoreSql(l: String, words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
-    s"round(CAST(len(list_filter(w, t -> list_contains($arr, t))) AS DOUBLE) / len(w), 6) AS s_$l"
+    s"CAST(floor(CAST(len(list_filter(w, t -> list_contains($arr, t))) AS DOUBLE) / len(w) * 1000000.0 + 0.5) AS BIGINT) AS s_$l"
   }
 
   val oracle: Map[String, String] = Map(
@@ -142,8 +142,8 @@ object TextQueries extends QuerySet {
         |  CAST(len(w) AS INT) AS n_tokens,
         |  length(text) AS len_chars,
         |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
-        |  round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w), 6) AS mean_tok_len,
-        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr
+        |  CAST(floor(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) * 1000000.0 + 0.5) AS BIGINT) AS mean_tok_len_micro,
+        |  CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) AS BIGINT) AS ttr_micro
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
@@ -174,8 +174,8 @@ object TextQueries extends QuerySet {
         |    n_tok
         |  FROM d)
         |SELECT doc_id,
-        |  round(stop_ratio, 6) AS stop_ratio,
-        |  round(special_ratio, 6) AS special_ratio,
+        |  CAST(floor(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ratio_micro,
+        |  CAST(floor(special_ratio * 1000000.0 + 0.5) AS BIGINT) AS special_ratio_micro,
         |  CAST(floor((least(n_tok / 100.0, 1.0) * 0.3 + stop_ratio * 0.3
         |        + (1.0 - special_ratio) * 0.2 + least(mean_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
         |FROM m ORDER BY doc_id""".stripMargin,

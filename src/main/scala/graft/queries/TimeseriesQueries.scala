@@ -37,8 +37,8 @@ object TimeseriesQueries extends QuerySet {
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .select(col("event_id"),
-          r6(percent_rank().over(w)).as("pct_rank"),
-          r6(cume_dist().over(w)).as("cdist"),
+          micro(percent_rank().over(w)).as("pct_rank_micro"),
+          micro(cume_dist().over(w)).as("cdist_micro"),
           nth_value(col("value"), 2).over(wf).as("second_lowest"))
         .orderBy(col("event_id"))
     },
@@ -99,8 +99,8 @@ object TimeseriesQueries extends QuerySet {
 
     "q19b_distribution" ->
       """SELECT event_id,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_micro,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cdist_micro,
         |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY value, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest
         |FROM events
