@@ -34,16 +34,22 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = (1 to runs).map { _ =>
-        try time(fn(spark, sfDir).count())
-        catch { case _: Throwable => -1.0 }
+      val ts = (1 to runs).flatMap { _ =>
+        try Some(time(fn(spark, sfDir).count()))
+        catch { case _: Throwable => None }
       }.sorted
-      name -> ts(ts.length / 2)
+      // a failed query must NOT shrink the total silently: surface it
+      name -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

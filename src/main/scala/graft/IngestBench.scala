@@ -32,16 +32,11 @@ object IngestBench {
     lines.cache()
     lines.count() // materialize the source outside the timed section
 
-    import org.apache.spark.sql.functions.{col, date_format}
     val mode = sys.env.getOrElse("SPARK_GRAFT_INGEST_MODE", "full")
     val t0 = System.nanoTime()
     val parsed = graft.ingest.IngestPipeline.parseLines(spark, lines)
     if (mode == "parse") parsed.write.format("noop").mode("overwrite").save()
-    else parsed
-      .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
-      .repartition(col("series"), col("day"))
-      .write.mode("append").partitionBy("series", "day")
-      .parquet(engine.tablePath)
+    else engine.writeBatch(parsed, "bench") // the REAL production write path
     val sec = (System.nanoTime() - t0) / 1e9
 
     val rows = engine.table().count()

@@ -71,9 +71,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
   }
 
   private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit = {
-    // only partitions present in this batch are replaced (all carry this
-    // batch's tag) — idempotent under micro-batch retry
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // idempotence under micro-batch retry: wipe this batch's previous
+    // (possibly partial) output first, then plain append. Deleting the
+    // whole batch directory is robust even when the arrival-time fallback
+    // shifts rows to different day partitions between attempts (dynamic
+    // partition overwrite would leave the first attempt's partitions
+    // behind), and needs no session-wide writer-config mutation.
+    deleteRecursively(new java.io.File(s"$tablePath/ingest_batch=$batchTag"))
     parsed
       .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
       .withColumn("ingest_batch", lit(batchTag))
@@ -81,9 +85,14 @@ class Engine(val spark: SparkSession, warehouse: String) {
       // is then written by one task — bounded file counts instead of
       // tasks x partitions tiny files (the small-files killer at scale)
       .repartition(col("series"), col("day"))
-      .write.mode("overwrite")
+      .write.mode("append")
       .partitionBy("ingest_batch", "series", "day")
       .parquet(tablePath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Continuous downsampling — the reference's "pre-calculated stats" TODO
@@ -139,11 +148,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
       old.renameTo(live) // roll back
       throw new java.io.IOException(s"compact: cannot swap in $staging")
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(old)
+    deleteRecursively(old)
   }
 
   // --------------------------------------------------------------- catalog
@@ -157,8 +162,14 @@ class Engine(val spark: SparkSession, warehouse: String) {
         "series STRING, id STRING, time TIMESTAMP, created_at TIMESTAMP, " +
           "name STRING, value DOUBLE, tags MAP<STRING,STRING>, day STRING"))
 
-  private def exists: Boolean =
-    new java.io.File(tablePath).exists()
+  private def exists: Boolean = {
+    val live = new java.io.File(tablePath)
+    val old = new java.io.File(tablePath + ".old")
+    // recover a compact() interrupted between its two renames: the data is
+    // intact in .old — swap it back in rather than reading an empty table
+    if (!live.exists() && old.exists()) old.renameTo(live)
+    live.exists()
+  }
 
   /** R9: series catalog (partition listing — no data scan). */
   def listSeries(): Seq[String] =
@@ -218,12 +229,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
       writeNode match {
         case Some(n) => Left(s"only read-only SELECT is allowed (got $n)")
         case None =>
-          table().createOrReplaceTempView("measurements")
           listSeries().foreach { s =>
-            // per-series view, like the reference's per-series tables
-            if (s.matches("[A-Za-z_][A-Za-z0-9_]*"))
+            // per-series view, like the reference's per-series tables;
+            // "measurements" is reserved for the canonical view below
+            if (s.matches("[A-Za-z_][A-Za-z0-9_]*") && s != "measurements")
               table().filter(col("series") === s).createOrReplaceTempView(s)
           }
+          table().createOrReplaceTempView("measurements")
           Try(spark.sql(sql)).toEither.left.map(e => s"analysis error: ${e.getMessage}")
       }
     }

@@ -57,7 +57,7 @@ class Gateway(spoolDir: String, httpPort: Int = 0, udpPort: Int = 0) {
           buf.toString(UTF_8)
         }
         if (ex.getRequestMethod == "POST") {
-          appendLines(body.split("\n").toSeq.filter(_.nonEmpty))
+          appendLines(body.split("\r?\n").toSeq.filter(_.nonEmpty))
           val resp = "{\"status\":\"ok\"}".getBytes(UTF_8)
           ex.sendResponseHeaders(200, resp.length)
           ex.getResponseBody.write(resp)
@@ -75,7 +75,7 @@ class Gateway(spoolDir: String, httpPort: Int = 0, udpPort: Int = 0) {
           val pkt = new DatagramPacket(buf, buf.length)
           udp.receive(pkt)
           val text = new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
-          appendLines(text.split("\n").toSeq.filter(_.nonEmpty))
+          appendLines(text.split("\r?\n").toSeq.filter(_.nonEmpty))
         } catch {
           case _: java.net.SocketException if !running => // closed
           case _: Exception if running => // keep serving

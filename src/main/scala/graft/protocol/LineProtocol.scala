@@ -73,7 +73,13 @@ object LineProtocol {
     ts.map(LineRecord(measurement, tags, fields, _))
   }
 
-  /** Inverse of [[parse]] (reference R2, src/protocol.rs:46-72). */
+  /** Inverse of [[parse]] (reference R2, src/protocol.rs:46-72).
+    *
+    * Like the reference, performs NO escaping: values containing spaces,
+    * commas, or '=' produce lines that do not round-trip (reference quirk
+    * Q-H — its parser splits on whitespace with no escape support either).
+    * The round-trip invariant holds for values free of structural chars.
+    */
   def serialize(r: LineRecord): String = {
     val tagPart =
       if (r.tags.isEmpty) r.measurement

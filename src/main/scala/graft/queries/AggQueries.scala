@@ -13,8 +13,10 @@ import graft.functions.WeightedAvg
   * aggregation for free — at 100 TB the partial agg is what keeps the
   * shuffle small.
   *
-  * Exactness policy: SUMs in DECIMAL(18,2) (bit-equal across engines),
-  * AVG/percentile as round-6 doubles (fp error << 1e-6 at these magnitudes).
+  * Exactness policy: SUMs in DECIMAL(18,2) (bit-equal across engines);
+  * AVGs of 2-decimal data as integer-exact micro-units (QuerySet.avgMicro);
+  * percentiles as round-6 doubles (interpolation of 2-decimal values stays
+  * strictly off the rounding boundaries).
   */
 object AggQueries extends QuerySet {
 

@@ -10,6 +10,11 @@ import graft.multimodal.Multimodal
   * deterministic byte statistics directly from the text the payloads were
   * derived from. Only the decode body is a stub — the schema, partition
   * processing, and feature output are the real thing.
+  *
+  * Oracle caveat: the SQL side counts characters/codepoints (strlen/ascii),
+  * the Spark side counts UTF-8 bytes — equivalent only because the synthetic
+  * corpus is pure ASCII (verified at sf0.01/0.1). Real multimodal payloads
+  * are binary anyway; this equivalence is a fixture property, not a claim.
   */
 object MultimodalQueries extends QuerySet {
 

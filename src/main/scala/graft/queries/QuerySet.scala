@@ -44,17 +44,22 @@ trait QuerySet {
   protected def micro(c: Column): Column =
     floor(c * 1000000.0 + 0.5).cast("long")
 
+  /** True int64 division (Catalyst IntegralDivide — Column./ would compute
+    * in DOUBLE and lose exactness past 2^53, which sf1+ sums exceed). */
+  protected def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Exactly-rounded average in micro-units for 2-decimal source data whose
     * SUM ORDER varies across engines (groupBy partials): go through exact
-    * integer cents — (sum_cents*10000 + n/2) div n is pure int64 math,
-    * identical everywhere. Spark side; the oracle mirrors it with // . */
-  protected def avgMicro(value: Column, cnt: Column): Column = {
-    val n = sum(round(value * 100).cast("long")) * 10000 +
-      (cnt - pmod(cnt, lit(2))) / 2 // cnt div 2, exact
-    // exact int64 floor-division: subtract the remainder first so the fp
-    // division is of a perfectly divisible numerator
-    ((n - pmod(n, cnt)) / cnt).cast("long")
-  }
+    * integer cents — (sum_cents*10000 + n div 2) div n is pure int64 math,
+    * identical everywhere. The oracle mirrors it with DuckDB's `//`. */
+  protected def avgMicro(value: Column, cnt: Column): Column =
+    intDiv(sum(round(value * 100).cast("long")) * 10000 + intDiv(cnt, lit(2)),
+      cnt).cast("long")
 
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
