@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (builder contract §extensions): corpus
+  * vocabulary, collocation mining, reproducible splits, class rebalancing.
+  *
+  * Scale shapes: vocabulary/PMI are explode → hash-agg (partial aggs keep
+  * the shuffle at vocabulary size, not token count); the split assignment is
+  * a stateless per-row hash (no shuffle at all — any executor computes the
+  * same split for the same row, which is what makes it reproducible across
+  * reruns and clusters); rebalancing is one window pass per class.
+  */
+object PipelineQueries extends QuerySet {
+
+  val queries: Map[String, Q] = Map(
+    // Corpus vocabulary: global token frequencies + document frequency.
+    "q_vocab" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      tok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+    },
+
+    // Collocations: bigram PMI (pointwise mutual information) over word
+    // pairs — log(p(ab) / (p(a) p(b))), min support 5.
+    "q_bigram_pmi" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bigrams = d
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 1)), i -> struct(w[i-1] AS a, w[i] AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .filter(col("b").isNotNull)
+      // corpus total as a broadcast 1-row frame — no driver-side action
+      val total = bigrams.agg(count(lit(1)).cast("double").as("n_total"))
+      val pair = bigrams.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val left = bigrams.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+      val right = bigrams.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+      pair.join(left, Seq("a")).join(right, Seq("b"))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("n_ab"),
+          r6(log((col("n_ab") * col("n_total")) / (col("n_a") * col("n_b"))))
+            .as("pmi"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Reproducible train/val/test split: multiplicative int64 hash of the
+    // stable key — stateless, shuffle-free, identical on any engine/rerun.
+    "q_train_split" -> { (s, dir) =>
+      val h = pmod(col("doc_id") * 2654435761L, lit(100L))
+      val split_ = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split_.as("split"))
+      d.groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    },
+
+    // Class rebalancing: cap each label at its 30 lowest vec_ids (window
+    // top-k per class — deterministic downsampling for skewed labels).
+    "q_rebalance" -> { (s, dir) =>
+      val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      t(s, dir, "embeddings")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), max(col("vec_id")).as("max_kept_id"))
+        .orderBy(col("label"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM tok GROUP BY tok ORDER BY tf DESC, tok""".stripMargin,
+
+    "q_bigram_pmi" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bigrams AS (
+        |  SELECT a, b FROM (
+        |    SELECT unnest([w[i] FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS a,
+        |           unnest([w[i + 1] FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS b
+        |    FROM d)
+        |  WHERE b IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bigrams),
+        |pair AS (SELECT a, b, count(*) AS n_ab FROM bigrams GROUP BY a, b HAVING count(*) >= 5),
+        |la AS (SELECT a, count(*) AS n_a FROM bigrams GROUP BY a),
+        |rb AS (SELECT b, count(*) AS n_b FROM bigrams GROUP BY b)
+        |SELECT p.a, p.b, p.n_ab,
+        |       round(ln((p.n_ab * t.n) / (la.n_a * rb.n_b)), 6) AS pmi
+        |FROM pair p, tot t
+        |JOIN la ON la.a = p.a
+        |JOIN rb ON rb.b = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    "q_train_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_rebalance" ->
+      """WITH r AS (
+        |  SELECT label, vec_id,
+        |         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_kept, max(vec_id) AS max_kept_id
+        |FROM r WHERE rn <= 30 GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -10,7 +10,8 @@ class PlanShapeSpec extends SparkSpec {
   private val allowCross = Set(
     "q11_cross_join", // 5 x 25 dims — declared bounded cross join
     "q34_cosine_topk", // 1-row broadcast query vector
-    "q34b_ann_ivf") // 1-row broadcast query vector + 1-row best label
+    "q34b_ann_ivf", // 1-row broadcast query vector + 1-row best label
+    "q_bigram_pmi") // 1-row broadcast corpus total
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
