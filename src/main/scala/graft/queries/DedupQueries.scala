@@ -33,11 +33,18 @@ object DedupQueries extends QuerySet {
       .select(col("doc_id"),
         array_join(slice(col("w"), col("i"), lit(5)), " ").as("sh"))
 
-  /** 6 portable MinHashes (min of md5(seed || shingle)) + 3 bands of 2. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct shingle sets — shared by signatures, sizes, and intersection
+    * counts so the plan has ONE canonical distinct-subtree (ReuseExchange
+    * computes it once instead of four scans). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).distinct()
+
+  /** 6 portable MinHashes (min of md5(seed || shingle)) + 3 bands of 2.
+    * Computed over the shingle SET — identical to the multiset minimum. */
+  private def signatures(sets: DataFrame): DataFrame = {
     val mins = (1 to 6).map(i =>
       min(md5(concat(lit(s"s$i"), col("sh")))).as(s"h$i"))
-    shingles(s, dir)
+    sets
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -48,7 +55,7 @@ object DedupQueries extends QuerySet {
 
   /** LSH candidates: union of three band-key equi-joins (no cross product). */
   private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+    val sig = signatures(shingleSets(s, dir))
     def bandJoin(b: String): DataFrame = {
       val a = sig.select(col("doc_id").as("doc_a"), col(b).as("k"))
       val c = sig.select(col("doc_id").as("doc_b"), col(b).as("k"))
@@ -109,7 +116,7 @@ object DedupQueries extends QuerySet {
     // LSH candidates verified with exact word-5-gram Jaccard similarity —
     // the full near-dup pipeline in one plan.
     "q_dedup_jaccard_verify" -> { (s, dir) =>
-      val sets = shingles(s, dir).distinct()
+      val sets = shingleSets(s, dir)
       val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cand = candidates(s, dir)
       val inter = cand

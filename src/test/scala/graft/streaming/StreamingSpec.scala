@@ -207,6 +207,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.head.getAs[Double]("max_v") == 3.0)
   }
 
+  test("stream-stream interval join with watermarks") {
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val c = clicks.toDF().withWatermark("ts", "1 minute")
+      .select(col("series").as("cu"), col("ts").as("click_ts"),
+        col("id").as("click_id"))
+    val p = purchases.toDF().withWatermark("ts", "1 minute")
+      .select(col("series").as("pu"), col("ts").as("purchase_ts"),
+        col("id").as("purchase_id"))
+    val joined = c.join(p,
+      col("cu") === col("pu") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    clicks.addData(evts(("2024-01-01 00:00:00", "u1", 1.0, "c1")): _*)
+    purchases.addData(evts(
+      ("2024-01-01 00:01:00", "u1", 9.0, "p1"), // within 2 min of c1
+      ("2024-01-01 00:10:00", "u1", 9.0, "p2"), // too late after c1
+      ("2024-01-01 00:01:30", "u2", 9.0, "p3")): _*) // other user
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("c1", "p1")))
+  }
+
   test("st8: stream-static join (enrich with dimension)") {
     val dim = Seq(("cpu", "compute"), ("mem", "memory")).toDF("series", "kind")
     val in = MemoryStream[Evt]
