@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     assert(engine.table().select("id").distinct().count() == 4)
   }
 
+  test("st1b: restart from checkpoint continues without reprocessing") {
+    val in = MemoryStream[String]
+    val engine = new Engine(spark, tmpDir("graft-restart"))
+    val ckpt = tmpDir("graft-restart-ckpt")
+    val q1 = engine.ingestStream(in.toDF().toDF("value"), ckpt)
+    in.addData("cpu v=1.0 1700000000000000000")
+    q1.processAllAvailable()
+    q1.stop()
+    // second query instance, same checkpoint + source: resumes past the
+    // committed offset — the first line is not ingested twice
+    val q2 = engine.ingestStream(in.toDF().toDF("value"), ckpt)
+    in.addData("cpu v=2.0 1700000001000000000")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(engine.table().count() == 2)
+  }
+
   private def evts(rows: (String, String, Double, String)*): Seq[Evt] =
     rows.map { case (ts, s, v, id) => Evt(t(ts), s, v, id) }
 
