@@ -26,9 +26,12 @@ object SparkEntry {
     PipelineQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full corpus-cleaning pipeline in one Catalyst plan: word-5-gram
+    * shingles → MinHash band LSH candidates → exact Jaccard verify →
+    * drop losers → per-language survivor stats. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_scan_projection")(spark, "/root/testdata/sf0.001")
+    queries("q_dedup_apply")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -135,6 +135,31 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Dedup APPLIED: drop the higher-id document of every verified
+    // near-dup pair (plus exact dups), keep canonical survivors — the
+    // actual corpus-cleaning step, not just the pair report.
+    "q_dedup_apply" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = candidates(s, dir)
+      val inter = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      val losers = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(micro(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
+        .select(col("doc_b").as("doc_id")).distinct()
+      t(s, dir, "documents")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept"))
+        .orderBy(col("lang"))
+    },
+
     // SimHash fingerprint per document (60-bit portable).
     "q_dedup_simhash" -> { (s, dir) =>
       simhash(s, dir).orderBy(col("doc_id"))
@@ -245,6 +270,27 @@ object DedupQueries extends QuerySet {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |losers AS (
+         |  SELECT DISTINCT i.doc_b AS doc_id
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.doc_a
+         |  JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_kept
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $simhashSql
