@@ -23,6 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink: consumes EVERY column and keeps the sort, so the timed
+    // plan is the full query — count() would let Catalyst eliminate sorts
+    // and prune all computed projections, timing a fraction of the work
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       fn
@@ -30,12 +36,12 @@ object Bench {
     }
 
     // JVM / codegen / file-index warm-up (untimed)
-    try SparkEntry.queries.head._2(spark, sfDir).count()
+    try run(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to runs).flatMap { _ =>
-        try Some(time(fn(spark, sfDir).count()))
+        try Some(time(run(fn(spark, sfDir))))
         catch { case _: Throwable => None }
       }.sorted
       // a failed query must NOT shrink the total silently: surface it

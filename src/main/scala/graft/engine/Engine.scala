@@ -36,6 +36,9 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   val tablePath = s"$warehouse/measurements"
 
+  /** Series names this engine registered as temp views (see query()). */
+  private val seriesViews = scala.collection.mutable.Set[String]()
+
   import spark.implicits._
 
   // ---------------------------------------------------------------- ingest
@@ -44,31 +47,58 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * Create-on-first-write (reference R7, src/utils/db.rs:60-108) is
     * implicit: the first append materializes the partition directories. */
   def ingestLines(lines: Seq[String]): (Long, Long) = {
-    val df = lines.toDF("value")
-    val parsed = IngestPipeline.parseLines(spark, df).cache()
-    val errs = IngestPipeline.parseErrors(spark, df).count()
-    val n = parsed.count()
-    if (n > 0)
-      writeBatch(parsed, s"b-${java.util.UUID.randomUUID().toString.take(8)}")
+    val parsed = IngestPipeline.parseAll(spark, lines.toDF("value")).cache()
+    val tag = s"b-${java.util.UUID.randomUUID().toString.take(8)}"
+    val ok = IngestPipeline.canonical(parsed)
+    val n = ok.count()
+    if (n > 0) writeBatch(ok, tag)
+    val errs = writeQuarantine(IngestPipeline.errors(parsed), tag)
     parsed.unpersist()
     (n, errs)
   }
 
   /** Attach a streaming source of raw lines (column `value`) — exactly-once
-    * micro-batch ingest: each micro-batch writes under its own
-    * `ingest_batch=<epoch>` partition tag with dynamic partition overwrite,
-    * so a batch replayed after a crash overwrites its own previous
-    * (possibly partial) output instead of double-appending. */
+    * micro-batch ingest: each micro-batch parses ONCE, writes canonical
+    * rows under its own `ingest_batch=<id>` directory (deleted first, so a
+    * replayed batch overwrites its previous, possibly partial, output) and
+    * persists rejected lines to the quarantine table — bad input is
+    * auditable, never silently dropped. */
   def ingestStream(lines: DataFrame, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    IngestPipeline.parseLines(spark, lines)
-      .writeStream
+    lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        writeBatch(batch, s"s$id")
+        val parsed = IngestPipeline.parseAll(spark, batch).cache()
+        writeBatch(IngestPipeline.canonical(parsed), s"s$id")
+        writeQuarantine(IngestPipeline.errors(parsed), s"s$id")
+        parsed.unpersist()
+        ()
       }
       .start()
   }
+
+  val quarantinePath = s"$warehouse/quarantine"
+
+  /** Rejected lines persisted per batch (idempotent, like writeBatch). */
+  private def writeQuarantine(errs: DataFrame, batchTag: String): Long = {
+    deleteRecursively(
+      new java.io.File(s"$quarantinePath/ingest_batch=$batchTag"))
+    val n = errs.count()
+    if (n > 0)
+      errs.withColumn("ingest_batch", lit(batchTag))
+        .write.mode("append").partitionBy("ingest_batch")
+        .parquet(quarantinePath)
+    n
+  }
+
+  /** The quarantine table (empty frame if nothing was ever rejected). */
+  def quarantine(): DataFrame =
+    if (new java.io.File(quarantinePath).exists())
+      spark.read.parquet(quarantinePath).drop("ingest_batch")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "line STRING, parse_error STRING"))
 
   private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit = {
     // idempotence under micro-batch retry: wipe this batch's previous
@@ -153,14 +183,16 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   // --------------------------------------------------------------- catalog
 
-  /** All measurements (empty frame with canonical schema if none yet). */
+  /** All measurements (empty frame with canonical schema if none yet —
+    * same column order and types as the post-ingest read: data columns in
+    * file order, then the partition columns, day inferred as DATE). */
   def table(): DataFrame =
     if (exists) spark.read.parquet(tablePath).drop("ingest_batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "series STRING, id STRING, time TIMESTAMP, created_at TIMESTAMP, " +
-          "name STRING, value DOUBLE, tags MAP<STRING,STRING>, day STRING"))
+        "id STRING, time TIMESTAMP, created_at TIMESTAMP, name STRING, " +
+          "value DOUBLE, tags MAP<STRING,STRING>, series STRING, day DATE"))
 
   private def exists: Boolean = {
     val live = new java.io.File(tablePath)
@@ -231,9 +263,14 @@ class Engine(val spark: SparkSession, warehouse: String) {
         case None =>
           listSeries().foreach { s =>
             // per-series view, like the reference's per-series tables;
-            // "measurements" is reserved for the canonical view below
-            if (s.matches("[A-Za-z_][A-Za-z0-9_]*") && s != "measurements")
+            // "measurements" is reserved, and a series may not clobber a
+            // view/table it did not itself create (data-controlled names
+            // must not shadow unrelated session state)
+            if (s.matches("[A-Za-z_][A-Za-z0-9_]*") && s != "measurements" &&
+                (seriesViews.contains(s) || !spark.catalog.tableExists(s))) {
               table().filter(col("series") === s).createOrReplaceTempView(s)
+              seriesViews += s
+            }
           }
           table().createOrReplaceTempView("measurements")
           Try(spark.sql(sql)).toEither.left.map(e => s"analysis error: ${e.getMessage}")

@@ -41,10 +41,12 @@ case class ParseLine(child: Expression)
         })))
     LineProtocol.parse(input.asInstanceOf[UTF8String].toString) match {
       case Right(r) =>
+        // dedupe repeated keys (last wins) — Spark maps must not contain
+        // duplicates, and this matches the parse_line UDF's .toMap
         InternalRow(
           UTF8String.fromString(r.measurement),
-          utf8Map(r.tags),
-          utf8Map(r.fields),
+          utf8Map(r.tags.toMap.toSeq),
+          utf8Map(r.fields.toMap.toSeq),
           r.timestamp.map(java.lang.Long.valueOf).orNull,
           null)
       case Left(err) =>

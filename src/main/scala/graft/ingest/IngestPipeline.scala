@@ -81,9 +81,9 @@ object IngestPipeline {
     }.toDF()
   }
 
-  /** `lines` must have a string column `value`; returns canonical rows. */
-  def parseLines(spark: SparkSession, lines: DataFrame): DataFrame =
-    parseAll(spark, lines)
+  /** parseAll output → canonical measurement rows (the ok side). */
+  def canonical(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("parse_error").isNull)
       .withColumn("created_at", current_timestamp())
       .select(col("series"),
@@ -93,9 +93,17 @@ object IngestPipeline {
         col("created_at"),
         col("name"), col("value"), col("tags"))
 
-  /** Rejected lines with their parse error (quarantine side). */
-  def parseErrors(spark: SparkSession, lines: DataFrame): DataFrame =
-    parseAll(spark, lines)
+  /** parseAll output → rejected lines with their parse error. */
+  def errors(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("parse_error").isNotNull)
       .select(col("line"), col("parse_error"))
+
+  /** `lines` must have a string column `value`; returns canonical rows. */
+  def parseLines(spark: SparkSession, lines: DataFrame): DataFrame =
+    canonical(parseAll(spark, lines))
+
+  /** Rejected lines with their parse error (quarantine side). */
+  def parseErrors(spark: SparkSession, lines: DataFrame): DataFrame =
+    errors(parseAll(spark, lines))
 }

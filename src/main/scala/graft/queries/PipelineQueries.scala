@@ -53,8 +53,10 @@ object PipelineQueries extends QuerySet {
 
     // Reproducible train/val/test split: multiplicative int64 hash of the
     // stable key — stateless, shuffle-free, identical on any engine/rerun.
+    // The key is reduced mod a prime FIRST so the product stays below
+    // 2^63 for any doc_id (Spark would wrap silently, DuckDB would error).
     "q_train_split" -> { (s, dir) =>
-      val h = pmod(col("doc_id") * 2654435761L, lit(100L))
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L))
       val split_ = when(h < 80, "train").when(h < 90, "val").otherwise("test")
       val d = t(s, dir, "documents")
         .select(col("doc_id"), split_.as("split"))
@@ -104,8 +106,8 @@ object PipelineQueries extends QuerySet {
     "q_train_split" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -11,7 +11,9 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val wh = tmpDir("graft-bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val dir = "/root/testdata/sf0.001"
 
     Tables.load(spark, dir, "orders")
@@ -43,6 +45,8 @@ class BucketingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expect)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }

@@ -28,12 +28,16 @@ class PlanShapeSpec extends SparkSpec {
 
   test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {
     val dir = "/root/testdata/sf0.001"
-    allowCross.foreach { name =>
+    allowCross.filterNot(_ == "q11_cross_join").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
-      // every nested-loop in these plans must be build-side broadcast
-      assert(!plan.contains("CartesianProduct") || name == "q11_cross_join",
-        s"$name: cartesian without broadcast")
+      // these must stay BROADCAST nested loops (1-row build side), never a
+      // cartesian product — a regression to cartesian means the broadcast
+      // hint was lost and the plan shuffles both sides
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: cartesian product instead of broadcast:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"$name: no broadcast exchange in plan:\n$plan")
     }
   }
 }

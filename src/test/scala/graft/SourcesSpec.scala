@@ -43,8 +43,9 @@ class SourcesSpec extends SparkSpec {
   test("time-range filter pushes down to the parquet scan (q02)") {
     val ex = SparkEntry.queries("q01_scan_projection")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-    assert(ex.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>")
-      || ex.contains("l_orderkey"), "column pruning missing")
+    // strict: the scan must read EXACTLY the 4 projected columns
+    assert(ex.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      s"column pruning missing:\n$ex")
     val q4 = SparkEntry.queries("q04_predicates")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(q4.contains("PushedFilters: [Or("), s"no pushed filters in:\n$q4")

@@ -23,6 +23,15 @@ class EngineSpec extends SparkSpec {
     e
   }
 
+  test("rejected lines are quarantined, not dropped") {
+    val q = engine.quarantine().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(q.length == 2)
+    assert(q.exists(_._1 == "not a valid line at all"))
+    assert(q.exists { case (l, e) =>
+      l.startsWith("m f=") && e.contains("non-numeric") })
+  }
+
   test("create-on-first-write + catalog listing (R7/R9)") {
     assert(engine.listSeries() == Seq("cpu_load", "test"))
     assert(engine.seriesExists("cpu_load")) // R10
