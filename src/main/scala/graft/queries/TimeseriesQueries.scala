@@ -63,6 +63,45 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Cohort retention: users grouped by first-seen week; how many were
+    // active k weeks later. Two hash aggs + one equi-join — no windows.
+    "q_cohort_retention" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val cohort = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("active_week")).distinct()
+      active.join(cohort, Seq("user_id"))
+        .withColumn("week_offset",
+          datediff(col("active_week"), col("cohort_week")) / 7)
+        .groupBy(ntz(col("cohort_week")).as("cohort_week"),
+          col("week_offset").cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Ordered funnel: view -> click -> purchase, each step strictly after
+    // the previous one, per user; stage-completion counts.
+    "q_funnel" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.select(lit(1).as("stage"), lit("view").as("step"), col("user_id"))
+        .union(c.select(lit(2).as("stage"), lit("click").as("step"), col("user_id")))
+        .union(p.select(lit(3).as("stage"), lit("purchase").as("step"), col("user_id")))
+        .groupBy(col("stage"), col("step"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("stage"))
+    },
+
     // Gap filling + forward fill (interpolation): hourly grid for one day
     // per user (generator, not cross join), left join observed hourly
     // averages, carry the last observation forward.
@@ -123,6 +162,39 @@ object TimeseriesQueries extends QuerySet {
         |       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS active_week
+        |  FROM events)
+        |SELECT c.cohort_week,
+        |       CAST(datediff('day', CAST(c.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_active
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT stage, step, count(DISTINCT user_id) AS n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS step, user_id FROM v
+        |  UNION ALL SELECT 2, 'click', user_id FROM c
+        |  UNION ALL SELECT 3, 'purchase', user_id FROM p)
+        |GROUP BY stage, step ORDER BY stage""".stripMargin,
 
     "q_gapfill" ->
       """WITH grid AS (
