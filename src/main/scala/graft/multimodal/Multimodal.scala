@@ -79,6 +79,57 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation re-encodes pixels; the stub keeps
+    * the contract — output payload is a deterministic function of (input,
+    * target dims) with byte length proportional to the target area. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(w * h / 64, 1))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: a real implementation decodes n evenly-spaced
+    * video frames; the stub slices n evenly-spaced byte windows, keeping
+    * the (doc_id, frame_no, payload, offset) output shape a real sampler
+    * would produce. */
+  def frameSampleStub(bytes: Array[Byte], n: Int): Seq[(Int, Long, Array[Byte])] = {
+    val len = math.max(bytes.length, 1)
+    (0 until n).map { f =>
+      val off = (len.toLong * f) / n
+      val end = math.min(off + 16, bytes.length.toLong).toInt
+      (f, off, bytes.slice(off.toInt, end))
+    }
+  }
+
+  /** Resize as a distributed op: one output row per item, new payload +
+    * dims. Runs in the same mapPartitions batch shape as extractFeatures. */
+  def resizeAll(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.map(m => MediaItem(m.doc_id, resizeStub(m.content, w, h),
+        m.format + s";resized=${w}x$h", resizeStub(m.content, w, h).length.toLong))
+    }
+  }
+
+  /** Frame sampling as a distributed op: fan-out n rows per item (the
+    * video → frames explode a training pipeline runs before per-frame
+    * feature extraction). */
+  def sampleFrames(items: Dataset[MediaItem], n: Int)
+      : Dataset[(Long, Int, Long, Array[Byte])] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap { m =>
+      frameSampleStub(m.content, n).map { case (f, off, payload) =>
+        (m.doc_id, f, off, payload)
+      }
+    }
+  }
+
   /** Oracle-checkable projection of the pipeline (byte stats are exactly
     * recomputable from the text in SQL on both engines). */
   def featureFrame(spark: SparkSession, documents: DataFrame): DataFrame = {
