@@ -1,0 +1,130 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Endpoint-for-endpoint HTTP parity with the reference (refluxdb
+  * src/main.rs:44, src/handlers.rs), JDK-only, backed by [[Engine]]:
+  *
+  *  - `GET  /`                       → series list (R9, handlers.rs:24-32)
+  *  - `GET  /range/{series}?start=&end=` → inclusive time slice
+  *                                     (R11 intent/D2, handlers.rs:34-66)
+  *  - `POST /query` (`q=<sql>` form or raw SQL body) → rows
+  *                                     (R12/R14, handlers.rs:70-92)
+  *  - `POST /write` (line-protocol body) → ingest (R4, handlers.rs:100-145)
+  *
+  * Unlike the reference, responses are REAL JSON rows (Q-J fix), empty
+  * results are `[]` not errors (D4), and errors come back as 4xx with a
+  * message instead of panicking the worker (Q-B/handlers.rs:41-42).
+  *
+  * This runs on the Spark driver (queries plan from here; executors do the
+  * work) — the 100 TB posture is a thin stateless facade over the cluster.
+  */
+class ApiServer(engine: Engine, port: Int = 0) {
+
+  private var http: HttpServer = _
+
+  def boundPort: Int = http.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonArray(rows: Seq[String]): String =
+    rows.mkString("[", ",", "]")
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) ->
+          URLDecoder.decode(v, UTF_8))
+        case _ => None
+      }).toMap
+
+  private def body(ex: HttpExchange): String = {
+    val buf = new ByteArrayOutputStream()
+    ex.getRequestBody.transferTo(buf)
+    buf.toString(UTF_8)
+  }
+
+  def start(): this.type = {
+    http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    // GET / → {"series": [...]}
+    http.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        if (path == "/" && ex.getRequestMethod == "GET")
+          respond(ex, 200,
+            s"""{"series":${jsonArray(engine.listSeries().map(quote))}}""")
+        else if (path.startsWith("/range/")) handleRange(ex)
+        else respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+
+    def handleRange(ex: HttpExchange): Unit = {
+      val series = ex.getRequestURI.getPath.stripPrefix("/range/")
+      val p = queryParams(ex)
+      (p.get("start"), p.get("end")) match {
+        case (Some(s0), Some(e0)) =>
+          if (!engine.seriesExists(series))
+            respond(ex, 404, s"""{"error":"unknown series ${series}"}""")
+          else engine.range(series, s0, e0) match {
+            case Right(df) => respond(ex, 200, jsonArray(engine.toJsonRows(df)))
+            case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
+          }
+        case _ =>
+          respond(ex, 400, """{"error":"start and end are required"}""")
+      }
+    }
+
+    // POST /query — q=<sql> form (reference handlers.rs:70-79) or raw SQL
+    http.createContext("/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"POST required"}""")
+        else {
+          val raw = body(ex)
+          val sql =
+            if (raw.startsWith("q=")) URLDecoder.decode(raw.drop(2), UTF_8)
+            else raw
+          engine.query(sql) match {
+            case Right(df) => respond(ex, 200, jsonArray(engine.toJsonRows(df)))
+            case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
+          }
+        }
+    })
+
+    // POST /write — line-protocol body (reference handlers.rs:100-145)
+    http.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"POST required"}""")
+        else {
+          val lines = body(ex).split("\r?\n").toSeq.filter(_.nonEmpty)
+          val (ok, errs) = engine.ingestLines(lines)
+          respond(ex, 200, s"""{"ok":$ok,"quarantined":$errs}""")
+        }
+    })
+
+    http.start()
+    this
+  }
+
+  def stop(): Unit = if (http != null) http.stop(0)
+}

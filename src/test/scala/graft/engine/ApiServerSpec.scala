@@ -1,0 +1,60 @@
+package graft.engine
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+
+/** The reference's four HTTP endpoints end-to-end against a live Engine. */
+class ApiServerSpec extends SparkSpec {
+
+  private def call(url: String, method: String = "GET",
+      bodyStr: String = null): (Int, String) = {
+    val con = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    con.setRequestMethod(method)
+    if (bodyStr != null) {
+      con.setDoOutput(true)
+      con.getOutputStream.write(bodyStr.getBytes(UTF_8))
+    }
+    val code = con.getResponseCode
+    val is = if (code < 400) con.getInputStream else con.getErrorStream
+    val out = new String(is.readAllBytes(), UTF_8)
+    (code, out)
+  }
+
+  test("write / list / range / query endpoints (E1-E3 parity)") {
+    val engine = new Engine(spark, tmpDir("graft-api"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // POST /write (R4)
+      val (wc, wb) = call(s"$base/write", "POST",
+        "cpu_load,host=server value=0.64 1234567891000000000\nbogus line")
+      assert(wc == 200 && wb == """{"ok":1,"quarantined":1}""")
+
+      // GET / (R9)
+      val (lc, lb) = call(s"$base/")
+      assert(lc == 200 && lb == """{"series":["cpu_load"]}""")
+
+      // GET /range (R11/D2) — inclusive bounds; RFC3339 like the reference
+      val (rc, rb) = call(
+        s"$base/range/cpu_load?start=2009-02-13T23:31:31Z&end=2009-02-13T23:31:31Z")
+      assert(rc == 200 && rb.contains("\"value\":0.64"), rb)
+      // empty slice is [], not an error (D4)
+      val (ec, eb) = call(
+        s"$base/range/cpu_load?start=2030-01-01T00:00:00Z&end=2030-01-02T00:00:00Z")
+      assert(ec == 200 && eb == "[]")
+      // unknown series → 404; bad datetime → 400 (no panic, unlike ref)
+      assert(call(s"$base/range/nope?start=2030-01-01T00:00:00Z&end=2030-01-01T00:00:00Z")._1 == 404)
+      assert(call(s"$base/range/cpu_load?start=garbage&end=2030-01-01T00:00:00Z")._1 == 400)
+
+      // POST /query (R12/R14) — form-encoded like the reference
+      val (qc, qb) = call(s"$base/query", "POST",
+        "q=SELECT%20name%2C%20value%20FROM%20cpu_load")
+      assert(qc == 200 && qb == """[{"name":"value","value":0.64}]""")
+      // writes rejected by the parse-based gate
+      assert(call(s"$base/query", "POST", "q=DROP%20TABLE%20cpu_load")._1 == 400)
+    } finally api.stop()
+  }
+}
