@@ -36,9 +36,6 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   val tablePath = s"$warehouse/measurements"
 
-  /** Series names this engine registered as temp views (see query()). */
-  private val seriesViews = scala.collection.mutable.Set[String]()
-
   import spark.implicits._
 
   // ---------------------------------------------------------------- ingest
@@ -267,9 +264,9 @@ class Engine(val spark: SparkSession, warehouse: String) {
             // view/table it did not itself create (data-controlled names
             // must not shadow unrelated session state)
             if (s.matches("[A-Za-z_][A-Za-z0-9_]*") && s != "measurements" &&
-                (seriesViews.contains(s) || !spark.catalog.tableExists(s))) {
+                (Engine.ownsView(spark, s) || !spark.catalog.tableExists(s))) {
               table().filter(col("series") === s).createOrReplaceTempView(s)
-              seriesViews += s
+              Engine.claimView(spark, s)
             }
           }
           table().createOrReplaceTempView("measurements")
@@ -281,4 +278,20 @@ class Engine(val spark: SparkSession, warehouse: String) {
   /** R16: real JSON rows (the reference returns Rust debug strings inside a
     * JSON string, SURVEY Q-J). */
   def toJsonRows(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+}
+
+object Engine {
+  /** Session-scoped registry of series views created by ANY Engine: a
+    * series view may be replaced by engines sharing the session (latest
+    * query wins, like the reference's per-series stores), but a
+    * data-controlled series name can never clobber an unrelated
+    * user-registered view/table. */
+  private val ownedViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  private def ownsView(spark: SparkSession, name: String): Boolean =
+    ownedViews.contains((System.identityHashCode(spark), name))
+
+  private def claimView(spark: SparkSession, name: String): Unit =
+    ownedViews.add((System.identityHashCode(spark), name))
 }
