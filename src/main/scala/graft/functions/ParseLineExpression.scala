@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,17 @@ import graft.protocol.LineProtocol
   * (FIXTURES.md §A.2 + error slot); `ts`/`error` are null when absent.
   */
 case class ParseLine(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ParseLine.schema
+
+  /** Codegen (SURVEY §7.5 stretch goal): emit a static call instead of
+    * falling back to interpreted eval — the surrounding projection stays
+    * inside one WholeStageCodegen span (the same staticinvoke shape many
+    * built-in expressions compile to). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.ParseLine$$.MODULE$$.evalStatic($input);")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -31,7 +39,17 @@ case class ParseLine(child: Expression)
       s"parse_line_expr expects STRING, got ${child.dataType.simpleString}")
   override def prettyName: String = "parse_line_expr"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    ParseLine.evalStatic(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): ParseLine =
+    copy(child = newChild)
+}
+
+object ParseLine {
+
+  /** Shared by interpreted eval and generated code (static call target). */
+  def evalStatic(input: UTF8String): InternalRow = {
     def utf8Map(m: Seq[(String, Any)]): ArrayBasedMapData =
       new ArrayBasedMapData(
         new GenericArrayData(m.map(kv => UTF8String.fromString(kv._1))),
@@ -39,7 +57,7 @@ case class ParseLine(child: Expression)
           case s: String => UTF8String.fromString(s)
           case other     => other
         })))
-    LineProtocol.parse(input.asInstanceOf[UTF8String].toString) match {
+    LineProtocol.parse(input.toString) match {
       case Right(r) =>
         // dedupe repeated keys (last wins) — Spark maps must not contain
         // duplicates, and this matches the parse_line UDF's .toMap
@@ -54,11 +72,6 @@ case class ParseLine(child: Expression)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ParseLine =
-    copy(child = newChild)
-}
-
-object ParseLine {
   val schema: StructType = StructType(Seq(
     StructField("measurement", StringType),
     StructField("tags", MapType(StringType, StringType)),

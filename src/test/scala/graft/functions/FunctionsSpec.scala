@@ -34,6 +34,18 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.getString(0)).toSeq == Seq("cpu"))
   }
 
+  test("ParseLine compiles in whole-stage codegen (no silent fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen errors throw
+    try {
+      val got = Seq("cpu usage=1.0 1").toDF("value")
+        .select(ParseLine.parse_line_expr(col("value"))
+          .getField("measurement").as("m"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("cpu"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("parse_line / to_line UDFs round-trip in SQL") {
     IngestPipeline.registerUdfs(spark)
     val line = "m,a=1 f=2.5 42"
