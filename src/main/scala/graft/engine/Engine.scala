@@ -206,6 +206,17 @@ class Engine(val spark: SparkSession, warehouse: String) {
     else table().select(col("series")).distinct()
       .as[String].collect().toSeq.sorted
 
+  /** Catalog statistics per series (count, time bounds, field names) —
+    * the "pre-calculated stats" listing a TSDB UI needs (README.md:58
+    * intent), one aggregation over the pruned scan. */
+  def seriesStats(): DataFrame =
+    table().groupBy(col("series"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("time")).as("min_time"),
+        max(col("time")).as("max_time"),
+        sort_array(collect_set(col("name"))).as("fields"))
+      .orderBy(col("series"))
+
   /** R10: series-exists probe. */
   def seriesExists(series: String): Boolean =
     if (!exists) false

@@ -98,6 +98,15 @@ class EngineSpec extends SparkSpec {
     assert(e.table().count() == 2 * n1)
   }
 
+  test("per-series catalog stats") {
+    val stats = engine.seriesStats().collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](4).toList)).toList
+    assert(stats == List(
+      ("cpu_load", 3L, List("idle", "value")),
+      ("test", 1L, List("value"))))
+  }
+
   test("results render as real JSON rows (Q-J fix)") {
     val js = engine.toJsonRows(engine.query(
       "SELECT name, value FROM test").toOption.get)
