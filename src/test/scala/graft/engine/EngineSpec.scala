@@ -73,6 +73,18 @@ class EngineSpec extends SparkSpec {
     assert(engine.query("INSERT INTO cpu_load VALUES (1)").isLeft)
   }
 
+  test("the reference's reachable floor works verbatim (SURVEY §2.3)") {
+    // SELECT * FROM <series> [WHERE pred] [ORDER BY ...] [LIMIT n OFFSET m]
+    val rows = engine.query(
+      "SELECT * FROM cpu_load WHERE tags['host'] = 'server' " +
+        "ORDER BY time, name LIMIT 2 OFFSET 1").toOption.get.collect()
+    assert(rows.length == 2)
+    // full 6-column canonical schema (+ day partition) comes back
+    val cols = rows.head.schema.fieldNames.toSet
+    assert(Set("series", "id", "time", "created_at", "name", "value", "tags")
+      .subsetOf(cols))
+  }
+
   test("aggregates and cross-series joins are reachable (Q-E/Q-F lift)") {
     val agg = engine.query(
       "SELECT name, count(*) AS n, round(avg(value), 6) AS avg_value " +
