@@ -29,6 +29,15 @@ class ApiServer(engine: Engine, port: Int = 0) {
 
   def boundPort: Int = http.getAddress.getPort
 
+  /** Wrap a handler body: runtime failures (execution errors surface at
+    * collect(), not analysis) become a 500 JSON error instead of a dropped
+    * exchange. */
+  private def safely(ex: HttpExchange)(body: => Unit): Unit =
+    try body catch {
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":${quote(s"internal: ${e.getMessage}")}}""")
+    }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -67,7 +76,7 @@ class ApiServer(engine: Engine, port: Int = 0) {
 
     // GET / → {"series": [...]}
     http.createContext("/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
         val path = ex.getRequestURI.getPath
         if (path == "/" && ex.getRequestMethod == "GET")
           respond(ex, 200,
@@ -77,13 +86,14 @@ class ApiServer(engine: Engine, port: Int = 0) {
       }
     })
 
-    def handleRange(ex: HttpExchange): Unit = {
+    def handleRange(ex: HttpExchange): Unit = safely(ex) {
       val series = ex.getRequestURI.getPath.stripPrefix("/range/")
       val p = queryParams(ex)
       (p.get("start"), p.get("end")) match {
         case (Some(s0), Some(e0)) =>
           if (!engine.seriesExists(series))
-            respond(ex, 404, s"""{"error":"unknown series ${series}"}""")
+            respond(ex, 404,
+              s"""{"error":${quote(s"unknown series $series")}}""")
           else engine.range(series, s0, e0) match {
             case Right(df) => respond(ex, 200, jsonArray(engine.toJsonRows(df)))
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
@@ -95,7 +105,7 @@ class ApiServer(engine: Engine, port: Int = 0) {
 
     // POST /query — q=<sql> form (reference handlers.rs:70-79) or raw SQL
     http.createContext("/query", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
         if (ex.getRequestMethod != "POST")
           respond(ex, 405, """{"error":"POST required"}""")
         else {
@@ -108,11 +118,12 @@ class ApiServer(engine: Engine, port: Int = 0) {
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }
         }
+      }
     })
 
     // POST /write — line-protocol body (reference handlers.rs:100-145)
     http.createContext("/write", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
         if (ex.getRequestMethod != "POST")
           respond(ex, 405, """{"error":"POST required"}""")
         else {
@@ -120,6 +131,7 @@ class ApiServer(engine: Engine, port: Int = 0) {
           val (ok, errs) = engine.ingestLines(lines)
           respond(ex, 200, s"""{"ok":$ok,"quarantined":$errs}""")
         }
+      }
     })
 
     http.start()

@@ -66,7 +66,10 @@ class Engine(val spark: SparkSession, warehouse: String) {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val parsed = IngestPipeline.parseAll(spark, batch).cache()
-        writeBatch(IngestPipeline.canonical(parsed), s"s$id")
+        val ok = IngestPipeline.canonical(parsed)
+        // never create a data-less table dir (schema inference would then
+        // fail every read until a valid line arrives)
+        if (!ok.isEmpty) writeBatch(ok, s"s$id")
         writeQuarantine(IngestPipeline.errors(parsed), s"s$id")
         parsed.unpersist()
         ()
@@ -78,8 +81,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   /** Rejected lines persisted per batch (idempotent, like writeBatch). */
   private def writeQuarantine(errs: DataFrame, batchTag: String): Long = {
-    deleteRecursively(
-      new java.io.File(s"$quarantinePath/ingest_batch=$batchTag"))
+    deletePath(s"$quarantinePath/ingest_batch=$batchTag")
     val n = errs.count()
     if (n > 0)
       errs.withColumn("ingest_batch", lit(batchTag))
@@ -90,7 +92,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   /** The quarantine table (empty frame if nothing was ever rejected). */
   def quarantine(): DataFrame =
-    if (new java.io.File(quarantinePath).exists())
+    if (pathExists(quarantinePath))
       spark.read.parquet(quarantinePath).drop("ingest_batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -104,7 +106,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
     // shifts rows to different day partitions between attempts (dynamic
     // partition overwrite would leave the first attempt's partitions
     // behind), and needs no session-wide writer-config mutation.
-    deleteRecursively(new java.io.File(s"$tablePath/ingest_batch=$batchTag"))
+    deletePath(s"$tablePath/ingest_batch=$batchTag")
     parsed
       .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
       .withColumn("ingest_batch", lit(batchTag))
@@ -117,10 +119,23 @@ class Engine(val spark: SparkSession, warehouse: String) {
       .parquet(tablePath)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
+  // All path operations go through the Hadoop FileSystem API so the engine
+  // behaves identically on local disk, HDFS, or an object store (a
+  // java.io.File delete would silently no-op on hdfs:// or s3a:// paths
+  // and break micro-batch retry idempotence).
+  private def fs(p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deletePath(p: String): Unit =
+    fs(p).delete(new org.apache.hadoop.fs.Path(p), true)
+
+  private def pathExists(p: String): Boolean =
+    fs(p).exists(new org.apache.hadoop.fs.Path(p))
+
+  private def renamePath(from: String, to: String): Boolean =
+    fs(from).rename(new org.apache.hadoop.fs.Path(from),
+      new org.apache.hadoop.fs.Path(to))
 
   /** Continuous downsampling — the reference's "pre-calculated stats" TODO
     * (refluxdb README.md:58) as a streaming materialized rollup: raw lines
@@ -159,23 +174,26 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * band — stage to a sibling dir, then atomically swap directories.
     */
   def compact(): Unit = if (exists) {
-    val staging = new java.io.File(tablePath + ".compacting")
-    val live = new java.io.File(tablePath)
-    val old = new java.io.File(tablePath + ".old")
+    val staging = tablePath + ".compacting"
+    val old = tablePath + ".old"
+    // a crash between a previous swap and its cleanup leaves a stale .old
+    // (data already live again via exists()-recovery) — clear it or the
+    // stage-out rename below fails forever
+    deletePath(old)
     table()
       .withColumn("ingest_batch",
         lit(s"compact-${System.currentTimeMillis()}"))
       .repartition(col("series"), col("day"))
       .write.mode("overwrite")
       .partitionBy("ingest_batch", "series", "day")
-      .parquet(staging.getPath)
-    if (!live.renameTo(old))
+      .parquet(staging)
+    if (!renamePath(tablePath, old))
       throw new java.io.IOException(s"compact: cannot stage out $tablePath")
-    if (!staging.renameTo(live)) {
-      old.renameTo(live) // roll back
+    if (!renamePath(staging, tablePath)) {
+      renamePath(old, tablePath) // roll back
       throw new java.io.IOException(s"compact: cannot swap in $staging")
     }
-    deleteRecursively(old)
+    deletePath(old)
   }
 
   // --------------------------------------------------------------- catalog
@@ -192,12 +210,11 @@ class Engine(val spark: SparkSession, warehouse: String) {
           "value DOUBLE, tags MAP<STRING,STRING>, series STRING, day DATE"))
 
   private def exists: Boolean = {
-    val live = new java.io.File(tablePath)
-    val old = new java.io.File(tablePath + ".old")
     // recover a compact() interrupted between its two renames: the data is
     // intact in .old — swap it back in rather than reading an empty table
-    if (!live.exists() && old.exists()) old.renameTo(live)
-    live.exists()
+    if (!pathExists(tablePath) && pathExists(tablePath + ".old"))
+      renamePath(tablePath + ".old", tablePath)
+    pathExists(tablePath)
   }
 
   /** R9: series catalog (partition listing — no data scan). */
@@ -297,12 +314,14 @@ object Engine {
     * query wins, like the reference's per-series stores), but a
     * data-controlled series name can never clobber an unrelated
     * user-registered view/table. */
-  private val ownedViews =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  private val ownedViews = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   private def ownsView(spark: SparkSession, name: String): Boolean =
-    ownedViews.contains((System.identityHashCode(spark), name))
+    Option(ownedViews.get(spark)).exists(_.contains(name))
 
   private def claimView(spark: SparkSession, name: String): Unit =
-    ownedViews.add((System.identityHashCode(spark), name))
+    ownedViews.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(name)
 }

@@ -111,8 +111,11 @@ object Multimodal {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it =>
-      it.map(m => MediaItem(m.doc_id, resizeStub(m.content, w, h),
-        m.format + s";resized=${w}x$h", resizeStub(m.content, w, h).length.toLong))
+      it.map { m =>
+        val payload = resizeStub(m.content, w, h)
+        MediaItem(m.doc_id, payload, m.format + s";resized=${w}x$h",
+          payload.length.toLong)
+      }
     }
   }
 

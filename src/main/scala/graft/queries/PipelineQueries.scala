@@ -46,7 +46,11 @@ object PipelineQueries extends QuerySet {
       pair.join(left, Seq("a")).join(right, Seq("b"))
         .crossJoin(broadcast(total))
         .select(col("a"), col("b"), col("n_ab"),
-          r6(log((col("n_ab") * col("n_total")) / (col("n_a") * col("n_b"))))
+          // counts multiplied in DOUBLE: int64 n_a*n_b would wrap for
+          // high-frequency tokens at corpus scale (log consumes the
+          // quotient, so double precision is all that is needed)
+          r6(log((col("n_ab") * col("n_total")) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
             .as("pmi"))
         .orderBy(col("a"), col("b"))
     },
@@ -97,7 +101,7 @@ object PipelineQueries extends QuerySet {
         |la AS (SELECT a, count(*) AS n_a FROM bigrams GROUP BY a),
         |rb AS (SELECT b, count(*) AS n_b FROM bigrams GROUP BY b)
         |SELECT p.a, p.b, p.n_ab,
-        |       round(ln((p.n_ab * t.n) / (la.n_a * rb.n_b)), 6) AS pmi
+        |       round(ln((p.n_ab * t.n) / (la.n_a::DOUBLE * rb.n_b::DOUBLE)), 6) AS pmi
         |FROM pair p, tot t
         |JOIN la ON la.a = p.a
         |JOIN rb ON rb.b = p.b
