@@ -117,6 +117,24 @@ object AggQueries extends QuerySet {
         .orderBy(col("l_returnflag"))
     },
 
+    // Statistical aggregates: sample stddev/variance, Pearson correlation,
+    // covariance, least-squares regression — identical co-moment
+    // definitions in both engines; magnitudes keep fp error << 1e-6.
+    "q_stat_funcs" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts_s", col("ts").cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          r6(stddev_samp(col("value"))).as("sd"),
+          r6(var_samp(col("value"))).as("vr"),
+          r6(corr(col("value"), col("ts_s"))).as("corr_vt"),
+          r6(covar_samp(col("value"), col("user_id").cast("double")))
+            .as("cov_vu"),
+          r6(expr("regr_slope(value, ts_s)") * 86400 * 1000).as("slope_md"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // Approx sketches (HLL distinct, approx quantile): tolerance-bounded by
     // nature, so no DuckDB hash oracle — the driver records rows>0 and the
     // ScalaTest spec asserts the tolerance against exact values.
@@ -210,6 +228,17 @@ object AggQueries extends QuerySet {
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stat_funcs" ->
+      """WITH e AS (SELECT *, epoch(ts) AS ts_s FROM events)
+        |SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd,
+        |  round(var_samp(value), 6) AS vr,
+        |  round(corr(value, ts_s), 6) AS corr_vt,
+        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_vu,
+        |  round(regr_slope(value, ts_s) * 86400 * 1000, 6) AS slope_md,
+        |  count(*) AS n
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_udaf_time_weighted_avg" ->
       """WITH weighted AS (
