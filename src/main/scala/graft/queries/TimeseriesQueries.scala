@@ -63,6 +63,18 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Fixed-bin value histogram per event type (the dashboard workhorse):
+    // bin width 25, integer bin ids — one hash agg, no sort until output.
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          r6(min(col("value"))).as("lo"),
+          r6(max(col("value"))).as("hi"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
     // Cohort retention: users grouped by first-seen week; how many were
     // active k weeks later. Two hash aggs + one equi-join — no windows.
     "q_cohort_retention" -> { (s, dir) =>
@@ -162,6 +174,13 @@ object TimeseriesQueries extends QuerySet {
         |       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS INT) AS bin,
+        |       count(*) AS n,
+        |       round(min(value), 6) AS lo,
+        |       round(max(value), 6) AS hi
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH cohort AS (
