@@ -15,11 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
+    * this flag is on; with it, nanos read as LONG and [[load]] truncates to
+    * µs (same truncation DuckDB applies), keeping both engines
+    * bit-identical. Set ONCE at session build time by every entry point
+    * (Verify/Bench/Explain/IngestBench and the test harness) — a loader
+    * must not mutate session-global parquet semantics as a side effect. */
+  val sessionConfig: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Apply [[sessionConfig]] to a session builder (single source of truth). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfig.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
-    // default; read nanos as LONG and truncate to µs (same truncation
-    // DuckDB applies), keeping both engines bit-identical.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

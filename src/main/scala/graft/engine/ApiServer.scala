@@ -57,13 +57,19 @@ class ApiServer(engine: Engine, port: Int = 0) {
       case c => c.toString
     } + "\""
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+  /** application/x-www-form-urlencoded: split on '&' FIRST, decode each
+    * key/value after — decoding the whole string first would let an
+    * encoded '&' or '=' inside a value act as a separator. */
+  private def parseForm(encoded: String): Map[String, String] =
+    encoded.split("&")
       .flatMap(_.split("=", 2) match {
         case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) ->
           URLDecoder.decode(v, UTF_8))
         case _ => None
       }).toMap
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    parseForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
 
   private def body(ex: HttpExchange): String = {
     val buf = new ByteArrayOutputStream()
@@ -110,9 +116,16 @@ class ApiServer(engine: Engine, port: Int = 0) {
           respond(ex, 405, """{"error":"POST required"}""")
         else {
           val raw = body(ex)
-          val sql =
-            if (raw.startsWith("q=")) URLDecoder.decode(raw.drop(2), UTF_8)
-            else raw
+          // form-encoded bodies (reference handlers.rs:70-79) are parsed as
+          // proper k/v pairs — 'q=SELECT...&pretty=true' must not leak
+          // '&pretty=true' into the SQL. A raw-SQL body is taken verbatim;
+          // the 'q=' prefix heuristic only applies when the client did not
+          // declare a Content-Type (curl's default form post).
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .getOrElse("")
+          val isForm = ct.startsWith("application/x-www-form-urlencoded") ||
+            (ct.isEmpty && raw.startsWith("q="))
+          val sql = if (isForm) parseForm(raw).getOrElse("q", "") else raw
           engine.query(sql) match {
             case Right(df) => respond(ex, 200, jsonArray(engine.toJsonRows(df)))
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")

@@ -99,25 +99,27 @@ class Engine(val spark: SparkSession, warehouse: String) {
       org.apache.spark.sql.types.StructType.fromDDL(
         "line STRING, parse_error STRING"))
 
-  private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit = {
-    // idempotence under micro-batch retry: wipe this batch's previous
-    // (possibly partial) output first, then plain append. Deleting the
-    // whole batch directory is robust even when the arrival-time fallback
-    // shifts rows to different day partitions between attempts (dynamic
-    // partition overwrite would leave the first attempt's partitions
-    // behind), and needs no session-wide writer-config mutation.
-    deletePath(s"$tablePath/ingest_batch=$batchTag")
-    parsed
-      .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
-      .withColumn("ingest_batch", lit(batchTag))
-      // cluster rows by their target partition first: each (series, day)
-      // is then written by one task — bounded file counts instead of
-      // tasks x partitions tiny files (the small-files killer at scale)
-      .repartition(col("series"), col("day"))
-      .write.mode("append")
-      .partitionBy("ingest_batch", "series", "day")
-      .parquet(tablePath)
-  }
+  private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit =
+    Engine.tableLock(tablePath).synchronized {
+      // idempotence under micro-batch retry: wipe this batch's previous
+      // (possibly partial) output first, then plain append. Deleting the
+      // whole batch directory is robust even when the arrival-time fallback
+      // shifts rows to different day partitions between attempts (dynamic
+      // partition overwrite would leave the first attempt's partitions
+      // behind), and needs no session-wide writer-config mutation.
+      deletePath(s"$tablePath/ingest_batch=$batchTag")
+      parsed
+        .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+        .withColumn("ingest_batch", lit(batchTag))
+        // cluster rows by their target partition first: each (series, day)
+        // is then written by one task — bounded file counts instead of
+        // tasks x partitions tiny files (the small-files killer at scale)
+        .repartition(col("series"), col("day"))
+        .write.mode("append")
+        .partitionBy("ingest_batch", "series", "day")
+        .parquet(tablePath)
+      seriesCache = null // new partitions may add series
+    }
 
   // All path operations go through the Hadoop FileSystem API so the engine
   // behaves identically on local disk, HDFS, or an object store (a
@@ -170,10 +172,19 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   /** Compact the table: rewrite each (series, day) partition into a bounded
     * number of files. Streaming micro-batch appends accumulate small files
-    * (the classic TSDB-on-object-store failure mode); compaction runs out of
-    * band — stage to a sibling dir, then atomically swap directories.
+    * (the classic TSDB-on-object-store failure mode); compaction stages to
+    * a sibling dir, then atomically swaps directories.
+    *
+    * Holds the same per-table lock as [[writeBatch]] for the whole
+    * snapshot→rewrite→swap cycle: without it, a batch written between the
+    * staging read and the rename would be silently moved to `.old` and
+    * deleted (round-2 ADVICE fix). Writers in THIS JVM therefore block
+    * while a compaction runs — acceptable for an out-of-band maintenance
+    * op. Writers in other JVMs are out of scope (documented single-writer
+    * posture, SCALE.md §durability); a multi-driver deployment needs a
+    * real table format's commit log (Delta/Iceberg) instead of raw dirs.
     */
-  def compact(): Unit = if (exists) {
+  def compact(): Unit = Engine.tableLock(tablePath).synchronized { if (exists) {
     val staging = tablePath + ".compacting"
     val old = tablePath + ".old"
     // a crash between a previous swap and its cleanup leaves a stale .old
@@ -194,7 +205,8 @@ class Engine(val spark: SparkSession, warehouse: String) {
       throw new java.io.IOException(s"compact: cannot swap in $staging")
     }
     deletePath(old)
-  }
+    seriesCache = null // batch dirs were rewritten
+  }}
 
   // --------------------------------------------------------------- catalog
 
@@ -207,7 +219,8 @@ class Engine(val spark: SparkSession, warehouse: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "id STRING, time TIMESTAMP, created_at TIMESTAMP, name STRING, " +
-          "value DOUBLE, tags MAP<STRING,STRING>, series STRING, day DATE"))
+          "value DOUBLE, value_str STRING, value_bool BOOLEAN, " +
+          "tags MAP<STRING,STRING>, series STRING, day DATE"))
 
   private def exists: Boolean = {
     // recover a compact() interrupted between its two renames: the data is
@@ -217,11 +230,53 @@ class Engine(val spark: SparkSession, warehouse: String) {
     pathExists(tablePath)
   }
 
-  /** R9: series catalog (partition listing — no data scan). */
+  /** Cached [[listSeries]] result; invalidated by every write through THIS
+    * engine (writeBatch/compact). Engines in other JVMs writing the same
+    * warehouse are outside the documented single-writer posture. */
+  @volatile private var seriesCache: Seq[String] = null
+
+  /** R9: series catalog — a TRUE partition-directory listing (pure FS
+    * metadata: `ingest_batch=* / series=*`), not a distinct data scan, and
+    * cached until the next write. At 100k series this is O(dirs) driver
+    * metadata ops once per ingest, instead of a cluster scan per query. */
   def listSeries(): Seq[String] =
     if (!exists) Seq.empty
-    else table().select(col("series")).distinct()
-      .as[String].collect().toSeq.sorted
+    else {
+      val cached = seriesCache
+      if (cached != null) cached
+      else {
+        val fsys = fs(tablePath)
+        val root = new org.apache.hadoop.fs.Path(tablePath)
+        val series = fsys.listStatus(root).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("ingest_batch="))
+          .flatMap(b => fsys.listStatus(b.getPath).toSeq)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("series="))
+          .map(n => unescapePathName(n.stripPrefix("series=")))
+          .distinct.sorted
+        seriesCache = series
+        series
+      }
+    }
+
+  /** Inverse of Spark's partition-path escaping (%XX for structural chars);
+    * '+' is NOT a space in partition dirs, so URLDecoder would corrupt it. */
+  private def unescapePathName(p: String): String = {
+    val sb = new StringBuilder(p.length)
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 2 < p.length) {
+        val hex = Try(Integer.parseInt(p.substring(i + 1, i + 3), 16)).toOption
+        hex match {
+          case Some(code) => sb.append(code.toChar); i += 3
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Catalog statistics per series (count, time bounds, field names) —
     * the "pre-calculated stats" listing a TSDB UI needs (README.md:58
@@ -234,10 +289,11 @@ class Engine(val spark: SparkSession, warehouse: String) {
         sort_array(collect_set(col("name"))).as("fields"))
       .orderBy(col("series"))
 
-  /** R10: series-exists probe. */
+  /** R10: series-exists probe — a lookup in the cached partition listing,
+    * not a data scan (round-2 fix: the old `filter(...).isEmpty` read
+    * files to answer a catalog question). */
   def seriesExists(series: String): Boolean =
-    if (!exists) false
-    else !table().filter(col("series") === series).isEmpty
+    listSeries().contains(series)
 
   // ----------------------------------------------------------------- range
 
@@ -286,15 +342,44 @@ class Engine(val spark: SparkSession, warehouse: String) {
       writeNode match {
         case Some(n) => Left(s"only read-only SELECT is allowed (got $n)")
         case None =>
-          listSeries().foreach { s =>
-            // per-series view, like the reference's per-series tables;
-            // "measurements" is reserved, and a series may not clobber a
-            // view/table it did not itself create (data-controlled names
-            // must not shadow unrelated session state)
-            if (s.matches("[A-Za-z_][A-Za-z0-9_]*") && s != "measurements" &&
-                (Engine.ownsView(spark, s) || !spark.catalog.tableExists(s))) {
-              table().filter(col("series") === s).createOrReplaceTempView(s)
-              Engine.claimView(spark, s)
+          // LAZY per-series views: register only the relations the parsed
+          // plan actually names (round-2 fix — the old code re-registered a
+          // view for EVERY series on EVERY query: O(#series) driver work
+          // per request at 100k series). Identifier match is
+          // case-insensitive, like Spark's own resolution. Re-registering a
+          // referenced view per query is deliberate: the view's plan pins
+          // the file-index snapshot taken at creation, so a stale view
+          // would miss batches ingested since.
+          val series = listSeries()
+          val byLower = series.map(s => s.toLowerCase -> s).toMap
+          val rels = p.collect {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+                if r.multipartIdentifier.length == 1 =>
+              r.multipartIdentifier.head
+          }.distinct
+          rels.foreach { name =>
+            byLower.get(name.toLowerCase) match {
+              case Some(s) =>
+                // per-series view, like the reference's per-series tables;
+                // "measurements" is reserved, and a series may not clobber
+                // a view/table it did not itself create (data-controlled
+                // names must not shadow unrelated session state)
+                if (s.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                    s != "measurements" &&
+                    (Engine.ownsView(spark, s) ||
+                      !spark.catalog.tableExists(s))) {
+                  table().filter(col("series") === s)
+                    .createOrReplaceTempView(s)
+                  Engine.claimView(spark, s)
+                }
+              case None =>
+                // an owned view whose series vanished (warehouse swapped,
+                // data expired): drop it — fail with "table not found"
+                // rather than serving a stale snapshot
+                if (Engine.ownsView(spark, name)) {
+                  spark.catalog.dropTempView(name)
+                  Engine.releaseView(spark, name)
+                }
             }
           }
           table().createOrReplaceTempView("measurements")
@@ -309,6 +394,17 @@ class Engine(val spark: SparkSession, warehouse: String) {
 }
 
 object Engine {
+  /** JVM-wide per-table write lock: writeBatch appends and compact()'s
+    * snapshot→swap are mutually exclusive even when several Engine
+    * instances (or streaming foreachBatch threads) share one warehouse
+    * path in this driver. Keyed by table path, never evicted — the set of
+    * distinct warehouse paths per JVM is tiny. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def tableLock(path: String): Object =
+    tableLocks.computeIfAbsent(path, _ => new Object)
+
   /** Session-scoped registry of series views created by ANY Engine: a
     * series view may be replaced by engines sharing the session (latest
     * query wins, like the reference's per-series stores), but a
@@ -324,4 +420,7 @@ object Engine {
     ownedViews.computeIfAbsent(spark,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
       .add(name)
+
+  private def releaseView(spark: SparkSession, name: String): Unit =
+    Option(ownedViews.get(spark)).foreach(_.remove(name))
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.protocol.LineProtocol
+import graft.protocol.{FieldValue, LineProtocol}
 
 /** `parse_line_expr(line)` as a native Catalyst expression (SURVEY §7.5):
   * the custom-`Expression` surface of §2.4k, one step down from a Scala UDF —
@@ -17,8 +17,10 @@ import graft.protocol.LineProtocol
   * data (UTF8String/ArrayBasedMapData), and nulls propagate via
   * UnaryExpression's null-intolerant eval.
   *
-  * Returns STRUCT<measurement, tags MAP, fields MAP, ts LONG, error STRING>
-  * (FIXTURES.md §A.2 + error slot); `ts`/`error` are null when absent.
+  * Returns STRUCT<measurement, tags MAP, fields MAP<STRING,DOUBLE>,
+  * fields_str MAP<STRING,STRING>, fields_bool MAP<STRING,BOOLEAN>,
+  * ts LONG, error STRING> (FIXTURES.md §A.2 + typed-field union + error
+  * slot); `ts`/`error` are null when absent.
   */
 case class ParseLine(child: Expression)
     extends UnaryExpression {
@@ -64,11 +66,17 @@ object ParseLine {
         InternalRow(
           UTF8String.fromString(r.measurement),
           utf8Map(r.tags.toMap.toSeq),
-          utf8Map(r.fields.toMap.toSeq),
+          utf8Map(r.fields.collect {
+            case (k, FieldValue.FloatV(v)) => k -> v }.toMap.toSeq),
+          utf8Map(r.fields.collect {
+            case (k, FieldValue.StringV(v)) => k -> v }.toMap.toSeq),
+          utf8Map(r.fields.collect {
+            case (k, FieldValue.BoolV(v)) => k -> v }.toMap.toSeq),
           r.timestamp.map(java.lang.Long.valueOf).orNull,
           null)
       case Left(err) =>
-        InternalRow(null, null, null, null, UTF8String.fromString(err))
+        InternalRow(null, null, null, null, null, null,
+          UTF8String.fromString(err))
     }
   }
 
@@ -76,6 +84,8 @@ object ParseLine {
     StructField("measurement", StringType),
     StructField("tags", MapType(StringType, StringType)),
     StructField("fields", MapType(StringType, DoubleType)),
+    StructField("fields_str", MapType(StringType, StringType)),
+    StructField("fields_bool", MapType(StringType, BooleanType)),
     StructField("ts", LongType),
     StructField("error", StringType)))
 

@@ -3,15 +3,20 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.protocol.LineProtocol
+import graft.protocol.{FieldValue, LineProtocol}
 
 /** One parsed + fanned-out line: either a measurement row (parse_error null)
-  * or a quarantined line (parse_error set, measurement fields null/zero). */
+  * or a quarantined line (parse_error set, measurement fields null/zero).
+  * Exactly one of value/value_str/value_bool is set per measurement row —
+  * the typed-field union (reference README.md:50's planned string/bool
+  * values; doubles stay the dense fast path). */
 case class ParsedLine(
     line: String,
     series: String,
     name: String,
-    value: Double,
+    value: Option[Double],
+    value_str: Option[String],
+    value_bool: Option[Boolean],
     time_ns: Option[Long],
     tags: Map[String, String],
     parse_error: String)
@@ -47,19 +52,33 @@ object IngestPipeline {
     spark.udf.register("parse_line",
       (line: String) => LineProtocol.parse(if (line == null) "" else line) match {
         case Right(r) =>
-          (r.measurement, r.tags.toMap, r.fields.toMap, r.timestamp, None)
+          (r.measurement, r.tags.toMap,
+            r.fields.collect { case (k, FieldValue.FloatV(v)) => k -> v }.toMap,
+            r.fields.collect { case (k, FieldValue.StringV(v)) => k -> v }.toMap,
+            r.fields.collect { case (k, FieldValue.BoolV(v)) => k -> v }.toMap,
+            r.timestamp, None)
         case Left(err) =>
           (null, Map.empty[String, String], Map.empty[String, Double],
+            Map.empty[String, String], Map.empty[String, Boolean],
             Option.empty[Long], Some(err))
       })
     spark.udf.register("to_line",
       (m: String, tags: Map[String, String], fields: Map[String, Double],
-       ts: java.lang.Long) =>
+       fieldsStr: Map[String, String], fieldsBool: Map[String, Boolean],
+       ts: java.lang.Long) => {
+        def opt[V](m: Map[String, V]): Map[String, V] =
+          if (m == null) Map.empty else m
+        val typed: Vector[(String, FieldValue)] =
+          (opt(fields).view.mapValues(FieldValue.FloatV.apply).toVector ++
+            opt(fieldsStr).view.mapValues(FieldValue.StringV.apply).toVector ++
+            opt(fieldsBool).view.mapValues(FieldValue.BoolV.apply).toVector)
+            .sortBy(_._1)
         LineProtocol.serialize(graft.protocol.LineRecord(
           m,
           if (tags == null) Vector.empty else tags.toVector.sortBy(_._1),
-          if (fields == null) Vector.empty else fields.toVector.sortBy(_._1),
-          Option(ts).map(_.longValue))))
+          typed,
+          Option(ts).map(_.longValue)))
+      })
   }
 
   /** One parse per line, fan-out per field, quarantine rows inline. */
@@ -70,12 +89,18 @@ object IngestPipeline {
         LineProtocol.parse(if (line == null) "" else line) match {
           case Right(r) =>
             r.fields.iterator.map { case (k, v) =>
-              ParsedLine(line, r.measurement, k, v, r.timestamp,
+              val (d, s, b) = v match {
+                case FieldValue.FloatV(x)  => (Some(x), None, None)
+                case FieldValue.StringV(x) => (None, Some(x), None)
+                case FieldValue.BoolV(x)   => (None, None, Some(x))
+              }
+              ParsedLine(line, r.measurement, k, d, s, b, r.timestamp,
                 r.tags.toMap, null)
             }
           case Left(err) =>
             Iterator.single(
-              ParsedLine(line, null, null, 0.0, None, Map.empty, err))
+              ParsedLine(line, null, null, None, None, None, None,
+                Map.empty, err))
         }
       }
     }.toDF()
@@ -91,7 +116,8 @@ object IngestPipeline {
         coalesce(expr("timestamp_micros(time_ns div 1000)"), col("created_at"))
           .as("time"),
         col("created_at"),
-        col("name"), col("value"), col("tags"))
+        col("name"), col("value"), col("value_str"), col("value_bool"),
+        col("tags"))
 
   /** parseAll output → rejected lines with their parse error. */
   def errors(parsed: DataFrame): DataFrame =

@@ -28,10 +28,10 @@ object AggQueries extends QuerySet {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           avgMicro(col("l_quantity"), count(lit(1))).as("avg_qty_micro"),
           avgMicro(col("l_extendedprice"), count(lit(1))).as("avg_price_micro"),
           avgMicro(col("l_discount"), count(lit(1))).as("avg_disc_micro"),
@@ -55,7 +55,7 @@ object AggQueries extends QuerySet {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).as("total"),
+          decSum(col("o_totalprice")).as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"))
         .orderBy(col("g_status"), col("g_prio"),
@@ -97,7 +97,7 @@ object AggQueries extends QuerySet {
         .agg(
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
-            .otherwise(dec(lit(0)))).as("open_total"),
+            .otherwise(dec(lit(0)))).cast("double").as("open_total"),
           avgMicro(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0),
             count(lit(1))).as("pct_f_micro"),
           max(greatest(col("o_totalprice"), lit(250000.0))).as("max_or_250k"),
@@ -171,12 +171,12 @@ object AggQueries extends QuerySet {
   val oracle: Map[String, String] = Map(
     "q14_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  (sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_qty_micro,
-        |  (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_price_micro,
-        |  (sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_disc_micro,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_qty_micro,
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_price_micro,
+        |  CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_disc_micro,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -192,7 +192,7 @@ object AggQueries extends QuerySet {
 
     "q16_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -215,11 +215,11 @@ object AggQueries extends QuerySet {
 
     "q17_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS open_total,
-        |  (sum(CAST(round((CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS pct_f_micro,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total,
+        |  CAST((sum(CAST(round((CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS pct_f_micro,
         |  max(greatest(o_totalprice, 250000.0)) AS max_or_250k,
-        |  sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_percentile" ->

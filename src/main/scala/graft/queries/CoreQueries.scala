@@ -42,8 +42,9 @@ object CoreQueries extends QuerySet {
       t(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
+          // exact decimal product, rendered DOUBLE (QuerySet output-type policy)
           (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .as("net_price"),
+            .cast("double").as("net_price"),
           concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"),
           col("flag_status"))
@@ -90,7 +91,7 @@ object CoreQueries extends QuerySet {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).as("sum_v"),
+          decSum(col("value")).as("sum_v"),
           r6(min(col("value"))).as("min_v"),
           r6(max(col("value"))).as("max_v"),
           avgMicro(col("value"), count(lit(1))).as("avg_micro"))
@@ -174,7 +175,7 @@ object CoreQueries extends QuerySet {
 
     "q03_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
         |  concat_ws('/', l_returnflag, l_linestatus) AS flag_status
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, flag_status""".stripMargin,
 
@@ -201,10 +202,10 @@ object CoreQueries extends QuerySet {
     "q_downsample_hourly" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  round(min(value), 6) AS min_v,
         |  round(max(value), 6) AS max_v,
-        |  (sum(CAST(round(value * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS avg_micro
+        |  CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_micro
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_subqueries" ->

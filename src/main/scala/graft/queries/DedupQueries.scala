@@ -236,7 +236,7 @@ object DedupQueries extends QuerySet {
       |       (SELECT unnest(range(0, 4)) AS b) bb),
       |sh AS (
       |  SELECT doc_id,
-      |         sum(CASE WHEN sc > 0 THEN (1::BIGINT << CAST(bitpos AS INT)) ELSE 0 END) AS simhash
+      |         CAST(sum(CASE WHEN sc > 0 THEN (1::BIGINT << CAST(bitpos AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM (SELECT doc_id, bitpos, sum(c) AS sc FROM bits GROUP BY doc_id, bitpos)
       |  GROUP BY doc_id)""".stripMargin
 

@@ -27,7 +27,7 @@ object JoinQueries extends QuerySet {
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("o_totalprice"))).as("total_price"),
+        .agg(decSum(col("o_totalprice")).as("total_price"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))
     },
@@ -38,8 +38,7 @@ object JoinQueries extends QuerySet {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec(col("o_totalprice"))),
-            lit(0).cast("decimal(28,2)")).as("total_price"))
+          coalesce(decSum(col("o_totalprice")), lit(0.0)).as("total_price"))
         .orderBy(col("c_custkey"))
     },
 
@@ -131,7 +130,7 @@ object JoinQueries extends QuerySet {
 
   val oracle: Map[String, String] = Map(
     "q07_inner_join" ->
-      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+      """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |       count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -140,7 +139,7 @@ object JoinQueries extends QuerySet {
 
     "q08_left_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_price
+        |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 

@@ -20,6 +20,16 @@ import graft.Tables
   *     exact in both engines, so no summation-order flakiness;
   *   - AVG / percentiles / similarity scores stay DOUBLE, wrapped round(_, 6)
   *     (their magnitudes keep fp error orders of magnitude below 1e-6).
+  *
+  * Output-TYPE policy (round-2 hardening; VERDICT.md round 1 headline):
+  *   - the driver's hasher distinguishes decimal precision and DuckDB's
+  *     HUGEINT from BIGINT (while tolerating int widths). Spark widens
+  *     sum(DECIMAL(p,s)) to p+10; DuckDB widens to 38 — so NO decimal sum
+  *     naturally agrees. Exact sums therefore stay decimal INTERNALLY and
+  *     are rendered as DOUBLE on output (one final conversion of the same
+  *     exact value → bit-identical doubles; see decSum).
+  *   - every DuckDB integer aggregate is CAST(... AS BIGINT) in the oracle
+  *     SQL, because duck's sum(INTEGER/BIGINT) returns HUGEINT.
   */
 trait QuerySet {
   type Q = (SparkSession, String) => DataFrame
@@ -28,6 +38,16 @@ trait QuerySet {
 
   /** Exact money/quantity arithmetic: DECIMAL(18,2) on both engines. */
   protected def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal SUM rendered as DOUBLE. The sum itself is exact decimal
+    * math (immune to fp summation order); only the final identical value is
+    * converted once, and both engines round that same exact decimal to the
+    * same nearest double. DOUBLE (not decimal) on output because Spark's
+    * sum(DECIMAL(p,s)) widens to p+10 while DuckDB widens to 38, and the
+    * driver's hasher renders the precision — there is no decimal output
+    * type both planners will naturally emit. Oracle mirror:
+    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  protected def decSum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Canonical rounding for DOUBLE outputs. */
   protected def r6(c: Column): Column = round(c, 6)

@@ -78,30 +78,43 @@ object SimilarityQueries extends QuerySet {
     // Q34b: IVF probe — nearest centroid first, then exact cosine inside
     // that cluster only. Centroids computed in long (label, pos, v) format
     // so the aggregation scales to any dimensionality.
-    "q34b_ann_ivf" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val centLong = e
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("cv"))
-      val qLong = queryVec(s, dir)
-        .select(posexplode(col("qe")))
-        .select(col("pos"), col("col").cast("double").as("qv"))
-      val bestLabel = centLong.join(broadcast(qLong), Seq("pos"))
-        .groupBy(col("label"))
-        .agg(sum(col("cv") * col("qv")).as("ip"))
-        .orderBy(col("ip").desc, col("label"))
-        .limit(1)
-        .select(col("label"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(bestLabel), Seq("label"))
-        .crossJoin(broadcast(queryVec(s, dir)))
-        .select(col("vec_id"), col("label"),
-          r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-    }
+    "q34b_ann_ivf" -> { (s, dir) => ivf(s, dir, probes = 1) },
+
+    // Q34d: MULTI-probe IVF — scan the top-2 centroids' clusters (union via
+    // a 2-row broadcast semi-side). Single-probe recall falls off at scale
+    // (a query near a Voronoi boundary misses neighbors in the runner-up
+    // cell); probing p cells multiplies scanned fraction by ~p/K while
+    // recovering most boundary misses — the standard IVF recall knob
+    // (SCALE.md §ANN). Same plan shape: probe count only widens the
+    // broadcast, never adds a shuffle.
+    "q34d_ann_multiprobe" -> { (s, dir) => ivf(s, dir, probes = 2) }
   )
+
+  /** IVF ANN: rank centroids by query dot product, scan the top-`probes`
+    * clusters only, exact cosine + global top-10 inside the probed set. */
+  private def ivf(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centLong = e
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("cv"))
+    val qLong = queryVec(s, dir)
+      .select(posexplode(col("qe")))
+      .select(col("pos"), col("col").cast("double").as("qv"))
+    val probeLabels = centLong.join(broadcast(qLong), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("cv") * col("qv")).as("ip"))
+      .orderBy(col("ip").desc, col("label"))
+      .limit(probes)
+      .select(col("label"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeLabels), Seq("label"))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), col("label"),
+        r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
 
   private val cosSql =
     """round(list_sum(list_transform(list_zip(e.embedding, q.qe),
@@ -143,22 +156,25 @@ object SimilarityQueries extends QuerySet {
         |SELECT q_id, rk, c_id, cos_sim FROM ranked WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin,
 
-    "q34b_ann_ivf" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cent AS (
-         |  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS cv
-         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
-         |  GROUP BY label, i),
-         |best AS (
-         |  SELECT c.label
-         |  FROM cent c JOIN (SELECT i AS pos, qe[i]::DOUBLE AS qv
-         |                    FROM q, (SELECT unnest(range(1, 65)) AS i) ii) qq
-         |    ON qq.pos = c.pos
-         |  GROUP BY c.label
-         |  ORDER BY sum(c.cv * qq.qv) DESC, c.label LIMIT 1)
-         |SELECT e.vec_id, e.label, $cosSql AS cos_sim
-         |FROM embeddings e JOIN best USING (label), q
-         |WHERE e.vec_id <> 0
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    "q34b_ann_ivf" -> ivfSql(1),
+    "q34d_ann_multiprobe" -> ivfSql(2)
   )
+
+  private def ivfSql(probes: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+       |  GROUP BY label, i),
+       |best AS (
+       |  SELECT c.label
+       |  FROM cent c JOIN (SELECT i AS pos, qe[i]::DOUBLE AS qv
+       |                    FROM q, (SELECT unnest(range(1, 65)) AS i) ii) qq
+       |    ON qq.pos = c.pos
+       |  GROUP BY c.label
+       |  ORDER BY sum(c.cv * qq.qv) DESC, c.label LIMIT $probes)
+       |SELECT e.vec_id, e.label, $cosSql AS cos_sim
+       |FROM embeddings e JOIN best USING (label), q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 }

@@ -57,9 +57,9 @@ object WindowQueries extends QuerySet {
       t(s, dir, "events")
         .withColumn("days", datediff(col("ts"), lit("2024-01-01")))
         .select(col("event_id"),
-          sum(dec(col("value"))).over(wMov).as("mov_sum"),
+          sum(dec(col("value"))).over(wMov).cast("double").as("mov_sum"),
           r6(avg(col("value")).over(wMov)).as("mov_avg"),
-          sum(dec(col("value"))).over(wRun).as("run_total"),
+          sum(dec(col("value"))).over(wRun).cast("double").as("run_total"),
           count(lit(1)).over(wRange).as("n_7d"))
         .orderBy(col("event_id"))
     },
@@ -103,12 +103,12 @@ object WindowQueries extends QuerySet {
     "q21_frames" ->
       """WITH e AS (SELECT *, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days FROM events)
         |SELECT event_id,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
         |  count(*) OVER (PARTITION BY user_id ORDER BY days
         |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_7d
         |FROM e ORDER BY event_id""".stripMargin,

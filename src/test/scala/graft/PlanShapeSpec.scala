@@ -11,6 +11,7 @@ class PlanShapeSpec extends SparkSpec {
     "q11_cross_join", // 5 x 25 dims — declared bounded cross join
     "q34_cosine_topk", // 1-row broadcast query vector
     "q34b_ann_ivf", // 1-row broadcast query vector + 1-row best label
+    "q34d_ann_multiprobe", // 1-row broadcast query vector + 2-row probe set
     "q_bigram_pmi") // 1-row broadcast corpus total
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
@@ -24,6 +25,29 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unbounded join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("dedup pipeline reuses the distinct-shingle exchange (no 4x scan)") {
+    // q_dedup_jaccard_verify consumes the distinct-shingle subtree three
+    // times (sizes + both intersection probes); the planner must reuse its
+    // exchange, not recompute the distinct per consumer (the 4-scan
+    // regression VERDICT r01 suspected). AQE defers exchange reuse to
+    // runtime, so assert on the static plan with AQE off — canonical
+    // subtree equality is exactly what AQE's runtime reuse needs too; if a
+    // refactor breaks it, this fails.
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q_dedup_jaccard_verify", "q_dedup_apply").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(plan).size
+        assert(reused >= 2,
+          s"$name: expected >=2 ReusedExchange nodes, got $reused:\n" +
+            plan.take(4000))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {

@@ -9,10 +9,11 @@ import graft.SparkSpec
 class ApiServerSpec extends SparkSpec {
 
   private def call(url: String, method: String = "GET",
-      bodyStr: String = null): (Int, String) = {
+      bodyStr: String = null, contentType: String = null): (Int, String) = {
     val con = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     con.setRequestMethod(method)
+    if (contentType != null) con.setRequestProperty("Content-Type", contentType)
     if (bodyStr != null) {
       con.setDoOutput(true)
       con.getOutputStream.write(bodyStr.getBytes(UTF_8))
@@ -55,6 +56,19 @@ class ApiServerSpec extends SparkSpec {
       assert(qc == 200 && qb == """[{"name":"value","value":0.64}]""")
       // writes rejected by the parse-based gate
       assert(call(s"$base/query", "POST", "q=DROP%20TABLE%20cpu_load")._1 == 400)
+
+      // form body with extra params: '&pretty=true' must NOT leak into the
+      // SQL (round-2 ADVICE fix — proper k/v form parsing)
+      val (fc, fb) = call(s"$base/query", "POST",
+        "q=SELECT%20name%2C%20value%20FROM%20cpu_load&pretty=true",
+        "application/x-www-form-urlencoded")
+      assert(fc == 200 && fb == """[{"name":"value","value":0.64}]""", fb)
+      // raw SQL body with an explicit non-form Content-Type is verbatim —
+      // even percent/plus chars must not be form-decoded
+      val (tc, tb) = call(s"$base/query", "POST",
+        "SELECT name, value FROM cpu_load WHERE name LIKE 'val%'",
+        "text/plain")
+      assert(tc == 200 && tb == """[{"name":"value","value":0.64}]""", tb)
     } finally api.stop()
   }
 }

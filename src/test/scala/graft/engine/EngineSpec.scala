@@ -17,7 +17,7 @@ class EngineSpec extends SparkSpec {
       "cpu_load,host=server,region=us-east1 value=0.64 1234567891000000000",
       "cpu_load,host=server,region=us-east1 value=0.70,idle=0.30 1234567952000000000",
       "not a valid line at all",
-      "m f=\"notanumber\" 1"))
+      "m f=notanumber 1")) // unquoted non-numeric → D5 parse error
     assert(ok == 4) // 2 + fan-out of 2 fields (R5) — errors excluded
     assert(err == 2)
     e
@@ -117,6 +117,51 @@ class EngineSpec extends SparkSpec {
     assert(stats == List(
       ("cpu_load", 3L, List("idle", "value")),
       ("test", 1L, List("value"))))
+  }
+
+  test("string/bool field values ingest + query (README.md:50 TODO)") {
+    val e = new Engine(spark, tmpDir("graft-typed"))
+    val (ok, err) = e.ingestLines(Seq(
+      "svc,host=a status=\"degraded\",up=true,load=0.7 1700000000000000000"))
+    assert(ok == 3 && err == 0) // one row per typed field
+    val rows = e.query(
+      "SELECT name, value, value_str, value_bool FROM svc ORDER BY name")
+      .toOption.get.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("load", "status", "up"))
+    assert(rows(0).getDouble(1) == 0.7 && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "degraded")
+    assert(rows(2).isNullAt(1) && rows(2).getBoolean(3))
+  }
+
+  test("views register lazily — only series the query references") {
+    val e = new Engine(spark, tmpDir("graft-lazy"))
+    e.ingestLines(Seq("lazyv_a v=1.0 1700000000000000000",
+      "lazyv_b v=2.0 1700000000000000000"))
+    val r = e.query("SELECT count(*) AS n FROM lazyv_a").toOption.get
+    assert(r.head().getLong(0) == 1L)
+    assert(spark.catalog.tableExists("lazyv_a"))
+    // the unreferenced series never costs a catalog mutation
+    assert(!spark.catalog.tableExists("lazyv_b"))
+  }
+
+  test("series list is one catalog pass per ingest, not per query") {
+    val e = new Engine(spark, tmpDir("graft-cache"))
+    e.ingestLines(Seq("cachev_a v=1.0 1700000000000000000"))
+    assert(e.listSeries() == Seq("cachev_a"))
+    // cached: the second call returns the SAME instance (no FS relisting)
+    assert(e.listSeries() eq e.listSeries())
+    e.ingestLines(Seq("cachev_b v=1.0 1700000000000000000"))
+    assert(e.listSeries() == Seq("cachev_a", "cachev_b")) // write invalidates
+  }
+
+  test("owned views for vanished series are dropped, not served stale") {
+    val e1 = new Engine(spark, tmpDir("graft-van1"))
+    e1.ingestLines(Seq("vanish_x v=1.0 1700000000000000000"))
+    assert(e1.query("SELECT * FROM vanish_x").isRight)
+    assert(spark.catalog.tableExists("vanish_x"))
+    val e2 = new Engine(spark, tmpDir("graft-van2")) // empty warehouse
+    assert(e2.query("SELECT * FROM vanish_x").isLeft)
+    assert(!spark.catalog.tableExists("vanish_x"))
   }
 
   test("results render as real JSON rows (Q-J fix)") {

@@ -46,14 +46,18 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
-  test("parse_line / to_line UDFs round-trip in SQL") {
+  test("parse_line / to_line UDFs round-trip in SQL (typed fields)") {
     IngestPipeline.registerUdfs(spark)
-    val line = "m,a=1 f=2.5 42"
-    val got = spark.sql(
-      s"""SELECT to_line(r._1, r._2, r._3, r._4) AS line
-         |FROM (SELECT parse_line('$line') AS r)""".stripMargin)
-      .head().getString(0)
-    assert(got == line)
+    // doubles, bools, and quoted strings (with a space) all round-trip
+    Seq("m,a=1 f=2.5 42",
+        "m,a=1 b=true,f=2.5,s=\"x y\" 42").foreach { line =>
+      val got = spark.sql(
+        s"""SELECT to_line(r._1, r._2, r._3, r._4, r._5, r._6) AS line
+           |FROM (SELECT parse_line('${line.replace("\"", "\\\"")}') AS r)"""
+          .stripMargin)
+        .head().getString(0)
+      assert(got == line)
+    }
   }
 
   test("approx sketches stay within tolerance of exact (q_approx_sketches)") {

@@ -68,4 +68,24 @@ class SkewSpec extends SparkSpec {
   // No: compact rewrites existing rows (ids preserved); strip nothing. Kept
   // for clarity that ids must survive compaction unchanged.
   private def stripId(s: String): String = s
+
+  test("compact() and concurrent writes never lose a batch (table lock)") {
+    // Without the shared per-table lock, a batch written between compact()'s
+    // staging read and its directory swap lands in the snapshot-then-deleted
+    // .old dir — silent data loss (round-2 ADVICE). With the lock this is
+    // deterministic: every ingested row survives any interleaving.
+    val engine = new Engine(spark, tmpDir("graft-compact-race"))
+    engine.ingestLines(Seq("cpu,host=h0 usage=0.1 1700000001000000000"))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() =>
+      try (1 to 6).foreach { i =>
+        engine.ingestLines(
+          Seq(s"cpu,host=h$i usage=0.$i 170000000${i % 9}000000000"))
+      } catch { case t: Throwable => failure.set(t) })
+    writer.start()
+    (1 to 3).foreach(_ => engine.compact())
+    writer.join()
+    assert(failure.get() == null, s"writer failed: ${failure.get()}")
+    assert(engine.table().count() == 7)
+  }
 }

@@ -11,13 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LineProtocolSpec extends AnyFunSuite {
 
+  import FieldValue.{BoolV, FloatV, StringV}
+
   test("README example parses (README.md:20)") {
     val r = LineProtocol
       .parse("test,host=server,region=us-east1 value=0.80 1234567890000000000")
       .toOption.get
     assert(r.measurement == "test")
     assert(r.tags == Vector("host" -> "server", "region" -> "us-east1"))
-    assert(r.fields == Vector("value" -> 0.80))
+    assert(r.fields == Vector("value" -> FloatV(0.80)))
     assert(r.timestamp.contains(1234567890000000000L))
   }
 
@@ -26,7 +28,7 @@ class LineProtocolSpec extends AnyFunSuite {
       .parse("myMultipleFieldKey fieldKey1=1.0,fieldKey2=2.0 1556813561098000000")
       .toOption.get
     assert(r.tags.isEmpty)
-    assert(r.fields == Vector("fieldKey1" -> 1.0, "fieldKey2" -> 2.0))
+    assert(r.fields == Vector("fieldKey1" -> FloatV(1.0), "fieldKey2" -> FloatV(2.0)))
   }
 
   test("multiple tags keep insertion order (protocol.rs:164)") {
@@ -41,7 +43,41 @@ class LineProtocolSpec extends AnyFunSuite {
     assert(LineProtocol.parse("m").isLeft) // no fieldset (protocol.rs:125-127)
     assert(LineProtocol.parse("m f=1.0 notanum").isLeft) // bad ts
     assert(LineProtocol.parse("m fieldnoeq 1").isLeft) // no valid fields
-    assert(LineProtocol.parse("m f=\"str\" 1").isLeft) // D5: reject, not panic
+    // D5: unquoted non-numeric value is a clean error (reference panics)
+    assert(LineProtocol.parse("m f=abc 1").isLeft)
+    assert(LineProtocol.parse("m f=\"unterminated 1").isLeft)
+  }
+
+  test("string/bool field values (README.md:50 TODO, implemented here)") {
+    val r = LineProtocol.parse(
+      "svc,host=a status=\"degraded\",up=true,load=0.7,note=\"a b, c=d\" 1")
+      .toOption.get
+    assert(r.fields == Vector(
+      "status" -> StringV("degraded"), "up" -> BoolV(true),
+      "load" -> FloatV(0.7), "note" -> StringV("a b, c=d")))
+    // influx bool token forms
+    assert(LineProtocol.parse("m f=T").toOption.get.fields ==
+      Vector("f" -> BoolV(true)))
+    assert(LineProtocol.parse("m f=FALSE").toOption.get.fields ==
+      Vector("f" -> BoolV(false)))
+    // escaped quote/backslash round-trip inside strings
+    val rec = LineRecord("m", Vector.empty,
+      Vector("s" -> StringV("say \"hi\" \\ bye")), Some(1L))
+    assert(LineProtocol.parse(LineProtocol.serialize(rec)) == Right(rec))
+  }
+
+  test("the reference's own 4 round-trip lines parse + serialize verbatim " +
+      "(protocol.rs:150-190 — its f64-only parser panics on all of them)") {
+    Seq(
+      "mySingleTagMeasurement,tag1=value1 fieldKey1=\"fieldValue\" 1556813561098000000",
+      "myMultipleTagMeasurement,tag1=value1,tag2=value2 fieldKey=\"fieldValue\" 1556813561098000000",
+      "mySingleFieldKey fieldKey=\"fieldValue\" 1556813561098000000",
+      "myMultipleFieldKey fieldKey1=\"fieldValue\",fieldKey2=\"oi\" 1556813561098000000"
+    ).foreach { line =>
+      val r = LineProtocol.parse(line)
+      assert(r.isRight, s"parse failed: $line → $r")
+      assert(LineProtocol.serialize(r.toOption.get) == line)
+    }
   }
 
   test("timestamp optional (D5 deviation; spec-conformant)") {
@@ -52,7 +88,16 @@ class LineProtocolSpec extends AnyFunSuite {
   test("tag without '=' silently skipped (protocol.rs:98-101)") {
     val r = LineProtocol.parse("m,tagnoeq f=1.0 1").toOption.get
     assert(r.tags.isEmpty)
-    assert(r.fields == Vector("f" -> 1.0))
+    assert(r.fields == Vector("f" -> FloatV(1.0)))
+  }
+
+  test("empty-VALUE tag/field skipped like reference tag()/field() " +
+      "(protocol.rs:34-44 insert only non-empty values)") {
+    val r = LineProtocol.parse("m,t= f=,g=2.0 1").toOption.get
+    assert(r.tags.isEmpty) // t= dropped
+    assert(r.fields == Vector("g" -> FloatV(2.0))) // f= dropped, not an error
+    // all fields empty-valued → nothing to insert → error (no valid fields)
+    assert(LineProtocol.parse("m f= 1").isLeft)
   }
 
   private val ident: Gen[String] = for {
@@ -60,12 +105,21 @@ class LineProtocolSpec extends AnyFunSuite {
     t <- Gen.listOfN(5, Gen.alphaNumChar)
   } yield (h :: t).mkString
 
+  private val fieldValue: Gen[FieldValue] = Gen.oneOf(
+    Gen.choose(-1e9, 1e9).map(FloatV.apply),
+    Gen.oneOf(Gen.const(true), Gen.const(false)).map(BoolV.apply),
+    // strings exercise the quote-aware lexer: spaces, commas, '=',
+    // escaped quotes and backslashes all must survive the round trip
+    Gen.oneOf(ident, Gen.const("hello world"), Gen.const("a,b=c"),
+      Gen.const("say \"hi\""), Gen.const("back\\slash"))
+      .map(StringV.apply))
+
   private val record: Gen[LineRecord] = for {
     m <- ident
     nt <- Gen.choose(0, 4)
     tags <- Gen.listOfN(nt, Gen.zip(ident, ident))
     nf <- Gen.choose(1, 4)
-    fields <- Gen.listOfN(nf, Gen.zip(ident, Gen.choose(-1e9, 1e9)))
+    fields <- Gen.listOfN(nf, Gen.zip(ident, fieldValue))
     ts <- Gen.option(Gen.choose(0L, 2_000_000_000_000_000_000L))
   } yield LineRecord(m,
     tags.toMap.toVector, // unique keys
