@@ -33,6 +33,46 @@ object IngestBench {
     lines.count() // materialize the source outside the timed section
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_INGEST_MODE", "full")
+
+    if (mode == "variants") {
+      // BASELINE.md §Measured: same parse work through the three custom-
+      // function surfaces, all ending in (series, name, value) rows into a
+      // noop sink. One untimed warm-up each, then median of 3.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions.{col, explode}
+      graft.ingest.IngestPipeline.registerUdfs(spark)
+      def mapPartitionsPlan: DataFrame =
+        graft.ingest.IngestPipeline.parseAll(spark, lines)
+          .select(col("series"), col("name"), col("value"))
+      def exprPlan: DataFrame = lines
+        .select(graft.functions.ParseLine.parse_line_expr(col("value")).as("r"))
+        .select(col("r.measurement").as("series"), explode(col("r.fields")))
+        .toDF("series", "name", "value")
+      def udfPlan: DataFrame = lines
+        .selectExpr("parse_line(value) AS r")
+        .select(col("r._1").as("series"), explode(col("r._3")))
+        .toDF("series", "name", "value")
+      def time(df: => DataFrame): Double = {
+        df.write.format("noop").mode("overwrite").save() // warm
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val out = Seq(
+        "mapPartitions" -> time(mapPartitionsPlan),
+        "expression" -> time(exprPlan),
+        "udf" -> time(udfPlan)
+      ).map { case (k, s) =>
+        s""""$k":{"sec":${math.round(s * 1000) / 1000.0},"lines_per_sec":${(nLines / s).toLong}}"""
+      }.mkString(",")
+      println(s"""{"metric":"parse_variants","lines":$nLines,$out}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val parsed = graft.ingest.IngestPipeline.parseLines(spark, lines)
     if (mode == "parse") parsed.write.format("noop").mode("overwrite").save()

@@ -208,6 +208,26 @@ class Engine(val spark: SparkSession, warehouse: String) {
     seriesCache = null // batch dirs were rewritten
   }}
 
+  /** Rewrite the canonical table as a BUCKETED catalog table: rows are
+    * pre-shuffled into `buckets` files by `key` at write time, so every
+    * subsequent join/aggregation keyed on `key` (fact-fact self-joins,
+    * as-of joins per series, per-series rollups) plans with NO exchange —
+    * the shuffle is paid once here instead of per query. This is the
+    * repeated-join lever at 100 TB (BucketingSpec proves the plan shape).
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable`), data
+    * under `warehouse/bucketed_<name>`. Same table lock as writeBatch /
+    * compact: the snapshot must not race an append. */
+  def compactBucketed(tableName: String, key: String = "series",
+      buckets: Int = 32): Unit =
+    Engine.tableLock(tablePath).synchronized {
+      table()
+        .write.bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$warehouse/bucketed_$tableName")
+        .mode("overwrite")
+        .saveAsTable(tableName)
+    }
+
   // --------------------------------------------------------------- catalog
 
   /** All measurements (empty frame with canonical schema if none yet —

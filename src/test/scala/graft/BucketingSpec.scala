@@ -49,4 +49,36 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("engine.compactBucketed: self-join on the bucketed key plans " +
+      "without a shuffle exchange") {
+    val engine = new graft.engine.Engine(spark, tmpDir("graft-bwh"))
+    (1 to 4).foreach { i =>
+      engine.ingestLines(Seq(
+        s"cpu,host=h$i usage=0.$i,idle=0.${9 - i} 170000000${i}000000000",
+        s"mem,host=h$i used=$i.0 170000000${i}000000000"))
+    }
+    engine.compactBucketed("m_bucketed", key = "series", buckets = 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b = spark.table("m_bucketed")
+      val usage = b.filter(col("name") === "usage")
+        .select(col("series"), col("value").as("u"))
+      val idle = b.filter(col("name") === "idle")
+        .select(col("series"), col("value").as("i"))
+      val joined = usage.join(idle, Seq("series"))
+        .groupBy(col("series")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(series"),
+        s"bucketed self-join still shuffles on series:\n$plan")
+      // 4 usage x 4 idle rows, all series=cpu -> 16 pairs
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("cpu", 16L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS m_bucketed")
+    }
+  }
 }

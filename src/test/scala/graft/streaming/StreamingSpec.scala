@@ -266,4 +266,44 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq(("cpu", "compute", 1.0), ("mem", "memory", 3.0)))
   }
+
+  test("st9: RocksDB state store backs a large streaming keyspace") {
+    // The default HDFS-backed store keeps every state key on the JVM heap —
+    // a 100 TB-scale keyspace (per-entity running aggregates) OOMs the
+    // executor. RocksDBStateStoreProvider (ships in spark-sql; rocksdbjni on
+    // the classpath) spills state off-heap/on-disk; this pins that the
+    // config works end-to-end: 5k state keys across two micro-batches,
+    // state survives between batches, and the progress metrics prove the
+    // RocksDB provider (not the default) was engaged.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Evt]
+      val agg = in.toDF().groupBy(col("series"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("st9").start()
+      in.addData((1 to 5000).map(i =>
+        Evt(t("2024-01-01 00:00:00"), s"s$i", 1.0, s"a$i")): _*)
+      q.processAllAvailable()
+      in.addData((1 to 5000).map(i =>
+        Evt(t("2024-01-01 00:00:01"), s"s$i", 2.0, s"b$i")): _*)
+      q.processAllAvailable()
+      val progress = q.lastProgress.json
+      q.stop()
+      assert(progress.contains("rocksdb"),
+        s"RocksDB provider not engaged; progress: ${progress.take(500)}")
+      val got = spark.table("st9").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == 5000)
+      assert(got.forall { case (_, n, s) => n == 2L && s == 3.0 })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
