@@ -25,14 +25,74 @@ case class MediaFeatures(
 
 /** Multimodal column processing (SURVEY.md §2.4 i / builder contract).
   *
-  * The decode step is a clearly-marked deterministic STUB (this container has
-  * no image/audio codecs): `decodeStub` derives fake dimensions from the
-  * bytes. Everything around it — the binary schema, the typed Dataset, the
-  * batched per-partition processing shape, the feature vector output — is
-  * the real Spark plumbing a codec-backed implementation would keep, with
-  * only the stub body swapped for e.g. a JNI/ONNX call.
+  * Decode is REAL for the formats the JDK ships codecs for (round 2):
+  * images via `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — [[decodeImage]],
+  * [[resizeImage]]) and audio via `javax.sound.sampled` (WAV/PCM —
+  * [[decodeWav]]). Dispatch is on the `format` metadata column; payloads
+  * the JVM has no codec for (video; the synthetic `fake/...` docs used by
+  * the oracle) fall back to the clearly-marked deterministic stubs, which
+  * keep the same output contract. The Spark shape is identical either
+  * way: opaque BINARY column, typed metadata, batched mapPartitions with
+  * once-per-partition codec init.
   */
 object Multimodal {
+
+  // ------------------------------------------------------------ real codecs
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF readers are
+    * built in — no external dependency). None when no installed reader
+    * claims the payload. */
+  def decodeImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** REAL image resize: decode, scale through Graphics2D, re-encode PNG. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** REAL WAV/PCM decode via javax.sound: (sampleRate, channels, frames). */
+  def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val r = (fmt.getSampleRate, fmt.getChannels, ais.getFrameLength)
+      ais.close()
+      Some(r)
+    } catch { case _: Exception => None }
+
+  /** Image features: dims + mean luminance over a bounded pixel sample
+    * (cap the per-image work so one 100-MP outlier cannot stall a task). */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val stepX = math.max(w / 64, 1)
+    val stepY = math.max(h / 64, 1)
+    var sum = 0.0
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        n += 1
+        x += stepX
+      }
+      y += stepY
+    }
+    Array(w.toDouble, h.toDouble, w.toDouble * h, if (n == 0) 0.0 else sum / n)
+  }
 
   /** Documents → media items (text bytes stand in for image payloads). */
   def asMedia(documents: DataFrame): Dataset[MediaItem] = {
@@ -46,8 +106,9 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decode: deterministic fake dimensions derived from the payload.
-    * A real implementation would decode the image header here. */
+  /** STUB decode for payloads without a JVM codec (video; the synthetic
+    * `fake/...` documents the oracle checks): deterministic fake dimensions
+    * derived from the bytes. Image/audio take the REAL paths above. */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     val w = 16 + (bytes.length % 64)
     val h = 16 + (if (bytes.isEmpty) 0 else (bytes(0) & 0xff) % 64)
@@ -64,17 +125,37 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction — the mapPartitions shape
-    * matters: a real decoder amortizes model/codec init once per partition
-    * (the same reason Python pipelines use mapInPandas batches). */
+    * matters: codec init (ImageIO disk-cache off) happens once per
+    * partition, not per row (the same reason Python pipelines use
+    * mapInPandas batches). Dispatch on `format`: image/... and audio/... run
+    * the REAL JDK codecs; anything else (video, synthetic fake/...) takes
+    * the deterministic stub with the same output contract. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it =>
-      // per-partition init happens HERE once (codec/model handle)
+      // per-partition init happens HERE once
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
       it.map { m =>
-        val (w, h) = decodeStub(m.content)
         val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xff))
-        MediaFeatures(m.doc_id, w, h, sum % 997, featuresStub(m.content))
+        val checksum = sum % 997
+        val decoded: Option[MediaFeatures] =
+          if (m.format.startsWith("image/"))
+            decodeImage(m.content).map { img =>
+              MediaFeatures(m.doc_id, img.getWidth, img.getHeight, checksum,
+                imageFeatures(img))
+            }
+          else if (m.format.startsWith("audio/"))
+            decodeWav(m.content).map { case (rate, channels, frames) =>
+              MediaFeatures(m.doc_id, rate.toInt, channels, checksum,
+                Array(rate.toDouble, channels.toDouble, frames.toDouble,
+                  frames / math.max(rate.toDouble, 1.0)))
+            }
+          else None
+        decoded.getOrElse {
+          val (w, h) = decodeStub(m.content)
+          MediaFeatures(m.doc_id, w, h, checksum, featuresStub(m.content))
+        }
       }
     }
   }
@@ -92,10 +173,11 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling: a real implementation decodes n evenly-spaced
-    * video frames; the stub slices n evenly-spaced byte windows, keeping
-    * the (doc_id, frame_no, payload, offset) output shape a real sampler
-    * would produce. */
+  /** STUB frame sampling — video is the one modality the JDK has no codec
+    * for, so this stays a stub: a real implementation decodes n
+    * evenly-spaced video frames; the stub slices n evenly-spaced byte
+    * windows, keeping the (doc_id, frame_no, payload, offset) output shape
+    * a real sampler would produce. */
   def frameSampleStub(bytes: Array[Byte], n: Int): Seq[(Int, Long, Array[Byte])] = {
     val len = math.max(bytes.length, 1)
     (0 until n).map { f =>
@@ -106,15 +188,27 @@ object Multimodal {
   }
 
   /** Resize as a distributed op: one output row per item, new payload +
-    * dims. Runs in the same mapPartitions batch shape as extractFeatures. */
+    * dims. image/... payloads go through the REAL ImageIO scale + PNG
+    * re-encode; others keep the stub contract. Same mapPartitions batch
+    * shape as extractFeatures. */
   def resizeAll(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val payload = resizeStub(m.content, w, h)
-        MediaItem(m.doc_id, payload, m.format + s";resized=${w}x$h",
-          payload.length.toLong)
+        val real =
+          if (m.format.startsWith("image/")) resizeImage(m.content, w, h)
+          else None
+        real match {
+          case Some(payload) =>
+            MediaItem(m.doc_id, payload, s"image/png;resized=${w}x$h",
+              payload.length.toLong)
+          case None =>
+            val payload = resizeStub(m.content, w, h)
+            MediaItem(m.doc_id, payload, m.format + s";resized=${w}x$h",
+              payload.length.toLong)
+        }
       }
     }
   }

@@ -4,8 +4,9 @@ import graft.SparkSpec
 import graft.Tables
 
 /** The multimodal plumbing: typed binary Datasets, batched decode/resize,
-  * frame fan-out. Decode bodies are deterministic stubs (no codecs in this
-  * container); shapes and schemas are the real thing.
+  * frame fan-out. Since round 2, image (ImageIO) and audio (javax.sound)
+  * decode are REAL JDK-codec paths; the synthetic fake/... docs and video
+  * keep the deterministic stub with the same contract.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -24,6 +25,69 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.content.length == 64 * 32 / 64))
     assert(r.forall(_.format.endsWith(";resized=64x32")))
     assert(r.forall(m => m.n_bytes == m.content.length.toLong))
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 101) % 0xffffff))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Float, seconds: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2) // 16-bit mono
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(i * 0.05) * 8000).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode + resize via JDK ImageIO (PNG end-to-end)") {
+    import spark.implicits._
+    val bytes = pngBytes(20, 10)
+    val items = Seq(MediaItem(1L, bytes, "image/png", bytes.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().head
+    assert(f.width == 20 && f.height == 10) // true header dims, not the stub
+    assert(f.features(2) == 200.0) // w*h
+    assert(f.features(3) > 0.0 && f.features(3) < 255.0) // mean luminance
+
+    val resized = Multimodal.resizeAll(items, 8, 6).collect().head
+    assert(resized.format == "image/png;resized=8x6")
+    val back = Multimodal.decodeImage(resized.content).get
+    assert(back.getWidth == 8 && back.getHeight == 6) // re-decodable PNG
+  }
+
+  test("REAL WAV decode via javax.sound (rate/channels/duration)") {
+    import spark.implicits._
+    val bytes = wavBytes(8000f, 0.5)
+    val items = Seq(MediaItem(2L, bytes, "audio/wav", bytes.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().head
+    assert(f.width == 8000 && f.height == 1) // sample rate, channels
+    assert(f.features(2) == 4000.0) // frames
+    assert(math.abs(f.features(3) - 0.5) < 1e-6) // seconds
+  }
+
+  test("undecodable payload under an image/* format falls back to the stub") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    val items = Seq(MediaItem(3L, junk, "image/png", 64L)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().head
+    val (w, h) = Multimodal.decodeStub(junk)
+    assert(f.width == w && f.height == h) // graceful, deterministic
   }
 
   test("frame sampling fans out n rows per item with ordered offsets") {
