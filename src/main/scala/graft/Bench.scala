@@ -39,7 +39,13 @@ object Bench {
     try run(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY="q_a,q_b" restricts the set (the
+    // driver never sets it, so driver runs always measure everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val ts = (1 to runs).flatMap { _ =>
         try Some(time(run(fn(spark, sfDir))))
         catch { case _: Throwable => None }

@@ -39,30 +39,45 @@ object DedupQueries extends QuerySet {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir).distinct()
 
-  /** 6 portable MinHashes (min of md5(seed || shingle)) + 3 bands of 2.
-    * Computed over the shingle SET — identical to the multiset minimum. */
-  private def signatures(sets: DataFrame): DataFrame = {
-    val mins = (1 to 6).map(i =>
+  /** ONE aggregate pass over the distinct shingle sets yields BOTH the
+    * per-doc set size and all 6 MinHashes (min of md5(seed || shingle)) —
+    * shared by candidate generation AND Jaccard verification, so the
+    * expensive explode+distinct subtree is referenced as few times as
+    * possible. Computed over the shingle SET — identical to the multiset
+    * minimum. */
+  private def perDoc(sets: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: (1 to 6).map(i =>
       min(md5(concat(lit(s"s$i"), col("sh")))).as(s"h$i"))
     sets
       .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("n"),
         concat(col("h1"), col("h2")).as("b1"),
         concat(col("h3"), col("h4")).as("b2"),
         concat(col("h5"), col("h6")).as("b3"))
   }
 
-  /** LSH candidates: union of three band-key equi-joins (no cross product). */
+  /** The 3 bands melted to (doc_id, n, band_key) rows. The band index is
+    * prefixed into the key so bands can never cross-match, which turns the
+    * former union-of-3-band-joins into ONE self-equi-join on `bk` — the
+    * band subtrees share a single aggregate pass instead of re-scanning
+    * and re-exploding documents once per band per side (6×). */
+  private def bandRows(sets: DataFrame): DataFrame =
+    perDoc(sets).select(col("doc_id"), col("n"),
+      explode(array(
+        concat(lit("1:"), col("b1")),
+        concat(lit("2:"), col("b2")),
+        concat(lit("3:"), col("b3")))).as("bk"))
+
+  /** LSH candidate pairs (one banded equi-join, no cross product), with the
+    * per-doc shingle-set sizes carried along so verification needs no extra
+    * joins back to the expensive subtree. */
   private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(shingleSets(s, dir))
-    def bandJoin(b: String): DataFrame = {
-      val a = sig.select(col("doc_id").as("doc_a"), col(b).as("k"))
-      val c = sig.select(col("doc_id").as("doc_b"), col(b).as("k"))
-      a.join(c, Seq("k")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }
-    bandJoin("b1").union(bandJoin("b2")).union(bandJoin("b3")).distinct()
+    val br = bandRows(shingleSets(s, dir))
+    val a = br.select(col("doc_id").as("doc_a"), col("n").as("na"), col("bk"))
+    val b = br.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
   }
 
   /** 60-bit portable SimHash over word tokens (15 md5 hex digits x 4 bits).
@@ -110,23 +125,23 @@ object DedupQueries extends QuerySet {
 
     // MinHash+LSH candidate pairs (banded equi-joins, no O(n^2)).
     "q_dedup_minhash_lsh" -> { (s, dir) =>
-      candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+      candidates(s, dir).select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // LSH candidates verified with exact word-5-gram Jaccard similarity —
-    // the full near-dup pipeline in one plan.
+    // the full near-dup pipeline in one plan. Set sizes ride along with the
+    // candidate pairs (see candidates()), so the only joins back to the
+    // shingle subtree are the two intersection-count probes.
     "q_dedup_jaccard_verify" -> { (s, dir) =>
       val sets = shingleSets(s, dir)
-      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = candidates(s, dir)
-      val inter = cand
+      val inter = candidates(s, dir)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
           Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
       inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           micro(col("ni").cast("double") /
             (col("na") + col("nb") - col("ni")).cast("double"))
@@ -140,16 +155,12 @@ object DedupQueries extends QuerySet {
     // actual corpus-cleaning step, not just the pair report.
     "q_dedup_apply" -> { (s, dir) =>
       val sets = shingleSets(s, dir)
-      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = candidates(s, dir)
-      val inter = cand
+      val losers = candidates(s, dir)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
           Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-      val losers = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
         .filter(micro(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
         .select(col("doc_b").as("doc_id")).distinct()
