@@ -19,6 +19,7 @@ object SparkEntry {
     WindowQueries,
     TimeseriesQueries,
     FunctionQueries,
+    IngestQueries,
     DedupQueries,
     SimilarityQueries,
     TextQueries,

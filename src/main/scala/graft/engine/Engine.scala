@@ -90,10 +90,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
     n
   }
 
-  /** The quarantine table (empty frame if nothing was ever rejected). */
+  /** The quarantine table (empty frame if nothing was ever rejected).
+    * Schema pinned for the same read-compat reason as [[table]]. */
   def quarantine(): DataFrame =
     if (pathExists(quarantinePath))
-      spark.read.parquet(quarantinePath).drop("ingest_batch")
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "line STRING, parse_error STRING, ingest_batch STRING"))
+        .parquet(quarantinePath).drop("ingest_batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -118,6 +121,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
         .write.mode("append")
         .partitionBy("ingest_batch", "series", "day")
         .parquet(tablePath)
+      writeVersion += 1
       seriesCache = null // new partitions may add series
     }
 
@@ -205,6 +209,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
       throw new java.io.IOException(s"compact: cannot swap in $staging")
     }
     deletePath(old)
+    writeVersion += 1
     seriesCache = null // batch dirs were rewritten
   }}
 
@@ -230,17 +235,26 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   // --------------------------------------------------------------- catalog
 
-  /** All measurements (empty frame with canonical schema if none yet —
-    * same column order and types as the post-ingest read: data columns in
-    * file order, then the partition columns, day inferred as DATE). */
+  /** All measurements (empty frame with canonical schema if none yet).
+    *
+    * The read uses the EXPLICIT canonical schema, never footer inference:
+    * a warehouse with batch directories written before a schema extension
+    * (value_str/value_bool arrived in round 2) would otherwise infer a
+    * schema that depends on which footer Spark samples — with the fixed
+    * schema, old files surface the newer columns as nulls deterministically
+    * (round-2 ADVICE fix). Partition columns (ingest_batch/series/day) are
+    * matched by name against the directory structure. */
   def table(): DataFrame =
-    if (exists) spark.read.parquet(tablePath).drop("ingest_batch")
+    if (exists)
+      spark.read.schema(Engine.canonicalSchema).parquet(tablePath)
+        .drop("ingest_batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "id STRING, time TIMESTAMP, created_at TIMESTAMP, name STRING, " +
-          "value DOUBLE, value_str STRING, value_bool BOOLEAN, " +
-          "tags MAP<STRING,STRING>, series STRING, day DATE"))
+          "value DOUBLE, value_long BIGINT, value_str STRING, " +
+          "value_bool BOOLEAN, tags MAP<STRING,STRING>, series STRING, " +
+          "day DATE"))
 
   private def exists: Boolean = {
     // recover a compact() interrupted between its two renames: the data is
@@ -255,6 +269,12 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * warehouse are outside the documented single-writer posture. */
   @volatile private var seriesCache: Seq[String] = null
 
+  /** Monotonic write counter: a listing that STARTED before a concurrent
+    * write must not be installed into [[seriesCache]] after that write
+    * invalidated it (round-2 ADVICE fix — @volatile alone cannot protect
+    * the check-then-act without serializing reads behind the write lock). */
+  @volatile private var writeVersion = 0L
+
   /** R9: series catalog — a TRUE partition-directory listing (pure FS
     * metadata: `ingest_batch=* / series=*`), not a distinct data scan, and
     * cached until the next write. At 100k series this is O(dirs) driver
@@ -265,6 +285,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
       val cached = seriesCache
       if (cached != null) cached
       else {
+        val v0 = writeVersion
         val fsys = fs(tablePath)
         val root = new org.apache.hadoop.fs.Path(tablePath)
         val series = fsys.listStatus(root).toSeq
@@ -275,7 +296,9 @@ class Engine(val spark: SparkSession, warehouse: String) {
           .filter(_.startsWith("series="))
           .map(n => unescapePathName(n.stripPrefix("series=")))
           .distinct.sorted
-        seriesCache = series
+        // install only if no write landed while we were listing — a stale
+        // install would hide new series until the write after next
+        if (writeVersion == v0) seriesCache = series
         series
       }
     }
@@ -372,7 +395,10 @@ class Engine(val spark: SparkSession, warehouse: String) {
           // would miss batches ingested since.
           val series = listSeries()
           val byLower = series.map(s => s.toLowerCase -> s).toMap
-          val rels = p.collect {
+          // collectWithSubqueries: relations referenced only inside subquery
+          // expressions (scalar/IN/EXISTS) must be registered too (round-2
+          // ADVICE fix — plain collect does not descend into them)
+          val rels = p.collectWithSubqueries {
             case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
                 if r.multipartIdentifier.length == 1 =>
               r.multipartIdentifier.head
@@ -414,6 +440,17 @@ class Engine(val spark: SparkSession, warehouse: String) {
 }
 
 object Engine {
+  /** Canonical on-disk schema of the measurements table: data columns in
+    * write order, then the partition columns in partitionBy order. Every
+    * read pins this schema so old batch dirs (pre-value_str/value_bool)
+    * and new ones read identically. */
+  private[engine] val canonicalSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, time TIMESTAMP, created_at TIMESTAMP, name STRING, " +
+        "value DOUBLE, value_long BIGINT, value_str STRING, " +
+        "value_bool BOOLEAN, tags MAP<STRING,STRING>, " +
+        "ingest_batch STRING, series STRING, day DATE")
+
   /** JVM-wide per-table write lock: writeBatch appends and compact()'s
     * snapshot→swap are mutually exclusive even when several Engine
     * instances (or streaming foreachBatch threads) share one warehouse
@@ -429,18 +466,23 @@ object Engine {
     * series view may be replaced by engines sharing the session (latest
     * query wins, like the reference's per-series stores), but a
     * data-controlled series name can never clobber an unrelated
-    * user-registered view/table. */
+    * user-registered view/table.
+    *
+    * Keys are LOWERCASED: Spark resolves temp views case-insensitively, so
+    * ownership must be case-insensitive too — otherwise `SELECT ... FROM
+    * VANISH_X` would resolve a stale owned view that the vanished-series
+    * drop path failed to recognize as ours (round-2 ADVICE fix). */
   private val ownedViews = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   private def ownsView(spark: SparkSession, name: String): Boolean =
-    Option(ownedViews.get(spark)).exists(_.contains(name))
+    Option(ownedViews.get(spark)).exists(_.contains(name.toLowerCase))
 
   private def claimView(spark: SparkSession, name: String): Unit =
     ownedViews.computeIfAbsent(spark,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-      .add(name)
+      .add(name.toLowerCase)
 
   private def releaseView(spark: SparkSession, name: String): Unit =
-    Option(ownedViews.get(spark)).foreach(_.remove(name))
+    Option(ownedViews.get(spark)).foreach(_.remove(name.toLowerCase))
 }

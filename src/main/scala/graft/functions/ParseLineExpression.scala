@@ -18,9 +18,10 @@ import graft.protocol.{FieldValue, LineProtocol}
   * UnaryExpression's null-intolerant eval.
   *
   * Returns STRUCT<measurement, tags MAP, fields MAP<STRING,DOUBLE>,
-  * fields_str MAP<STRING,STRING>, fields_bool MAP<STRING,BOOLEAN>,
-  * ts LONG, error STRING> (FIXTURES.md §A.2 + typed-field union + error
-  * slot); `ts`/`error` are null when absent.
+  * fields_int MAP<STRING,BIGINT>, fields_str MAP<STRING,STRING>,
+  * fields_bool MAP<STRING,BOOLEAN>, ts LONG, error STRING> (FIXTURES.md
+  * §A.2 + typed-field union + error slot); `ts`/`error` are null when
+  * absent.
   */
 case class ParseLine(child: Expression)
     extends UnaryExpression {
@@ -69,13 +70,15 @@ object ParseLine {
           utf8Map(r.fields.collect {
             case (k, FieldValue.FloatV(v)) => k -> v }.toMap.toSeq),
           utf8Map(r.fields.collect {
+            case (k, FieldValue.IntV(v)) => k -> v }.toMap.toSeq),
+          utf8Map(r.fields.collect {
             case (k, FieldValue.StringV(v)) => k -> v }.toMap.toSeq),
           utf8Map(r.fields.collect {
             case (k, FieldValue.BoolV(v)) => k -> v }.toMap.toSeq),
           r.timestamp.map(java.lang.Long.valueOf).orNull,
           null)
       case Left(err) =>
-        InternalRow(null, null, null, null, null, null,
+        InternalRow(null, null, null, null, null, null, null,
           UTF8String.fromString(err))
     }
   }
@@ -84,6 +87,7 @@ object ParseLine {
     StructField("measurement", StringType),
     StructField("tags", MapType(StringType, StringType)),
     StructField("fields", MapType(StringType, DoubleType)),
+    StructField("fields_int", MapType(StringType, LongType)),
     StructField("fields_str", MapType(StringType, StringType)),
     StructField("fields_bool", MapType(StringType, BooleanType)),
     StructField("ts", LongType),

@@ -7,14 +7,16 @@ import graft.protocol.{FieldValue, LineProtocol}
 
 /** One parsed + fanned-out line: either a measurement row (parse_error null)
   * or a quarantined line (parse_error set, measurement fields null/zero).
-  * Exactly one of value/value_str/value_bool is set per measurement row —
-  * the typed-field union (reference README.md:50's planned string/bool
-  * values; doubles stay the dense fast path). */
+  * Exactly one of value/value_long/value_str/value_bool is set per
+  * measurement row — the typed-field union (reference README.md:50's
+  * planned typed values; doubles stay the dense fast path, `42i` Influx
+  * integer fields land in value_long). */
 case class ParsedLine(
     line: String,
     series: String,
     name: String,
     value: Option[Double],
+    value_long: Option[Long],
     value_str: Option[String],
     value_bool: Option[Boolean],
     time_ns: Option[Long],
@@ -54,22 +56,24 @@ object IngestPipeline {
         case Right(r) =>
           (r.measurement, r.tags.toMap,
             r.fields.collect { case (k, FieldValue.FloatV(v)) => k -> v }.toMap,
+            r.fields.collect { case (k, FieldValue.IntV(v)) => k -> v }.toMap,
             r.fields.collect { case (k, FieldValue.StringV(v)) => k -> v }.toMap,
             r.fields.collect { case (k, FieldValue.BoolV(v)) => k -> v }.toMap,
             r.timestamp, None)
         case Left(err) =>
           (null, Map.empty[String, String], Map.empty[String, Double],
-            Map.empty[String, String], Map.empty[String, Boolean],
-            Option.empty[Long], Some(err))
+            Map.empty[String, Long], Map.empty[String, String],
+            Map.empty[String, Boolean], Option.empty[Long], Some(err))
       })
     spark.udf.register("to_line",
       (m: String, tags: Map[String, String], fields: Map[String, Double],
-       fieldsStr: Map[String, String], fieldsBool: Map[String, Boolean],
-       ts: java.lang.Long) => {
+       fieldsInt: Map[String, Long], fieldsStr: Map[String, String],
+       fieldsBool: Map[String, Boolean], ts: java.lang.Long) => {
         def opt[V](m: Map[String, V]): Map[String, V] =
           if (m == null) Map.empty else m
         val typed: Vector[(String, FieldValue)] =
           (opt(fields).view.mapValues(FieldValue.FloatV.apply).toVector ++
+            opt(fieldsInt).view.mapValues(FieldValue.IntV.apply).toVector ++
             opt(fieldsStr).view.mapValues(FieldValue.StringV.apply).toVector ++
             opt(fieldsBool).view.mapValues(FieldValue.BoolV.apply).toVector)
             .sortBy(_._1)
@@ -89,17 +93,18 @@ object IngestPipeline {
         LineProtocol.parse(if (line == null) "" else line) match {
           case Right(r) =>
             r.fields.iterator.map { case (k, v) =>
-              val (d, s, b) = v match {
-                case FieldValue.FloatV(x)  => (Some(x), None, None)
-                case FieldValue.StringV(x) => (None, Some(x), None)
-                case FieldValue.BoolV(x)   => (None, None, Some(x))
+              val (d, l, s, b) = v match {
+                case FieldValue.FloatV(x)  => (Some(x), None, None, None)
+                case FieldValue.IntV(x)    => (None, Some(x), None, None)
+                case FieldValue.StringV(x) => (None, None, Some(x), None)
+                case FieldValue.BoolV(x)   => (None, None, None, Some(x))
               }
-              ParsedLine(line, r.measurement, k, d, s, b, r.timestamp,
+              ParsedLine(line, r.measurement, k, d, l, s, b, r.timestamp,
                 r.tags.toMap, null)
             }
           case Left(err) =>
             Iterator.single(
-              ParsedLine(line, null, null, None, None, None, None,
+              ParsedLine(line, null, null, None, None, None, None, None,
                 Map.empty, err))
         }
       }
@@ -116,8 +121,8 @@ object IngestPipeline {
         coalesce(expr("timestamp_micros(time_ns div 1000)"), col("created_at"))
           .as("time"),
         col("created_at"),
-        col("name"), col("value"), col("value_str"), col("value_bool"),
-        col("tags"))
+        col("name"), col("value"), col("value_long"), col("value_str"),
+        col("value_bool"), col("tags"))
 
   /** parseAll output → rejected lines with their parse error. */
   def errors(parsed: DataFrame): DataFrame =

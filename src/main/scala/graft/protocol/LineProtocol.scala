@@ -1,14 +1,15 @@
 package graft.protocol
 
 /** A typed line-protocol field value: DOUBLE fast path (the reference's
-  * only type, refluxdb src/protocol.rs:40-44), plus the string/bool values
-  * its README plans (README.md:50 "TODO: Handle different data types for
-  * the measurement") and its own round-trip tests require (protocol.rs:
-  * 150-190 all use `fieldKey="fieldValue"`, which the f64-only parser
-  * `unwrap()`-panics on — SURVEY Q-G). */
+  * only type, refluxdb src/protocol.rs:40-44), plus the integer (`42i`),
+  * string and bool values its README plans (README.md:50 "TODO: Handle
+  * different data types for the measurement") and its own round-trip tests
+  * require (protocol.rs:150-190 all use `fieldKey="fieldValue"`, which the
+  * f64-only parser `unwrap()`-panics on — SURVEY Q-G). */
 sealed trait FieldValue
 object FieldValue {
   final case class FloatV(v: Double) extends FieldValue
+  final case class IntV(v: Long) extends FieldValue
   final case class StringV(v: String) extends FieldValue
   final case class BoolV(v: Boolean) extends FieldValue
 }
@@ -30,15 +31,23 @@ case class LineRecord(
   * inside a codegen'd expression, a UDF, or the gateway thread.
   *
   * Grammar (whitespace-separated, as in the reference's split at
-  * src/protocol.rs:85 — but quote-aware, so string field values may
-  * contain spaces and commas):
+  * src/protocol.rs:85 — but escape- and quote-aware, so string field values
+  * may contain spaces and commas, and tags may carry escaped structural
+  * chars):
   *
   *   measurement[,tag=v[,tag=v...]] field=v[,field=v...] [timestamp_ns]
   *
   * Field value types (Influx line-protocol syntax): `1.5` → double,
-  * `"s"` → string (backslash-escaped `\"` and `\\`), `t/T/true/True/TRUE`
-  * and f-forms → bool. An integer literal parses as double; the Influx
-  * `i` suffix is not supported (neither does the reference) — clean error.
+  * `42i` → long, `"s"` → string (backslash-escaped `\"` and `\\`),
+  * `t/T/true/True/TRUE` and f-forms → bool.
+  *
+  * Escaping (Influx spec; deviation D6 — the reference has none, quirk
+  * Q-H): in the measurement, tag keys/values and field keys, a backslash
+  * escapes space, comma, equals and backslash (`\ ` `\,` `\=` `\\`); any
+  * other `\x` stays a literal two-char sequence. Double quotes delimit
+  * ONLY field values (a `"` directly after `=` in the field segment);
+  * anywhere else — in particular inside tag values — a quote is a literal
+  * character and can never swallow separators (round-2 ADVICE fix).
   *
   * Reference error semantics preserved (src/protocol.rs:79-144): empty line,
   * missing fieldset, invalid timestamp are errors; a tag or field without
@@ -55,22 +64,30 @@ object LineProtocol {
   private val boolTrue = Set("t", "T", "true", "True", "TRUE")
   private val boolFalse = Set("f", "F", "false", "False", "FALSE")
 
-  /** Split on runs of separator chars that sit OUTSIDE double quotes
-    * (backslash escapes the next char inside quotes). */
-  private def splitOutsideQuotes(s: String, isSep: Char => Boolean)
-      : Vector[String] = {
+  /** Split on runs of separator chars that are neither backslash-escaped
+    * nor inside a double-quoted string FIELD VALUE. Quote state begins only
+    * at a `"` directly following `=` (a field-value opener): a stray quote
+    * in a tag value is literal and cannot eat separators. Backslash always
+    * protects the next char from acting as a separator; both chars are kept
+    * verbatim here (context-specific unescaping happens per token later).
+    */
+  private def splitOutsideQuotes(s: String, isSep: Char => Boolean,
+      quoteFromSegment: Int = 0): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
+    var seg = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQuote && c == '\\' && i + 1 < s.length) {
+      if (c == '\\' && i + 1 < s.length) {
         cur.append(c).append(s.charAt(i + 1)); i += 2
       } else {
-        if (c == '"') inQuote = !inQuote
+        if (c == '"' && seg >= quoteFromSegment &&
+            (inQuote || (cur.nonEmpty && cur.charAt(cur.length - 1) == '=')))
+          inQuote = !inQuote
         if (!inQuote && isSep(c)) {
-          if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+          if (cur.nonEmpty) { out += cur.result(); cur.clear(); seg += 1 }
         } else cur.append(c)
         i += 1
       }
@@ -79,10 +96,60 @@ object LineProtocol {
     out.result()
   }
 
+  /** Split on every unescaped `sep`, PRESERVING empty tokens (so an empty
+    * measurement before the first tag comma is still detected). */
+  private def splitEscaped(s: String, sep: Char): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        cur.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (c == sep) {
+        out += cur.result(); cur.clear(); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Split `k=v` at the first unescaped '='; None when there is none. */
+  private def splitKv(kv: String): Option[(String, String)] = {
+    var i = 0
+    while (i < kv.length) {
+      val c = kv.charAt(i)
+      if (c == '\\' && i + 1 < kv.length) i += 2
+      else if (c == '=') return Some((kv.substring(0, i), kv.substring(i + 1)))
+      else i += 1
+    }
+    None
+  }
+
+  /** `\ ` `\,` `\=` `\\` → the escaped char; any other `\x` stays literal
+    * (Influx tolerates unescaped backslashes). */
+  private def unescapeToken(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length &&
+          " ,=\\".indexOf(s.charAt(i + 1)) >= 0) {
+        sb.append(s.charAt(i + 1)); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parseFieldValue(v: String): Either[String, FieldValue] =
     if (v.startsWith("\"")) unquote(v).map(FieldValue.StringV.apply)
     else if (boolTrue.contains(v)) Right(FieldValue.BoolV(true))
     else if (boolFalse.contains(v)) Right(FieldValue.BoolV(false))
+    else if (v.length > 1 && v.endsWith("i"))
+      v.dropRight(1).toLongOption match {
+        case Some(l) => Right(FieldValue.IntV(l))
+        case None    => Left(s"invalid integer field value '$v'")
+      }
     else v.toDoubleOption match {
       case Some(d) => Right(FieldValue.FloatV(d))
       case None    => Left(s"non-numeric field value '$v'")
@@ -110,27 +177,31 @@ object LineProtocol {
   def parse(line: String): Either[String, LineRecord] = {
     val trimmed = line.trim
     if (trimmed.isEmpty) return Left("empty line")
-    val segments = splitOutsideQuotes(trimmed, c => c == ' ' || c == '\t')
+    // quotes are meaningful only from the FIELD segment on (index >= 1):
+    // a quote in the measurement/tag segment is a literal character
+    val segments = splitOutsideQuotes(trimmed,
+      c => c == ' ' || c == '\t', quoteFromSegment = 1)
     if (segments.length < 2) return Left(s"missing fieldset: '$line'")
     if (segments.length > 3) return Left(s"too many segments: '$line'")
 
-    val head = segments(0).split(",", -1)
-    val measurement = head(0)
+    val head = splitEscaped(segments(0), ',')
+    val measurement = unescapeToken(head(0))
     if (measurement.isEmpty) return Left("empty measurement name")
 
-    val tags = head.drop(1).toVector.flatMap { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty && v.nonEmpty => Some(k -> v)
+    val tags = head.drop(1).flatMap { kv =>
+      splitKv(kv) match {
+        case Some((k, v)) if k.nonEmpty && v.nonEmpty =>
+          Some(unescapeToken(k) -> unescapeToken(v))
         case _ => None // no '=' or empty value: skipped, as in the reference
       }
     }
 
     val fieldErrs = Vector.newBuilder[String]
     val fields = splitOutsideQuotes(segments(1), _ == ',').flatMap { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty && v.nonEmpty =>
+      splitKv(kv) match {
+        case Some((k, v)) if k.nonEmpty && v.nonEmpty =>
           parseFieldValue(v) match {
-            case Right(fv) => Some(k -> fv)
+            case Right(fv) => Some(unescapeToken(k) -> fv)
             case Left(err) => fieldErrs += err; None
           }
         case _ => None // no '=' or empty value: skipped, as in the reference
@@ -149,8 +220,22 @@ object LineProtocol {
     ts.map(LineRecord(measurement, tags, fields, _))
   }
 
+  /** Escape for measurement / tag key / tag value / field key position. */
+  private def escapeToken(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case ' '  => sb.append("\\ ")
+      case ','  => sb.append("\\,")
+      case '='  => sb.append("\\=")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
   private def serializeValue(v: FieldValue): String = v match {
     case FieldValue.FloatV(d)  => d.toString
+    case FieldValue.IntV(l)    => s"${l}i"
     case FieldValue.BoolV(b)   => b.toString
     case FieldValue.StringV(s) =>
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -158,19 +243,22 @@ object LineProtocol {
 
   /** Inverse of [[parse]] (reference R2, src/protocol.rs:46-72).
     *
-    * String values are quoted and backslash-escaped, so they round-trip
-    * even with spaces/commas/quotes inside — including the reference's own
-    * test lines (protocol.rs:150-190). Tag values get NO escaping, like
-    * the reference (quirk Q-H): a tag containing structural chars does not
-    * round-trip.
+    * String values are quoted and backslash-escaped; measurement, tag
+    * keys/values and field keys are `\ ` `\,` `\=` `\\`-escaped (deviation
+    * D6 — the reference's serializer emits structural chars raw, quirk Q-H,
+    * so a tag like `host=a b` silently mis-parses there). Every record
+    * round-trips: parse(serialize(r)) == r — including the reference's own
+    * test lines (protocol.rs:150-190).
     */
   def serialize(r: LineRecord): String = {
     val tagPart =
-      if (r.tags.isEmpty) r.measurement
-      else r.measurement + "," +
-        r.tags.map { case (k, v) => s"$k=$v" }.mkString(",")
+      if (r.tags.isEmpty) escapeToken(r.measurement)
+      else escapeToken(r.measurement) + "," +
+        r.tags.map { case (k, v) => s"${escapeToken(k)}=${escapeToken(v)}" }
+          .mkString(",")
     val fieldPart = r.fields
-      .map { case (k, v) => s"$k=${serializeValue(v)}" }.mkString(",")
+      .map { case (k, v) => s"${escapeToken(k)}=${serializeValue(v)}" }
+      .mkString(",")
     val tsPart = r.timestamp.map(t => s" $t").getOrElse("")
     s"$tagPart $fieldPart$tsPart"
   }

@@ -48,11 +48,12 @@ class FunctionsSpec extends SparkSpec {
 
   test("parse_line / to_line UDFs round-trip in SQL (typed fields)") {
     IngestPipeline.registerUdfs(spark)
-    // doubles, bools, and quoted strings (with a space) all round-trip
+    // doubles, ints (42i), bools, and quoted strings all round-trip
     Seq("m,a=1 f=2.5 42",
-        "m,a=1 b=true,f=2.5,s=\"x y\" 42").foreach { line =>
+        "m,a=1 b=true,f=2.5,s=\"x y\" 42",
+        "m,a=1 f=2.5,n=-7i,s=\"x y\" 42").foreach { line =>
       val got = spark.sql(
-        s"""SELECT to_line(r._1, r._2, r._3, r._4, r._5, r._6) AS line
+        s"""SELECT to_line(r._1, r._2, r._3, r._4, r._5, r._6, r._7) AS line
            |FROM (SELECT parse_line('${line.replace("\"", "\\\"")}') AS r)"""
           .stripMargin)
         .head().getString(0)

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LineProtocolSpec extends AnyFunSuite {
 
-  import FieldValue.{BoolV, FloatV, StringV}
+  import FieldValue.{BoolV, FloatV, IntV, StringV}
 
   test("README example parses (README.md:20)") {
     val r = LineProtocol
@@ -80,6 +80,48 @@ class LineProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("integer fields: Influx 42i suffix → IntV (round 2 parity gap)") {
+    val r = LineProtocol.parse("m,h=a n=42i,neg=-7i,f=2.5 1").toOption.get
+    assert(r.fields == Vector(
+      "n" -> IntV(42L), "neg" -> IntV(-7L), "f" -> FloatV(2.5)))
+    assert(LineProtocol.serialize(r) == "m,h=a n=42i,neg=-7i,f=2.5 1")
+    // Long.MaxValue survives (a double would lose precision)
+    assert(LineProtocol.parse(s"m n=${Long.MaxValue}i").toOption.get.fields ==
+      Vector("n" -> IntV(Long.MaxValue)))
+    // malformed int suffix is a clean error, not silently a double
+    assert(LineProtocol.parse("m f=4.2i 1").isLeft)
+    assert(LineProtocol.parse("m f=42ii 1").isLeft)
+    // bare "i" is not an int; falls through to the non-numeric error
+    assert(LineProtocol.parse("m f=i 1").isLeft)
+  }
+
+  test("tag escaping: \\  \\, \\= round-trip (D6 — reference quirk Q-H fixed)") {
+    // Influx-spec escapes in measurement, tag keys/values, field keys
+    val r = LineProtocol.parse(
+      """my\ measure,host\ name=a\ b,path=c\,d\=e f\ k=1.0 7""").toOption.get
+    assert(r.measurement == "my measure")
+    assert(r.tags == Vector("host name" -> "a b", "path" -> "c,d=e"))
+    assert(r.fields == Vector("f k" -> FloatV(1.0)))
+    // serializer emits the escapes back
+    assert(LineProtocol.serialize(r) ==
+      """my\ measure,host\ name=a\ b,path=c\,d\=e f\ k=1.0 7""")
+    // a backslash NOT before a structural char stays literal (Influx
+    // tolerates unescaped backslashes)
+    assert(LineProtocol.parse("""m,t=a\b f=1""").toOption.get.tags ==
+      Vector("t" -> """a\b"""))
+  }
+
+  test("stray quote in a tag value is literal, never eats separators " +
+      "(round-2 ADVICE fix)") {
+    val r = LineProtocol.parse("""m,t=a"b f=1 1""").toOption.get
+    assert(r.tags == Vector("t" -> "a\"b"))
+    assert(r.fields == Vector("f" -> FloatV(1.0)))
+    assert(r.timestamp.contains(1L))
+    // quotes still delimit FIELD string values as before
+    assert(LineProtocol.parse("""m,t=a"b s="x y" 1""").toOption.get.fields ==
+      Vector("s" -> StringV("x y")))
+  }
+
   test("timestamp optional (D5 deviation; spec-conformant)") {
     val r = LineProtocol.parse("m f=1.0").toOption.get
     assert(r.timestamp.isEmpty)
@@ -107,6 +149,7 @@ class LineProtocolSpec extends AnyFunSuite {
 
   private val fieldValue: Gen[FieldValue] = Gen.oneOf(
     Gen.choose(-1e9, 1e9).map(FloatV.apply),
+    Gen.choose(Long.MinValue, Long.MaxValue).map(IntV.apply),
     Gen.oneOf(Gen.const(true), Gen.const(false)).map(BoolV.apply),
     // strings exercise the quote-aware lexer: spaces, commas, '=',
     // escaped quotes and backslashes all must survive the round trip
@@ -114,10 +157,17 @@ class LineProtocolSpec extends AnyFunSuite {
       Gen.const("say \"hi\""), Gen.const("back\\slash"))
       .map(StringV.apply))
 
+  // adversarial tag/measurement values: structural chars, quotes and
+  // backslashes must all survive serialize→parse via D6 escaping
+  private val tagValue: Gen[String] = Gen.oneOf(
+    ident, Gen.const("a b"), Gen.const("x,y"), Gen.const("k=v"),
+    Gen.const("q\"uote"), Gen.const("back\\slash"), Gen.const("trail\\"),
+    Gen.const("\"quoted\""))
+
   private val record: Gen[LineRecord] = for {
-    m <- ident
+    m <- Gen.oneOf(ident, Gen.const("my measure"), Gen.const("m,x=y"))
     nt <- Gen.choose(0, 4)
-    tags <- Gen.listOfN(nt, Gen.zip(ident, ident))
+    tags <- Gen.listOfN(nt, Gen.zip(ident, tagValue))
     nf <- Gen.choose(1, 4)
     fields <- Gen.listOfN(nf, Gen.zip(ident, fieldValue))
     ts <- Gen.option(Gen.choose(0L, 2_000_000_000_000_000_000L))
