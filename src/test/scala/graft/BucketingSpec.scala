@@ -81,4 +81,57 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS m_bucketed")
     }
   }
+
+  test("streaming ingest hands off to the bucketed table automatically " +
+      "(bucketEveryBatches) and compaction keeps batch dirs bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engine = new graft.engine.Engine(spark, tmpDir("graft-sbwh"))
+    val in = MemoryStream[String]
+    val q = engine.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-sbwh-ckpt"),
+      compactEveryBatches = 2, maxBatchDirs = 1,
+      bucketEveryBatches = 2, bucketTable = "m_stream_bucketed")
+    try {
+      (1 to 4).foreach { i =>
+        in.addData(
+          s"cpu,host=h$i usage=0.$i 170000000${i}000000000",
+          s"cpu,host=h$i idle=0.${9 - i} 170000000${i}000000000")
+        q.processAllAvailable()
+      }
+      // the periodic hook compacted (batch dirs bounded, data intact) ...
+      assert(engine.batchDirCount() <= 2,
+        s"batch dirs unbounded: ${engine.batchDirCount()}")
+      assert(engine.table().count() == 8)
+      // ... and rewrote the bucketed table, so a keyed self-join on the
+      // LIVE ingested data plans with no exchange
+      assert(spark.catalog.tableExists("m_stream_bucketed"))
+      val prevThreshold =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val b = spark.table("m_stream_bucketed")
+        val usage = b.filter(col("name") === "usage")
+          .select(col("series"), col("value").as("u"))
+        val idle = b.filter(col("name") === "idle")
+          .select(col("series"), col("value").as("i"))
+        val joined = usage.join(idle, Seq("series"))
+          .groupBy(col("series")).agg(count(lit(1)).as("n"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning(series"),
+          s"streamed bucketed self-join still shuffles on series:\n$plan")
+        val got = joined.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        // bucketed snapshot is from batch index 2 (3rd micro-batch had
+        // id=2): 3 usage x 3 idle rows at that point
+        assert(got == Seq(("cpu", 9L)))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS m_stream_bucketed")
+    }
+  }
 }

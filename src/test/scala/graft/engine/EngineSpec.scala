@@ -169,4 +169,74 @@ class EngineSpec extends SparkSpec {
       "SELECT name, value FROM test").toOption.get)
     assert(js == Seq("""{"name":"value","value":0.8}"""))
   }
+
+  test("integer (42i) field values ingest + query via value_long") {
+    val e = new Engine(spark, tmpDir("graft-int"))
+    val (ok, err) = e.ingestLines(Seq(
+      "meter,host=a cnt=42i,load=0.5 1700000000000000000"))
+    assert(ok == 2 && err == 0)
+    val rows = e.query(
+      "SELECT name, value, value_long FROM meter ORDER BY name")
+      .toOption.get.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cnt", "load"))
+    assert(rows(0).isNullAt(1) && rows(0).getLong(2) == 42L)
+    assert(rows(1).getDouble(1) == 0.5 && rows(1).isNullAt(2))
+  }
+
+  test("series referenced only inside a subquery is registered (round-2 " +
+      "ADVICE fix: collectWithSubqueries)") {
+    val e = new Engine(spark, tmpDir("graft-subq"))
+    e.ingestLines(Seq(
+      "subq_outer v=1.0 1700000000000000000",
+      "subq_outer v=5.0 1700000001000000000",
+      "subq_inner v=2.0 1700000000000000000"))
+    val r = e.query(
+      "SELECT count(*) AS n FROM subq_outer " +
+        "WHERE value > (SELECT avg(value) FROM subq_inner)")
+    assert(r.isRight, s"subquery relation not registered: $r")
+    assert(r.toOption.get.head().getLong(0) == 1L)
+  }
+
+  test("a second JVM's writer lease blocks writes until broken " +
+      "(single-writer guard)") {
+    val e = new Engine(spark, tmpDir("graft-lease"))
+    e.ingestLines(Seq("leased v=1.0 1700000000000000000"))
+    // simulate another driver: plant a foreign writer id in the lease file
+    // (drop the local-FS checksum sidecar, or the direct overwrite below
+    // would fail the read with a ChecksumException instead)
+    val leaseFile = new java.io.File(s"${e.tablePath}.writer.lock")
+    java.nio.file.Files.deleteIfExists(new java.io.File(
+      leaseFile.getParentFile, s".${leaseFile.getName}.crc").toPath)
+    java.nio.file.Files.writeString(leaseFile.toPath, "other-jvm-0000")
+    val ex = intercept[IllegalStateException] {
+      e.ingestLines(Seq("leased v=2.0 1700000001000000000"))
+    }
+    assert(ex.getMessage.contains("leased to another writer"))
+    val ex2 = intercept[IllegalStateException] { e.compact() }
+    assert(ex2.getMessage.contains("leased to another writer"))
+    // reads stay available while write-locked
+    assert(e.query("SELECT count(*) AS n FROM leased").isRight)
+    // operator takeover: break the stale lease, writes resume
+    e.breakWriterLease()
+    val (ok, _) = e.ingestLines(Seq("leased v=3.0 1700000002000000000"))
+    assert(ok == 1)
+    assert(e.table().count() == 2)
+    // clean shutdown removes our own lease only
+    e.releaseWriterLease()
+    assert(!leaseFile.exists)
+  }
+
+  test("compactIfNeeded keeps the batch-dir count bounded") {
+    val e = new Engine(spark, tmpDir("graft-thresh"))
+    (1 to 3).foreach { i =>
+      e.ingestLines(Seq(s"thr v=$i.0 170000000${i}000000000"))
+    }
+    assert(e.batchDirCount() == 3)
+    assert(!e.compactIfNeeded(maxBatchDirs = 3)) // at threshold: no-op
+    assert(e.batchDirCount() == 3)
+    assert(e.compactIfNeeded(maxBatchDirs = 2)) // above: compacts
+    assert(e.batchDirCount() == 1) // collapsed to the single compact dir
+    assert(e.table().count() == 3) // no data loss
+    assert(!e.compactIfNeeded(maxBatchDirs = 2)) // bounded now
+  }
 }
