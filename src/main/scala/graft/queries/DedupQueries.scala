@@ -171,6 +171,74 @@ object DedupQueries extends QuerySet {
         .orderBy(col("lang"))
     },
 
+    // Duplicate CLUSTERS, not just pairs: connected components over the
+    // verified near-dup graph (min-label propagation to fixpoint — the
+    // iterative-join formulation every distributed CC uses; lineage is cut
+    // per round with localCheckpoint, the standard Spark iterative-graph
+    // pattern). A real corpus-cleaning pipeline needs the component
+    // representative (keep min doc_id per cluster), because near-dup is
+    // not transitive at the pair level: A~B, B~C must collapse to ONE
+    // survivor even when A!~C. Oracle: DuckDB recursive transitive
+    // closure. Converges in diameter(graph) rounds; at 100 TB diameters
+    // of near-dup clusters are tiny (chains of drafts), and the classic
+    // large-star/small-star optimization drops in if they are not.
+    "q_dedup_components" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val pairs = candidates(s, dir)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(micro(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
+        .select(col("doc_a"), col("doc_b"))
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      var labels = sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("dst"),
+            col("component").as("nc")), Seq("dst"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nc")).as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_min"),
+              col("component"))).as("component"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("doc_id"))
+          .filter(col("component") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.orderBy(col("doc_id"))
+    },
+
+    // Benchmark DECONTAMINATION: flag corpus documents sharing any word
+    // 5-gram with a held-out benchmark set (here: doc_id % 20 == 0 stands
+    // in for the benchmark) — the standard n-gram-overlap decontamination
+    // step every LLM training pipeline runs. Shape: shingle equi-join
+    // (benchmark side is small → broadcast at scale), never a doc×doc
+    // comparison.
+    "q_decontaminate" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val bench = sets.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      val corpus = sets.filter(col("doc_id") % 20 =!= 0)
+      corpus.join(bench, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash fingerprint per document (60-bit portable).
     "q_dedup_simhash" -> { (s, dir) =>
       simhash(s, dir).orderBy(col("doc_id"))
@@ -302,6 +370,41 @@ object DedupQueries extends QuerySet {
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.doc_a
+         |  JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s)
+         |SELECT s AS doc_id, CAST(LEAST(s, min(d)) AS BIGINT) AS component
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $shinglesSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh)
+         |SELECT c.doc_id,
+         |       CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared,
+         |       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+         |FROM sets c JOIN sets b ON b.sh = c.sh AND b.doc_id % 20 = 0
+         |WHERE c.doc_id % 20 <> 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $simhashSql

@@ -127,6 +127,26 @@ object TextQueries extends QuerySet {
             .as("n_bpe_est"),
           element_at(col("rtoks"), 1).as("first_tok"))
         .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing: detect + redact emails and URLs, keep the counts for
+    // the audit trail — the pre-training privacy pass. The text is BUILT
+    // from customer columns (the synthetic corpus contains no PII), so
+    // both engines construct identical inputs and the regex semantics are
+    // what is actually compared. Map-only at scale, like all of §Q35.
+    "q_text_redact" -> { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./-]+"
+      t(s, dir, "customer")
+        .withColumn("raw", concat(col("c_name"), lit(" contact u"),
+          col("c_custkey"), lit("@example.com or https://ex"),
+          col("c_custkey") % 7, lit(".org segment "), col("c_mktsegment")))
+        .select(col("c_custkey"),
+          regexp_count(col("raw"), lit(email)).as("n_emails"),
+          regexp_count(col("raw"), lit(url)).as("n_urls"),
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            url, "<URL>").as("redacted"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -201,6 +221,22 @@ object TextQueries extends QuerySet {
         |  CAST(len(rtoks) AS INT) AS n_re_tokens,
         |  CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
         |  rtoks[1] AS first_tok
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         c_name || ' contact u' || CAST(c_custkey AS VARCHAR)
+        |           || '@example.com or https://ex'
+        |           || CAST(c_custkey % 7 AS VARCHAR) || '.org segment '
+        |           || c_mktsegment AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[A-Za-z0-9./-]+')) AS INT) AS n_urls,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[A-Za-z0-9./-]+', '<URL>', 'g') AS redacted
+        |FROM c ORDER BY c_custkey""".stripMargin
   )
 }
