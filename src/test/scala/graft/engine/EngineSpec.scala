@@ -226,6 +226,35 @@ class EngineSpec extends SparkSpec {
     assert(!leaseFile.exists)
   }
 
+  test("pre-extension batch dirs read with the pinned schema: new typed " +
+      "columns surface as nulls deterministically (round-2 ADVICE fix)") {
+    val e = new Engine(spark, tmpDir("graft-compat"))
+    e.ingestLines(Seq("mix,h=a v=1.5,n=7i,s=\"x\" 1700000000000000000"))
+    // simulate a warehouse written BEFORE value_long/value_str/value_bool
+    // existed: a batch dir whose files carry only the original columns
+    val legacy = spark.sql(
+      """SELECT 'old-id' AS id,
+        |       timestamp'2023-11-14 22:13:20' AS time,
+        |       timestamp'2023-11-14 22:13:20' AS created_at,
+        |       'v' AS name, CAST(9.9 AS DOUBLE) AS value,
+        |       map('h', 'z') AS tags""".stripMargin)
+    legacy.write.parquet(
+      s"${e.tablePath}/ingest_batch=legacy/series=oldmix/day=2023-11-14")
+    // footer sampling order must not matter: the pinned schema surfaces
+    // the missing typed columns as nulls on the legacy rows
+    val rows = e.table().filter(col("series") === "oldmix").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Double]("value") == 9.9)
+    assert(r.isNullAt(r.fieldIndex("value_long")) &&
+      r.isNullAt(r.fieldIndex("value_str")) &&
+      r.isNullAt(r.fieldIndex("value_bool")))
+    // and the mixed table still answers typed queries across both eras
+    assert(e.table().count() == 4)
+    assert(e.query("SELECT count(*) AS n FROM mix WHERE value_long = 7")
+      .toOption.get.head().getLong(0) == 1L)
+  }
+
   test("compactIfNeeded keeps the batch-dir count bounded") {
     val e = new Engine(spark, tmpDir("graft-thresh"))
     (1 to 3).foreach { i =>
