@@ -44,7 +44,13 @@ object DedupQueries extends QuerySet {
     * shared by candidate generation AND Jaccard verification, so the
     * expensive explode+distinct subtree is referenced as few times as
     * possible. Computed over the shingle SET — identical to the multiset
-    * minimum. */
+    * minimum.
+    *
+    * Deliberately the EXPLODE+AGGREGATE formulation, not the map-only
+    * higher-order-array one (operators.MinHash, used by streaming): md5
+    * inside a `transform` lambda is interpreted per element, while the
+    * aggregate form keeps md5 in whole-stage codegen — measured 3-4×
+    * faster at sf0.1 despite the extra exchange. */
   private def perDoc(sets: DataFrame): DataFrame = {
     val aggs = count(lit(1)).as("n") +: (1 to 6).map(i =>
       min(md5(concat(lit(s"s$i"), col("sh")))).as(s"h$i"))
