@@ -306,4 +306,36 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("st10: streaming incremental near-dup — band state persists across " +
+      "micro-batches, first-seen owner wins") {
+    import graft.streaming.StreamingDedup
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val unrelated = "one two three four five six seven eight nine ten"
+    val another = "red orange yellow green blue indigo violet pink brown black"
+    val in = MemoryStream[(Long, String)]
+    val events = StreamingDedup.dupEvents(
+      in.toDF().toDF("doc_id", "text"))
+    val q = events.writeStream.outputMode("append").format("memory")
+      .queryName("st10").start()
+    try {
+      // batch 1: original + a same-batch exact copy + an unrelated doc
+      in.addData((1L, text1), (2L, text1), (3L, unrelated))
+      q.processAllAvailable()
+      // batch 2: a LATER copy of doc 1 (cross-batch state hit) + fresh doc
+      in.addData((7L, text1), (8L, another))
+      q.processAllAvailable()
+      val got = spark.table("st10")
+        .select(col("doc_id"), col("first_doc")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // identical text ⇒ all 3 bands match, always flagged; doc 1 owns
+      // every band (lowest id in its first batch), docs 3 and 8 are clean
+      assert(got == Set((2L, 1L), (7L, 1L)), s"got $got")
+      // each dup matched on all 3 bands of the identical signature
+      val perDoc = spark.table("st10").groupBy(col("doc_id"))
+        .agg(countDistinct(col("bk")).as("nb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perDoc == Map(2L -> 3L, 7L -> 3L), s"got $perDoc")
+    } finally q.stop()
+  }
 }
