@@ -25,15 +25,18 @@ case class MediaFeatures(
 
 /** Multimodal column processing (SURVEY.md §2.4 i / builder contract).
   *
-  * Decode is REAL for the formats the JDK ships codecs for (round 2):
+  * Decode is REAL for the formats the JDK can handle without dependencies:
   * images via `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — [[decodeImage]],
-  * [[resizeImage]]) and audio via `javax.sound.sampled` (WAV/PCM —
-  * [[decodeWav]]). Dispatch is on the `format` metadata column; payloads
-  * the JVM has no codec for (video; the synthetic `fake/...` docs used by
-  * the oracle) fall back to the clearly-marked deterministic stubs, which
-  * keep the same output contract. The Spark shape is identical either
-  * way: opaque BINARY column, typed metadata, batched mapPartitions with
-  * once-per-partition codec init.
+  * [[resizeImage]]), audio via `javax.sound.sampled` (WAV/PCM —
+  * [[decodeWav]]), and video for MJPEG-in-AVI (round 3 — [[aviFrameChunks]]
+  * walks the RIFF chunk tree, each movi `##dc` chunk is a complete JPEG
+  * ImageIO decodes). Dispatch is on the `format` metadata column; payloads
+  * with no JVM-parseable codec/container (other video codecs; the
+  * synthetic `fake/...` docs used by the oracle) fall back to the
+  * clearly-marked deterministic stubs, which keep the same output
+  * contract. The Spark shape is identical either way: opaque BINARY
+  * column, typed metadata, batched mapPartitions with once-per-partition
+  * codec init.
   */
 object Multimodal {
 
@@ -151,7 +154,16 @@ object Multimodal {
                 Array(rate.toDouble, channels.toDouble, frames.toDouble,
                   frames / math.max(rate.toDouble, 1.0)))
             }
-          else None
+          else if (m.format.startsWith("video/")) {
+            // REAL for MJPEG-AVI: dims from the first decoded frame,
+            // frame count from the container walk
+            val frames = aviFrameChunks(m.content)
+            frames.headOption.flatMap(f => decodeImage(f._2)).map { img =>
+              MediaFeatures(m.doc_id, img.getWidth, img.getHeight, checksum,
+                Array(frames.length.toDouble, img.getWidth.toDouble,
+                  img.getHeight.toDouble, m.n_bytes.toDouble))
+            }
+          } else None
         decoded.getOrElse {
           val (w, h) = decodeStub(m.content)
           MediaFeatures(m.doc_id, w, h, checksum, featuresStub(m.content))
@@ -173,8 +185,54 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling — video is the one modality the JDK has no codec
-    * for, so this stays a stub: a real implementation decodes n
+  // ------------------------------------------------------- real video (AVI)
+
+  /** REAL video frame extraction for MJPEG-in-AVI — the one video container
+    * a dependency-free JVM can decode end-to-end: the RIFF/AVI container is
+    * a simple chunk tree, and each `##dc`/`##db` movi chunk of an MJPEG
+    * stream is a complete JPEG that ImageIO's built-in reader decodes.
+    * Returns (container byte offset, frame payload) per video chunk, in
+    * stream order; empty for non-RIFF payloads. */
+  def aviFrameChunks(bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    def walk(start: Long, end: Long): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val o = p.toInt
+        val id = fourcc(o)
+        val sz = le32(o + 4)
+        val dataEnd = math.min(p + 8 + sz, end)
+        if (id == "RIFF" || id == "LIST") walk(p + 12, dataEnd) // skip form type
+        else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+          out += ((p + 8, java.util.Arrays.copyOfRange(
+            bytes, (p + 8).toInt, dataEnd.toInt)))
+        p += 8 + sz + (sz & 1) // chunks pad to even size
+      }
+    }
+    if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8).startsWith("AVI"))
+      try walk(0, bytes.length.toLong) catch { case _: Exception => () }
+    out.result()
+  }
+
+  /** REAL frame sampling over an MJPEG-AVI payload: n evenly-spaced frames
+    * from the container's video chunks. None when the payload is not a
+    * parseable AVI (caller falls back to the stub). */
+  def sampleFramesAvi(bytes: Array[Byte], n: Int)
+      : Option[Seq[(Int, Long, Array[Byte])]] = {
+    val frames = aviFrameChunks(bytes)
+    if (frames.isEmpty) None
+    else Some((0 until n).map { f =>
+      val (off, data) = frames(((frames.length.toLong * f) / n).toInt)
+      (f, off, data)
+    })
+  }
+
+  /** STUB frame sampling for payloads without a JVM-parseable container
+    * (non-AVI video, synthetic fakes): a real implementation decodes n
     * evenly-spaced video frames; the stub slices n evenly-spaced byte
     * windows, keeping the (doc_id, frame_no, payload, offset) output shape
     * a real sampler would produce. */
@@ -215,15 +273,18 @@ object Multimodal {
 
   /** Frame sampling as a distributed op: fan-out n rows per item (the
     * video → frames explode a training pipeline runs before per-frame
-    * feature extraction). */
+    * feature extraction). MJPEG-AVI payloads (`video/avi`, or anything
+    * with a RIFF/AVI header) take the REAL container parse — each emitted
+    * payload is a complete JPEG frame; other payloads keep the stub's
+    * byte-window contract. */
   def sampleFrames(items: Dataset[MediaItem], n: Int)
       : Dataset[(Long, Int, Long, Array[Byte])] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.flatMap { m =>
-      frameSampleStub(m.content, n).map { case (f, off, payload) =>
-        (m.doc_id, f, off, payload)
-      }
+      sampleFramesAvi(m.content, n)
+        .getOrElse(frameSampleStub(m.content, n))
+        .map { case (f, off, payload) => (m.doc_id, f, off, payload) }
     }
   }
 
