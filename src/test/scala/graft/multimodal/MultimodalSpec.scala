@@ -162,4 +162,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width == 32 && f.height == 24)
     assert(f.features(0) == 5.0)
   }
+
+  test("AVI parser never throws on corrupt containers (fuzz)") {
+    val valid = mjpegAvi(Seq(jpegFrame(8, 8, 0x123456)))
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val mutated = valid.clone()
+      (1 to 5).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt().toByte
+      }
+      val truncated = mutated.take(rnd.nextInt(mutated.length + 1))
+      // must return cleanly (frames or empty), never throw — a poisoned
+      // payload in a 100 TB corpus must not kill the task
+      Multimodal.aviFrameChunks(mutated)
+      Multimodal.aviFrameChunks(truncated)
+      Multimodal.sampleFramesAvi(truncated, 3)
+    }
+  }
 }
