@@ -40,12 +40,20 @@ object AggQueries extends QuerySet {
     },
 
     // Q15: COUNT(DISTINCT) x2 (expand + two-phase agg) with HAVING.
+    // Two COUNT(DISTINCT) + COUNT(*): written as three aggregations joined
+    // on the group key instead of one multi-distinct aggregate — Spark
+    // plans the latter via Expand (3× the input rows through one shuffle),
+    // while each branch here partial-aggregates map-side BEFORE its
+    // shuffle, so the shuffled volume is near-distinct already. Join sides
+    // are one row per supplier (tiny, broadcastable). Same result set.
     "q15_distinct_having" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_suppkey"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"))
+      val li = t(s, dir, "lineitem")
+      val parts = li.select(col("l_suppkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+      val orders = li.select(col("l_suppkey"), col("l_orderkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_orders"))
+      val rows = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+      parts.join(orders, Seq("l_suppkey")).join(rows, Seq("l_suppkey"))
         .filter(col("n_parts") >= 400)
         .orderBy(col("l_suppkey"))
     },
