@@ -135,6 +135,28 @@ object TimeseriesQueries extends QuerySet {
           r6(last(col("avg_v"), ignoreNulls = true).over(w)).as("filled"),
           col("avg_v").isNotNull.as("is_observed"))
         .orderBy(col("user_id"), col("hour"))
+    },
+
+    // Rolling z-score anomaly detection: each point scored against the
+    // mean/stddev of its own trailing 10-point window per series — the
+    // classic TSDB alerting primitive. One shuffle (the per-user window),
+    // then map-only math; at 100 TB this is the same plan as any frame
+    // window. Both engines evaluate the ordered frame identically;
+    // micro() fixed-point keeps the boundary deterministic.
+    "q_stat_anomaly" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          avg(col("value")).over(w).as("m"),
+          stddev_samp(col("value")).over(w).as("sd"),
+          count(lit(1)).over(w).as("nw"))
+        .filter(col("nw") >= 5 && col("sd") > 0)
+        .select(col("event_id"), col("user_id"),
+          micro((col("value") - col("m")) / col("sd")).as("z_micro"))
+        .filter(abs(col("z_micro")) >= 2000000)
+        .orderBy(col("event_id"))
     }
   )
 
@@ -233,6 +255,22 @@ object TimeseriesQueries extends QuerySet {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled,
         |  (o.avg_v IS NOT NULL) AS is_observed
         |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
-        |ORDER BY g.user_id, g.hour""".stripMargin
+        |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    "q_stat_anomaly" ->
+      """WITH scored AS (
+        |  SELECT event_id, user_id, value,
+        |    avg(value) OVER w AS m,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(*) OVER w AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |       CAST(floor((value - m) / sd * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        |FROM scored
+        |WHERE nw >= 5 AND sd > 0
+        |  AND abs(CAST(floor((value - m) / sd * 1000000.0 + 0.5) AS BIGINT)) >= 2000000
+        |ORDER BY event_id""".stripMargin
   )
 }
