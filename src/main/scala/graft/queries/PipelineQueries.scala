@@ -69,6 +69,30 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("split"))
     },
 
+    // Training-data MIXING: each source gets a sampling weight and every
+    // document is repeated floor(w) times plus one more with probability
+    // frac(w) — the standard epoch-upsampling mix recipe. The fractional
+    // draw is the same stateless multiplicative hash as q_train_split, so
+    // the mix is reproducible on any engine/rerun and shuffle-free until
+    // the final sort; at 100 TB this is a map-only explode whose output
+    // feeds the training shard writer. Weights here cycle 0.5/1.25/2.0/
+    // 2.75 by source number (exact in binary, so the integer frac compare
+    // is engine-portable).
+    "q_sample_mix" -> { (s, dir) =>
+      val srcNum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+      val w = lit(0.5) + (srcNum % 4).cast("double") * lit(0.75)
+      val base = floor(w).cast("int")
+      val fracPct = ((w - floor(w)) * 100).cast("int")
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L))
+      val n = base + when(h < fracPct, 1).otherwise(0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), n.as("n_epochs"))
+        .filter(col("n_epochs") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // Class rebalancing: cap each label at its 30 lowest vec_ids (window
     // top-k per class — deterministic downsampling for skewed labels).
     "q_rebalance" -> { (s, dir) =>
@@ -116,6 +140,22 @@ object PipelineQueries extends QuerySet {
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_sample_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    0.5 + (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4) * 0.75 AS w,
+        |    ((doc_id % 1000003) * 2654435761) % 100 AS h
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(w) AS INT)
+        |      + (CASE WHEN h < CAST((w - floor(w)) * 100 AS INT) THEN 1 ELSE 0 END)
+        |      AS n_epochs
+        |  FROM d)
+        |SELECT doc_id, source, CAST(unnest(range(1, n_epochs + 1)) AS INT) AS epoch
+        |FROM n WHERE n_epochs > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_rebalance" ->
       """WITH r AS (
