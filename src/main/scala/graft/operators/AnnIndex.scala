@@ -132,18 +132,14 @@ object AnnIndex {
       .limit(k)
   }
 
-  /** Batch ANN: per-query top-`k` for EVERY row of `queries`, probing
-    * `probes` lists per query. Routing is map-only (sort a K-struct literal
-    * array per query, explode the top p), then ONE equi-join on the list id
-    * — the bucketed-batch shape that never goes all-pairs. Returns
-    * (q_id, rk, c_id, cos_sim). */
-  def batchQuery(corpus: DataFrame, queries: DataFrame, probes: Int, k: Int,
-      clusters: Int = 16, iters: Int = 5): DataFrame = {
+  /** Shared batch-ANN core: `listed` is the corpus with its `list`
+    * assignment, `cents` the (normalized) centroids. Routing is map-only
+    * (sort a K-struct literal array per query, explode the top p), then
+    * ONE equi-join on the list id — the bucketed-batch shape that never
+    * goes all-pairs. Returns (q_id, rk, c_id, cos_sim). */
+  private def batchWithCentroids(listed: DataFrame, queries: DataFrame,
+      cents: Array[Array[Double]], probes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = train(corpus, clusters, iters)
-    val listed = corpus.select(col("vec_id").as("c_id"),
-      col("embedding").as("ce"),
-      assignExpr(cents, col("embedding")).as("list"))
     // per-query top-p lists WITHOUT a join or window: negative ip sorts
     // ascending == ip descending; slice keeps the p best
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
@@ -163,6 +159,34 @@ object AnnIndex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), col("cos_sim"))
+  }
+
+  /** Batch ANN over a raw corpus: trains the quantizer inline, then runs
+    * the shared core. Used where no persisted index exists (one-shot
+    * jobs, the recall spec). */
+  def batchQuery(corpus: DataFrame, queries: DataFrame, probes: Int, k: Int,
+      clusters: Int = 16, iters: Int = 5): DataFrame = {
+    val cents = train(corpus, clusters, iters)
+    val listed = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("ce"),
+      assignExpr(cents, col("embedding")).as("list"))
+    batchWithCentroids(listed, queries, cents, probes, k)
+  }
+
+  /** Batch ANN against a PERSISTED index ([[build]]): centroids load once
+    * (tiny), the corpus comes pre-listed from the partitioned store — no
+    * training, no assignment pass. This is the serving shape: a stream of
+    * query vectors can call this per micro-batch (foreachBatch) and only
+    * ever touches the probed inverted lists. */
+  def batchQueryIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      probes: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val listed = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("list"))
+    batchWithCentroids(listed, queries, cents, probes, k)
   }
 
   /** Brute-force per-query top-`k` (ground truth for recall). */

@@ -338,4 +338,51 @@ class StreamingSpec extends SparkSpec {
       assert(perDoc == Map(2L -> 3L, 7L -> 3L), s"got $perDoc")
     } finally q.stop()
   }
+
+  test("st11: streaming similarity serving — query vectors score against " +
+      "the persisted IVF index per micro-batch") {
+    import graft.operators.AnnIndex
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("st11_index").toString
+    AnnIndex.build(e.filter(col("vec_id") >= 20), indexPath, k = 8)
+
+    val queryVecs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the serving shape: per micro-batch, route against the persisted
+        // centroids and join only the probed inverted lists
+        AnnIndex.batchQueryIndexed(spark, indexPath, batch, probes = 2, k = 3)
+          .collect().foreach(r =>
+            results.add((r.getLong(0), r.getLong(2), r.getInt(1))))
+        ()
+      }
+      .start()
+    try {
+      in.addData(queryVecs(0), queryVecs(1))
+      q.processAllAvailable()
+      in.addData(queryVecs(2), queryVecs(3))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toSeq
+      // every query produced exactly k ranked results from the corpus
+      assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
+        Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3), s"got $got")
+      assert(got.forall(_._2 >= 20L)) // neighbors come from the corpus side
+      // and the streamed answer matches the equivalent batch probe
+      val expected = AnnIndex.batchQueryIndexed(spark, indexPath,
+        e.filter(col("vec_id") < 4).select(col("vec_id"), col("embedding")),
+        probes = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(1))).toSet
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
 }
