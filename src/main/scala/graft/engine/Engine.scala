@@ -98,16 +98,21 @@ class Engine(val spark: SparkSession, warehouse: String) {
 
   val quarantinePath = s"$warehouse/quarantine"
 
-  /** Rejected lines persisted per batch (idempotent, like writeBatch). */
-  private def writeQuarantine(errs: DataFrame, batchTag: String): Long = {
-    deletePath(s"$quarantinePath/ingest_batch=$batchTag")
-    val n = errs.count()
-    if (n > 0)
-      errs.withColumn("ingest_batch", lit(batchTag))
-        .write.mode("append").partitionBy("ingest_batch")
-        .parquet(quarantinePath)
-    n
-  }
+  /** Rejected lines persisted per batch (idempotent, like writeBatch).
+    * Holds the same lock + writer lease as writeBatch: the single-writer
+    * posture covers the WHOLE warehouse, not just the measurements table
+    * (an all-invalid batch must not slip a write past a foreign lease). */
+  private def writeQuarantine(errs: DataFrame, batchTag: String): Long =
+    Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
+      deletePath(s"$quarantinePath/ingest_batch=$batchTag")
+      val n = errs.count()
+      if (n > 0)
+        errs.withColumn("ingest_batch", lit(batchTag))
+          .write.mode("append").partitionBy("ingest_batch")
+          .parquet(quarantinePath)
+      n
+    }
 
   /** The quarantine table (empty frame if nothing was ever rejected).
     * Schema pinned for the same read-compat reason as [[table]]. */
