@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Methodology (BASELINE.md): per-query wall time is the MEDIAN of 3 warm
-  * runs (one untimed JVM/codegen warm-up pass of the first query first);
-  * `value` is the sum of the medians.
+  * Methodology (BASELINE.md): TWO full passes over the suite (minutes
+  * apart by construction), each timing the median of 3 warm runs per
+  * query after one untimed JVM/codegen warm-up; reported per-query time
+  * is the MIN of the two pass-medians (the shared box shows sustained
+  * multi-second contention windows that defeat any single-window
+  * estimator); `value` is the sum over queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

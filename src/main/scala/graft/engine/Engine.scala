@@ -146,9 +146,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
     else {
       val in = f.open(leasePath)
       try {
+        // read to EOF: a single read() may legally return short (stream
+        // contract) and a truncated id would spuriously reject ourselves
+        val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toString("UTF-8").trim)
       } finally in.close()
     }
   }
@@ -166,16 +170,21 @@ class Engine(val spark: SparkSession, warehouse: String) {
       case None =>
         val f = fs(tablePath)
         try {
-          val out = f.create(leasePath, false) // atomic create-if-absent
+          // atomic create-if-absent on HDFS; local/object-store FSes may
+          // check-then-create, so the read-back below is load-bearing
+          val out = f.create(leasePath, false)
           try out.write(Engine.writerId.getBytes("UTF-8"))
           finally out.close()
         } catch {
-          case _: java.io.IOException =>
-            // lost the creation race — re-read and verify the winner
-            leaseHolder() match {
-              case Some(id) if id != Engine.writerId => reject(id)
-              case _ => ()
-            }
+          case _: java.io.IOException => () // lost the creation race
+        }
+        // READ-BACK verification: whatever the create semantics, exactly
+        // one writer's id is in the file now — everyone re-reads and only
+        // the JVM that finds its own id proceeds (closes the non-atomic-
+        // create window on RawLocalFileSystem)
+        leaseHolder() match {
+          case Some(id) if id != Engine.writerId => reject(id)
+          case _ => ()
         }
     }
   }

@@ -63,11 +63,13 @@ object AnnIndex {
   def train(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     val n = e.count()
     require(n >= k, s"need at least $k vectors, got $n")
-    val stride = math.max(1L, n / k)
+    // deterministic hash-spread seeds, independent of id density/offsets
+    // (a modulo filter would under-seed sparse id spaces): order by a
+    // stable hash of the id and take k — TakeOrdered, partial top-k per
+    // partition, never a full global sort
     var cents: Array[Array[Double]] = e
       .select(col("vec_id"), col("embedding"))
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy(col("vec_id")).limit(k)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
     (1 to iters).foreach { _ =>

@@ -207,7 +207,8 @@ object DedupQueries extends QuerySet {
         .localCheckpoint(true)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIter = 50
+      while (!converged && iter < maxIter) {
         val nbrMin = sym
           .join(labels.select(col("doc_id").as("dst"),
             col("component").as("nc")), Seq("dst"))
@@ -224,6 +225,12 @@ object DedupQueries extends QuerySet {
         labels = next
         iter += 1
       }
+      // a silent non-converged result would be WRONG components (and a
+      // baffling oracle mismatch): fail loudly instead. Diameter > 50 in
+      // a near-dup graph means a pathological corpus — switch to the
+      // large-star/small-star reformulation (SCALE.md §5) if ever hit.
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds")
       labels.orderBy(col("doc_id"))
     },
 
@@ -238,10 +245,15 @@ object DedupQueries extends QuerySet {
       val bench = sets.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"), col("sh"))
       val corpus = sets.filter(col("doc_id") % 20 =!= 0)
-      corpus.join(bench, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_shared"),
-          countDistinct(col("bench_id")).as("n_bench_docs"))
+      val hits = corpus.join(bench, Seq("sh"))
+      // two pre-distinct branches joined on doc_id instead of one
+      // dual-COUNT(DISTINCT) aggregate: same Expand-avoidance as q15 —
+      // each branch partial-aggregates map-side before its shuffle
+      val nShared = hits.select(col("doc_id"), col("sh")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val nBench = hits.select(col("doc_id"), col("bench_id")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bench_docs"))
+      nShared.join(nBench, Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
 

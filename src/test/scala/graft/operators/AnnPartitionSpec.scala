@@ -56,14 +56,20 @@ class AnnPartitionSpec extends SparkSpec {
     }
   }
 
-  test("index probe returns the exact in-list top-10 (same quantizer, " +
+  test("index probe returns the exact in-list top-10 (persisted quantizer, " +
       "recomputed in-plan)") {
     val e = Tables.load(spark, dir, "embeddings")
+    // self-contained under testOnly -z: build if the first test didn't run
+    if (!new java.io.File(s"$indexPath/centroids").exists)
+      AnnIndex.build(e, indexPath, k = 8)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    // train() is deterministic (hash-spread init, fixed iteration count),
-    // so an independent re-train reproduces the index's centroids
-    val cents = AnnIndex.train(e, k = 8)
+    // use the PERSISTED centroids, not a re-train: avg() merges partial
+    // sums in task order, so a re-train may differ in the final ulp and
+    // flip a near-boundary assignment — the index's own centroids are the
+    // ground truth the probe must agree with
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val probed = AnnIndex.probeLists(spark, indexPath, q, probes = 2)
     val qd = q.map(_.toDouble).toSeq
     val qn = math.sqrt(qd.map(v => v * v).sum)
