@@ -28,18 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Inner product of an embedding column with a literal vector. */
+  /** Inner product of an embedding column with a literal vector — native
+    * codegen'd expression (functions.VectorExpressions); float×double
+    * element widths handled inside, arithmetic identical to the HOF
+    * formulation it replaced. */
   private def ipLit(emb: Column, q: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedLit(q), (a, b) => a.cast("double") * b),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.vec_dot(emb, typedLit(q))
 
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.vec_dot(x, y)
 
   private def nrm(x: Column): Column =
-    sqrt(aggregate(x, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    graft.functions.VecOps.vec_norm(x)
 
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)

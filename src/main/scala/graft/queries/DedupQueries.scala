@@ -283,17 +283,15 @@ object DedupQueries extends QuerySet {
           .otherwise(lit(0))).reduce(_ + _)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
-          sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+          graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("bucket"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("bucket"), col("nrm").as("nb"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          r6(aggregate(zip_with(col("ea"), col("eb"),
-            (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
-            (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos_sim"))
+          r6(graft.functions.VecOps.vec_dot(col("ea"), col("eb"))
+            / (col("na") * col("nb"))).as("cos_sim"))
         .filter(col("cos_sim") >= 0.8)
         .orderBy(col("vec_a"), col("vec_b"))
     }

@@ -14,21 +14,16 @@ import org.apache.spark.sql.functions._
   *    the scale path: the probe turns a full scan into a partition-pruned
   *    scan when the table is partitioned by cluster id.
   *
-  * Dot products use higher-order functions (zip_with + aggregate), which
-  * stay inside codegen — no UDF.
+  * Dot products use the native codegen'd `vec_cosine` expression
+  * (functions.VectorExpressions) — same sequential double arithmetic as
+  * the DuckDB oracle, but a tight JIT'd loop instead of the interpreted
+  * per-element lambda path HigherOrderFunction falls back to.
   */
 object SimilarityQueries extends QuerySet {
 
   /** Cosine similarity between two ARRAY<FLOAT> columns, in double. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def nrm(x: Column): Column =
-      sqrt(aggregate(x, lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot(a, b) / (nrm(a) * nrm(b))
-  }
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VecOps.vec_cosine(a, b)
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
