@@ -185,9 +185,18 @@ object DedupQueries extends QuerySet {
     // representative (keep min doc_id per cluster), because near-dup is
     // not transitive at the pair level: A~B, B~C must collapse to ONE
     // survivor even when A!~C. Oracle: DuckDB recursive transitive
-    // closure. Converges in diameter(graph) rounds; at 100 TB diameters
-    // of near-dup clusters are tiny (chains of drafts), and the classic
-    // large-star/small-star optimization drops in if they are not.
+    // closure.
+    //
+    // Round structure (two deliberate choices over the naive loop):
+    //  - each round POINTER-JUMPS after the neighbor-min step
+    //    (component := label(component), the Shiloach-Vishkin shortcut):
+    //    labels only ever decrease and label(x) is always in x's
+    //    component, so the fixpoint is unchanged but convergence drops
+    //    from O(diameter) to O(log diameter) rounds — the difference
+    //    between 2 and 30 shuffle rounds on a long draft-chain corpus;
+    //  - the previous label rides along in the checkpointed frame, so
+    //    convergence detection is a max() over it — no extra join against
+    //    the old generation.
     "q_dedup_components" -> { (s, dir) =>
       val sets = shingleSets(s, dir)
       val pairs = candidates(s, dir)
@@ -214,15 +223,22 @@ object DedupQueries extends QuerySet {
             col("component").as("nc")), Seq("dst"))
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("nc")).as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("component").as("old"),
             least(col("component"), coalesce(col("nbr_min"),
-              col("component"))).as("component"))
+              col("component"))).as("c1"))
+        val next = stepped
+          .join(labels.select(col("doc_id").as("c1"),
+            col("component").as("jump")), Seq("c1"), "left")
+          .select(col("doc_id"),
+            least(col("c1"), coalesce(col("jump"), col("c1")))
+              .as("component"),
+            col("old"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("doc_id"))
-          .filter(col("component") =!= col("old")).isEmpty
-        labels = next
+        converged = !next
+          .agg(coalesce(max(col("component") =!= col("old")), lit(false)))
+          .head.getBoolean(0)
+        labels = next.select(col("doc_id"), col("component"))
         iter += 1
       }
       // a silent non-converged result would be WRONG components (and a
