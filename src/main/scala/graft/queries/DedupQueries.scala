@@ -273,6 +273,38 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-corpus BOILERPLATE detection (the CCNet/RefinedWeb step that
+    // line-level dedup does on web text, adapted to token streams): a word
+    // 3-gram occurring in >= 5 distinct documents is boilerplate
+    // (headers, licenses, navigation chrome at web scale); report each
+    // document's boilerplate-position fraction. Shape: ONE (doc,gram)
+    // count aggregate feeds both the doc-frequency branch and the
+    // per-doc rollup (identical subplans → ReusedExchange), the
+    // >=threshold gram list is tiny relative to the corpus (broadcast at
+    // scale), and nothing ever compares documents pairwise.
+    "q_dedup_boilerplate" -> { (s, dir) =>
+      val g3 = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, greatest(size(w) - 2, 1))")).as("i"))
+        .select(col("doc_id"),
+          array_join(slice(col("w"), col("i"), lit(3)), " ").as("g"))
+      val c = g3.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val boiler = c.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(col("g"), lit(1).as("is_boiler"))
+      c.join(boiler, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"),
+          coalesce(sum(when(col("is_boiler") === 1, col("cnt"))), lit(0L))
+            .as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          micro(col("n_boiler").cast("double") / col("n_grams").cast("double"))
+            .as("boiler_frac_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash fingerprint per document (60-bit portable).
     "q_dedup_simhash" -> { (s, dir) =>
       simhash(s, dir).orderBy(col("doc_id"))
@@ -437,6 +469,21 @@ object DedupQueries extends QuerySet {
          |FROM sets c JOIN sets b ON b.sh = c.sh AND b.doc_id % 20 = 0
          |WHERE c.doc_id % 20 <> 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q_dedup_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS g
+        |      FROM d),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
+        |b AS (SELECT g FROM (SELECT g, count(*) AS df FROM c GROUP BY g) WHERE df >= 5)
+        |SELECT c.doc_id,
+        |  CAST(sum(c.cnt) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(sum(CASE WHEN b.g IS NOT NULL THEN c.cnt END), 0) AS BIGINT) AS n_boiler,
+        |  CAST(floor(CAST(coalesce(sum(CASE WHEN b.g IS NOT NULL THEN c.cnt END), 0) AS DOUBLE)
+        |       / CAST(sum(c.cnt) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS boiler_frac_micro
+        |FROM c LEFT JOIN b ON b.g = c.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $simhashSql

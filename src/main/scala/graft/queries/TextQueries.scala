@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline (SURVEY.md §2.4 i, Q35 +
@@ -129,6 +130,53 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition signals (the Gopher/MassiveText quality-filter family):
+    // duplicate word-n-gram fraction (n=2,3) and the most-frequent-bigram
+    // share per document — high values mark boilerplate/spam/generated
+    // text. Single documents scan: positions exploded once, bigram and
+    // trigram melted into (doc_id, n, gram) rows, ONE (doc,n,gram) count
+    // aggregate, then all per-doc stats + the deterministic top bigram
+    // (max count, ties to lexicographically smallest) from one doc_id
+    // window pass — two shuffles total, both map-side combined, no
+    // interpreted higher-order lambdas in the hot path.
+    "q_text_repetition" -> { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, greatest(size(w) - 1, 1))")).as("i"))
+        .select(col("doc_id"), explode(array(
+          struct(lit(2).as("k"),
+            array_join(slice(col("w"), col("i"), lit(2)), " ").as("g")),
+          struct(lit(3).as("k"),
+            when(col("i") <= expr("greatest(size(w) - 2, 1)"),
+              array_join(slice(col("w"), col("i"), lit(3)), " ")).as("g"))))
+          .as("kg"))
+        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+        .filter(col("g").isNotNull)
+      val counts = grams.groupBy(col("doc_id"), col("k"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = counts
+        .withColumn("n2", sum(when(col("k") === 2, col("cnt"))).over(byDoc))
+        .withColumn("n2d", sum(when(col("k") === 2, 1L)).over(byDoc))
+        .withColumn("n3", sum(when(col("k") === 3, col("cnt"))).over(byDoc))
+        .withColumn("n3d", sum(when(col("k") === 3, 1L)).over(byDoc))
+        .withColumn("rn", row_number().over(
+          byDoc.orderBy(col("k").asc, col("cnt").desc, col("g").asc)))
+        .filter(col("rn") === 1)
+      ranked.select(col("doc_id"),
+        col("n2").as("n_bigrams"),
+        micro((col("n2") - col("n2d")).cast("double") /
+          col("n2").cast("double")).as("dup_bigram_micro"),
+        micro((col("n3") - col("n3d")).cast("double") /
+          col("n3").cast("double")).as("dup_trigram_micro"),
+        col("g").as("top_bigram"),
+        col("cnt").as("top_bigram_cnt"),
+        micro(col("cnt").cast("double") / col("n2").cast("double"))
+          .as("top_bigram_frac_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrubbing: detect + redact emails and URLs, keep the counts for
     // the audit trail — the pre-training privacy pass. The text is BUILT
     // from customer columns (the synthetic corpus contains no PII), so
@@ -156,6 +204,29 @@ object TextQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        [array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w) - 1, 1) + 1)] AS g2,
+        |        [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w) - 2, 1) + 1)] AS g3
+        |      FROM d),
+        |base AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS n2d,
+        |                len(g3) AS n3, len(list_distinct(g3)) AS n3d
+        |         FROM g),
+        |cnts AS (SELECT doc_id, bg, count(*) AS cnt
+        |         FROM (SELECT doc_id, unnest(g2) AS bg FROM g) GROUP BY doc_id, bg),
+        |top AS (SELECT doc_id, bg, cnt FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+        |          FROM cnts) WHERE rn = 1)
+        |SELECT b.doc_id,
+        |  CAST(b.n2 AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(b.n2 - b.n2d AS DOUBLE) / CAST(b.n2 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dup_bigram_micro,
+        |  CAST(floor(CAST(b.n3 - b.n3d AS DOUBLE) / CAST(b.n3 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dup_trigram_micro,
+        |  t.bg AS top_bigram,
+        |  CAST(t.cnt AS BIGINT) AS top_bigram_cnt,
+        |  CAST(floor(CAST(t.cnt AS DOUBLE) / CAST(b.n2 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS top_bigram_frac_micro
+        |FROM base b JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q35_text_stats" ->
       """WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, lang,
