@@ -87,6 +87,30 @@ object VecOps {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Asymmetric-distance (ADC) lookup for product-quantized vectors:
+    * codes[m] indexes subspace m's block of the flattened M×K query table,
+    * so the approximate inner product is sum_m table[m*K + codes[m]].
+    * K is derived from the operand shapes (table.len / codes.len). */
+  def adc(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    val k = table.numElements() / m
+    if (table.numElements() != m * k || k == 0)
+      throw new IllegalArgumentException(
+        s"pq_adc: table length ${table.numElements()} not a multiple of code length $m")
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) throw new IllegalArgumentException(
+        s"pq_adc: null code at subspace $i")
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"pq_adc: code $c out of range [0,$k) at subspace $i")
+      acc += table.getDouble(i * k + c)
+      i += 1
+    }
+    acc
+  }
+
   private[functions] def checkVec(name: String, e: Expression): Option[String] =
     e.dataType match {
       case ArrayType(FloatType | DoubleType, _) => None
@@ -105,6 +129,8 @@ object VecOps {
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
   def vec_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(VecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def pq_adc(codes: Column, table: Column): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(table)))
 
   /** SQL surface: `SELECT vec_cosine(embedding, qe) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -129,6 +155,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"${ev.value} = graft.functions.VecOps$$.MODULE$$.dot(" +
         s"$a, ${VecOps.isFloat(left)}, $b, ${VecOps.isFloat(right)});")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<INT>, ARRAY<DOUBLE>), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps$$.MODULE$$.adc($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
 }
 

@@ -82,7 +82,35 @@ object SimilarityQueries extends QuerySet {
     // recovering most boundary misses — the standard IVF recall knob
     // (SCALE.md §ANN). Same plan shape: probe count only widens the
     // broadcast, never adds a shuffle.
-    "q34d_ann_multiprobe" -> { (s, dir) => ivf(s, dir, probes = 2) }
+    "q34d_ann_multiprobe" -> { (s, dir) => ivf(s, dir, probes = 2) },
+
+    // Q34e: product-quantized ANN (operators/PqIndex): train 8×16
+    // codebooks on a deterministic sample, encode the corpus to 8 4-bit
+    // codes + a norm (64 floats → 4 packed bytes of codes at scale), score
+    // by ADC table lookup (native pq_adc expression), exact-rerank the
+    // top-50 ADC survivors with true cosine, report top-10. NO DuckDB
+    // oracle: the codebooks are data-dependent driver state that static
+    // SQL cannot reproduce — the driver records the weaker rows-only
+    // check, and PqSpec pins recall/self-retrieval/determinism invariants.
+    "q34e_pq_ann" -> { (s, dir) =>
+      import graft.operators.PqIndex
+      val e = t(s, dir, "embeddings")
+      val cb = PqIndex.train(e)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val corpus = e.filter(col("vec_id") =!= 0)
+      // ADC shortlist (cheap scan over codes), then exact rerank of the
+      // shortlist only — the standard PQ serving shape: full-precision
+      // vectors are touched for 50 rows, not the corpus
+      val shortlist = PqIndex.query(PqIndex.encode(corpus, cb), cb, q, 50)
+        .select(col("vec_id"))
+      corpus.join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id"),
+          r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }
   )
 
   /** IVF ANN: rank centroids by query dot product, scan the top-`probes`
