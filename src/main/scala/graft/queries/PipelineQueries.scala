@@ -93,6 +93,44 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // Sequence PACKING: assign documents to fixed-budget token windows
+    // (256 tokens) by next-fit in doc_id order per source — the step that
+    // turns a cleaned corpus into dense pretraining sequences. Packing is
+    // inherently sequential WITHIN its packing unit (each doc's bin
+    // depends on the previous doc's), so this is the one legitimate
+    // mapPartitions operator in the query set (extension ladder (d),
+    // SURVEY §2.4k): repartition by source co-locates each unit,
+    // sortWithinPartitions fixes the scan order (the secondary-sort
+    // pattern), and the per-partition pass is a single O(1)-state
+    // iterator — no collect, no driver loop. Across units it is
+    // embarrassingly parallel; a skewed giant source would be split into
+    // deterministic doc_id-range shards as its packing units (packing
+    // semantics is per-unit by definition). Oracle: DuckDB recursive CTE
+    // threading (seq_id, used) through the same doc order.
+    "q_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      val budget = 256L
+      val packed = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          var curSrc: String = null
+          var seq = 0L
+          var used = 0L
+          it.map { case (src, id, n) =>
+            if (src != curSrc) { curSrc = src; seq = 0L; used = n }
+            else if (used + n <= budget) used += n
+            else { seq += 1L; used = n }
+            (src, id, n, seq, used - n)
+          }
+        }
+      packed.toDF("source", "doc_id", "n_tok", "seq_id", "tok_offset")
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Class rebalancing: cap each label at its 30 lowest vec_ids (window
     // top-k per class — deterministic downsampling for skewed labels).
     "q_rebalance" -> { (s, dir) =>
@@ -156,6 +194,24 @@ object PipelineQueries extends QuerySet {
         |SELECT doc_id, source, CAST(unnest(range(1, n_epochs + 1)) AS INT) AS epoch
         |FROM n WHERE n_epochs > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(source, rn, doc_id, n_tok, seq_id, used) AS (
+        |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tok,
+        |         CASE WHEN p.used + d.n_tok <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+        |         CASE WHEN p.used + d.n_tok <= 256 THEN p.used + d.n_tok ELSE d.n_tok END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, n_tok, CAST(seq_id AS BIGINT) AS seq_id,
+        |       CAST(used - n_tok AS BIGINT) AS tok_offset
+        |FROM pack ORDER BY source, doc_id""".stripMargin,
 
     "q_rebalance" ->
       """WITH r AS (
