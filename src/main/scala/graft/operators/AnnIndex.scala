@@ -134,6 +134,75 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** IVF-PQ: [[build]] plus product-quantization codes INSIDE the
+    * partitioned lists — the composition every production vector store
+    * runs (FAISS IVFPQ). The inverted-list partitioning prunes WHICH
+    * directories are read; the PQ codes shrink WHAT is read from them:
+    * the ADC scan touches only (vec_id, codes, nrm) — at scale a few
+    * bytes per row instead of the full vector — and the full-precision
+    * `embedding` column is read for the shortlist rows only.
+    * IvfPqSpec asserts both prunings on the physical plan. */
+  def buildPq(e: DataFrame, path: String, k: Int = 8, iters: Int = 5,
+      m: Int = 8, codeBits: Int = 16): Unit = {
+    build(e, path, k, iters)
+    val cb = PqIndex.train(e, m, codeBits)
+    val spark = e.sparkSession
+    import spark.implicits._
+    // re-read the just-written lists so codes align with the persisted
+    // assignment (a re-train of the coarse quantizer could flip a
+    // boundary row)
+    spark.read.parquet(s"$path/lists")
+      .withColumn("codes", PqIndex.codesExpr(cb, col("embedding")))
+      .withColumn("nrm", nrm(col("embedding")))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/pq_lists")
+    cb.books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (c, ki) => (mi, ki, c.toSeq) }
+    }.toSeq.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Rehydrate the persisted PQ codebooks (index metadata, driver-side). */
+  def loadCodebooks(spark: SparkSession, path: String): PqIndex.Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val books = Array.tabulate(m) { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+    }
+    PqIndex.Codebooks(m, k, books.head.head.length, books)
+  }
+
+  /** IVF-PQ query: probe → partition-pruned ADC scan over codes only →
+    * exact-cosine rerank of the `shortlist` best ADC rows. With
+    * `shortlist` >= the probed row count the result is exactly the
+    * in-list exact top-k (rerank degenerates to exact scoring). */
+  def queryPq(spark: SparkSession, path: String, q: Array[Float],
+      probes: Int, k: Int, shortlist: Int = 50): DataFrame = {
+    val lists = probeLists(spark, path, q, probes)
+    val cb = loadCodebooks(spark, path)
+    val qd = q.map(_.toDouble)
+    val qn = math.sqrt(qd.map(v => v * v).sum)
+    val table = PqIndex.adcTable(cb, qd)
+    val store = spark.read.parquet(s"$path/pq_lists")
+    val short = store
+      .filter(col("list").isin(lists: _*))
+      .select(col("vec_id"),
+        (graft.functions.VecOps.pq_adc(col("codes"), typedLit(table.toSeq)) /
+          (lit(qn) * col("nrm"))).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(shortlist)
+    store
+      .filter(col("list").isin(lists: _*))
+      .join(broadcast(short.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("list"),
+        round(ipLit(col("embedding"), qd.toSeq) /
+          (nrm(col("embedding")) * lit(qn)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Shared batch-ANN core: `listed` is the corpus with its `list`
     * assignment, `cents` the (normalized) centroids. Routing is map-only
     * (sort a K-struct literal array per query, explode the top p), then
