@@ -40,7 +40,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
   // parse_line/to_line (protocol round-trip) and vec_dot/vec_norm/
   // vec_cosine (similarity over array columns) are callable from any
   // POST /query SELECT
-  graft.functions.ParseLineExpression.register(spark)
+  graft.functions.ParseLine.register(spark)
   graft.functions.VecOps.register(spark)
 
   import spark.implicits._
