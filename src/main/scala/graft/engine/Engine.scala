@@ -343,6 +343,91 @@ class Engine(val spark: SparkSession, warehouse: String) {
       else false
     }
 
+  /** Retention policy: drop every (batch, series, day) partition whose
+    * `day` is lexicographically before `beforeDay` (ISO yyyy-MM-dd, so
+    * string order IS date order). Pure FS-metadata operation — whole
+    * `day=` directories are deleted, no data is scanned or rewritten.
+    * That shape is the only one that survives 100 TB: a predicate DELETE
+    * through a rewrite costs a full table pass, while dropping partition
+    * directories is O(dirs) driver metadata ops regardless of data volume
+    * (the same reason every TSDB shards by time). InfluxDB-family parity:
+    * the reference has no delete path at all (its sled keyspace only
+    * grows, reference src/persistence.rs:45); retention is the superset
+    * feature every production deployment turns on first.
+    *
+    * Returns the number of day-partition directories removed. Emptied
+    * series/batch parents are pruned so catalog listings shrink with the
+    * data. */
+  def applyRetention(beforeDay: String): Long = {
+    require(beforeDay.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"beforeDay must be yyyy-MM-dd, got '$beforeDay'")
+    Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
+      if (!exists) 0L
+      else {
+        val fsys = fs(tablePath)
+        val root = new org.apache.hadoop.fs.Path(tablePath)
+        var dropped = 0L
+        for (b <- fsys.listStatus(root)
+               if b.isDirectory && b.getPath.getName.startsWith("ingest_batch=")) {
+          for (s <- fsys.listStatus(b.getPath)
+                 if s.isDirectory && s.getPath.getName.startsWith("series=")) {
+            for (d <- fsys.listStatus(s.getPath)
+                   if d.isDirectory && d.getPath.getName.startsWith("day=")) {
+              if (d.getPath.getName.stripPrefix("day=") < beforeDay) {
+                fsys.delete(d.getPath, true)
+                dropped += 1
+              }
+            }
+            if (fsys.listStatus(s.getPath).isEmpty) fsys.delete(s.getPath, true)
+          }
+          if (fsys.listStatus(b.getPath).isEmpty) fsys.delete(b.getPath, true)
+        }
+        if (dropped > 0) { writeVersion += 1; seriesCache = null }
+        dropped
+      }
+    }
+  }
+
+  /** Drop one series entirely (InfluxDB `DROP SERIES` analog): deletes the
+    * matching `series=` partition directories under every batch dir — FS
+    * metadata only, like [[applyRetention]]. Matching is done on the
+    * UNESCAPED directory name, so series whose names contain structural
+    * characters (escaped as %XX by Spark's partition writer) drop
+    * correctly. Returns true iff at least one directory was removed. */
+  def dropSeries(series: String): Boolean = Engine.tableLock(tablePath).synchronized {
+    acquireWriterLease()
+    if (!exists) false
+    else {
+      val fsys = fs(tablePath)
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      var hit = false
+      for (b <- fsys.listStatus(root)
+             if b.isDirectory && b.getPath.getName.startsWith("ingest_batch=")) {
+        for (s <- fsys.listStatus(b.getPath)
+               if s.isDirectory && s.getPath.getName.startsWith("series=")
+               if unescapePathName(s.getPath.getName.stripPrefix("series=")) == series) {
+          fsys.delete(s.getPath, true)
+          hit = true
+        }
+        if (fsys.listStatus(b.getPath).isEmpty) fsys.delete(b.getPath, true)
+      }
+      if (hit) {
+        writeVersion += 1
+        seriesCache = null
+        // drop the series' owned temp view NOW (mirror of the
+        // vanished-series path in query()): releasing ownership without
+        // dropping would leave a stale un-owned view the lazy registration
+        // could never replace
+        if (Engine.ownsView(spark, series)) {
+          spark.catalog.dropTempView(series)
+          Engine.releaseView(spark, series)
+        }
+      }
+      hit
+    }
+  }
+
   /** Rewrite the canonical table as a BUCKETED catalog table: rows are
     * pre-shuffled into `buckets` files by `key` at write time, so every
     * subsequent join/aggregation keyed on `key` (fact-fact self-joins,

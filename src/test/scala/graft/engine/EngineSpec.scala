@@ -268,4 +268,53 @@ class EngineSpec extends SparkSpec {
     assert(e.table().count() == 3) // no data loss
     assert(!e.compactIfNeeded(maxBatchDirs = 2)) // bounded now
   }
+
+  test("retention drops whole day partitions as metadata-only deletes " +
+      "(superset: the reference's sled keyspace can only grow)") {
+    val e = new Engine(spark, tmpDir("graft-retention"))
+    e.ingestLines(Seq(
+      "ret,h=a v=1.0 1700000000000000000", // 2023-11-14
+      "ret,h=a v=2.0 1700086400000000000", // 2023-11-15
+      "ret,h=a v=3.0 1700172800000000000")) // 2023-11-16
+    assert(e.table().count() == 3)
+    assert(e.applyRetention("2023-11-16") == 2)
+    assert(e.table().select("day").collect()
+      .map(_.get(0).toString).toSeq == Seq("2023-11-16"))
+    assert(e.applyRetention("2023-11-16") == 0L) // idempotent
+    // expiring ALL of a series' days removes it from the catalog too
+    assert(e.applyRetention("2024-01-01") == 1)
+    assert(e.listSeries().isEmpty)
+    intercept[IllegalArgumentException] { e.applyRetention("16/11/2023") }
+  }
+
+  test("dropSeries deletes the partition dirs and the owned view " +
+      "(DROP SERIES analog)") {
+    val e = new Engine(spark, tmpDir("graft-dropseries"))
+    e.ingestLines(Seq("keep v=1.0 1700000000000000000",
+      "gone v=2.0 1700000000000000000"))
+    // register gone's owned view via the SQL surface first
+    assert(e.query("SELECT count(*) AS n FROM gone").isRight)
+    assert(e.dropSeries("gone"))
+    assert(e.listSeries() == Seq("keep"))
+    assert(e.table().count() == 1)
+    // the owned view went with the data: fail, don't serve a stale snapshot
+    assert(e.query("SELECT count(*) AS n FROM gone").isLeft)
+    assert(!e.dropSeries("gone")) // second drop: nothing left to delete
+    assert(e.query("SELECT count(*) AS n FROM keep").isRight)
+  }
+
+  test("library functions are callable from the engine SQL surface " +
+      "(parse_line_expr / vec_dot / vec_cosine)") {
+    val r = engine.query(
+      """SELECT parse_line_expr('m,h=a v=1.5,n=7i 1700000000000000000') AS p,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).toOption.get.head()
+    val p = r.getStruct(0)
+    assert(p.getAs[String]("measurement") == "m")
+    assert(p.getAs[Map[String, Double]]("fields") == Map("v" -> 1.5))
+    assert(p.getAs[Map[String, Long]]("fields_int") == Map("n" -> 7L))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 1.0)
+  }
 }
