@@ -305,6 +305,43 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // Chunk-level EXACT dedup with reassembly — the CCNet/RefinedWeb
+    // line-dedup step (the corpus has no newline structure, so "lines"
+    // are fixed 4-word chunks): any chunk appearing in >=2 DISTINCT
+    // documents is boilerplate and is removed from all of them, then each
+    // document is reassembled from its surviving chunks in original
+    // order. Unlike q_dedup_boilerplate (which only scores), this
+    // PRODUCES the cleaned corpus. Scale shape: chunk df is one hash
+    // aggregate over (chunk, doc) pairs; the removal join is an equi-join
+    // against the (small) duplicated-chunk set — broadcastable at 100 TB
+    // because cross-corpus repeated content is a tiny fraction of
+    // distinct chunks; reassembly is a per-doc sort_array over the one
+    // doc_id shuffle the rollup needs anyway. No pairwise doc compare.
+    "q_dedup_chunks" -> { (s, dir) =>
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(w), 4)")).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("w"), col("i"), lit(4)), " ").as("chunk"))
+      val dup = chunks.select(col("chunk"), col("doc_id")).distinct()
+        .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("chunk"), lit(1).as("is_dup"))
+      chunks.join(dup, Seq("chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          coalesce(sum(when(col("is_dup") === 1, 1L)), lit(0L))
+            .as("n_removed"),
+          array_join(transform(
+            sort_array(collect_list(when(col("is_dup").isNull,
+              struct(col("i"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("cleaned"))
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash fingerprint per document (60-bit portable).
     "q_dedup_simhash" -> { (s, dir) =>
       simhash(s, dir).orderBy(col("doc_id"))
@@ -484,6 +521,22 @@ object DedupQueries extends QuerySet {
         |       / CAST(sum(c.cnt) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS boiler_frac_micro
         |FROM c LEFT JOIN b ON b.g = c.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q_dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, unnest([i FOR i IN range(1, len(w) + 1, 4)]) AS i, w FROM d),
+        |c2 AS (SELECT doc_id, i, array_to_string(w[i:i+3], ' ') AS chunk FROM ch),
+        |dup AS (SELECT chunk FROM (
+        |          SELECT chunk, count(DISTINCT doc_id) AS df
+        |          FROM c2 GROUP BY chunk) WHERE df >= 2),
+        |j AS (SELECT c2.doc_id, c2.i, c2.chunk,
+        |             (dup.chunk IS NOT NULL) AS is_dup
+        |      FROM c2 LEFT JOIN dup ON dup.chunk = c2.chunk)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(sum(CASE WHEN is_dup THEN 1 END), 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN chunk END, ' ' ORDER BY i), '')) AS cleaned_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $simhashSql

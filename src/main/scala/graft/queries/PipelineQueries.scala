@@ -131,6 +131,53 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Training-shard EXPORT assignment: deterministic pseudo-random global
+    // shuffle + sharding — the last step before writing a cleaned corpus
+    // out as N training files. The shard is the same stateless
+    // multiplicative hash as q_train_split (map-only, reproducible on any
+    // engine/cluster/rerun), and the within-shard position orders by the
+    // hash itself, so readers stream each shard in a fixed pseudo-random
+    // document order (no global sort of the corpus: the only shuffle is
+    // the 16-way hash partition + per-shard local sort, exactly how the
+    // shard writer would lay files out at 100 TB).
+    "q_export_shards" -> { (s, dir) =>
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L,
+        lit(1000000007L))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+        .withColumn("pos", row_number().over(w) - 1)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // Multilingual temperature sampling (alpha = 0.5): languages are drawn
+    // proportional to p_l^alpha renormalized — the standard lever that
+    // up-weights low-resource languages without flattening the mix. One
+    // tiny per-language aggregate then a 1-row-broadcast normalization;
+    // the per-document sampling this feeds is q_sample_mix's stateless
+    // hash draw.
+    "q_lang_temperature" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // ordered full frame: the float normalizer sums in lang order on
+      // every engine/rerun (an unordered whole-partition sum would leave
+      // the FP summation order nondeterministic)
+      val wAll = Window.orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(wAll).cast("double"))
+        .withColumn("q", sqrt(col("p")) / sum(sqrt(col("p"))).over(wAll))
+        .select(col("lang"), col("n"),
+          micro(col("p")).as("p_micro"),
+          micro(col("q")).as("q_micro"),
+          // boost = sampled/natural share: >1 means up-weighted
+          micro(col("q") / col("p")).as("boost_micro"))
+        .orderBy(col("lang"))
+    },
+
     // Class rebalancing: cap each label at its 30 lowest vec_ids (window
     // top-k per class — deterministic downsampling for skewed labels).
     "q_rebalance" -> { (s, dir) =>
@@ -194,6 +241,34 @@ object PipelineQueries extends QuerySet {
         |SELECT doc_id, source, CAST(unnest(range(1, n_epochs + 1)) AS INT) AS epoch
         |FROM n WHERE n_epochs > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_export_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 1000003) * 2654435761) % 1000000007 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(h % 16 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM d ORDER BY shard, pos""".stripMargin,
+
+    "q_lang_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n,
+        |    CAST(n AS DOUBLE) / sum(n) OVER (ORDER BY lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p
+        |  FROM c),
+        |q AS (
+        |  SELECT lang, n, p,
+        |    sqrt(p) / sum(sqrt(p)) OVER (ORDER BY lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS q
+        |  FROM p)
+        |SELECT lang, n,
+        |  CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS p_micro,
+        |  CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS q_micro,
+        |  CAST(floor(q / p * 1000000.0 + 0.5) AS BIGINT) AS boost_micro
+        |FROM q ORDER BY lang""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH RECURSIVE d AS (
