@@ -4,6 +4,8 @@ import java.io.ByteArrayOutputStream
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.util.{Failure, Success, Try}
+
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
 /** Endpoint-for-endpoint HTTP parity with the reference (refluxdb
@@ -144,6 +146,42 @@ class ApiServer(engine: Engine, port: Int = 0) {
           val (ok, errs) = engine.ingestLines(lines)
           respond(ex, 200, s"""{"ok":$ok,"quarantined":$errs}""")
         }
+      }
+    })
+
+    // POST /retention?before=yyyy-MM-dd — expire day partitions (superset
+    // endpoint: the reference has no delete path; every production TSDB
+    // deployment needs one). Metadata-only, see Engine.applyRetention.
+    http.createContext("/retention", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"POST required"}""")
+        else queryParams(ex).get("before") match {
+          case Some(day) =>
+            Try(engine.applyRetention(day)) match {
+              case Success(n) => respond(ex, 200, s"""{"dropped_partitions":$n}""")
+              case Failure(e) =>
+                respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+            }
+          case None =>
+            respond(ex, 400, """{"error":"before=yyyy-MM-dd is required"}""")
+        }
+      }
+    })
+
+    // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
+    http.createContext("/series/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = URLDecoder.decode(
+          ex.getRequestURI.getPath.stripPrefix("/series/"), UTF_8)
+        if (ex.getRequestMethod != "DELETE")
+          respond(ex, 405, """{"error":"DELETE required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (engine.dropSeries(series))
+          respond(ex, 200, s"""{"dropped":${quote(series)}}""")
+        else respond(ex, 404,
+          s"""{"error":${quote(s"unknown series $series")}}""")
       }
     })
 

@@ -195,6 +195,69 @@ object TextQueries extends QuerySet {
           regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
             url, "<URL>").as("redacted"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Unigram LM perplexity filter (the CCNet quality gate, with the
+    // corpus itself as the LM): every token's log-probability under the
+    // corpus unigram distribution, summed per document — documents whose
+    // average negative logprob is far above the corpus norm are
+    // boilerplate/garbage candidates. Scale shape: the LM is one token
+    // hash-aggregate whose result is vocabulary-sized (tiny → broadcast
+    // side of the scoring join); scoring is map-only over the token
+    // stream; the per-token logprob is QUANTIZED to int64 micro-units
+    // before the per-doc sum so the rollup is exact integer math —
+    // engine- and order-independent (a double sum would leave the result
+    // at the mercy of summation order).
+    "q_text_perplexity" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val wAll = Window.orderBy(col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = lm
+        .withColumn("logp_micro",
+          micro(log(col("cnt").cast("double") /
+            sum(col("cnt")).over(wAll).cast("double"))))
+        .select(col("tok"), col("logp_micro"))
+      tok.join(broadcast(scored), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("logp_micro")).as("sum_logp_micro"))
+        .select(col("doc_id"), col("n_tok"),
+          col("sum_logp_micro"),
+          // negate first so the half-up integer average runs on positive
+          // operands only (truncating vs flooring division agree there)
+          intDiv(col("sum_logp_micro") * -1 + intDiv(col("n_tok"), lit(2)),
+            col("n_tok")).as("avg_neg_logp_micro"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF top terms: the 3 most corpus-distinctive tokens per document
+    // (tf × idf, idf = ln(N/df)). The idf table is vocabulary-sized
+    // (broadcast); idf is quantized to micro-units so the tf×idf score is
+    // integer math and the per-doc top-3 is engine-deterministic (ties
+    // broken by token). One doc_id shuffle for tf, one window pass.
+    "q_text_tfidf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = tok.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs)) // 1-row broadcast total, no collect
+        .withColumn("idf_micro",
+          micro(log(col("n_docs") / col("df").cast("double"))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(idf), Seq("tok"))
+        .withColumn("score", col("tf") * col("idf_micro"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tf"),
+          col("idf_micro"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
     }
   )
 
@@ -308,6 +371,42 @@ object TextQueries extends QuerySet {
         |  regexp_replace(
         |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[A-Za-z0-9./-]+', '<URL>', 'g') AS redacted
-        |FROM c ORDER BY c_custkey""".stripMargin
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |lm AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |sc AS (SELECT tok,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE) /
+        |           CAST(sum(cnt) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS logp_micro
+        |       FROM lm)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(s.logp_micro) AS BIGINT) AS sum_logp_micro,
+        |  CAST((-sum(s.logp_micro) + count(*) // 2) // count(*) AS BIGINT)
+        |    AS avg_neg_logp_micro
+        |FROM tok t JOIN sc s ON s.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |idf AS (SELECT tok,
+        |          CAST(floor(ln(n.n_docs / CAST(count(*) AS DOUBLE))
+        |            * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+        |        FROM tf, nd n GROUP BY tok, n.n_docs),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, idf.idf_micro,
+        |             tf.tf * idf.idf_micro AS score
+        |      FROM tf JOIN idf USING (tok)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, tok) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
+        |       idf_micro, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -71,4 +71,31 @@ class ApiServerSpec extends SparkSpec {
       assert(tc == 200 && tb == """[{"name":"value","value":0.64}]""", tb)
     } finally api.stop()
   }
+
+  test("retention and DROP SERIES endpoints (superset: the reference has " +
+      "no delete path)") {
+    val engine = new Engine(spark, tmpDir("graft-api-del"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      call(s"$base/write", "POST",
+        "old v=1.0 1234567890000000000\n" + // 2009-02-13
+          "old v=2.0 1700000000000000000\n" + // 2023-11-14
+          "fresh v=3.0 1700000000000000000")
+      // expire everything before 2023: one day partition of 'old' goes
+      val (rc, rb) = call(s"$base/retention?before=2023-01-01", "POST")
+      assert(rc == 200 && rb == """{"dropped_partitions":1}""", rb)
+      assert(engine.table().count() == 2)
+      // malformed cutoff → 400, not a panic
+      assert(call(s"$base/retention?before=nope", "POST")._1 == 400)
+      assert(call(s"$base/retention", "POST")._1 == 400)
+
+      // DELETE /series/<name>
+      val (dc, db) = call(s"$base/series/old", "DELETE")
+      assert(dc == 200 && db == """{"dropped":"old"}""", db)
+      assert(call(s"$base/")._2 == """{"series":["fresh"]}""")
+      assert(call(s"$base/series/old", "DELETE")._1 == 404) // already gone
+      assert(call(s"$base/series/old", "GET")._1 == 405) // wrong method
+    } finally api.stop()
+  }
 }

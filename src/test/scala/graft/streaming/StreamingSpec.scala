@@ -385,4 +385,36 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSet == expected)
     } finally q.stop()
   }
+
+  test("st12: dropDuplicatesWithinWatermark bounds dedup state by event " +
+      "time (plain dropDuplicates keys grow forever)") {
+    val in = MemoryStream[Evt]
+    // dedup on id, but the state for an id is evictable once the watermark
+    // passes it — the ONLY dedup formulation whose state is bounded on an
+    // unbounded stream (plain dropDuplicates holds every key forever; at
+    // 100 TB/day of events that is an OOM, not a design)
+    val dedup = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+      .select(col("id"), col("value"))
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("st12").start()
+    try {
+      in.addData(evts(
+        ("2024-01-01 00:00:00", "cpu", 1.0, "x"),
+        ("2024-01-01 00:00:01", "cpu", 99.0, "x"), // dup within watermark
+        ("2024-01-01 00:00:02", "cpu", 2.0, "y")): _*)
+      q.processAllAvailable()
+      // advance the watermark far past x's state lifetime
+      in.addData(evts(("2024-01-01 00:05:00", "cpu", 3.0, "z")): _*)
+      q.processAllAvailable()
+      // x's dedup state was evicted: the same id is accepted again —
+      // within-horizon duplicates suppressed, unbounded history not kept
+      in.addData(evts(("2024-01-01 00:05:01", "cpu", 4.0, "x")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st12").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+    assert(got == Seq(("x", 1.0), ("x", 4.0), ("y", 2.0), ("z", 3.0)))
+  }
 }
