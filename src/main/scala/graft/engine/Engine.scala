@@ -281,6 +281,57 @@ class Engine(val spark: SparkSession, warehouse: String) {
     spark.read.parquet(
       s"$warehouse/rollup_${bucket.replaceAll("[^A-Za-z0-9]", "_")}")
 
+  // ------------------------------------------------------- sketch rollups
+
+  private def sketchPath = s"$warehouse/sketch_daily"
+
+  /** Materialize per-(series, day) MERGEABLE distinct-count sketches — the
+    * "pre-calculated stats" the reference plans (README.md:58) done the
+    * only way that scales: an HLL sketch is an associative summary, so a
+    * RANGE query unions the per-day sketches instead of rescanning raw
+    * data. One pass over the (pruned) table per refresh; the rollup is
+    * O(series × days) rows regardless of raw volume. At 100 TB this is
+    * the difference between a dashboard's distinct-cardinality panel
+    * scanning terabytes and reading kilobytes.
+    *
+    * Sketched dimensions: distinct field VALUES (rendered to string — HLL
+    * input must be hashable bytes, and the rendering is deterministic)
+    * and distinct TAG SETS per (series, day), plus exact row counts. */
+  def sketchRollup(): Unit = Engine.tableLock(tablePath).synchronized {
+    if (exists) {
+      table()
+        .withColumn("vkey", concat_ws(" ", col("name"),
+          coalesce(col("value").cast("string"), lit("")),
+          coalesce(col("value_long").cast("string"), lit("")),
+          coalesce(col("value_str"), lit("")),
+          coalesce(col("value_bool").cast("string"), lit(""))))
+        .withColumn("tkey", to_json(col("tags")))
+        .groupBy(col("series"), col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          hll_sketch_agg(col("vkey")).as("value_sketch"),
+          hll_sketch_agg(col("tkey")).as("tagset_sketch"))
+        .repartition(col("series"))
+        .write.mode("overwrite").partitionBy("series").parquet(sketchPath)
+    }
+  }
+
+  /** The per-(series, day) sketch table written by [[sketchRollup]]. */
+  def sketchTable(): DataFrame = spark.read.parquet(sketchPath)
+
+  /** Approximate distinct field-values / tag-sets for one series over an
+    * inclusive day range — answered ENTIRELY from the sketch rollup: the
+    * per-day sketches union associatively (`hll_union_agg`), no raw scan.
+    * Day filters prune on the rollup's own partition/stats. */
+  def approxDistinct(series: String, fromDay: String, toDay: String): DataFrame =
+    sketchTable()
+      .filter(col("series") === series &&
+        col("day") >= fromDay && col("day") <= toDay)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("value_sketch")))
+          .as("approx_distinct_values"),
+        hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
+          .as("approx_distinct_tagsets"))
+
   /** Compact the table: rewrite each (series, day) partition into a bounded
     * number of files. Streaming micro-batch appends accumulate small files
     * (the classic TSDB-on-object-store failure mode); compaction stages to

@@ -303,6 +303,33 @@ class EngineSpec extends SparkSpec {
     assert(e.query("SELECT count(*) AS n FROM keep").isRight)
   }
 
+  test("sketch rollup answers distinct-cardinality range queries from " +
+      "per-day mergeable HLL sketches, no raw scan") {
+    val e = new Engine(spark, tmpDir("graft-sketch"))
+    e.ingestLines(Seq(
+      "sk,host=a v=1 1700000000000000000", // 2023-11-14: values 1,2,3
+      "sk,host=a v=2 1700000001000000000",
+      "sk,host=a v=3 1700000002000000000",
+      "sk,host=a v=3 1700086400000000000", // 2023-11-15: values 3,4,5
+      "sk,host=b v=4 1700086401000000000", //   (3 overlaps day 1)
+      "sk,host=b v=5 1700086402000000000"))
+    e.sketchRollup()
+    // single day: exact at this cardinality (HLL sparse mode)
+    val d1 = e.approxDistinct("sk", "2023-11-14", "2023-11-14").head()
+    assert(d1.getLong(0) == 3 && d1.getLong(1) == 3 && d1.getLong(2) == 1)
+    // range: sketches MERGE associatively — the shared value 3 is not
+    // double-counted the way per-day exact counts would be
+    val r = e.approxDistinct("sk", "2023-11-14", "2023-11-15").head()
+    assert(r.getLong(0) == 6, "row counts sum")
+    assert(r.getLong(1) == 5, "distinct values union, overlap collapsed")
+    assert(r.getLong(2) == 2, "distinct tag sets")
+    // the answer comes from the rollup table only — raw measurement files
+    // are not in the plan
+    val scans = e.approxDistinct("sk", "2023-11-14", "2023-11-15")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("sketch_daily") && !scans.contains("measurements"))
+  }
+
   test("library functions are callable from the engine SQL surface " +
       "(parse_line_expr / vec_dot / vec_cosine)") {
     val r = engine.query(
