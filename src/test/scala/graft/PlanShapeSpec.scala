@@ -13,7 +13,8 @@ class PlanShapeSpec extends SparkSpec {
     "q34b_ann_ivf", // 1-row broadcast query vector + 1-row best label
     "q34d_ann_multiprobe", // 1-row broadcast query vector + 2-row probe set
     "q34e_pq_ann", // 1-row broadcast query vector over the 50-row shortlist
-    "q_bigram_pmi") // 1-row broadcast corpus total
+    "q_bigram_pmi", // 1-row broadcast corpus total
+    "q_text_tfidf") // 1-row broadcast document count into the idf table
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
