@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The binned range-join rewrite must (1) fire only when opted in, (2)
+  * replace the nested-loop plan with an equi-join, and (3) be result-
+  * identical to the native plan — including strict/inclusive bound mixes
+  * and empty intervals.
+  */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** A fresh session ON THE SAME SparkContext with the extensions applied
+    * through the programmatic production path (`.withExtensions`) —
+    * `spark.sql.extensions=graft.plans.GraftExtensions` is equivalent but
+    * is a STATIC conf read at SparkContext creation, which the shared
+    * test context predates. getOrCreate builds a new SparkSession (and
+    * honors the builder's extensions) once no active/default session is
+    * set. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    spark // force the shared session (and its SparkContext) to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = Tables.configure(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions))
+        .getOrCreate()
+      try f(ext)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  /** Pure interval join: lineitem quantities against 12 value bands —
+    * no equi key anywhere. */
+  private def intervalJoin(s: SparkSession) = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val bands = s.range(12).select(
+      (col("id") * 4 + 1).cast("double").as("lo"),
+      (col("id") * 4 + 4).cast("double").as("hi"),
+      concat(lit("band"), col("id")).as("band"))
+    li.join(bands, col("l_quantity") >= col("lo") &&
+      col("l_quantity") < col("hi"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("band"))
+  }
+
+  private def rows(s: SparkSession) =
+    intervalJoin(s).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("opt-in binned rewrite turns the nested-loop interval join into an " +
+      "equi-join with identical results") {
+    val plain = intervalJoin(spark).queryExecution.executedPlan.toString
+    assert(plain.contains("BroadcastNestedLoopJoin") ||
+      plain.contains("CartesianProduct"), s"expected nested loop:\n$plain")
+    val expected = rows(spark)
+    assert(expected.nonEmpty)
+
+    withExtendedSession { ext =>
+      // extensions registered but conf unset: plans untouched
+      val untouched = intervalJoin(ext).queryExecution.executedPlan.toString
+      assert(untouched.contains("BroadcastNestedLoopJoin") ||
+        untouched.contains("CartesianProduct"))
+
+      ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "4.0")
+      val planned = intervalJoin(ext).queryExecution.executedPlan.toString
+      assert(!planned.contains("BroadcastNestedLoopJoin") &&
+        !planned.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$planned")
+      assert(planned.contains("SortMergeJoin") ||
+        planned.contains("ShuffledHashJoin") ||
+        planned.contains("BroadcastHashJoin"), planned)
+      assert(rows(ext) == expected, "rewrite changed results")
+
+      // a narrower bin (more fan-out) must still be exact
+      ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "1.5")
+      assert(rows(ext) == expected)
+    }
+  }
+
+  test("equi-joins and empty intervals are left correct") {
+    withExtendedSession { ext =>
+      ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "4.0")
+      import ext.implicits._
+      // an equi conjunct is present: the rule must NOT rewrite (guard)
+      val a = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+      val b = Seq((1L, 5.0, 15.0), (2L, 25.0, 30.0)).toDF("k", "lo", "hi")
+      val eq = a.join(b, a("k") === b("k") &&
+        a("x") >= b("lo") && a("x") <= b("hi"))
+      assert(!eq.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(eq.count() == 1)
+      // inverted (empty) interval: no crash, no rows
+      val inv = Seq((0.0, -10.0, "none")).toDF("lo2", "hi2", "tag")
+      val got = a.join(inv, a("x") >= inv("lo2") && a("x") <= inv("hi2"))
+      assert(got.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(got.count() == 0)
+    }
+  }
+}
