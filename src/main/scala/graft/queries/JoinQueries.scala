@@ -108,6 +108,35 @@ object JoinQueries extends QuerySet {
         .orderBy(col("click_id"), col("err_id"))
     },
 
+    // Q12b: PURE interval join (no equi anchor) in the binned-equi-join
+    // shape — the same rewrite plans/BinnedRangeJoinRule applies
+    // automatically to SQL interval joins, spelled out on the DataFrame
+    // surface and oracle-verified against DuckDB's plain range join:
+    // points compute floor(x/w), intervals explode their spanned bins,
+    // equi-join on the bin, re-filter the true predicate. Native Spark
+    // would plan this as a broadcast nested loop (PlanShapeSpec-banned);
+    // the binned shape is a plain shuffled equi-join at any scale.
+    "q12b_interval_bin_join" -> { (s, dir) =>
+      val w = 20.0
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("bin", floor(col("value") / w).cast("long"))
+      val bands = t(s, dir, "nation")
+        .select(col("n_name").as("band"),
+          (col("n_nationkey") * 20.0).as("lo"),
+          (col("n_nationkey") * 20.0 + 30.0).as("hi"))
+        .withColumn("bin", explode(sequence(
+          floor(col("lo") / w).cast("long"),
+          floor(col("hi") / w).cast("long"))))
+      ev.join(bands, Seq("bin"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("band"))
+    },
+
     // Q13: as-of join — for each purchase, the latest click at ts <= purchase
     // ts by the same user. Union + running-max window: clicks sort before
     // purchases at equal ts (kind 0 < 1), making the bound inclusive.
@@ -182,6 +211,16 @@ object JoinQueries extends QuerySet {
         | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |ORDER BY click_id, err_id""".stripMargin,
+
+    "q12b_interval_bin_join" ->
+      """WITH bands AS (
+        |  SELECT n_name AS band, n_nationkey * 20.0 AS lo,
+        |         n_nationkey * 20.0 + 30.0 AS hi
+        |  FROM nation)
+        |SELECT band, count(*) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "q13_asof_join" ->
       """SELECT p.event_id, p.ts,
