@@ -82,7 +82,8 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * batch (retried by the stream) rather than being silently lost. */
   def ingestStream(lines: DataFrame, checkpoint: String,
       compactEveryBatches: Int = 0, maxBatchDirs: Int = 64,
-      bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed")
+      bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed",
+      retainDays: Int = 0, retentionEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -98,6 +99,16 @@ class Engine(val spark: SparkSession, warehouse: String) {
           compactIfNeeded(maxBatchDirs)
         if (bucketEveryBatches > 0 && id > 0 && id % bucketEveryBatches == 0)
           compactBucketed(bucketTable)
+        // retention rides the same maintenance slot: expire day partitions
+        // older than `retainDays` behind the MAX ingested day (event-time
+        // based, so replaying history does not wrongly expire it)
+        if (retainDays > 0 && retentionEveryBatches > 0 && id > 0 &&
+            id % retentionEveryBatches == 0) {
+          val maxDay = table().agg(max(col("day"))).head().getDate(0)
+          if (maxDay != null)
+            applyRetention(maxDay.toLocalDate.minusDays(retainDays - 1L)
+              .toString)
+        }
         ()
       }
       .start()

@@ -303,6 +303,29 @@ class EngineSpec extends SparkSpec {
     assert(e.query("SELECT count(*) AS n FROM keep").isRight)
   }
 
+  test("streaming ingest applies event-time retention in its maintenance " +
+      "slot (retainDays window behind the max ingested day)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = new Engine(spark, tmpDir("graft-sret"))
+    val in = MemoryStream[String]
+    val q = e.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-sret-ckpt"),
+      retainDays = 2, retentionEveryBatches = 1)
+    try {
+      in.addData("rt v=1.0 1700000000000000000") // 2023-11-14
+      q.processAllAvailable()
+      in.addData("rt v=2.0 1700086400000000000") // 2023-11-15
+      q.processAllAvailable() // window [14th, 15th]: nothing expires
+      assert(e.table().count() == 2)
+      in.addData("rt v=3.0 1700172800000000000") // 2023-11-16
+      q.processAllAvailable() // window [15th, 16th]: the 14th expires
+      val days = e.table().select("day").collect().map(_.get(0).toString)
+      assert(days.sorted.toSeq == Seq("2023-11-15", "2023-11-16"), days.toSeq)
+    } finally q.stop()
+  }
+
   test("sketch rollup answers distinct-cardinality range queries from " +
       "per-day mergeable HLL sketches, no raw scan") {
     val e = new Engine(spark, tmpDir("graft-sketch"))
