@@ -343,6 +343,51 @@ class Engine(val spark: SparkSession, warehouse: String) {
         hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
           .as("approx_distinct_tagsets"))
 
+  // ------------------------------------------------------------ tag index
+
+  private def tagIndexPath = s"$warehouse/tag_index"
+
+  /** Materialize the inverted TAG index — the analog of InfluxDB's
+    * in-memory series/tag index, as a table: one row per distinct
+    * (tag_k, tag_v, series, day) combination, partitioned by tag key.
+    * The index is catalog-sized (bounded by tag cardinality × series ×
+    * days, independent of row count), so at 100 TB it is the difference
+    * between a tag-filtered query scanning every partition and scanning
+    * only the (series, day) partitions that actually contain the tag.
+    * One explode + distinct pass over the (pruned) table per refresh. */
+  def buildTagIndex(): Unit = Engine.tableLock(tablePath).synchronized {
+    if (exists) {
+      table()
+        .select(col("series"), col("day"),
+          explode(col("tags")).as(Seq("tag_k", "tag_v")))
+        .distinct()
+        .repartition(col("tag_k"))
+        .write.mode("overwrite").partitionBy("tag_k").parquet(tagIndexPath)
+    }
+  }
+
+  /** The inverted tag index written by [[buildTagIndex]]. */
+  def tagIndex(): DataFrame = spark.read.parquet(tagIndexPath)
+
+  /** All rows carrying tag `k=v`, scanning ONLY the (series, day)
+    * partitions the index lists for that tag. The index lookup collects a
+    * CATALOG-sized (series, day) list to the driver — same posture as
+    * [[listSeries]] — and re-enters the main table as literal IN
+    * predicates on the partition columns, so the scan prunes STATICALLY
+    * (no job touches non-matching partitions; the exact `tags[k] = v` row
+    * filter then runs inside the pruned scan only). */
+  def queryByTag(k: String, v: String): DataFrame = {
+    val hits = tagIndex()
+      .filter(col("tag_k") === k && col("tag_v") === v)
+      .select(col("series"), col("day")).distinct().collect()
+    val seriesList = hits.map(_.getString(0)).distinct.toSeq
+    val dayList = hits.map(_.getDate(1)).distinct.toSeq
+    table()
+      .filter(col("series").isin(seriesList: _*) &&
+        col("day").isin(dayList: _*) &&
+        col("tags")(k) === v)
+  }
+
   /** Compact the table: rewrite each (series, day) partition into a bounded
     * number of files. Streaming micro-batch appends accumulate small files
     * (the classic TSDB-on-object-store failure mode); compaction stages to

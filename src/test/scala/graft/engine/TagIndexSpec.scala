@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The inverted tag index must make tag-filtered queries prune the
+  * partitioned scan statically — only the (series, day) partitions the
+  * index lists for the tag are touched (InfluxDB series-index parity, as
+  * partition pruning).
+  */
+class TagIndexSpec extends SparkSpec {
+
+  test("queryByTag scans only the partitions the index lists for the tag") {
+    val e = new Engine(spark, tmpDir("graft-tagidx"))
+    e.ingestLines(Seq(
+      // host=web1 lives ONLY in (cpu, 2023-11-14)
+      "cpu,host=web1 v=1.0 1700000000000000000",
+      "cpu,host=web2 v=2.0 1700086400000000000", // cpu, 2023-11-15
+      "mem,host=web2 v=3.0 1700000000000000000", // mem, 2023-11-14
+      "mem,host=web3 v=4.0 1700086400000000000")) // mem, 2023-11-15
+    e.buildTagIndex()
+
+    // correctness: exactly the web1 row, through the index path
+    val rows = e.queryByTag("host", "web1").collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 1.0)
+
+    // plan shape: the measurements scan carries partition filters and
+    // selects exactly ONE (series, day) partition of the four
+    val q = e.queryByTag("host", "web1")
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("measurements")) => f
+    }
+    assert(scans.nonEmpty, "no measurements file scan found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"tag lookup did not become partition filters:\n$scan")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.length == 1,
+      s"expected 1 pruned partition, got ${selected.length}")
+
+    // a tag value the index does not know: empty, still no full scan
+    assert(e.queryByTag("host", "nope").isEmpty)
+
+    // the index itself prunes on its tag_k partition when probed
+    val idxScan = e.tagIndex().filter(col("tag_k") === "host")
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(idxScan.head.partitionFilters.nonEmpty)
+  }
+}
