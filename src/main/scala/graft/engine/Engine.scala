@@ -311,7 +311,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
   def sketchRollup(): Unit = Engine.tableLock(tablePath).synchronized {
     if (exists) {
       table()
-        .withColumn("vkey", concat_ws(" ", col("name"),
+        .withColumn("vkey", concat_ws("\u0000", col("name"),
           coalesce(col("value").cast("string"), lit("")),
           coalesce(col("value_long").cast("string"), lit("")),
           coalesce(col("value_str"), lit("")),

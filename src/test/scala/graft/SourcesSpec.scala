@@ -23,6 +23,39 @@ class SourcesSpec extends SparkSpec {
     assert(json.collect().map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
   }
 
+  test("DSv2 lineprotocol source: per-field fan-out, typed values, " +
+      "permissive errors, column pruning") {
+    val dir = tmpDir("graft-lp")
+    Files.write(Paths.get(dir, "a.lp"), java.util.List.of(
+      "cpu,host=web1 usage=0.64,n=7i 1700000000000000000",
+      "mem,host=web2 s=\"x\",up=true",
+      "not a line"))
+    val df = spark.read.format("lineprotocol").load(dir)
+    assert(df.schema == graft.sources.LineProtocolSource.schema)
+    val rows = df.collect()
+    assert(rows.length == 5) // 2 + 2 fields fanned out + 1 error row
+    val byName = rows.filter(_.getAs[String]("parse_error") == null)
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("usage").getAs[Double]("value") == 0.64)
+    assert(byName("n").getAs[Long]("value_long") == 7L)
+    assert(byName("n").getAs[Long]("time_ns") == 1700000000000000000L)
+    assert(byName("s").getAs[String]("value_str") == "x")
+    assert(byName("up").getAs[Boolean]("value_bool") == true)
+    assert(byName("usage").getAs[Map[String, String]]("tags") ==
+      Map("host" -> "web1"))
+    assert(rows.exists(r => r.getAs[String]("parse_error") != null))
+    // column pruning reaches the scan: the pruned read schema is visible
+    // in the physical plan's scan description
+    val pruned = df.select(col("series"), col("name"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("columns=series,name"), scan)
+    // and SQL over the source works end-to-end
+    df.createOrReplaceTempView("lp_src")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM lp_src WHERE parse_error IS NULL")
+      .head().getLong(0) == 4L)
+  }
+
   test("rate source generates load (streaming load-gen)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500")
       .load()
