@@ -428,6 +428,25 @@ class Engine(val spark: SparkSession, warehouse: String) {
     seriesCache = null // batch dirs were rewritten
   }}
 
+  /** Remove orphaned staging state a crashed maintenance op can leave
+    * behind: a `.compacting` directory (compaction died mid-rewrite — its
+    * contents were never swapped live, so they are garbage) and, ONLY
+    * while the live table exists, a leftover `.old` (post-swap crash;
+    * when the live dir is missing, `.old` is the recovery copy that
+    * [[exists]] swaps back in and must not be touched). Safe to run any
+    * time: both paths are only ever written under the table lock this
+    * method also holds. Returns the number of directories removed. */
+  def vacuum(): Int = Engine.tableLock(tablePath).synchronized {
+    var n = 0
+    if (pathExists(tablePath + ".compacting")) {
+      deletePath(tablePath + ".compacting"); n += 1
+    }
+    if (pathExists(tablePath) && pathExists(tablePath + ".old")) {
+      deletePath(tablePath + ".old"); n += 1
+    }
+    n
+  }
+
   /** Number of `ingest_batch=` directories currently in the table — the
     * operational metric behind the compaction invariant: [[listSeries]] is
     * O(batch-dirs × series) FS metadata ops, so uncompacted micro-batches

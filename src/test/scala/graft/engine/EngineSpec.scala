@@ -303,6 +303,27 @@ class EngineSpec extends SparkSpec {
     assert(e.query("SELECT count(*) AS n FROM keep").isRight)
   }
 
+  test("vacuum removes crashed-compaction staging but never the recovery " +
+      "copy") {
+    val e = new Engine(spark, tmpDir("graft-vacuum"))
+    e.ingestLines(Seq("vc v=1.0 1700000000000000000"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a compaction that died mid-rewrite and an earlier post-swap
+    // crash: both sibling dirs exist while the live table is intact
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${e.tablePath}.compacting"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${e.tablePath}.old"))
+    assert(e.vacuum() == 2)
+    assert(e.table().count() == 1) // live data untouched
+    assert(e.vacuum() == 0) // idempotent
+    // crash BETWEEN the two renames: live dir gone, .old is the recovery
+    // copy — vacuum must leave it for exists()-recovery
+    val p = new org.apache.hadoop.fs.Path(e.tablePath)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"${e.tablePath}.old"))
+    assert(e.vacuum() == 0)
+    assert(e.table().count() == 1) // exists() swapped the recovery back in
+  }
+
   test("streaming ingest applies event-time retention in its maintenance " +
       "slot (retainDays window behind the max ingested day)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
