@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +66,8 @@ class LineProtocolTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"lineprotocol:$path"
   override def schema(): StructType = LineProtocolSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineProtocolScanBuilder(path,
@@ -81,29 +83,88 @@ class LineProtocolScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def listFiles(): Seq[String] = {
+    val hadoop = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoop)
+    if (fs.isDirectory(p))
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        // in-flight temp and hidden files (the gateway's `.x.tmp` staging
+        // names) are not yet atomically visible data
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .map(_.toString).toSeq.sorted
+    else Seq(path)
+  }
+
+  private def readerFactory(): PartitionReaderFactory =
+    LineProtocolReaderFactory(required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"lineprotocol $path, columns=${required.fieldNames.mkString(",")}"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val hadoop = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(hadoop)
-      val files =
-        if (fs.isDirectory(p))
-          fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-        else Array(path)
-      files.sorted.map(f =>
-        LineProtocolInputPartition(f): InputPartition)
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      listFiles().map(f => LineProtocolInputPartition(f): InputPartition)
+        .toArray
 
-    override def createReaderFactory(): PartitionReaderFactory = {
-      val conf = new SerializableConfiguration(
-        spark.sessionState.newHadoopConf())
-      LineProtocolReaderFactory(required, conf)
+    override def createReaderFactory(): PartitionReaderFactory =
+      readerFactory()
+
+    /** Micro-batch stream over a spool directory (SURVEY §7.5's custom
+      * MicroBatchStream, completing the UDP/HTTP gateway story natively:
+      * gateway spools atomically-visible files, this source tails them).
+      * An offset is the SET of files seen (JSON array) — exact and
+      * restart-safe for gateway-scale spools; a production source bounds
+      * the offset with a compacted seen-files log like Spark's
+      * FileStreamSource. Files are immutable once visible (atomic
+      * rename), so (end minus start) is exactly the new data. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : MicroBatchStream = new MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.Offset
+
+      def offsetOf(files: Seq[String]): LineProtocolOffset =
+        LineProtocolOffset(files.sorted)
+
+      override def initialOffset(): Offset = offsetOf(Seq.empty)
+      override def latestOffset(): Offset = offsetOf(listFiles())
+      override def deserializeOffset(json: String): Offset =
+        LineProtocolOffset.fromJson(json)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+
+      override def planInputPartitions(start: Offset,
+          end: Offset): Array[InputPartition] = {
+        val seen = start.asInstanceOf[LineProtocolOffset].files.toSet
+        end.asInstanceOf[LineProtocolOffset].files
+          .filterNot(seen)
+          .map(f => LineProtocolInputPartition(f): InputPartition)
+          .toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        readerFactory()
     }
+  }
+}
+
+/** Offset = sorted seen-file list, serialized as a JSON string array. */
+case class LineProtocolOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(files))
+  }
+}
+
+object LineProtocolOffset {
+  def fromJson(json: String): LineProtocolOffset = {
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    LineProtocolOffset(parse(json).extract[Seq[String]].sorted)
   }
 }
 

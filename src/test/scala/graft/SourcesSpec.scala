@@ -56,6 +56,47 @@ class SourcesSpec extends SparkSpec {
       .head().getLong(0) == 4L)
   }
 
+  test("DSv2 lineprotocol source streams a spool dir: new files per " +
+      "micro-batch, checkpoint restart without reprocessing") {
+    val dir = tmpDir("graft-lp-stream")
+    val ckpt = tmpDir("graft-lp-ckpt")
+    def addFile(n: Int, lines: String*): Unit = {
+      // gateway contract: write hidden tmp, atomic-rename visible
+      val tmp = Paths.get(dir, s".batch-$n.txt.tmp")
+      Files.write(tmp, String.join("\n", lines: _*).getBytes)
+      Files.move(tmp, Paths.get(dir, s"batch-$n.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val out = tmpDir("graft-lp-out")
+    addFile(1, "cpu,host=a v=1.0 1700000000000000000")
+    def start() = spark.readStream.format("lineprotocol").load(dir)
+      .filter(col("parse_error").isNull)
+      .select(col("series"), col("name"), col("value"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    def sunk() = spark.read.parquet(out).collect()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(sunk().length == 1)
+      addFile(2, "cpu,host=b v=2.0 1700000001000000000",
+        "mem,host=b used=0.5,free=0.5 1700000001000000000")
+      q.processAllAvailable()
+      assert(sunk().length == 4) // 1 + 1 + 2-field fanout
+    } finally q.stop()
+    // restart from checkpoint: only the file added AFTER the stop is read
+    addFile(3, "cpu,host=c v=3.0 1700000002000000000")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = sunk()
+      assert(got.length == 5, s"restart lost/replayed rows: ${got.length}")
+      assert(got.count(r => r.getString(0) == "cpu") == 3)
+      assert(got.map(_.getDouble(2)).sorted.toSeq ==
+        Seq(0.5, 0.5, 1.0, 2.0, 3.0))
+    } finally q2.stop()
+  }
+
   test("rate source generates load (streaming load-gen)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500")
       .load()
