@@ -83,7 +83,8 @@ class Engine(val spark: SparkSession, warehouse: String) {
   def ingestStream(lines: DataFrame, checkpoint: String,
       compactEveryBatches: Int = 0, maxBatchDirs: Int = 64,
       bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed",
-      retainDays: Int = 0, retentionEveryBatches: Int = 0)
+      retainDays: Int = 0, retentionEveryBatches: Int = 0,
+      sketchEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -109,6 +110,10 @@ class Engine(val spark: SparkSession, warehouse: String) {
             applyRetention(maxDay.toLocalDate.minusDays(retainDays - 1L)
               .toString)
         }
+        // sketch rollups refresh in the same slot, so dashboard distinct-
+        // cardinality panels stay warm under continuous ingest
+        if (sketchEveryBatches > 0 && id > 0 && id % sketchEveryBatches == 0)
+          sketchRollup()
         ()
       }
       .start()

@@ -52,6 +52,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("vocabulary-sized scoring tables broadcast into their map-side " +
+      "joins (perplexity LM, tf-idf)") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_text_perplexity", "q_text_tfidf").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: scoring join is not broadcast:\n${plan.take(3000)}")
+    }
+  }
+
   test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {
     val dir = "/root/testdata/sf0.001"
     allowCross.filterNot(_ == "q11_cross_join").foreach { name =>

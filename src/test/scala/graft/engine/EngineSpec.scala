@@ -347,6 +347,25 @@ class EngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest refreshes the sketch rollup in its maintenance " +
+      "slot (sketchEveryBatches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = new Engine(spark, tmpDir("graft-ssk"))
+    val in = MemoryStream[String]
+    val q = e.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-ssk-ckpt"), sketchEveryBatches = 1)
+    try {
+      in.addData("sv,host=a v=1 1700000000000000000")
+      q.processAllAvailable()
+      in.addData("sv,host=b v=2 1700000001000000000")
+      q.processAllAvailable()
+      val r = e.approxDistinct("sv", "2023-11-14", "2023-11-14").head()
+      assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    } finally q.stop()
+  }
+
   test("sketch rollup answers distinct-cardinality range queries from " +
       "per-day mergeable HLL sketches, no raw scan") {
     val e = new Engine(spark, tmpDir("graft-sketch"))
