@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    e.injectOptimizerRule(_ => ApproxCountDistinctRule)
   }
 }
 

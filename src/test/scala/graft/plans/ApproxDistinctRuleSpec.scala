@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The opt-in COUNT(DISTINCT) → HLL rewrite must fire only when enabled,
+  * keep the estimate within the sketch's error bound, and leave
+  * non-sketchable types exact.
+  */
+class ApproxDistinctRuleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = Tables.configure(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions))
+        .getOrCreate()
+      try f(ext)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("count(distinct) rewrites to an HLL sketch estimate within its " +
+      "error bound, grouped and global, opt-in only") {
+    val exactGlobal = Tables.load(spark, dir, "events")
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+
+    withExtendedSession { ext =>
+      def q() = Tables.load(ext, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n"))
+      // conf off: exact plan, no sketch
+      assert(!q().queryExecution.optimizedPlan.toString.contains("hll_sketch"))
+      assert(q().head().getLong(0) == exactGlobal)
+
+      ext.conf.set(ApproxCountDistinctRule.EnabledConf, "true")
+      val plan = q().queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("hll_sketch"), s"rewrite did not fire:\n$plan")
+      val est = q().head().getLong(0)
+      // lgK=12 → ~1.6% relative standard error; allow 5%
+      assert(math.abs(est - exactGlobal).toDouble / exactGlobal < 0.05,
+        s"estimate $est vs exact $exactGlobal")
+
+      // grouped: per-group estimates, all within bound
+      val exactByType = Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val estByType = Tables.load(ext, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(estByType.keySet == exactByType.keySet)
+      estByType.foreach { case (k, v) =>
+        assert(math.abs(v - exactByType(k)).toDouble / exactByType(k) < 0.05,
+          s"$k: $v vs ${exactByType(k)}")
+      }
+
+      // non-sketchable type (double): left exact
+      val dq = Tables.load(ext, dir, "events")
+        .agg(countDistinct(col("value")).as("n"))
+      assert(!dq.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("hll_sketch"))
+      assert(dq.head().getLong(0) == Tables.load(spark, dir, "events")
+        .agg(countDistinct(col("value"))).head().getLong(0))
+    }
+  }
+}
