@@ -172,8 +172,11 @@ class ApiServer(engine: Engine, port: Int = 0) {
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {
+        // percent-decode ONLY: '+'-as-space is a query-string rule, not a
+        // path rule — a series literally named "a+b" must stay "a+b"
         val series = URLDecoder.decode(
-          ex.getRequestURI.getPath.stripPrefix("/series/"), UTF_8)
+          ex.getRequestURI.getPath.stripPrefix("/series/")
+            .replace("+", "%2B"), UTF_8)
         if (ex.getRequestMethod != "DELETE")
           respond(ex, 405, """{"error":"DELETE required"}""")
         else if (series.isEmpty)

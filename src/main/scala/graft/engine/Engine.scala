@@ -314,25 +314,40 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * input must be hashable bytes, and the rendering is deterministic)
     * and distinct TAG SETS per (series, day), plus exact row counts. */
   def sketchRollup(): Unit = Engine.tableLock(tablePath).synchronized {
+    acquireWriterLease()
     if (exists) {
-      table()
+      val rollup = table()
         .withColumn("vkey", concat_ws("\u0000", col("name"),
           coalesce(col("value").cast("string"), lit("")),
           coalesce(col("value_long").cast("string"), lit("")),
           coalesce(col("value_str"), lit("")),
           coalesce(col("value_bool").cast("string"), lit(""))))
-        .withColumn("tkey", to_json(col("tags")))
+        // key-sorted entries: the same tag SET must hash identically
+        // whatever order the tags arrived in on the wire (to_json of the
+        // raw map is insertion-order sensitive - review fix)
+        .withColumn("tkey",
+          to_json(map_from_entries(array_sort(map_entries(col("tags"))))))
         .groupBy(col("series"), col("day"))
         .agg(count(lit(1)).as("n_rows"),
           hll_sketch_agg(col("vkey")).as("value_sketch"),
           hll_sketch_agg(col("tkey")).as("tagset_sketch"))
         .repartition(col("series"))
-        .write.mode("overwrite").partitionBy("series").parquet(sketchPath)
+      atomicOverwrite(rollup, sketchPath, Seq("series"))
     }
   }
 
-  /** The per-(series, day) sketch table written by [[sketchRollup]]. */
-  def sketchTable(): DataFrame = spark.read.parquet(sketchPath)
+  private val sketchSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "day DATE, n_rows BIGINT, value_sketch BINARY, tagset_sketch BINARY, " +
+      "series STRING")
+
+  /** The per-(series, day) sketch table written by [[sketchRollup]] -
+    * typed empty frame when no rollup was ever built (empty-not-error
+    * posture, deviation D4). */
+  def sketchTable(): DataFrame =
+    if (pathExists(sketchPath))
+      spark.read.schema(sketchSchema).parquet(sketchPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sketchSchema)
 
   /** Approximate distinct field-values / tag-sets for one series over an
     * inclusive day range — answered ENTIRELY from the sketch rollup: the
@@ -361,18 +376,32 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * only the (series, day) partitions that actually contain the tag.
     * One explode + distinct pass over the (pruned) table per refresh. */
   def buildTagIndex(): Unit = Engine.tableLock(tablePath).synchronized {
+    acquireWriterLease()
     if (exists) {
-      table()
+      val idx = table()
         .select(col("series"), col("day"),
           explode(col("tags")).as(Seq("tag_k", "tag_v")))
         .distinct()
         .repartition(col("tag_k"))
-        .write.mode("overwrite").partitionBy("tag_k").parquet(tagIndexPath)
+      atomicOverwrite(idx, tagIndexPath, Seq("tag_k"))
     }
   }
 
-  /** The inverted tag index written by [[buildTagIndex]]. */
-  def tagIndex(): DataFrame = spark.read.parquet(tagIndexPath)
+  private val tagIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "series STRING, day DATE, tag_v STRING, tag_k STRING")
+
+  /** The inverted tag index written by [[buildTagIndex]] — typed empty
+    * frame when never built (empty-not-error posture, D4). STALE entries
+    * are self-correcting ([[queryByTag]] re-filters through the real
+    * scan, and pruning candidates for deleted partitions match nothing);
+    * entries MISSING for data ingested since the last build hide rows —
+    * rebuild after ingest, or drive it from the ingestStream maintenance
+    * slot. */
+  def tagIndex(): DataFrame =
+    if (pathExists(tagIndexPath))
+      spark.read.schema(tagIndexSchema).parquet(tagIndexPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagIndexSchema)
 
   /** All rows carrying tag `k=v`, scanning ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
@@ -442,14 +471,43 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * time: both paths are only ever written under the table lock this
     * method also holds. Returns the number of directories removed. */
   def vacuum(): Int = Engine.tableLock(tablePath).synchronized {
+    // a foreign JVM's maintenance must not delete staging another writer
+    // is actively producing (review fix: vacuum is a write, lease it)
+    acquireWriterLease()
     var n = 0
-    if (pathExists(tablePath + ".compacting")) {
-      deletePath(tablePath + ".compacting"); n += 1
+    for (base <- Seq(tablePath, sketchPath, tagIndexPath);
+         suffix <- Seq(".compacting", ".staging")) {
+      if (pathExists(base + suffix)) { deletePath(base + suffix); n += 1 }
     }
-    if (pathExists(tablePath) && pathExists(tablePath + ".old")) {
-      deletePath(tablePath + ".old"); n += 1
+    for (base <- Seq(tablePath, sketchPath, tagIndexPath)) {
+      if (pathExists(base) && pathExists(base + ".old")) {
+        deletePath(base + ".old"); n += 1
+      }
     }
     n
+  }
+
+  /** Atomic-swap overwrite for warehouse side tables (sketch rollup, tag
+    * index): write to a staging sibling, rename the previous version out,
+    * rename staging in — readers never see a half-written table and a
+    * crash leaves the previous version live (same recipe as [[compact]];
+    * [[vacuum]] clears any orphaned staging). */
+  private def atomicOverwrite(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val staging = path + ".staging"
+    val old = path + ".old"
+    deletePath(staging)
+    deletePath(old)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging)
+    if (pathExists(path) && !renamePath(path, old))
+      throw new java.io.IOException(s"atomicOverwrite: cannot stage out $path")
+    if (!renamePath(staging, path)) {
+      renamePath(old, path)
+      throw new java.io.IOException(s"atomicOverwrite: cannot swap in $staging")
+    }
+    deletePath(old)
   }
 
   /** Number of `ingest_batch=` directories currently in the table — the
@@ -514,7 +572,15 @@ class Engine(val spark: SparkSession, warehouse: String) {
           }
           if (fsys.listStatus(b.getPath).isEmpty) fsys.delete(b.getPath, true)
         }
-        if (dropped > 0) { writeVersion += 1; seriesCache = null }
+        if (dropped > 0) {
+          writeVersion += 1
+          seriesCache = null
+          // a materialized sketch rollup must not keep reporting expired
+          // days (review fix: rollup staleness after deletes) — rebuild
+          // it from the now-pruned table. Tag-index staleness is benign
+          // (see tagIndex scaladoc), so it is left for its own refresh.
+          if (pathExists(sketchPath)) sketchRollup()
+        }
         dropped
       }
     }
@@ -553,6 +619,17 @@ class Engine(val spark: SparkSession, warehouse: String) {
         if (Engine.ownsView(spark, series)) {
           spark.catalog.dropTempView(series)
           Engine.releaseView(spark, series)
+        }
+        // and the dropped series' sketch partition must not keep
+        // answering approxDistinct (review fix) — a directory delete,
+        // symmetric with the data delete above
+        if (pathExists(sketchPath)) {
+          val sfs = fs(sketchPath)
+          for (s <- sfs.listStatus(new org.apache.hadoop.fs.Path(sketchPath))
+                 if s.isDirectory && s.getPath.getName.startsWith("series=")
+                 if unescapePathName(
+                   s.getPath.getName.stripPrefix("series=")) == series)
+            sfs.delete(s.getPath, true)
         }
       }
       hit

@@ -39,6 +39,11 @@ object ZOrder {
   def zvalue(df: DataFrame, cols: Seq[String]): DataFrame = {
     val ndims = cols.length
     require(ndims >= 2, "z-ordering needs at least 2 columns")
+    // shiftleft wraps its shift amount mod 64: bit positions past 63
+    // would silently collide with low dims instead of failing
+    require(ndims * BitsPerDim <= 63,
+      s"z-ordering supports at most ${63 / BitsPerDim} columns " +
+        s"($BitsPerDim bits each); got $ndims")
     // per-column min/max as a 1-row broadcast (no collect; swap in
     // approx_percentile boundaries for heavily skewed columns)
     val aggs = cols.flatMap(c => Seq(

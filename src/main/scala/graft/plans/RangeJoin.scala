@@ -62,10 +62,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = conf.getConfString(BinSizeConf, "")
-    if (w.isEmpty) plan
+    // a malformed/nonpositive bin size must not fail UNRELATED queries in
+    // the session (this rule runs on every plan): warn and stand down
+    val parsed = scala.util.Try(w.toDouble).toOption.filter(_ > 0)
+    if (w.nonEmpty && parsed.isEmpty)
+      logWarning(s"ignoring invalid $BinSizeConf='$w' (want a positive number)")
+    if (parsed.isEmpty) plan
     else {
-      val width = w.toDouble
-      require(width > 0, s"$BinSizeConf must be positive, got $width")
+      val width = parsed.get
       plan.transformUp {
         case j @ Join(left, right, Inner, Some(cond), hint)
             if cond.deterministic =>

@@ -391,6 +391,14 @@ class EngineSpec extends SparkSpec {
     val scans = e.approxDistinct("sk", "2023-11-14", "2023-11-15")
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(scans.contains("sketch_daily") && !scans.contains("measurements"))
+    // the SAME tag set written in a different wire order is ONE tag set
+    // (review fix: the sketch key sorts map entries before serializing)
+    e.ingestLines(Seq(
+      "sk2,host=a,region=b v=1 1700000000000000000",
+      "sk2,region=b,host=a v=2 1700000001000000000"))
+    e.sketchRollup()
+    val t = e.approxDistinct("sk2", "2023-11-14", "2023-11-14").head()
+    assert(t.getLong(2) == 1, s"tag-order sensitivity: ${t.getLong(2)}")
   }
 
   test("library functions are callable from the engine SQL surface " +

@@ -13,29 +13,6 @@ class ApproxDistinctRuleSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val ext = Tables.configure(SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions))
-        .getOrCreate()
-      try f(ext)
-      finally {
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-      }
-    } finally {
-      SparkSession.setDefaultSession(spark)
-      SparkSession.setActiveSession(spark)
-    }
-  }
-
   test("count(distinct) rewrites to an HLL sketch estimate within its " +
       "error bound, grouped and global, opt-in only") {
     val exactGlobal = Tables.load(spark, dir, "events")

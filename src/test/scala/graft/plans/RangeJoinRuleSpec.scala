@@ -14,35 +14,6 @@ class RangeJoinRuleSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** A fresh session ON THE SAME SparkContext with the extensions applied
-    * through the programmatic production path (`.withExtensions`) —
-    * `spark.sql.extensions=graft.plans.GraftExtensions` is equivalent but
-    * is a STATIC conf read at SparkContext creation, which the shared
-    * test context predates. getOrCreate builds a new SparkSession (and
-    * honors the builder's extensions) once no active/default session is
-    * set. */
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    spark // force the shared session (and its SparkContext) to exist
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val ext = Tables.configure(SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions))
-        .getOrCreate()
-      try f(ext)
-      finally {
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-      }
-    } finally {
-      SparkSession.setDefaultSession(spark)
-      SparkSession.setActiveSession(spark)
-    }
-  }
 
   /** Pure interval join: lineitem quantities against 12 value bands —
     * no equi key anywhere. */
