@@ -827,7 +827,23 @@ class Engine(val spark: SparkSession, warehouse: String) {
                 if r.multipartIdentifier.length == 1 =>
               r.multipartIdentifier.head
           }.distinct
+          // side tables are RESERVED names on the SQL surface (like
+          // "measurements"): quarantine, the sketch rollup, and the tag
+          // index answer SELECTs too — a series sharing one of these
+          // names is reachable only via `measurements WHERE series = ...`
+          val sideTables: Map[String, () => DataFrame] = Map(
+            "quarantine" -> (() => quarantine()),
+            "sketch_daily" -> (() => sketchTable()),
+            "tag_index" -> (() => tagIndex()))
           rels.foreach { name =>
+            sideTables.get(name.toLowerCase) match {
+              case Some(mk)
+                  if Engine.ownsView(spark, name) ||
+                    !spark.catalog.tableExists(name.toLowerCase) =>
+                mk().createOrReplaceTempView(name.toLowerCase)
+                Engine.claimView(spark, name)
+              case Some(_) => // user-registered view of that name: keep it
+              case None =>
             byLower.get(name.toLowerCase) match {
               case Some(s) =>
                 // per-series view, like the reference's per-series tables;
@@ -850,6 +866,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
                   spark.catalog.dropTempView(name)
                   Engine.releaseView(spark, name)
                 }
+            }
             }
           }
           table().createOrReplaceTempView("measurements")

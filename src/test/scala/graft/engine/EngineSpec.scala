@@ -401,6 +401,27 @@ class EngineSpec extends SparkSpec {
     assert(t.getLong(2) == 1, s"tag-order sensitivity: ${t.getLong(2)}")
   }
 
+  test("side tables answer SELECTs on the SQL surface (quarantine, " +
+      "sketch_daily, tag_index)") {
+    val e = new Engine(spark, tmpDir("graft-side"))
+    e.ingestLines(Seq("sd,host=a v=1 1700000000000000000", "garbage"))
+    e.sketchRollup()
+    e.buildTagIndex()
+    assert(e.query("SELECT count(*) AS n FROM quarantine")
+      .toOption.get.head().getLong(0) == 1L)
+    assert(e.query(
+      "SELECT n_rows FROM sketch_daily WHERE series = 'sd'")
+      .toOption.get.head().getLong(0) == 1L)
+    assert(e.query(
+      "SELECT series FROM tag_index WHERE tag_k = 'host' AND tag_v = 'a'")
+      .toOption.get.head().getString(0) == "sd")
+    // joins between side tables and series views work too
+    assert(e.query(
+      """SELECT count(*) AS n FROM sd JOIN tag_index t
+        |ON t.series = sd.series WHERE t.tag_k = 'host'""".stripMargin)
+      .toOption.get.head().getLong(0) == 1L)
+  }
+
   test("library functions are callable from the engine SQL surface " +
       "(parse_line_expr / vec_dot / vec_cosine)") {
     val r = engine.query(
