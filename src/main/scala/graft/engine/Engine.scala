@@ -403,6 +403,25 @@ class Engine(val spark: SparkSession, warehouse: String) {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagIndexSchema)
 
+  /** InfluxDB `SHOW TAG KEYS` analog: distinct tag keys (optionally for
+    * one series), answered from the catalog-sized tag index — builds it
+    * on first use if absent. */
+  def tagKeys(series: Option[String] = None): Seq[String] = {
+    if (!pathExists(tagIndexPath)) buildTagIndex()
+    series.fold(tagIndex())(s => tagIndex().filter(col("series") === s))
+      .select(col("tag_k")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** InfluxDB `SHOW TAG VALUES` analog: distinct values of one tag key —
+    * the index's `tag_k` partition prunes the lookup. */
+  def tagValues(k: String): Seq[String] = {
+    if (!pathExists(tagIndexPath)) buildTagIndex()
+    tagIndex().filter(col("tag_k") === k)
+      .select(col("tag_v")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** All rows carrying tag `k=v`, scanning ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
     * CATALOG-sized (series, day) list to the driver — same posture as

@@ -51,4 +51,18 @@ class TagIndexSpec extends SparkSpec {
       .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
     assert(idxScan.head.partitionFilters.nonEmpty)
   }
+
+  test("SHOW TAG KEYS / VALUES answer from the index, building it on " +
+      "first use") {
+    val e = new Engine(spark, tmpDir("graft-showtags"))
+    e.ingestLines(Seq(
+      "cpu,host=web1,region=eu v=1.0 1700000000000000000",
+      "mem,host=web2 v=2.0 1700000000000000000"))
+    // no buildTagIndex() call: first use builds it
+    assert(e.tagKeys() == Seq("host", "region"))
+    assert(e.tagKeys(Some("mem")) == Seq("host"))
+    assert(e.tagValues("host") == Seq("web1", "web2"))
+    assert(e.tagValues("region") == Seq("eu"))
+    assert(e.tagValues("nope").isEmpty)
+  }
 }

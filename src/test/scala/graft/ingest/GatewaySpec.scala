@@ -49,6 +49,19 @@ class GatewaySpec extends SparkSpec {
       assert(engine.listSeries() == Seq("http_series", "udp_series"))
       // multi-field UDP line fans out to 2 rows
       assert(engine.table().filter(col("series") === "udp_series").count() == 2)
+
+      // the DSv2 lineprotocol source tails the SAME spool natively —
+      // already-parsed rows, no text+parse step, same fan-out
+      val q2 = spark.readStream.format("lineprotocol").load(spool)
+        .filter(col("parse_error").isNull)
+        .writeStream.option("checkpointLocation", tmpDir("graft-gw-ckpt2"))
+        .outputMode("append").format("memory").queryName("gw_dsv2").start()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("gw_dsv2").collect()
+      assert(rows.length == 3) // 1 http + 2-field udp fan-out
+      assert(rows.map(_.getAs[String]("series")).distinct.sorted.toSeq ==
+        Seq("http_series", "udp_series"))
     } finally gw.stop()
   }
 }
