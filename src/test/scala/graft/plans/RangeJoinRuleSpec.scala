@@ -63,6 +63,34 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("timestamp interval joins rewrite too (the TSDB case: event time " +
+      "vs maintenance windows)") {
+    def windows(s: SparkSession) = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      .limit(20)
+    def joined(s: SparkSession) = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .join(windows(s),
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("event_id"), col("win_id"))
+    val expected = joined(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withExtendedSession { ext =>
+      ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "600") // 10 min in sec
+      val plan = joined(ext).queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      val got = joined(ext).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "timestamp rewrite changed results")
+    }
+  }
+
   test("equi-joins and empty intervals are left correct") {
     withExtendedSession { ext =>
       ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "4.0")
