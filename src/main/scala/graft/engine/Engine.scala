@@ -403,24 +403,32 @@ class Engine(val spark: SparkSession, warehouse: String) {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagIndexSchema)
 
+  /** Tag metadata source for the SHOW-style reads: the materialized index
+    * when present, otherwise a DIRECT (unmaterialized) scan of the table.
+    * READ-ONLY on purpose — a metadata read must never write, so it can
+    * never acquire (let alone steal) the warehouse writer lease; a
+    * reader-only JVM stays a reader. Call [[buildTagIndex]] from the
+    * writer to make these catalog-cheap. */
+  private def tagMeta(): DataFrame =
+    if (pathExists(tagIndexPath)) tagIndex()
+    else if (!exists) tagIndex() // typed empty frame
+    else table().select(col("series"), col("day"),
+      explode(col("tags")).as(Seq("tag_k", "tag_v")))
+
+  private def distinctSorted(df: DataFrame, c: String): Seq[String] =
+    df.select(col(c)).distinct().collect().map(_.getString(0)).toSeq.sorted
+
   /** InfluxDB `SHOW TAG KEYS` analog: distinct tag keys (optionally for
-    * one series), answered from the catalog-sized tag index — builds it
-    * on first use if absent. */
-  def tagKeys(series: Option[String] = None): Seq[String] = {
-    if (!pathExists(tagIndexPath)) buildTagIndex()
-    series.fold(tagIndex())(s => tagIndex().filter(col("series") === s))
-      .select(col("tag_k")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-  }
+    * one series) — index-backed when built, scan-backed otherwise. */
+  def tagKeys(series: Option[String] = None): Seq[String] =
+    distinctSorted(
+      series.fold(tagMeta())(s => tagMeta().filter(col("series") === s)),
+      "tag_k")
 
   /** InfluxDB `SHOW TAG VALUES` analog: distinct values of one tag key —
-    * the index's `tag_k` partition prunes the lookup. */
-  def tagValues(k: String): Seq[String] = {
-    if (!pathExists(tagIndexPath)) buildTagIndex()
-    tagIndex().filter(col("tag_k") === k)
-      .select(col("tag_v")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-  }
+    * the index's `tag_k` partition prunes the lookup when built. */
+  def tagValues(k: String): Seq[String] =
+    distinctSorted(tagMeta().filter(col("tag_k") === k), "tag_v")
 
   /** All rows carrying tag `k=v`, scanning ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
@@ -848,12 +856,21 @@ class Engine(val spark: SparkSession, warehouse: String) {
           }.distinct
           // side tables are RESERVED names on the SQL surface (like
           // "measurements"): quarantine, the sketch rollup, and the tag
-          // index answer SELECTs too — a series sharing one of these
-          // names is reachable only via `measurements WHERE series = ...`
+          // index answer SELECTs too. A series that ALSO carries one of
+          // these names is ambiguous — fail LOUDLY rather than silently
+          // swap which data the query reads (review fix: old warehouses
+          // can legally contain such series).
           val sideTables: Map[String, () => DataFrame] = Map(
             "quarantine" -> (() => quarantine()),
             "sketch_daily" -> (() => sketchTable()),
             "tag_index" -> (() => tagIndex()))
+          val clash = rels.find(n => sideTables.contains(n.toLowerCase) &&
+            byLower.contains(n.toLowerCase))
+          if (clash.isDefined)
+            Left(s"'${clash.get}' is a reserved side-table name that " +
+              "also exists as a series; read the series via measurements " +
+              s"WHERE series = '${byLower(clash.get.toLowerCase)}'")
+          else {
           rels.foreach { name =>
             sideTables.get(name.toLowerCase) match {
               case Some(mk)
@@ -890,6 +907,7 @@ class Engine(val spark: SparkSession, warehouse: String) {
           }
           table().createOrReplaceTempView("measurements")
           Try(spark.sql(sql)).toEither.left.map(e => s"analysis error: ${e.getMessage}")
+          }
       }
     }
   }

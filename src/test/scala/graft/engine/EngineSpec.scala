@@ -420,6 +420,15 @@ class EngineSpec extends SparkSpec {
       """SELECT count(*) AS n FROM sd JOIN tag_index t
         |ON t.series = sd.series WHERE t.tag_k = 'host'""".stripMargin)
       .toOption.get.head().getLong(0) == 1L)
+    // a SERIES that shares a reserved name is ambiguous: fail loudly,
+    // never silently swap which data the query reads
+    e.ingestLines(Seq("quarantine v=9 1700000000000000000"))
+    val clash = e.query("SELECT * FROM quarantine")
+    assert(clash.isLeft && clash.swap.toOption.get.contains("reserved"),
+      clash.toString)
+    assert(e.query(
+      "SELECT count(*) AS n FROM measurements WHERE series = 'quarantine'")
+      .toOption.get.head().getLong(0) == 1L)
   }
 
   test("library functions are callable from the engine SQL surface " +

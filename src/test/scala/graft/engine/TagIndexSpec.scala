@@ -52,14 +52,24 @@ class TagIndexSpec extends SparkSpec {
     assert(idxScan.head.partitionFilters.nonEmpty)
   }
 
-  test("SHOW TAG KEYS / VALUES answer from the index, building it on " +
-      "first use") {
+  test("SHOW TAG KEYS / VALUES answer from the index when built, from a " +
+      "read-only scan otherwise (reads never take the writer lease)") {
     val e = new Engine(spark, tmpDir("graft-showtags"))
     e.ingestLines(Seq(
       "cpu,host=web1,region=eu v=1.0 1700000000000000000",
       "mem,host=web2 v=2.0 1700000000000000000"))
-    // no buildTagIndex() call: first use builds it
+    // no buildTagIndex() call: the scan fallback answers, and being a
+    // READ it must not create/steal the warehouse writer lease — prove it
+    // by making the lease foreign first (reads stay available)
+    e.releaseWriterLease()
+    val leaseFile = new java.io.File(s"${e.tablePath}.writer.lock")
+    java.nio.file.Files.deleteIfExists(new java.io.File(
+      leaseFile.getParentFile, s".${leaseFile.getName}.crc").toPath)
+    java.nio.file.Files.writeString(leaseFile.toPath, "other-jvm-0000")
     assert(e.tagKeys() == Seq("host", "region"))
+    e.breakWriterLease() // restore for the index build below
+    e.buildTagIndex()
+    assert(e.tagKeys() == Seq("host", "region")) // index-backed now
     assert(e.tagKeys(Some("mem")) == Seq("host"))
     assert(e.tagValues("host") == Seq("web1", "web2"))
     assert(e.tagValues("region") == Seq("eu"))

@@ -70,7 +70,9 @@ class RangeJoinRuleSpec extends SparkSpec {
       .select(col("event_id").as("win_id"),
         col("ts").as("w_start"),
         (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
-      .limit(20)
+      // deterministic window set: limit without an order is plan-order-
+      // dependent and the two sessions plan differently (review fix)
+      .orderBy(col("win_id")).limit(20)
     def joined(s: SparkSession) = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"))
       .join(windows(s),
