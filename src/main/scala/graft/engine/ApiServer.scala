@@ -169,6 +169,27 @@ class ApiServer(engine: Engine, port: Int = 0) {
       }
     })
 
+    // GET /tags → {"keys": [...]}; GET /tags/<key> → {"values": [...]}
+    // (InfluxDB SHOW TAG KEYS / SHOW TAG VALUES analogs; read-only)
+    http.createContext("/tags", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else {
+          val rest = ex.getRequestURI.getPath.stripPrefix("/tags")
+            .stripPrefix("/")
+          if (rest.isEmpty)
+            respond(ex, 200,
+              s"""{"keys":${jsonArray(engine.tagKeys().map(quote))}}""")
+          else {
+            val k = URLDecoder.decode(rest.replace("+", "%2B"), UTF_8)
+            respond(ex, 200,
+              s"""{"values":${jsonArray(engine.tagValues(k).map(quote))}}""")
+          }
+        }
+      }
+    })
+
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {

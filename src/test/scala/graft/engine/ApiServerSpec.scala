@@ -90,10 +90,18 @@ class ApiServerSpec extends SparkSpec {
       assert(call(s"$base/retention?before=nope", "POST")._1 == 400)
       assert(call(s"$base/retention", "POST")._1 == 400)
 
+      // GET /tags and /tags/<key> (SHOW TAG KEYS / VALUES)
+      call(s"$base/write", "POST",
+        "tagged,host=web1,region=eu v=1.0 1700000000000000000")
+      assert(call(s"$base/tags")._2 == """{"keys":["host","region"]}""")
+      assert(call(s"$base/tags/host")._2 == """{"values":["web1"]}""")
+      assert(call(s"$base/tags/none")._2 == """{"values":[]}""")
+      assert(call(s"$base/tags", "POST")._1 == 405)
+
       // DELETE /series/<name>
       val (dc, db) = call(s"$base/series/old", "DELETE")
       assert(dc == 200 && db == """{"dropped":"old"}""", db)
-      assert(call(s"$base/")._2 == """{"series":["fresh"]}""")
+      assert(call(s"$base/")._2 == """{"series":["fresh","tagged"]}""")
       assert(call(s"$base/series/old", "DELETE")._1 == 404) // already gone
       assert(call(s"$base/series/old", "GET")._1 == 405) // wrong method
     } finally api.stop()
