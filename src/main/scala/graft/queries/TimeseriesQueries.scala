@@ -143,6 +143,54 @@ object TimeseriesQueries extends QuerySet {
     // then map-only math; at 100 TB this is the same plan as any frame
     // window. Both engines evaluate the ordered frame identically;
     // micro() fixed-point keeps the boundary deterministic.
+    // DERIVATIVE / non_negative_derivative (InfluxDB's headline transform):
+    // per-series rate of change between consecutive points, counter
+    // resets (negative deltas) clamped to null. One lag-window pass per
+    // partition key — a single shuffle at any scale. Rates are quantized
+    // to micro-units per second AFTER the per-row division (both engines
+    // compute the identical double from identical operands).
+    "q_derivative" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("dt_us",
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .filter(col("prev_v").isNotNull && col("dt_us") > 0)
+        .select(col("event_id"), col("user_id"),
+          micro((col("value") - col("prev_v")) /
+            (col("dt_us").cast("double") / 1000000.0)).as("rate_micro"),
+          when(col("value") >= col("prev_v"),
+            micro((col("value") - col("prev_v")) /
+              (col("dt_us").cast("double") / 1000000.0)))
+            .as("nn_rate_micro"))
+        .orderBy(col("event_id"))
+    },
+
+    // OHLC candle downsampling (open/high/low/close per hour bucket) —
+    // the financial-TSDB aggregate InfluxDB spells FIRST/MAX/MIN/LAST.
+    // first/last are defined by (ts, event_id) order within the bucket;
+    // one ordered window pass + distinct, a single shuffle on the bucket.
+    "q_ohlc" -> { (s, dir) =>
+      val bucket = date_trunc("hour", col("ts")).as("bucket")
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("bucket", bucket)
+        .select(col("bucket"),
+          first(col("value")).over(w).as("open"),
+          max(col("value")).over(w).as("high"),
+          min(col("value")).over(w).as("low"),
+          last(col("value")).over(w).as("close"),
+          count(lit(1)).over(w).as("n"))
+        .distinct()
+        .select(ntz(col("bucket")).as("bucket"), col("open"), col("high"),
+          col("low"), col("close"), col("n"))
+        .orderBy(col("bucket"))
+    },
+
     "q_stat_anomaly" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -256,6 +304,39 @@ object TimeseriesQueries extends QuerySet {
         |  (o.avg_v IS NOT NULL) AS is_observed
         |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    "q_derivative" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, value, ts,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, value, prev_v,
+        |    epoch_us(ts) - epoch_us(prev_ts) AS dt_us
+        |  FROM d WHERE prev_v IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 0)
+        |SELECT event_id, user_id,
+        |  CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+        |  CASE WHEN value >= prev_v THEN
+        |    CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS nn_rate_micro
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH b AS (SELECT *, date_trunc('hour', ts) AS bucket FROM events),
+        |w AS (
+        |  SELECT bucket,
+        |    first_value(value) OVER (PARTITION BY bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+        |    max(value) OVER (PARTITION BY bucket) AS high,
+        |    min(value) OVER (PARTITION BY bucket) AS low,
+        |    last_value(value) OVER (PARTITION BY bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+        |    count(*) OVER (PARTITION BY bucket) AS n
+        |  FROM b)
+        |SELECT DISTINCT bucket, open, high, low, close, CAST(n AS BIGINT) AS n
+        |FROM w ORDER BY bucket""".stripMargin,
 
     "q_stat_anomaly" ->
       """WITH scored AS (
