@@ -168,6 +168,30 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // INTEGRAL (InfluxDB's area-under-curve aggregate): trapezoidal value
+    // integral per series per day. Each trapezoid (v+prev_v)/2 * dt is a
+    // per-row double computed from identical operands on both engines,
+    // QUANTIZED to int64 micro value-seconds before the rollup — the
+    // group sum is then exact integer math, immune to summation order
+    // (the same discipline as q_text_perplexity).
+    "q_integral" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_v").isNotNull)
+        .withColumn("trap_micro",
+          micro((col("value") + col("prev_v")) / 2.0 *
+            ((unix_micros(col("ts")) - col("prev_us")).cast("double") /
+              1000000.0)))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("trap_micro")).as("integral_micro"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // OHLC candle downsampling (open/high/low/close per hour bucket) —
     // the financial-TSDB aggregate InfluxDB spells FIRST/MAX/MIN/LAST.
     // first/last are defined by (ts, event_id) order within the bucket;
@@ -322,6 +346,25 @@ object TimeseriesQueries extends QuerySet {
         |    CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
         |      * 1000000.0 + 0.5) AS BIGINT) END AS nn_rate_micro
         |FROM r ORDER BY event_id""".stripMargin,
+
+    "q_integral" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
+        |    lag(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS prev_v,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |tr AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((value + prev_v) / 2.0 *
+        |      (CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1000000.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS trap_micro
+        |  FROM d WHERE prev_v IS NOT NULL)
+        |SELECT user_id, day,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(trap_micro) AS BIGINT) AS integral_micro
+        |FROM tr GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
 
     "q_ohlc" ->
       """WITH b AS (SELECT *, date_trunc('hour', ts) AS bucket FROM events),
