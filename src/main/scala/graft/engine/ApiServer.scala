@@ -169,35 +169,39 @@ class ApiServer(engine: Engine, port: Int = 0) {
       }
     })
 
+    // Decode one path segment from the RAW (still-escaped) request path:
+    // getPath is already percent-decoded by the JDK, so decoding IT would
+    // double-decode (literal '%' throws, '%2B' becomes '+'); and
+    // '+'-as-space is a query-string rule, not a path rule, so protect
+    // literal '+' before the percent decode.
+    def decodeSegment(raw: String): String =
+      URLDecoder.decode(raw.replace("+", "%2B"), UTF_8)
+
     // GET /tags → {"keys": [...]}; GET /tags/<key> → {"values": [...]}
     // (InfluxDB SHOW TAG KEYS / SHOW TAG VALUES analogs; read-only)
     http.createContext("/tags", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val raw = ex.getRequestURI.getRawPath
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"GET required"}""")
-        else {
-          val rest = ex.getRequestURI.getPath.stripPrefix("/tags")
-            .stripPrefix("/")
-          if (rest.isEmpty)
-            respond(ex, 200,
-              s"""{"keys":${jsonArray(engine.tagKeys().map(quote))}}""")
-          else {
-            val k = URLDecoder.decode(rest.replace("+", "%2B"), UTF_8)
-            respond(ex, 200,
-              s"""{"values":${jsonArray(engine.tagValues(k).map(quote))}}""")
-          }
-        }
+        else if (raw == "/tags")
+          respond(ex, 200,
+            s"""{"keys":${jsonArray(engine.tagKeys().map(quote))}}""")
+        else if (raw.startsWith("/tags/") &&
+            !raw.stripPrefix("/tags/").isEmpty &&
+            !raw.stripPrefix("/tags/").contains("/")) {
+          val k = decodeSegment(raw.stripPrefix("/tags/"))
+          respond(ex, 200,
+            s"""{"values":${jsonArray(engine.tagValues(k).map(quote))}}""")
+        } else respond(ex, 404, """{"error":"not found"}""")
       }
     })
 
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {
-        // percent-decode ONLY: '+'-as-space is a query-string rule, not a
-        // path rule — a series literally named "a+b" must stay "a+b"
-        val series = URLDecoder.decode(
-          ex.getRequestURI.getPath.stripPrefix("/series/")
-            .replace("+", "%2B"), UTF_8)
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/series/"))
         if (ex.getRequestMethod != "DELETE")
           respond(ex, 405, """{"error":"DELETE required"}""")
         else if (series.isEmpty)

@@ -137,12 +137,6 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"), col("hour"))
     },
 
-    // Rolling z-score anomaly detection: each point scored against the
-    // mean/stddev of its own trailing 10-point window per series — the
-    // classic TSDB alerting primitive. One shuffle (the per-user window),
-    // then map-only math; at 100 TB this is the same plan as any frame
-    // window. Both engines evaluate the ordered frame identically;
-    // micro() fixed-point keeps the boundary deterministic.
     // DERIVATIVE / non_negative_derivative (InfluxDB's headline transform):
     // per-series rate of change between consecutive points, counter
     // resets (negative deltas) clamped to null. One lag-window pass per
@@ -158,12 +152,11 @@ object TimeseriesQueries extends QuerySet {
         .withColumn("dt_us",
           unix_micros(col("ts")) - unix_micros(col("prev_ts")))
         .filter(col("prev_v").isNotNull && col("dt_us") > 0)
-        .select(col("event_id"), col("user_id"),
+        .withColumn("rate_micro",
           micro((col("value") - col("prev_v")) /
-            (col("dt_us").cast("double") / 1000000.0)).as("rate_micro"),
-          when(col("value") >= col("prev_v"),
-            micro((col("value") - col("prev_v")) /
-              (col("dt_us").cast("double") / 1000000.0)))
+            (col("dt_us").cast("double") / 1000000.0)))
+        .select(col("event_id"), col("user_id"), col("rate_micro"),
+          when(col("value") >= col("prev_v"), col("rate_micro"))
             .as("nn_rate_micro"))
         .orderBy(col("event_id"))
     },
@@ -194,27 +187,31 @@ object TimeseriesQueries extends QuerySet {
 
     // OHLC candle downsampling (open/high/low/close per hour bucket) —
     // the financial-TSDB aggregate InfluxDB spells FIRST/MAX/MIN/LAST.
-    // first/last are defined by (ts, event_id) order within the bucket;
-    // one ordered window pass + distinct, a single shuffle on the bucket.
+    // open/close are min_by/max_by on the (ts, event_id) struct key
+    // (unique, so deterministic): ONE hash aggregate with map-side
+    // partials — a window + distinct formulation would pay three
+    // exchanges for the same answer (review fix).
     "q_ohlc" -> { (s, dir) =>
-      val bucket = date_trunc("hour", col("ts")).as("bucket")
-      val w = Window.partitionBy(col("bucket"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ord = struct(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("bucket", bucket)
-        .select(col("bucket"),
-          first(col("value")).over(w).as("open"),
-          max(col("value")).over(w).as("high"),
-          min(col("value")).over(w).as("low"),
-          last(col("value")).over(w).as("close"),
-          count(lit(1)).over(w).as("n"))
-        .distinct()
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy(col("bucket"))
+        .agg(min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("n"))
         .select(ntz(col("bucket")).as("bucket"), col("open"), col("high"),
           col("low"), col("close"), col("n"))
         .orderBy(col("bucket"))
     },
 
+    // Rolling z-score anomaly detection: each point scored against the
+    // mean/stddev of its own trailing 10-point window per series — the
+    // classic TSDB alerting primitive. One shuffle (the per-user window),
+    // then map-only math; at 100 TB this is the same plan as any frame
+    // window. Both engines evaluate the ordered frame identically;
+    // micro() fixed-point keeps the boundary deterministic.
     "q_stat_anomaly" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -339,13 +336,12 @@ object TimeseriesQueries extends QuerySet {
         |  SELECT event_id, user_id, value, prev_v,
         |    epoch_us(ts) - epoch_us(prev_ts) AS dt_us
         |  FROM d WHERE prev_v IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 0)
-        |SELECT event_id, user_id,
+        |SELECT event_id, user_id, rate_micro,
+        |  CASE WHEN value >= prev_v THEN rate_micro END AS nn_rate_micro
+        |FROM (SELECT *,
         |  CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
-        |    * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
-        |  CASE WHEN value >= prev_v THEN
-        |    CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
-        |      * 1000000.0 + 0.5) AS BIGINT) END AS nn_rate_micro
-        |FROM r ORDER BY event_id""".stripMargin,
+        |    * 1000000.0 + 0.5) AS BIGINT) AS rate_micro FROM r)
+        |ORDER BY event_id""".stripMargin,
 
     "q_integral" ->
       """WITH d AS (
@@ -367,7 +363,8 @@ object TimeseriesQueries extends QuerySet {
         |FROM tr GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
 
     "q_ohlc" ->
-      """WITH b AS (SELECT *, date_trunc('hour', ts) AS bucket FROM events),
+      """WITH b AS (SELECT *, date_trunc('hour', ts)::TIMESTAMP AS bucket
+        |           FROM events),
         |w AS (
         |  SELECT bucket,
         |    first_value(value) OVER (PARTITION BY bucket ORDER BY ts, event_id

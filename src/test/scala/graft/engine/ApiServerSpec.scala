@@ -97,6 +97,11 @@ class ApiServerSpec extends SparkSpec {
       assert(call(s"$base/tags/host")._2 == """{"values":["web1"]}""")
       assert(call(s"$base/tags/none")._2 == """{"values":[]}""")
       assert(call(s"$base/tags", "POST")._1 == 405)
+      // prefix-matched junk is 404, not an empty success
+      assert(call(s"$base/tags/host/extra")._1 == 404)
+      assert(call(s"$base/tagsfoo")._1 == 404)
+      // raw-path decode happens exactly ONCE: %25 is a literal '%'
+      assert(call(s"$base/tags/disk%25used")._2 == """{"values":[]}""")
 
       // DELETE /series/<name>
       val (dc, db) = call(s"$base/series/old", "DELETE")
