@@ -161,6 +161,24 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // MODE (InfluxDB's most-frequent-value aggregate): per series, the
+    // event type that occurs most often, ties broken lexicographically —
+    // one count aggregate + one tiny per-series window, both shuffles on
+    // the series key. (Spark's own `mode` agg breaks ties arbitrarily;
+    // the explicit rank keeps the answer engine-deterministic.)
+    "q_mode" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("cnt").as("mode_n"))
+        .orderBy(col("user_id"))
+    },
+
     // INTEGRAL (InfluxDB's area-under-curve aggregate): trapezoidal value
     // integral per series per day. Each trapezoid (v+prev_v)/2 * dt is a
     // per-row double computed from identical operands on both engines,
@@ -342,6 +360,16 @@ object TimeseriesQueries extends QuerySet {
         |  CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
         |    * 1000000.0 + 0.5) AS BIGINT) AS rate_micro FROM r)
         |ORDER BY event_id""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY cnt DESC, event_type) AS rnk FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS mode_n
+        |FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin,
 
     "q_integral" ->
       """WITH d AS (
