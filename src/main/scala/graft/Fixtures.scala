@@ -1,0 +1,23 @@
+package graft
+
+/** Repo-committed fixture files: single parquet FILES (not directories) so
+  * both Spark (`spark.read.parquet`) and the driver's DuckDB oracle
+  * (`read_parquet('<abs path>')`) read the same bytes at the same absolute
+  * path. Oracle SQL strings are built at Verify time, so they interpolate
+  * these resolved paths.
+  */
+object Fixtures {
+  /** fixtures/ resolved against the CWD when present (sbt runs from the
+    * repo root), with the driver's canonical checkout as fallback. */
+  val dir: String = {
+    val local = new java.io.File("fixtures")
+    if (local.isDirectory) local.getAbsolutePath else "/root/repo/fixtures"
+  }
+
+  /** Trained PQ codebooks for q34e_pq_ann (written once by
+    * [[graft.tools.MakeFixtures]], committed): one row per (mi, ki) with
+    * the centroid as DOUBLE[] and half_nc2 = 0.5*||centroid||^2 precomputed
+    * with the same sequential Scala arithmetic the Spark encode expression
+    * uses — the oracle reads the stored value instead of re-deriving it. */
+  def pqCodebooks: String = s"$dir/pq_codebooks.parquet"
+}

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
@@ -146,6 +148,47 @@ object PqIndex {
       require(book.length <= cb.k)
     }
     out
+  }
+
+  /** Persist codebooks as ONE parquet file at `path`: (mi, ki,
+    * centroid DOUBLE[], half_nc2 DOUBLE). half_nc2 is precomputed here with
+    * the same sequential sum [[codesExpr]] embeds as a literal, so a SQL
+    * oracle reading the fixture scores code assignment with bit-identical
+    * constants. Written as a single file (coalesce(1) + move) because
+    * DuckDB's read_parquet targets a file, not a Spark directory. */
+  def save(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    require(cb.books.forall(_.length == cb.k),
+      "pq save: ragged codebooks (fewer distinct training points than k)")
+    val rows = for { mi <- 0 until cb.m; ki <- 0 until cb.k } yield {
+      val c = cb.books(mi)(ki)
+      (mi, ki, c.toSeq, 0.5 * c.map(x => x * x).sum)
+    }
+    val tmp = path + ".tmpdir"
+    rows.toDF("mi", "ki", "centroid", "half_nc2")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.move(part.toPath, Paths.get(path),
+      StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    Files.deleteIfExists(Paths.get(tmp))
+  }
+
+  /** Load codebooks written by [[save]] (model-sized: m*k rows). */
+  def load(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("mi"), col("ki"), col("centroid")).collect()
+    require(rows.nonEmpty, s"pq load: empty codebook fixture at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(books.forall(_.forall(_ != null)), "pq load: missing (mi,ki) row")
+    Codebooks(m, k, books(0)(0).length, books)
   }
 
   /** Approximate cosine top-k over the encoded corpus via ADC. */

@@ -362,11 +362,29 @@ object DedupQueries extends QuerySet {
     },
 
     // Embedding-cosine near-dup: 8-bit sign-LSH bucket, cosine within bucket.
+    //
+    // The sf0.01 fixture has no natural near-dups (max within-bucket cosine
+    // is 0.43), so the raw query passed vacuously on 0 rows. Both engines
+    // therefore union in 4 PLANTED rows (2 near-identical pairs, vec_id
+    // 900001-900004) generated by the same closed-form expression: every
+    // element is an exact multiple of 0.25 (representable in float32, so
+    // int-mod arithmetic + one float cast is bit-identical across engines),
+    // and each pair differs only in element 64 by +0.25 → cosine ≈ 0.9992,
+    // far above the 0.8 threshold while every natural pair stays far below.
     "q_dedup_embedding" -> { (s, dir) =>
+      val planted = s.range(1, 5).select(
+        (col("id") + 900000L).as("vec_id"),
+        expr("""transform(sequence(1, 64), i -> CAST(
+            (((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+              % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+             - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25D
+            + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25D ELSE 0D END)
+            AS FLOAT))""").as("embedding"),
+        lit(90).as("label"))
       val bucketExpr = (1 to 8).map(i =>
         when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
           .otherwise(lit(0))).reduce(_ + _)
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").unionByName(planted)
         .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
           graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -552,7 +570,19 @@ object DedupQueries extends QuerySet {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_embedding" ->
-      """WITH e AS (
+      """WITH emb AS (
+        |  SELECT * FROM embeddings
+        |  UNION ALL
+        |  SELECT 900000 + id AS vec_id,
+        |    CAST(list_transform(range(1, 65), i ->
+        |      CAST((((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+        |             % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+        |            - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25::DOUBLE
+        |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
+        |           AS FLOAT)) AS FLOAT[]) AS embedding,
+        |    90 AS label
+        |  FROM range(1, 5) t(id)),
+        |e AS (
         |  SELECT vec_id, embedding,
         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
         |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
@@ -563,7 +593,7 @@ object DedupQueries extends QuerySet {
         |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
         |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM embeddings)
+        |  FROM emb)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos_sim

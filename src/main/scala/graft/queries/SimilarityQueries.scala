@@ -84,18 +84,22 @@ object SimilarityQueries extends QuerySet {
     // broadcast, never adds a shuffle.
     "q34d_ann_multiprobe" -> { (s, dir) => ivf(s, dir, probes = 2) },
 
-    // Q34e: product-quantized ANN (operators/PqIndex): train 8×16
-    // codebooks on a deterministic sample, encode the corpus to 8 4-bit
-    // codes + a norm (64 floats → 4 packed bytes of codes at scale), score
-    // by ADC table lookup (native pq_adc expression), exact-rerank the
-    // top-50 ADC survivors with true cosine, report top-10. NO DuckDB
-    // oracle: the codebooks are data-dependent driver state that static
-    // SQL cannot reproduce — the driver records the weaker rows-only
-    // check, and PqSpec pins recall/self-retrieval/determinism invariants.
+    // Q34e: product-quantized ANN (operators/PqIndex): 8×16 codebooks
+    // PINNED as a parquet fixture (trained once on the sf0.01 corpus by
+    // tools.MakeFixtures, committed — codebooks are a model, valid at any
+    // sf), encode the corpus to 8 4-bit codes + a norm (64 floats → 4
+    // packed bytes of codes at scale), score by ADC table lookup (native
+    // pq_adc expression), exact-rerank the top-50 ADC survivors with true
+    // cosine, report top-10. Because the codebooks are data, the DuckDB
+    // oracle re-derives the WHOLE pipeline — code assignment, ADC table,
+    // shortlist, exact rerank — as static SQL over the same fixture, so
+    // this query gets a full rows+schema+hash CORRECTNESS entry (round-5
+    // VERDICT item #1). PqSpec still pins recall/self-retrieval/
+    // determinism invariants on a freshly-trained index.
     "q34e_pq_ann" -> { (s, dir) =>
       import graft.operators.PqIndex
       val e = t(s, dir, "embeddings")
-      val cb = PqIndex.train(e)
+      val cb = PqIndex.load(s, graft.Fixtures.pqCodebooks)
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
       val corpus = e.filter(col("vec_id") =!= 0)
@@ -180,7 +184,51 @@ object SimilarityQueries extends QuerySet {
         |ORDER BY q_id, rk""".stripMargin,
 
     "q34b_ann_ivf" -> ivfSql(1),
-    "q34d_ann_multiprobe" -> ivfSql(2)
+    "q34d_ann_multiprobe" -> ivfSql(2),
+
+    // Full PQ pipeline re-derived from the pinned codebook fixture
+    // (m=8, subDim=8, d=64): code assignment = argmax(ip - half_nc2) with
+    // ties to the higher code id (row_number ... ORDER BY s DESC, ki DESC
+    // mirrors the Spark array_max-over-struct tie-break); ADC sum is forced
+    // into mi order via list(ip ORDER BY mi) to match the sequential
+    // native pq_adc expression bit-for-bit; then the same top-50 shortlist
+    // + exact-cosine rerank as the Spark plan.
+    "q34e_pq_ann" ->
+      s"""WITH cb AS (SELECT mi, ki, centroid, half_nc2
+         |           FROM read_parquet('${graft.Fixtures.pqCodebooks}')),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |corp AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings WHERE vec_id <> 0),
+         |scores AS (
+         |  SELECT c.vec_id, cb.mi, cb.ki,
+         |         list_sum(list_transform(range(1, 9), i ->
+         |           c.embedding[cb.mi * 8 + i]::DOUBLE * cb.centroid[i])) - cb.half_nc2 AS s
+         |  FROM corp c CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, mi, ki AS code FROM (
+         |    SELECT vec_id, mi, ki,
+         |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY s DESC, ki DESC) AS rk
+         |    FROM scores) WHERE rk = 1),
+         |adc AS (
+         |  SELECT cb.mi, cb.ki,
+         |         list_sum(list_transform(range(1, 9), i ->
+         |           q.qe[cb.mi * 8 + i]::DOUBLE * cb.centroid[i])) AS ip
+         |  FROM cb, q),
+         |qn AS (SELECT sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) AS qn FROM q),
+         |scored AS (
+         |  SELECT co.vec_id,
+         |         round(list_sum(list(a.ip ORDER BY a.mi)) / (qn.qn * corp.nrm), 6) AS pq_sim
+         |  FROM codes co
+         |  JOIN adc a ON a.mi = co.mi AND a.ki = co.code
+         |  JOIN corp ON corp.vec_id = co.vec_id, qn
+         |  GROUP BY co.vec_id, qn.qn, corp.nrm),
+         |shortlist AS (SELECT vec_id FROM scored ORDER BY pq_sim DESC, vec_id LIMIT 50)
+         |SELECT e.vec_id, $cosSql AS cos_sim
+         |FROM embeddings e JOIN shortlist USING (vec_id), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 
   private def ivfSql(probes: Int): String =

@@ -63,17 +63,22 @@ class FunctionsSpec extends SparkSpec {
 
   test("approx sketches stay within tolerance of exact (q_approx_sketches)") {
     val dir = "/root/testdata/sf0.001"
-    val approx = AggQueries.queries("q_approx_sketches")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the query now self-certifies (within_tol booleans hash-checked by the
+    // driver against literal TRUE); here assert the booleans hold and the
+    // exact columns agree with an independently-built exact aggregate
+    val rows = AggQueries.queries("q_approx_sketches")(spark, dir).collect()
+    assert(rows.nonEmpty)
     val exact = graft.Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("d"),
-        expr("percentile(l_quantity, 0.5)").as("m"))
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("m"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (d, m)) =>
-      val (ad, am) = approx(k)
-      assert(math.abs(ad - d).toDouble / d < 0.1, s"HLL off for $k: $ad vs $d")
-      assert(math.abs(am - m) <= 1.0, s"approx median off for $k: $am vs $m")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(1) == exact(k)._1, s"exact_parts off for $k")
+      assert(r.getDouble(2) == exact(k)._2, s"exact_median off for $k")
+      assert(r.getBoolean(3), s"HLL out of tolerance for $k")
+      assert(r.getBoolean(4), s"approx median out of tolerance for $k")
     }
   }
 }
