@@ -1,10 +1,14 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.DatasetBridge
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampType}
 
 /** Session extensions carrying the library's Catalyst additions — the
@@ -20,10 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Rewrite pure interval joins (`l.x BETWEEN r.lo AND r.hi` with NO equi
-  * key) into binned equi-joins — the overlap-binning trick behind every
-  * production range-join implementation (Databricks' RANGE_JOIN hint,
-  * GeoSpark's grid partitioning).
+/** Rewrite interval joins (`l.x BETWEEN r.lo AND r.hi`) into binned
+  * equi-joins — the overlap-binning trick behind every production
+  * range-join implementation (Databricks' RANGE_JOIN hint, GeoSpark's grid
+  * partitioning).
   *
   * Why: without an equality conjunct, Spark can only plan a broadcast
   * nested loop or a cartesian product — the two shapes that die first at
@@ -36,20 +40,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * outside the span produce no equi-match, and the re-applied original
   * condition removes same-bin non-overlaps.
   *
-  * Cost model: interval rows fan out by `ceil(span/w) + 1` — pick `w` on
-  * the order of the typical interval span (fan-out ~2) via
-  * `spark.graft.rangeJoin.binSize`. The rule is OPT-IN by that conf: when
-  * unset, plans are untouched (a small broadcastable side is often better
-  * served by the nested loop Spark picks natively).
+  * Bin width: interval rows fan out by `ceil(span/w) + 1`, so the right
+  * `w` is on the order of the typical interval span (fan-out ~2).
+  *  - `spark.graft.rangeJoin.binSize` pins it explicitly;
+  *  - when unset, the rule SAMPLES it: one approx-percentile aggregate
+  *    over the interval side at rewrite time (p50 of `hi - lo`) — a
+  *    sub-second model-sized job that runs only when a rewritable join
+  *    was actually found, so users never hand-tune the conf. Opt out with
+  *    `spark.graft.rangeJoin.autoBin=false` (then no conf → no rewrite).
+  *
+  * Runaway guard: one data-error interval (open-ended, wrong units) whose
+  * span is vastly larger than `w` would make Sequence build a huge
+  * per-row array — an executor OOM triggered by a query the conf was
+  * never tuned for. `spark.graft.rangeJoin.maxBinsPerRow` (default 1000)
+  * bounds the fan-out: exceeding rows raise a clear error naming both
+  * confs instead of dying in an allocation.
+  *
+  * Equi-anchored joins (an equality conjunct exists, e.g. as-of joins
+  * keyed by user) already plan as hash joins, so they are left alone by
+  * default; `spark.graft.rangeJoin.binEquiJoins=true` opts them into
+  * binning too — the composite (equi-key, bin) join key caps the per-key
+  * probe width, which is what survives heavy-hitter keys at 100 TB.
   *
   * Scope guards: inner joins, deterministic conditions, numeric/timestamp
-  * point types, and no equality conjunct across the sides (after the
-  * rewrite the new bin equality makes the guard false, so the rule cannot
-  * re-fire on its own output).
+  * point types, and no `__graft_bin` attribute already present (the
+  * rewrite's own output keeps both the bin equality and the original
+  * range conjuncts, so without this guard the equi mode would re-fire on
+  * its own output forever).
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSizeConf = "spark.graft.rangeJoin.binSize"
+  val AutoBinConf = "spark.graft.rangeJoin.autoBin"
+  val EquiConf = "spark.graft.rangeJoin.binEquiJoins"
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerRow"
 
   private def binnable(e: Expression): Boolean = e.dataType match {
     case _: NumericType | TimestampType => true
@@ -60,19 +84,47 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bin(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
+  /** p50 of the interval spans, from one tiny aggregate over the interval
+    * side — runs at rewrite time, only after a rewritable join was found.
+    * None (→ no rewrite) on empty input, non-positive spans, or any
+    * sampling failure: binning must never break a plan it cannot price. */
+  private def sampledWidth(bound: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Double] =
+    try {
+      val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
+      val p50 = new ApproximatePercentile(span, Literal(0.5))
+        .toAggregateExpression()
+      val agg = Aggregate(Nil, Seq(Alias(p50, "w")()), bound)
+      val row = DatasetBridge.ofRows(SparkSession.active, agg).head()
+      val w = if (row.isNullAt(0)) None
+        else Some(row.getDouble(0)).filter(_ > 0)
+      w.foreach(v => logInfo(s"binned range join: sampled bin width $v"))
+      w
+    } catch {
+      case NonFatal(e) =>
+        logWarning(s"binned range join: width sampling failed, " +
+          s"leaving join unrewritten: ${e.getMessage}")
+        None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(BinSizeConf, "")
+    val raw = conf.getConfString(BinSizeConf, "")
     // a malformed/nonpositive bin size must not fail UNRELATED queries in
     // the session (this rule runs on every plan): warn and stand down
-    val parsed = scala.util.Try(w.toDouble).toOption.filter(_ > 0)
-    if (w.nonEmpty && parsed.isEmpty)
-      logWarning(s"ignoring invalid $BinSizeConf='$w' (want a positive number)")
-    if (parsed.isEmpty) plan
+    val confWidth = scala.util.Try(raw.toDouble).toOption.filter(_ > 0)
+    if (raw.nonEmpty && confWidth.isEmpty)
+      logWarning(s"ignoring invalid $BinSizeConf='$raw' (want a positive number)")
+    val autoBin = conf.getConfString(AutoBinConf, "true") != "false"
+    val equiToo = conf.getConfString(EquiConf, "false") == "true"
+    val maxBins = scala.util.Try(
+      conf.getConfString(MaxBinsConf, "1000").toLong).toOption
+      .filter(_ > 0).getOrElse(1000L)
+    if (confWidth.isEmpty && !autoBin) plan
     else {
-      val width = parsed.get
       plan.transformUp {
         case j @ Join(left, right, Inner, Some(cond), hint)
-            if cond.deterministic =>
+            if cond.deterministic &&
+              !cond.references.exists(_.name.startsWith("__graft_bin")) =>
           val conj = splitConjunctivePredicates(cond)
           def leftOnly(e: Expression) =
             e.references.nonEmpty && e.references.subsetOf(left.outputSet)
@@ -98,7 +150,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             case GreaterThanOrEqual(b, p) if crossSides(p, b) => (p, b)
             case GreaterThan(b, p) if crossSides(p, b) => (p, b)
           }
-          val triple = if (hasEqui) None
+          val triple = if (hasEqui && !equiToo) None
           else lowers.flatMap { case (p, lo) =>
             uppers.collectFirst {
               case (p2, hi) if p.semanticEquals(p2) &&
@@ -113,29 +165,46 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               val pointIsLeft = leftOnly(point)
               val (pointPlan, boundPlan) =
                 if (pointIsLeft) (left, right) else (right, left)
-              val binPoint = Alias(bin(point, width), "__graft_bin")()
-              val pointProj =
-                Project(pointPlan.output :+ binPoint, pointPlan)
-              val binAttr =
-                AttributeReference("__graft_bin_span", LongType)()
-              // Greatest guards inverted (empty) intervals: they emit one
-              // bin instead of crashing Sequence; the re-applied original
-              // condition filters them out
-              // Sequence is TimeZoneAwareExpression: post-analysis rules
-              // must fill timeZoneId themselves or the plan goes back to
-              // unresolved (the analyzer's ResolveTimeZone has already run)
-              val span = Sequence(bin(lo, width),
-                Greatest(Seq(bin(hi, width), bin(lo, width))),
-                Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
-              val gen = Generate(Explode(span), Nil, outer = false, None,
-                Seq(binAttr), boundPlan)
-              val eq = EqualTo(binPoint.toAttribute, binAttr)
-              val newJoin =
-                if (pointIsLeft)
-                  Join(pointProj, gen, Inner, Some(And(eq, cond)), hint)
-                else
-                  Join(gen, pointProj, Inner, Some(And(eq, cond)), hint)
-              Project(j.output, newJoin)
+              confWidth.orElse(sampledWidth(boundPlan, lo, hi)) match {
+                case None => j
+                case Some(width) =>
+                  val binPoint = Alias(bin(point, width), "__graft_bin")()
+                  val pointProj =
+                    Project(pointPlan.output :+ binPoint, pointPlan)
+                  val binAttr =
+                    AttributeReference("__graft_bin_span", LongType)()
+                  val binLo = bin(lo, width)
+                  val binHiRaw = bin(hi, width)
+                  // fan-out guard: a span of more than maxBins bins fails
+                  // loudly (naming both knobs) instead of allocating a
+                  // runaway per-row array
+                  val err = new RaiseError(
+                    Literal(s"range-join bin fan-out exceeds " +
+                      s"$maxBins bins/row for bin width $width; raise " +
+                      s"$BinSizeConf or $MaxBinsConf"))
+                  val binHi = If(
+                    LessThanOrEqual(Subtract(binHiRaw, binLo),
+                      Literal(maxBins)),
+                    binHiRaw, Cast(err, LongType))
+                  // Greatest guards inverted (empty) intervals: they emit
+                  // one bin instead of crashing Sequence; the re-applied
+                  // original condition filters them out
+                  // Sequence is TimeZoneAwareExpression: post-analysis
+                  // rules must fill timeZoneId themselves or the plan goes
+                  // back to unresolved (ResolveTimeZone has already run)
+                  val span = Sequence(binLo,
+                    Greatest(Seq(binHi, binLo)),
+                    Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+                  val gen = Generate(Explode(span), Nil, outer = false, None,
+                    Seq(binAttr), boundPlan)
+                  val eq = EqualTo(binPoint.toAttribute, binAttr)
+                  val newJoin =
+                    if (pointIsLeft)
+                      Join(pointProj, gen, Inner, Some(And(eq, cond)), hint)
+                    else
+                      Join(gen, pointProj, Inner, Some(And(eq, cond)), hint)
+                  Project(j.output, newJoin)
+              }
           }
       }
     }

@@ -137,6 +137,18 @@ object JoinQueries extends QuerySet {
         .orderBy(col("band"))
     },
 
+    // Q13b: the SAME as-of semantics as q13, expressed as the INTERVAL
+    // JOIN the binned range-join rule targets (see asofIntervalJoin) —
+    // oracle-checked against q13's answer. Under a plain session this
+    // plans as a hash join on user_id with a residual range filter; with
+    // GraftExtensions + spark.graft.rangeJoin.binEquiJoins=true the rule
+    // re-plans it as a composite (user, time-bin) equi-join
+    // (RangeJoinRuleSpec asserts plan + result identity) — the scale-safe
+    // alternative to q13's union + global per-user sort: no per-user
+    // probe ever widens past one bin span, so heavy-hitter users cannot
+    // blow up a sort partition.
+    "q13b_asof_interval" -> { (s, dir) => asofIntervalJoin(s, dir) },
+
     // Q13: as-of join — for each purchase, the latest click at ts <= purchase
     // ts by the same user. Union + running-max window: clicks sort before
     // purchases at equal ts (kind 0 < 1), making the bound inclusive.
@@ -156,6 +168,43 @@ object JoinQueries extends QuerySet {
         .orderBy(col("event_id"))
     }
   )
+
+  /** Lead-validity interval formulation of the q13 as-of join (shared
+    * with RangeJoinRuleSpec, which re-plans it through
+    * BinnedRangeJoinRule): each click owns the per-user validity interval
+    * [click_ts, next click_ts) — capped for the last click at the user's
+    * last purchase ts + 1s so intervals stay bounded (binnable) — and a
+    * purchase equi-range-joins the ONE interval containing its ts.
+    * Purchases with no prior click re-enter via the left join with a NULL
+    * click_ts, matching q13 exactly. Duplicate click timestamps yield one
+    * empty interval (filtered) + one real one, so no duplicate matches. */
+  def asofIntervalJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val lastP = purchases.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_pts"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("click_ts"), col("click_id"))
+    val iv = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withColumn("valid_to", lead(col("click_ts"), 1).over(wc))
+      .join(lastP, Seq("user_id"))
+      .withColumn("vto", coalesce(col("valid_to"),
+        col("last_pts") + expr("INTERVAL 1 SECOND")))
+      .filter(col("vto") > col("click_ts"))
+      .select(col("user_id").as("cu"), col("click_ts"), col("vto"))
+    val matched = purchases.join(iv,
+        col("user_id") === col("cu") &&
+        col("ts") >= col("click_ts") && col("ts") < col("vto"))
+      .select(col("event_id"), col("click_ts"))
+    purchases.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), ntz(col("ts")).as("ts"),
+        ntz(col("click_ts")).as("click_ts"))
+      .orderBy(col("event_id"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q07_inner_join" ->
@@ -221,6 +270,16 @@ object JoinQueries extends QuerySet {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // identical expected answer to q13 — the point of q13b is that a
+    // different (binnable interval) plan computes the same as-of result
+    "q13b_asof_interval" ->
+      """SELECT p.event_id, p.ts,
+        |       (SELECT max(c.ts) FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND c.ts <= p.ts) AS click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     "q13_asof_join" ->
       """SELECT p.event_id, p.ts,

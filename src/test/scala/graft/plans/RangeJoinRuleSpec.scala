@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
 
-/** The binned range-join rewrite must (1) fire only when opted in, (2)
-  * replace the nested-loop plan with an equi-join, and (3) be result-
-  * identical to the native plan — including strict/inclusive bound mixes
-  * and empty intervals.
+/** The binned range-join rewrite must (1) fire with a sampled width when
+  * no conf is set (opt out via autoBin=false), (2) replace the
+  * nested-loop plan with an equi-join, (3) be result-identical to the
+  * native plan — including strict/inclusive bound mixes and empty
+  * intervals, (4) bound per-row fan-out with a loud error, and (5) bin
+  * equi-anchored joins (the as-of shape) only when opted in.
   */
 class RangeJoinRuleSpec extends SparkSpec {
 
@@ -42,7 +44,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(expected.nonEmpty)
 
     withExtendedSession { ext =>
-      // extensions registered but conf unset: plans untouched
+      // NO conf set: the rule samples the bin width (p50 of hi-lo = 3.0)
+      // and still rewrites — users don't hand-tune binSize
+      val auto = intervalJoin(ext).queryExecution.executedPlan.toString
+      assert(auto.contains("__graft_bin"),
+        s"auto-width rewrite did not fire:\n$auto")
+      assert(rows(ext) == expected, "auto-width rewrite changed results")
+
+      // explicit opt-out: autoBin=false and no binSize → plans untouched
+      ext.conf.set(BinnedRangeJoinRule.AutoBinConf, "false")
       val untouched = intervalJoin(ext).queryExecution.executedPlan.toString
       assert(untouched.contains("BroadcastNestedLoopJoin") ||
         untouched.contains("CartesianProduct"))
@@ -109,6 +119,45 @@ class RangeJoinRuleSpec extends SparkSpec {
       val got = a.join(inv, a("x") >= inv("lo2") && a("x") <= inv("hi2"))
       assert(got.queryExecution.executedPlan.toString.contains("__graft_bin"))
       assert(got.count() == 0)
+    }
+  }
+
+  test("as-of join via the interval formulation rewrites to a composite " +
+      "(user, bin) equi-join with q13-identical results (q13b)") {
+    val expected = graft.queries.JoinQueries
+      .queries("q13_asof_join")(spark, dir).collect().map(_.toString).toList
+    assert(expected.nonEmpty)
+    withExtendedSession { ext =>
+      // equi-anchored joins bin only when opted in; width is SAMPLED
+      // (no binSize conf) from the click-validity interval spans
+      ext.conf.set(BinnedRangeJoinRule.EquiConf, "true")
+      val df = graft.queries.JoinQueries.asofIntervalJoin(ext, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"),
+        s"as-of interval join did not bin:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      assert(df.collect().map(_.toString).toList == expected,
+        "binned as-of result differs from q13")
+    }
+  }
+
+  test("runaway interval spans fail loudly (maxBinsPerRow) instead of " +
+      "allocating huge per-row bin arrays") {
+    withExtendedSession { ext =>
+      ext.conf.set(BinnedRangeJoinRule.BinSizeConf, "1.0")
+      ext.conf.set(BinnedRangeJoinRule.MaxBinsConf, "100")
+      import ext.implicits._
+      val pts = Seq(1.0, 2.0).toDF("x")
+      val wide = Seq((0.0, 1000.0, "wide")).toDF("lo", "hi", "tag")
+      val joined = pts.join(wide, $"x" >= $"lo" && $"x" <= $"hi")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("__graft_bin"))
+      val ex = intercept[Throwable] { joined.collect() }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("bin fan-out exceeds 100"),
+        s"expected the fan-out guard message, got:\n$msgs")
     }
   }
 }
