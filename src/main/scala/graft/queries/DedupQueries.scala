@@ -178,25 +178,15 @@ object DedupQueries extends QuerySet {
     },
 
     // Duplicate CLUSTERS, not just pairs: connected components over the
-    // verified near-dup graph (min-label propagation to fixpoint — the
-    // iterative-join formulation every distributed CC uses; lineage is cut
-    // per round with localCheckpoint, the standard Spark iterative-graph
-    // pattern). A real corpus-cleaning pipeline needs the component
-    // representative (keep min doc_id per cluster), because near-dup is
-    // not transitive at the pair level: A~B, B~C must collapse to ONE
-    // survivor even when A!~C. Oracle: DuckDB recursive transitive
-    // closure.
-    //
-    // Round structure (two deliberate choices over the naive loop):
-    //  - each round POINTER-JUMPS after the neighbor-min step
-    //    (component := label(component), the Shiloach-Vishkin shortcut):
-    //    labels only ever decrease and label(x) is always in x's
-    //    component, so the fixpoint is unchanged but convergence drops
-    //    from O(diameter) to O(log diameter) rounds — the difference
-    //    between 2 and 30 shuffle rounds on a long draft-chain corpus;
-    //  - the previous label rides along in the checkpointed frame, so
-    //    convergence detection is a max() over it — no extra join against
-    //    the old generation.
+    // verified near-dup graph — operators.ConnectedComponents (min-label
+    // propagation with pointer jumping; per-round lineage cuts; reliable
+    // checkpoints when spark.graft.cc.checkpointDir is set — the
+    // fault-tolerant 100 TB posture, see the operator's scaladoc and
+    // ConnectedComponentsSpec). A real corpus-cleaning pipeline needs the
+    // component representative (keep min doc_id per cluster), because
+    // near-dup is not transitive at the pair level: A~B, B~C must
+    // collapse to ONE survivor even when A!~C. Oracle: DuckDB recursive
+    // transitive closure.
     "q_dedup_components" -> { (s, dir) =>
       val sets = shingleSets(s, dir)
       val pairs = candidates(s, dir)
@@ -208,46 +198,8 @@ object DedupQueries extends QuerySet {
         .filter(micro(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
         .select(col("doc_a"), col("doc_b"))
-      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(true)
-      var labels = sym.select(col("src").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      val maxIter = 50
-      while (!converged && iter < maxIter) {
-        val nbrMin = sym
-          .join(labels.select(col("doc_id").as("dst"),
-            col("component").as("nc")), Seq("dst"))
-          .groupBy(col("src").as("doc_id"))
-          .agg(min(col("nc")).as("nbr_min"))
-        val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("component").as("old"),
-            least(col("component"), coalesce(col("nbr_min"),
-              col("component"))).as("c1"))
-        val next = stepped
-          .join(labels.select(col("doc_id").as("c1"),
-            col("component").as("jump")), Seq("c1"), "left")
-          .select(col("doc_id"),
-            least(col("c1"), coalesce(col("jump"), col("c1")))
-              .as("component"),
-            col("old"))
-          .localCheckpoint(true)
-        converged = !next
-          .agg(coalesce(max(col("component") =!= col("old")), lit(false)))
-          .head.getBoolean(0)
-        labels = next.select(col("doc_id"), col("component"))
-        iter += 1
-      }
-      // a silent non-converged result would be WRONG components (and a
-      // baffling oracle mismatch): fail loudly instead. Diameter > 50 in
-      // a near-dup graph means a pathological corpus — switch to the
-      // large-star/small-star reformulation (SCALE.md §5) if ever hit.
-      if (!converged) throw new IllegalStateException(
-        s"connected components did not converge within $maxIter rounds")
-      labels.orderBy(col("doc_id"))
+      graft.operators.ConnectedComponents.run(pairs)
+        .orderBy(col("doc_id"))
     },
 
     // Benchmark DECONTAMINATION: flag corpus documents sharing any word
