@@ -114,6 +114,24 @@ object LineProtocol {
     out.result()
   }
 
+  /** CHEAP pre-parse: just the measurement token (up to the first
+    * unescaped ',' or ' '), unescaped — lets a pushed-down
+    * `series = 'x'` filter skip whole lines before tag/field parsing
+    * (sources.LineProtocolSource). None for an empty measurement (the
+    * full parser would reject the line anyway). */
+  def measurementOf(line: String): Option[String] = {
+    var i = 0
+    var end = -1
+    while (i < line.length && end < 0) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < line.length) i += 2
+      else if (c == ',' || c == ' ') end = i
+      else i += 1
+    }
+    val tok = unescapeToken(line.substring(0, if (end < 0) line.length else end))
+    if (tok.isEmpty) None else Some(tok)
+  }
+
   /** Split `k=v` at the first unescaped '='; None when there is none. */
   private def splitKv(kv: String): Option[(String, String)] = {
     var i = 0

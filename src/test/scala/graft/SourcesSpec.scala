@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** Source/sink inventory beyond parquet (SURVEY §2.4a): CSV, JSON, rate
@@ -54,6 +56,61 @@ class SourcesSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM lp_src WHERE parse_error IS NULL")
       .head().getLong(0) == 4L)
+  }
+
+  test("DSv2 lineprotocol source splits large files at newline boundaries " +
+      "into multiple partitions with no lost or duplicated lines") {
+    val dir = tmpDir("graft-lp-split")
+    // ~1000 lines, distinct values so loss/duplication is detectable
+    val lines = (0 until 1000).map(i =>
+      s"cpu,host=h${i % 7} usage=$i.5 17000000${"%02d".format(i % 100)}000000000")
+    Files.write(Paths.get(dir, "big.lp"), lines.asJava)
+    def read(opts: Map[String, String]) = {
+      val r = spark.read.format("lineprotocol")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).filter(col("parse_error").isNull)
+    }
+    val whole = read(Map.empty)
+    assert(whole.rdd.getNumPartitions == 1)
+    // tiny splitSize: the one file becomes many newline-aligned chunks
+    val split = read(Map("splitSize" -> "2048"))
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many chunks, got ${split.rdd.getNumPartitions}")
+    val wholeVals = whole.select("value").collect().map(_.getDouble(0)).sorted
+    val splitVals = split.select("value").collect().map(_.getDouble(0)).sorted
+    assert(splitVals.length == 1000)
+    assert(splitVals.toSeq == wholeVals.toSeq,
+      "chunked read lost or duplicated lines")
+  }
+
+  test("DSv2 lineprotocol source pushes series/name equality into the " +
+      "reader: non-matching lines skip the full parse") {
+    val dir = tmpDir("graft-lp-push")
+    Files.write(Paths.get(dir, "mix.lp"), java.util.List.of(
+      "cpu,host=a usage=0.1,n=1i",
+      "mem,host=a used=0.7",
+      "cpu,host=b usage=0.2,n=2i",
+      "disk,host=a io=9.0",
+      "not a line"))
+    def filtered = spark.read.format("lineprotocol").load(dir)
+      .filter(col("series") === "cpu")
+    // correctness: exactly the cpu rows (2 lines x 2 fields)
+    graft.sources.LineProtocolSource.linesParsed.set(0L)
+    val rows = filtered.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("series") == "cpu"))
+    // the skip really happened BEFORE parse: only the 2 cpu lines of the
+    // 5 in the file were fully parsed
+    assert(graft.sources.LineProtocolSource.linesParsed.get() == 2L,
+      s"parsed ${graft.sources.LineProtocolSource.linesParsed.get()} lines")
+    // pushed filters are visible on the scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=["), s"no pushed filter in scan:\n$plan")
+    // name pushdown drops non-matching fields, same residual-safe contract
+    val byName = spark.read.format("lineprotocol").load(dir)
+      .filter(col("name") === "usage")
+    assert(byName.collect().map(_.getAs[Double]("value")).sorted.toSeq ==
+      Seq(0.1, 0.2))
   }
 
   test("DSv2 lineprotocol source streams a spool dir: new files per " +
