@@ -77,14 +77,19 @@ class Engine(val spark: SparkSession, warehouse: String) {
     *  - `bucketEveryBatches` > 0: after every Nth micro-batch, rewrite the
     *    table bucketed ([[compactBucketed]] as `bucketTable`) so repeated
     *    keyed joins against the live table keep their no-Exchange plan.
-    * Both run inside foreachBatch — i.e. between micro-batches, never
+    *  - `tagIndexEveryBatches` > 0: after every Nth micro-batch, rebuild
+    *    the inverted tag index ([[buildTagIndex]]) so [[queryByTag]]
+    *    keeps its index-pruned fast path under continuous ingest
+    *    (without a fresh index it falls back to the direct scan — see
+    *    [[queryByTag]]).
+    * All run inside foreachBatch — i.e. between micro-batches, never
     * racing an append (same table lock), and a hook failure fails the
     * batch (retried by the stream) rather than being silently lost. */
   def ingestStream(lines: DataFrame, checkpoint: String,
       compactEveryBatches: Int = 0, maxBatchDirs: Int = 64,
       bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed",
       retainDays: Int = 0, retentionEveryBatches: Int = 0,
-      sketchEveryBatches: Int = 0)
+      sketchEveryBatches: Int = 0, tagIndexEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -114,6 +119,9 @@ class Engine(val spark: SparkSession, warehouse: String) {
         // cardinality panels stay warm under continuous ingest
         if (sketchEveryBatches > 0 && id > 0 && id % sketchEveryBatches == 0)
           sketchRollup()
+        if (tagIndexEveryBatches > 0 && id > 0 &&
+            id % tagIndexEveryBatches == 0)
+          buildTagIndex()
         ()
       }
       .start()
@@ -343,11 +351,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
   /** The per-(series, day) sketch table written by [[sketchRollup]] -
     * typed empty frame when no rollup was ever built (empty-not-error
     * posture, deviation D4). */
-  def sketchTable(): DataFrame =
+  def sketchTable(): DataFrame = {
+    recoverSideTable(sketchPath)
     if (pathExists(sketchPath))
       spark.read.schema(sketchSchema).parquet(sketchPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sketchSchema)
+  }
 
   /** Approximate distinct field-values / tag-sets for one series over an
     * inclusive day range — answered ENTIRELY from the sketch rollup: the
@@ -378,14 +388,33 @@ class Engine(val spark: SparkSession, warehouse: String) {
   def buildTagIndex(): Unit = Engine.tableLock(tablePath).synchronized {
     acquireWriterLease()
     if (exists) {
+      val v0 = writeVersion
       val idx = table()
         .select(col("series"), col("day"),
           explode(col("tags")).as(Seq("tag_k", "tag_v")))
         .distinct()
         .repartition(col("tag_k"))
       atomicOverwrite(idx, tagIndexPath, Seq("tag_k"))
+      // the index now covers everything written up to v0 (the lock means
+      // nothing landed since) — queryByTag uses this to detect staleness
+      tagIndexBuiltAt = v0
     }
   }
+
+  /** In-JVM freshness marker for the tag index: the [[writeVersion]] the
+    * last [[buildTagIndex]] covered. 0 = "no writes observed", so an index
+    * found on disk at startup is trusted (cross-JVM staleness is not
+    * detectable on raw parquet dirs — documented single-writer posture). */
+  @volatile private var tagIndexBuiltAt = 0L
+
+  /** Crash recovery for side tables, mirroring the main table's
+    * [[exists]]-recovery: [[atomicOverwrite]] dying between its two
+    * renames leaves the table path absent with the previous version
+    * intact in `.old` — swap it back rather than serving an empty table
+    * (round-5 ADVICE). */
+  private def recoverSideTable(path: String): Unit =
+    if (!pathExists(path) && pathExists(path + ".old"))
+      renamePath(path + ".old", path)
 
   private val tagIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "series STRING, day DATE, tag_v STRING, tag_k STRING")
@@ -397,11 +426,13 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * entries MISSING for data ingested since the last build hide rows —
     * rebuild after ingest, or drive it from the ingestStream maintenance
     * slot. */
-  def tagIndex(): DataFrame =
+  def tagIndex(): DataFrame = {
+    recoverSideTable(tagIndexPath)
     if (pathExists(tagIndexPath))
       spark.read.schema(tagIndexSchema).parquet(tagIndexPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagIndexSchema)
+  }
 
   /** Tag metadata source for the SHOW-style reads: the materialized index
     * when present, otherwise a DIRECT (unmaterialized) scan of the table.
@@ -430,14 +461,24 @@ class Engine(val spark: SparkSession, warehouse: String) {
   def tagValues(k: String): Seq[String] =
     distinctSorted(tagMeta().filter(col("tag_k") === k), "tag_v")
 
-  /** All rows carrying tag `k=v`, scanning ONLY the (series, day)
+  /** All rows carrying tag `k=v`. Fast path: scan ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
     * CATALOG-sized (series, day) list to the driver — same posture as
     * [[listSeries]] — and re-enters the main table as literal IN
     * predicates on the partition columns, so the scan prunes STATICALLY
     * (no job touches non-matching partitions; the exact `tags[k] = v` row
-    * filter then runs inside the pruned scan only). */
+    * filter then runs inside the pruned scan only).
+    *
+    * Correctness guard (round-5 ADVICE, medium): an ABSENT index, or one
+    * this JVM knows predates its own writes ([[tagIndexBuiltAt]] <
+    * [[writeVersion]]), would silently HIDE matching rows — those cases
+    * fall back to the direct full-table scan instead. Keep the index
+    * fresh under continuous ingest with `tagIndexEveryBatches` (or call
+    * [[buildTagIndex]] after batch ingest) to stay on the pruned path. */
   def queryByTag(k: String, v: String): DataFrame = {
+    recoverSideTable(tagIndexPath)
+    if (!pathExists(tagIndexPath) || tagIndexBuiltAt < writeVersion)
+      return table().filter(col("tags")(k) === v)
     val hits = tagIndex()
       .filter(col("tag_k") === k && col("tag_v") === v)
       .select(col("series"), col("day")).distinct().collect()

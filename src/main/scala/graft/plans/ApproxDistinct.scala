@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, HllSketchEstimate, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, HllSketchEstimate, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllSketchAgg}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
   * it, and only for single-argument COUNT(DISTINCT) over types the sketch
   * hashes (int/long/string/binary); everything else is left exact.
   * Grouped aggregates rewrite too (the estimate is per group).
+  *
+  * The estimate is wrapped `coalesce(..., 0L)`: COUNT(DISTINCT) is 0 (and
+  * non-null) on empty input or all-null groups, while
+  * hll_sketch_estimate(hll_union of nothing) is NULL — without the wrap
+  * the rewrite would change semantics beyond approximation AND substitute
+  * a nullable expression for a non-nullable attribute post-analysis
+  * (round-5 ADVICE).
   */
 object ApproxCountDistinctRule extends Rule[LogicalPlan] {
 
@@ -40,8 +47,11 @@ object ApproxCountDistinctRule extends Rule[LogicalPlan] {
         a.transformExpressions {
           case AggregateExpression(Count(Seq(child)), _, true, None, _)
               if sketchable(child) =>
-            HllSketchEstimate(AggregateExpression(
-              HllSketchAgg(child, Literal(12)), Complete, isDistinct = false))
+            Coalesce(Seq(
+              HllSketchEstimate(AggregateExpression(
+                HllSketchAgg(child, Literal(12)), Complete,
+                isDistinct = false)),
+              Literal(0L)))
         }
     }
 }

@@ -24,6 +24,26 @@ class ApiServerSpec extends SparkSpec {
     (code, out)
   }
 
+  test("D7 parity: /write responds with ingest counts, not the " +
+      "reference's single-record echo") {
+    import org.apache.spark.sql.functions.col
+    val engine = new Engine(spark, tmpDir("graft-api-d7"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // the reference echoes the one parsed measurement it saved
+      // (handlers.rs:135-137); per-field fan-out means one line becomes
+      // several rows and a multi-line body has no single record to echo,
+      // so ours returns the saved/quarantined COUNTS (SURVEY §7.4 D7).
+      // The count equals the reference's saved-record notion: 2 fields →
+      // 2 rows, both visible in "ok" and in the table itself
+      val (c, b) = call(s"$base/write", "POST",
+        "cpu,host=a usage=0.5,nice=0.1 1700000000000000000")
+      assert(c == 200 && b == """{"ok":2,"quarantined":0}""")
+      assert(engine.table().filter(col("series") === "cpu").count() == 2)
+    } finally api.stop()
+  }
+
   test("write / list / range / query endpoints (E1-E3 parity)") {
     val engine = new Engine(spark, tmpDir("graft-api"))
     val api = new ApiServer(engine).start()

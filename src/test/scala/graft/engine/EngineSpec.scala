@@ -324,6 +324,29 @@ class EngineSpec extends SparkSpec {
     assert(e.table().count() == 1) // exists() swapped the recovery back in
   }
 
+  test("side tables recover the .old copy after a crashed atomic " +
+      "overwrite instead of serving an empty table") {
+    val wh = tmpDir("graft-sideold")
+    val e = new Engine(spark, wh)
+    e.ingestLines(Seq("so,host=a v=1 1700000000000000000"))
+    e.sketchRollup()
+    e.buildTagIndex()
+    assert(e.sketchTable().count() == 1)
+    assert(e.tagIndex().count() == 1)
+    // simulate atomicOverwrite dying between rename(path -> .old) and
+    // rename(staging -> path): the base dir is gone, .old holds the data
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    for (side <- Seq("sketch_daily", "tag_index")) {
+      fs.rename(new org.apache.hadoop.fs.Path(s"$wh/$side"),
+        new org.apache.hadoop.fs.Path(s"$wh/$side.old"))
+    }
+    // reads swap the recovery copy back in (round-5 ADVICE)
+    assert(e.sketchTable().count() == 1)
+    assert(e.tagIndex().count() == 1)
+    assert(e.queryByTag("host", "a").count() == 1)
+  }
+
   test("streaming ingest applies event-time retention in its maintenance " +
       "slot (retainDays window behind the max ingested day)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

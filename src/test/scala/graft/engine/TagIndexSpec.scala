@@ -52,6 +52,46 @@ class TagIndexSpec extends SparkSpec {
     assert(idxScan.head.partitionFilters.nonEmpty)
   }
 
+  test("queryByTag falls back to a direct scan when the index is absent " +
+      "or predates this JVM's writes (no silently hidden rows)") {
+    val e = new Engine(spark, tmpDir("graft-qbt-fallback"))
+    e.ingestLines(Seq("qb,host=a v=1 1700000000000000000"))
+    // index never built: the fallback scan still answers
+    assert(e.queryByTag("host", "a").count() == 1)
+    e.buildTagIndex()
+    assert(e.queryByTag("host", "a").count() == 1)
+    // ingest AFTER the build: the index is knowably stale — the round-5
+    // behavior silently returned empty for host=b; the fallback serves it
+    e.ingestLines(Seq("qb,host=b v=2 1700000001000000000"))
+    assert(e.queryByTag("host", "b").count() == 1)
+    // rebuilding restores the pruned fast path with the same answer
+    e.buildTagIndex()
+    assert(e.queryByTag("host", "b").count() == 1)
+    assert(e.tagIndex().filter(col("tag_v") === "b").count() == 1)
+  }
+
+  test("streaming ingest rebuilds the tag index in its maintenance slot " +
+      "(tagIndexEveryBatches) so queryByTag stays fresh and pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = new Engine(spark, tmpDir("graft-sti"))
+    val in = MemoryStream[String]
+    val q = e.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-sti-ckpt"), tagIndexEveryBatches = 1)
+    try {
+      in.addData("ti,host=a v=1 1700000000000000000")
+      q.processAllAvailable() // batch 0: no hook yet — fallback answers
+      assert(e.queryByTag("host", "a").count() == 1)
+      in.addData("ti,host=b v=2 1700000001000000000")
+      q.processAllAvailable() // batch 1: hook rebuilt the index
+      assert(e.tagIndex().filter(col("tag_v") === "b").count() == 1,
+        "maintenance hook did not rebuild the index")
+      assert(e.queryByTag("host", "b").count() == 1)
+      assert(e.queryByTag("host", "a").count() == 1)
+    } finally q.stop()
+  }
+
   test("SHOW TAG KEYS / VALUES answer from the index when built, from a " +
       "read-only scan otherwise (reads never take the writer lease)") {
     val e = new Engine(spark, tmpDir("graft-showtags"))

@@ -55,6 +55,17 @@ class ApproxDistinctRuleSpec extends SparkSpec {
         .contains("hll_sketch"))
       assert(dq.head().getLong(0) == Tables.load(spark, dir, "events")
         .agg(countDistinct(col("value"))).head().getLong(0))
+
+      // empty input: COUNT(DISTINCT) contract is 0, never NULL — the
+      // rewrite wraps the estimate in coalesce(.., 0L) (round-5 ADVICE)
+      val empty = Tables.load(ext, dir, "events")
+        .filter(col("event_type") === "no_such_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+      assert(empty.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("hll_sketch"))
+      val row = empty.head()
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+        s"empty-input COUNT(DISTINCT) must be 0, got ${row.get(0)}")
     }
   }
 }
