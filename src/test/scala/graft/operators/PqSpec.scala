@@ -37,6 +37,21 @@ class PqSpec extends SparkSpec {
     assert(snap() == snap(), "train+encode not deterministic across runs")
   }
 
+  test("pq codebook fixture: save/load round-trips bit-exactly and the " +
+      "committed fixture matches this corpus's training shape") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cb = PqIndex.train(e)
+    val path = s"${tmpDir("pq-fixture")}/cb.parquet"
+    PqIndex.save(spark, cb, path)
+    val back = PqIndex.load(spark, path)
+    assert(back.m == cb.m && back.k == cb.k && back.subDim == cb.subDim)
+    assert(back.books.flatten.flatten.toSeq == cb.books.flatten.flatten.toSeq,
+      "codebooks changed across save/load")
+    // the committed fixture (q34e's oracle input) has the expected shape
+    val pinned = PqIndex.load(spark, graft.Fixtures.pqCodebooks)
+    assert(pinned.m == 8 && pinned.k == 16 && pinned.subDim == 8)
+  }
+
   test("pq ADC: self-retrieval, recall@10 lift, self-similarity ~ 1") {
     val e = Tables.load(spark, dir, "embeddings")
     val cb = PqIndex.train(e)
