@@ -152,15 +152,25 @@ object AggQueries extends QuerySet {
     // drifting out of tolerance flips the boolean and fails the hash match,
     // which makes the tolerance check itself driver-certified (round-5
     // VERDICT item #2) instead of `no_oracle`.
+    // Plan shape: the exact COUNT(DISTINCT), the HLL, and the two
+    // percentiles live in SEPARATE aggregate branches joined on the
+    // 6-row group key (the q15 Expand-avoidance pattern) — mixing a
+    // distinct aggregate with TypedImperative ones (percentile/HLL) in
+    // one Aggregate forces an Expand + object-aggregate over the whole
+    // table (measured 15.8 s at sf0.1 vs ~1 s split).
     "q_approx_sketches" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          r6(expr("percentile(l_quantity, 0.5)")).as("exact_median_qty"),
+      val li = t(s, dir, "lineitem")
+      val exactParts = li.select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      val approxParts = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      val medians = li.groupBy(col("l_returnflag"))
+        .agg(r6(expr("percentile(l_quantity, 0.5)")).as("exact_median_qty"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
             .as("approx_median"))
+      exactParts.join(approxParts, Seq("l_returnflag"))
+        .join(medians, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           col("exact_median_qty"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double")
