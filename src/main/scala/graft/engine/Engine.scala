@@ -37,10 +37,11 @@ class Engine(val spark: SparkSession, warehouse: String) {
   val tablePath = s"$warehouse/measurements"
 
   // the engine's SQL surface carries the library's custom functions:
-  // parse_line/to_line (protocol round-trip) and vec_dot/vec_norm/
-  // vec_cosine (similarity over array columns) are callable from any
-  // POST /query SELECT
+  // parse_line/to_line (protocol round-trip), explode_line (per-field
+  // generator) and vec_dot/vec_norm/vec_cosine (similarity over array
+  // columns) are callable from any POST /query SELECT
   graft.functions.ParseLine.register(spark)
+  graft.functions.ExplodeLine.register(spark)
   graft.functions.VecOps.register(spark)
 
   import spark.implicits._

@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedRangeJoinRule)
     e.injectOptimizerRule(_ => ApproxCountDistinctRule)
+    // the custom generator is part of the extension surface too, so a
+    // session built with GraftExtensions can SELECT explode_line(...)
+    // without going through an Engine (which registers it per-session)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("explode_line"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ExplodeLine].getName, "explode_line"),
+      (exprs: Seq[Expression]) => graft.functions.ExplodeLine(exprs.head)))
   }
 }
 

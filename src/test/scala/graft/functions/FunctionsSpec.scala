@@ -61,6 +61,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("explode_line generator: per-field fan-out with the typed union, " +
+      "error rows, NULL-in-nothing-out, and DSv2-source equivalence") {
+    graft.functions.ExplodeLine.register(spark)
+    val lines = Seq(
+      "cpu,host=web1 usage=0.64,n=7i 1700000000000000000",
+      "mem,host=web2 s=\"x\",up=true",
+      "not a line")
+    import spark.implicits._
+    lines.toDF("value").createOrReplaceTempView("raw_lines")
+    val gen = spark.sql("SELECT explode_line(value) FROM raw_lines")
+    assert(gen.schema == graft.sources.LineProtocolSource.schema)
+    val rows = gen.collect()
+    assert(rows.length == 5) // 2 + 2 fields fanned out + 1 error row
+    val byName = rows.filter(_.getAs[String]("parse_error") == null)
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("usage").getAs[Double]("value") == 0.64)
+    assert(byName("n").getAs[Long]("value_long") == 7L)
+    assert(byName("n").getAs[Long]("time_ns") == 1700000000000000000L)
+    assert(byName("s").getAs[String]("value_str") == "x")
+    assert(byName("up").getAs[Boolean]("value_bool") == true)
+    assert(byName("usage").getAs[Map[String, String]]("tags") ==
+      Map("host" -> "web1"))
+    assert(rows.count(_.getAs[String]("parse_error") != null) == 1)
+    // NULL input generates nothing, like explode(NULL)
+    assert(spark.sql(
+      "SELECT explode_line(CAST(NULL AS STRING))").count() == 0)
+    // one semantics, two surfaces: the generator's output equals the
+    // DSv2 source reading the same lines
+    val dir = tmpDir("graft-explode-line")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.lp"),
+      String.join("\n", lines: _*).getBytes)
+    val src = spark.read.format("lineprotocol").load(dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(gen) == canon(src))
+  }
+
   test("approx sketches stay within tolerance of exact (q_approx_sketches)") {
     val dir = "/root/testdata/sf0.001"
     // the query now self-certifies (within_tol booleans hash-checked by the
