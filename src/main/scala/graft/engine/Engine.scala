@@ -412,10 +412,18 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * [[exists]]-recovery: [[atomicOverwrite]] dying between its two
     * renames leaves the table path absent with the previous version
     * intact in `.old` — swap it back rather than serving an empty table
-    * (round-5 ADVICE). */
+    * (round-5 ADVICE). The rename runs under the table lock (with a
+    * lock-free fast path for the common healthy case): a LIVE
+    * atomicOverwrite holds the same lock between its two renames, so a
+    * concurrent read can never mistake that in-flight window for a crash
+    * and yank `.old` back while the writer is mid-swap. */
   private def recoverSideTable(path: String): Unit =
     if (!pathExists(path) && pathExists(path + ".old"))
-      renamePath(path + ".old", path)
+      Engine.tableLock(tablePath).synchronized {
+        // re-check under the lock: the writer may have completed the swap
+        if (!pathExists(path) && pathExists(path + ".old"))
+          renamePath(path + ".old", path)
+      }
 
   private val tagIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "series STRING, day DATE, tag_v STRING, tag_k STRING")

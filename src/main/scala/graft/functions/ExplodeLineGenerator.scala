@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -56,18 +55,14 @@ case class ExplodeLine(child: Expression)
 
 object ExplodeLine {
 
-  /** Per-field fan-out rows for one line (shared with tests). */
+  /** Per-field fan-out rows for one line (shared with tests). The typed
+    * dispatch below must stay in lockstep with the DSv2 reader's pruned
+    * column writers — FunctionsSpec pins byte-equivalence of the two
+    * surfaces, and the tags MapData builder is shared outright. */
   def rows(line: String): Seq[InternalRow] =
     LineProtocol.parse(line) match {
       case Right(r) =>
-        val tags = {
-          // sorted keys: deterministic map render, same as the DSv2 reader
-          val m = r.tags.toMap
-          val ks = m.keys.toArray.sorted
-          new ArrayBasedMapData(
-            new GenericArrayData(ks.map(UTF8String.fromString)),
-            new GenericArrayData(ks.map(k => UTF8String.fromString(m(k)))))
-        }
+        val tags = graft.sources.LineProtocolSource.tagsMapData(r.tags.toMap)
         val ts = r.timestamp.map(java.lang.Long.valueOf).orNull
         r.fields.map { case (name, fv) =>
           val (d, l, s, b): (Any, Any, Any, Any) = fv match {

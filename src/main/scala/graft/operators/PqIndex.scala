@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,8 +153,12 @@ object PqIndex {
     * the same sequential sum [[codesExpr]] embeds as a literal, so a SQL
     * oracle reading the fixture scores code assignment with bit-identical
     * constants. Written as a single file (coalesce(1) + move) because
-    * DuckDB's read_parquet targets a file, not a Spark directory. */
+    * DuckDB's read_parquet targets a file, not a Spark directory. All
+    * file ops go through the Hadoop FileSystem API so the path may live
+    * on any filesystem Spark can write (java.io.File would NPE on
+    * hdfs:// or s3a:// — same posture as Engine's path helpers). */
   def save(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(cb.books.forall(_.length == cb.k),
       "pq save: ragged codebooks (fewer distinct training points than k)")
@@ -167,13 +169,17 @@ object PqIndex {
     val tmp = path + ".tmpdir"
     rows.toDF("mi", "ki", "centroid", "half_nc2")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.endsWith(".parquet")).get
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.move(part.toPath, Paths.get(path),
-      StandardCopyOption.REPLACE_EXISTING)
-    new java.io.File(tmp).listFiles().foreach(_.delete())
-    Files.deleteIfExists(Paths.get(tmp))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(tmp))
+      .find(f => f.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(
+        s"pq save: no parquet part written under $tmp"))
+    Option(target.getParent).foreach(fs.mkdirs)
+    fs.delete(target, false)
+    if (!fs.rename(part.getPath, target))
+      throw new java.io.IOException(s"pq save: cannot move part to $path")
+    fs.delete(new Path(tmp), true)
   }
 
   /** Load codebooks written by [[save]] (model-sized: m*k rows). */

@@ -92,28 +92,54 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bin(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
-  /** p50 of the interval spans, from one tiny aggregate over the interval
-    * side — runs at rewrite time, only after a rewritable join was found.
+  /** Per-plan memo of sampled widths: the same query re-optimizes on
+    * every action, and the width for a given (interval side, bounds) is
+    * stable — cache it by canonicalized plan+bounds so the sampling job
+    * runs once per distinct join, not once per execution. Bounded (drop
+    * oldest insertion) so a long-lived session cannot leak plans. */
+  private val widthCache =
+    new java.util.LinkedHashMap[(LogicalPlan, Expression, Expression),
+        Option[Double]](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, Expression, Expression),
+            Option[Double]]): Boolean = size() > 64
+    }
+
+  /** p50 of the interval spans, from one bounded aggregate over the
+    * interval side — runs at rewrite time, only after a rewritable join
+    * was found, at most once per distinct join (memoized). The input is
+    * capped with a per-partition LocalLimit (no shuffle, no full scan):
+    * a width heuristic needs a representative sample, not the exact p50.
     * None (→ no rewrite) on empty input, non-positive spans, or any
     * sampling failure: binning must never break a plan it cannot price. */
   private def sampledWidth(bound: LogicalPlan, lo: Expression,
-      hi: Expression): Option[Double] =
-    try {
-      val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
-      val p50 = new ApproximatePercentile(span, Literal(0.5))
-        .toAggregateExpression()
-      val agg = Aggregate(Nil, Seq(Alias(p50, "w")()), bound)
-      val row = DatasetBridge.ofRows(SparkSession.active, agg).head()
-      val w = if (row.isNullAt(0)) None
-        else Some(row.getDouble(0)).filter(_ > 0)
-      w.foreach(v => logInfo(s"binned range join: sampled bin width $v"))
-      w
-    } catch {
-      case NonFatal(e) =>
-        logWarning(s"binned range join: width sampling failed, " +
-          s"leaving join unrewritten: ${e.getMessage}")
-        None
+      hi: Expression): Option[Double] = {
+    val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
+    widthCache.synchronized {
+      val hit = widthCache.get(key)
+      if (hit != null) return hit
     }
+    val w =
+      try {
+        val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
+        val p50 = new ApproximatePercentile(span, Literal(0.5))
+          .toAggregateExpression()
+        val agg = Aggregate(Nil, Seq(Alias(p50, "w")()),
+          LocalLimit(Literal(10000), bound))
+        val row = DatasetBridge.ofRows(SparkSession.active, agg).head()
+        val got = if (row.isNullAt(0)) None
+          else Some(row.getDouble(0)).filter(_ > 0)
+        got.foreach(v => logInfo(s"binned range join: sampled bin width $v"))
+        got
+      } catch {
+        case NonFatal(e) =>
+          logWarning(s"binned range join: width sampling failed, " +
+            s"leaving join unrewritten: ${e.getMessage}")
+          None
+      }
+    widthCache.synchronized { widthCache.put(key, w) }
+    w
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val raw = conf.getConfString(BinSizeConf, "")
@@ -185,14 +211,20 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   val binHiRaw = bin(hi, width)
                   // fan-out guard: a span of more than maxBins bins fails
                   // loudly (naming both knobs) instead of allocating a
-                  // runaway per-row array
+                  // runaway per-row array. NULL-safe: a NULL bound makes
+                  // the span NULL — Catalyst If would take the FALSE
+                  // branch and raise, but a NULL bound can never match
+                  // the original predicate, so coalesce keeps it on the
+                  // harmless path (one bin, then filtered out)
                   val err = new RaiseError(
                     Literal(s"range-join bin fan-out exceeds " +
                       s"$maxBins bins/row for bin width $width; raise " +
                       s"$BinSizeConf or $MaxBinsConf"))
                   val binHi = If(
-                    LessThanOrEqual(Subtract(binHiRaw, binLo),
-                      Literal(maxBins)),
+                    Coalesce(Seq(
+                      LessThanOrEqual(Subtract(binHiRaw, binLo),
+                        Literal(maxBins)),
+                      Literal(true))),
                     binHiRaw, Cast(err, LongType))
                   // Greatest guards inverted (empty) intervals: they emit
                   // one bin instead of crashing Sequence; the re-applied

@@ -115,20 +115,24 @@ object LineProtocol {
   }
 
   /** CHEAP pre-parse: just the measurement token (up to the first
-    * unescaped ',' or ' '), unescaped — lets a pushed-down
+    * unescaped ',', ' ' or '\t'), unescaped — lets a pushed-down
     * `series = 'x'` filter skip whole lines before tag/field parsing
-    * (sources.LineProtocolSource). None for an empty measurement (the
-    * full parser would reject the line anyway). */
+    * (sources.LineProtocolSource). MUST mirror [[parse]]'s lexing of the
+    * first segment exactly (same trim, same separators — quote state
+    * never applies to segment 0) or the pushdown skip drops rows the
+    * full parser would match. None for an empty measurement (the full
+    * parser would reject the line anyway). */
   def measurementOf(line: String): Option[String] = {
+    val t = line.trim
     var i = 0
     var end = -1
-    while (i < line.length && end < 0) {
-      val c = line.charAt(i)
-      if (c == '\\' && i + 1 < line.length) i += 2
-      else if (c == ',' || c == ' ') end = i
+    while (i < t.length && end < 0) {
+      val c = t.charAt(i)
+      if (c == '\\' && i + 1 < t.length) i += 2
+      else if (c == ',' || c == ' ' || c == '\t') end = i
       else i += 1
     }
-    val tok = unescapeToken(line.substring(0, if (end < 0) line.length else end))
+    val tok = unescapeToken(t.substring(0, if (end < 0) t.length else end))
     if (tok.isEmpty) None else Some(tok)
   }
 

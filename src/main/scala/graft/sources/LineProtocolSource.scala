@@ -92,6 +92,17 @@ object LineProtocolSource {
     * this JVM — lets SourcesSpec prove the pushed series filter skips
     * lines BEFORE parse (local-mode only; never read by the engine). */
   val linesParsed = new AtomicLong
+
+  /** Canonical sorted-key tags MapData — shared by the DSv2 reader and
+    * the `explode_line` generator so the two surfaces cannot drift on map
+    * rendering (FunctionsSpec additionally pins full byte-equivalence of
+    * their rows). */
+  def tagsMapData(tags: Map[String, String]): ArrayBasedMapData = {
+    val ks = tags.keys.toArray.sorted
+    new ArrayBasedMapData(
+      new GenericArrayData(ks.map(UTF8String.fromString)),
+      new GenericArrayData(ks.map(k => UTF8String.fromString(tags(k)))))
+  }
 }
 
 class LineProtocolTable(path: String, splitSize: Long, spoolLagMs: Long)
@@ -179,33 +190,53 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
       * gateway spools atomically-visible files, this source tails them).
       *
       * The offset is BOUNDED (round-5 ADVICE): an mtime watermark plus
-      * only the files within `spoolLagMs` of it — files older than
-      * (watermark - lag) are seen-by-definition and drop out of the
-      * offset, so checkpoint entries stay O(recent window) instead of
-      * O(files ever spooled). The lag absorbs late renames (a spool file
-      * whose mtime predates its visibility); a file surfacing with an
-      * mtime older than the lag window is skipped by design — size the
-      * lag to the gateway's worst-case stage-to-rename delay. Files are
-      * immutable once visible (atomic rename), so (end minus start-seen)
-      * is exactly the new data. */
+      * only the files within `spoolLagMs` of the COMMITTED watermark
+      * (the floor) — files older than that are seen-by-definition and
+      * drop out of the offset, so checkpoint entries stay O(recent
+      * window) in steady state instead of O(files ever spooled).
+      *
+      * The window is anchored to the committed floor, NOT the newest
+      * mtime: anchoring to the newest mtime would silently lose any
+      * unprocessed file older than (newest - lag) — e.g. a spool that
+      * kept filling while the query was down, or a fresh start over an
+      * accumulated directory (the first post-gap batch then carries the
+      * backlog in one offset — transiently large, never lossy). The lag
+      * additionally absorbs late renames (a spool file whose mtime
+      * predates its visibility); a file surfacing with an mtime older
+      * than the lag window BEHIND the committed floor is skipped by
+      * design — size the lag to the gateway's worst-case stage-to-rename
+      * delay. Files are immutable once visible (atomic rename), so
+      * (end minus start-seen) is exactly the new data. */
     override def toMicroBatchStream(checkpointLocation: String)
         : MicroBatchStream = new MicroBatchStream {
       import org.apache.spark.sql.connector.read.streaming.Offset
 
+      // the committed watermark: every offset Spark hands back to this
+      // stream (checkpoint restore or commit) raises it; latestOffset
+      // windows against IT so nothing unprocessed can age out
+      @volatile private var floorWm = 0L
+
       override def initialOffset(): Offset = LineProtocolOffset(0L, Nil)
 
       override def latestOffset(): Offset = {
+        val floor = floorWm
         val files = listFiles()
-        val wm = files.map(_.getModificationTime).maxOption.getOrElse(0L)
+        val wm = math.max(
+          files.map(_.getModificationTime).maxOption.getOrElse(0L), floor)
         LineProtocolOffset(wm,
-          files.filter(_.getModificationTime > wm - spoolLagMs)
+          files.filter(_.getModificationTime > floor - spoolLagMs)
             .map(f => (f.getPath.toString, f.getModificationTime, f.getLen))
             .sortBy(t => (t._2, t._1)))
       }
 
-      override def deserializeOffset(json: String): Offset =
-        LineProtocolOffset.fromJson(json)
-      override def commit(end: Offset): Unit = ()
+      override def deserializeOffset(json: String): Offset = {
+        val o = LineProtocolOffset.fromJson(json)
+        floorWm = math.max(floorWm, o.watermark)
+        o
+      }
+      override def commit(end: Offset): Unit =
+        floorWm = math.max(floorWm,
+          end.asInstanceOf[LineProtocolOffset].watermark)
       override def stop(): Unit = ()
 
       override def planInputPartitions(start: Offset,
@@ -343,11 +374,7 @@ class LineProtocolPartitionReader(part: LineProtocolInputPartition,
         case "tags" =>
           (_, tags: Map[String, String], _, _, _, _) =>
             if (tags == null) null
-            else new ArrayBasedMapData(
-              new GenericArrayData(tags.keys.toArray.sorted
-                .map(UTF8String.fromString)),
-              new GenericArrayData(tags.keys.toArray.sorted
-                .map(k => UTF8String.fromString(tags(k)))))
+            else LineProtocolSource.tagsMapData(tags)
         case "parse_error" =>
           (_, _, _, err: String, _, _) =>
             if (err == null) null else UTF8String.fromString(err)

@@ -113,6 +113,24 @@ class SourcesSpec extends SparkSpec {
       Seq(0.1, 0.2))
   }
 
+  test("series pushdown lexes the measurement exactly like the parser: " +
+      "leading whitespace and tab separators don't lose rows") {
+    val dir = tmpDir("graft-lp-push-lex")
+    // the full parser trims and splits on ' ' OR '\t' — the pushdown's
+    // measurement lexer must agree or filtered scans silently drop rows
+    Files.write(Paths.get(dir, "ws.lp"), java.util.List.of(
+      "  cpu,host=a usage=0.1", // leading whitespace
+      "cpu\tusage=0.2", // tab-separated segments
+      "mem,host=a used=0.9"))
+    // truth: no filter in the plan at all → nothing pushed to the reader
+    val truth = spark.read.format("lineprotocol").load(dir).collect()
+      .filter(r => r.getAs[String]("series") == "cpu")
+    val pushed = spark.read.format("lineprotocol").load(dir)
+      .filter(col("series") === "cpu").collect()
+    assert(truth.length == 2 && pushed.length == truth.length,
+      s"pushdown dropped rows: truth ${truth.length}, pushed ${pushed.length}")
+  }
+
   test("DSv2 lineprotocol source streams a spool dir: new files per " +
       "micro-batch, checkpoint restart without reprocessing") {
     val dir = tmpDir("graft-lp-stream")
@@ -152,6 +170,37 @@ class SourcesSpec extends SparkSpec {
       assert(got.map(_.getDouble(2)).sorted.toSeq ==
         Seq(0.5, 0.5, 1.0, 2.0, 3.0))
     } finally q2.stop()
+  }
+
+  test("bounded streaming offsets never lose a backlog: files older than " +
+      "the lag window behind the NEWEST mtime still ingest (floor anchor)") {
+    val dir = tmpDir("graft-lp-backlog")
+    val ckpt = tmpDir("graft-lp-backlog-ckpt")
+    val out = tmpDir("graft-lp-backlog-out")
+    def addFile(n: Int, ageMs: Long, line: String): Unit = {
+      val p = Paths.get(dir, s"f-$n.txt")
+      Files.write(p, line.getBytes)
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    // a 1s lag window, and a backlog file 60s OLDER than the fresh one:
+    // an offset windowed against the newest mtime would drop it silently;
+    // windowing against the committed floor (0 on first start) keeps it
+    addFile(1, 60000, "cpu,host=old v=1.0")
+    addFile(2, 0, "cpu,host=new v=2.0")
+    val q = spark.readStream.format("lineprotocol")
+      .option("spoolLagMs", "1000").load(dir)
+      .filter(col("parse_error").isNull)
+      .select(col("series"), col("tags")("host").as("host"), col("value"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    try {
+      q.processAllAvailable()
+      val hosts = spark.read.parquet(out).collect()
+        .map(_.getAs[String]("host")).sorted.toSeq
+      assert(hosts == Seq("new", "old"),
+        s"backlog file lost by the offset window: got $hosts")
+    } finally q.stop()
   }
 
   test("rate source generates load (streaming load-gen)") {

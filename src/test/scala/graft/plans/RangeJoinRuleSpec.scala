@@ -119,6 +119,16 @@ class RangeJoinRuleSpec extends SparkSpec {
       val got = a.join(inv, a("x") >= inv("lo2") && a("x") <= inv("hi2"))
       assert(got.queryExecution.executedPlan.toString.contains("__graft_bin"))
       assert(got.count() == 0)
+      // NULL bounds: the original join never matches them; the rewrite
+      // must ignore them too — NOT trip the fan-out guard (a NULL span
+      // is not a runaway span)
+      val withNull = Seq((Some(5.0), Some(15.0), "ok"),
+        (Some(0.0), None, "null-hi"), (None, Some(3.0), "null-lo"))
+        .toDF("lo3", "hi3", "tag")
+      val gotN = a.join(withNull, a("x") >= withNull("lo3") &&
+        a("x") <= withNull("hi3"))
+      assert(gotN.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(gotN.collect().map(_.getAs[String]("tag")).toSeq == Seq("ok"))
     }
   }
 
