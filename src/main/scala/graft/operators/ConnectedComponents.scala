@@ -86,4 +86,89 @@ object ConnectedComponents {
       s"connected components did not converge within $maxIter rounds")
     labels
   }
+
+  /** Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * reformulation SCALE.md §5 names for corpora whose near-dup graph is
+    * pathological for label propagation:
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its neighborhood (+ itself);
+    *  - small-star: every node collapses its smaller neighbors (and
+    *    itself) onto that minimum.
+    *
+    * Each operation strictly never disconnects and never adds cross-
+    * component edges, and the alternation converges to disjoint stars
+    * centered on each component's minimum in O(log n) rounds — crucially
+    * the bound is on COMPONENT SIZE, not graph diameter, and each round
+    * is one groupBy(min) + join over the current EDGE set (which only
+    * shrinks toward one edge per non-root vertex). Same lineage-cut /
+    * reliable-checkpoint posture as [[run]] via the conf.
+    *
+    * Returns the same (doc_id, component) labeling as [[run]]
+    * (ConnectedComponentsSpec asserts equality and the O(log n) round
+    * bound on a long chain). */
+  def runStars(pairs: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckptDir = spark.conf.getOption(CheckpointDirConf).filter(_.nonEmpty)
+    val cut: DataFrame => DataFrame = ckptDir match {
+      case Some(d) =>
+        spark.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+    // canonical undirected edges (big, small), self-loops dropped
+    var edges = cut(pairs
+      .select(greatest(col(srcCol), col(dstCol)).as("a"),
+        least(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val vertices = cut(pairs.select(col(srcCol).as("doc_id"))
+      .union(pairs.select(col(dstCol).as("doc_id"))).distinct())
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("a"), col("b"))
+        .cast("long")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetric view: for each center u, attach
+      // every strictly-larger neighbor to min(N(u) ∪ {u})
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = cut(sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      // SMALL-STAR over canonical (big, small) edges: for each big
+      // endpoint u, collapse u and its smaller neighbors onto the min
+      val sMins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val joined = large.join(sMins, Seq("a"))
+      val small = cut(joined
+        .select(col("a"), col("m").as("b"))
+        .union(joined.filter(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+      converged = signature(small) == signature(edges)
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"large/small-star components did not converge within $maxIter rounds")
+    // converged stars: every edge points a vertex at its component min;
+    // vertices with no outgoing edge (the roots) label themselves
+    lastStarRounds = iter
+    vertices.join(edges.select(col("a").as("doc_id"),
+        col("b").as("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** Rounds the last [[runStars]] took (spec-observable O(log n) bound). */
+  @volatile var lastStarRounds: Int = 0
 }

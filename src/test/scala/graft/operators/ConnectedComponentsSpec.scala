@@ -58,5 +58,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ConnectedComponents.run(none).count() == 0)
+    assert(ConnectedComponents.runStars(none).count() == 0)
+  }
+
+  test("large-star/small-star labels equal label propagation on assorted " +
+      "graphs, converging in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    assert(collect(ConnectedComponents.runStars(edges)) == expected)
+    // pseudo-random graph (fixed arithmetic, no RNG): 120 nodes, edges by
+    // modular strides → several nontrivial components
+    val rand = (0 until 200).map { i =>
+      val a = (i * 37L) % 120
+      val b = (i * 53L + 11) % 120
+      (a + 1, b + 1)
+    }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    assert(collect(ConnectedComponents.runStars(rand)) ==
+      collect(ConnectedComponents.run(rand)))
+    // a 200-node chain has diameter 199: naive propagation needs ~200
+    // rounds, star alternation must stay logarithmic in component size
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = ConnectedComponents.runStars(chain)
+    assert(labels.select("component").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(labels.count() == 200)
+    assert(ConnectedComponents.lastStarRounds <= 12,
+      s"expected O(log n) rounds, took ${ConnectedComponents.lastStarRounds}")
   }
 }
