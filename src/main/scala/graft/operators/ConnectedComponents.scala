@@ -126,11 +126,18 @@ object ConnectedComponents {
     val vertices = cut(pairs.select(col(srcCol).as("doc_id"))
       .union(pairs.select(col(dstCol).as("doc_id"))).distinct())
 
+    // convergence probe: cheap (count, hash-sum) signature first; on a
+    // signature match, ONE exact set comparison confirms it — the exact
+    // check runs once at the fixpoint, so a hash collision can delay
+    // nothing and a false convergence is impossible
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(hash(col("a"), col("b"))
         .cast("long")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
+    def sameEdges(x: DataFrame, y: DataFrame): Boolean =
+      signature(x) == signature(y) &&
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
 
     var converged = false
     var iter = 0
@@ -154,7 +161,7 @@ object ConnectedComponents {
         .union(joined.filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct())
-      converged = signature(small) == signature(edges)
+      converged = sameEdges(small, edges)
       edges = small
       iter += 1
     }
