@@ -412,16 +412,22 @@ class Engine(val spark: SparkSession, warehouse: String) {
     * [[exists]]-recovery: [[atomicOverwrite]] dying between its two
     * renames leaves the table path absent with the previous version
     * intact in `.old` — swap it back rather than serving an empty table
-    * (round-5 ADVICE). The rename runs under the table lock (with a
-    * lock-free fast path for the common healthy case): a LIVE
-    * atomicOverwrite holds the same lock between its two renames, so a
-    * concurrent read can never mistake that in-flight window for a crash
-    * and yank `.old` back while the writer is mid-swap. */
+    * (round-5 ADVICE). Two guards keep the recovery from misfiring on a
+    * LIVE overwrite's in-between window:
+    *  - in-process: the rename runs under the same table lock
+    *    atomicOverwrite holds across its two renames (lock-free fast
+    *    path for the healthy case);
+    *  - cross-JVM: recovery is skipped while a FOREIGN writer lease
+    *    exists — that window may be another JVM's live swap, and the
+    *    single-writer posture already defines the crash protocol there
+    *    (operator runs [[breakWriterLease]], after which reads recover).
+    */
   private def recoverSideTable(path: String): Unit =
     if (!pathExists(path) && pathExists(path + ".old"))
       Engine.tableLock(tablePath).synchronized {
         // re-check under the lock: the writer may have completed the swap
-        if (!pathExists(path) && pathExists(path + ".old"))
+        val foreign = leaseHolder().exists(_ != Engine.writerId)
+        if (!foreign && !pathExists(path) && pathExists(path + ".old"))
           renamePath(path + ".old", path)
       }
 

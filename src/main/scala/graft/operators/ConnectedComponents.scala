@@ -109,7 +109,13 @@ object ConnectedComponents {
     * (ConnectedComponentsSpec asserts equality and the O(log n) round
     * bound on a long chain). */
   def runStars(pairs: DataFrame, srcCol: String = "doc_a",
-      dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+      dstCol: String = "doc_b", maxIter: Int = 50): DataFrame =
+    runStarsCounted(pairs, srcCol, dstCol, maxIter)._1
+
+  /** [[runStars]] plus the number of rounds taken (returned, not stored —
+    * concurrent runs must not clobber each other's counts). */
+  def runStarsCounted(pairs: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val ckptDir = spark.conf.getOption(CheckpointDirConf).filter(_.nonEmpty)
     val cut: DataFrame => DataFrame = ckptDir match {
@@ -126,21 +132,21 @@ object ConnectedComponents {
     val vertices = cut(pairs.select(col(srcCol).as("doc_id"))
       .union(pairs.select(col(dstCol).as("doc_id"))).distinct())
 
-    // convergence probe: cheap (count, hash-sum) signature first; on a
-    // signature match, ONE exact set comparison confirms it — the exact
-    // check runs once at the fixpoint, so a hash collision can delay
-    // nothing and a false convergence is impossible
+    // convergence probe: cheap (count, hash-sum) signature first — the
+    // previous round's signature is CARRIED, not recomputed (one
+    // aggregate per round, not two); on a signature match, ONE exact set
+    // comparison confirms it (equal counts + one-direction exceptAll
+    // empty ⇒ multiset equality), so a hash collision can never cause
+    // false convergence and the exact check runs only at the fixpoint
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(hash(col("a"), col("b"))
         .cast("long")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    def sameEdges(x: DataFrame, y: DataFrame): Boolean =
-      signature(x) == signature(y) &&
-        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
 
     var converged = false
     var iter = 0
+    var edgeSig = signature(edges)
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the symmetric view: for each center u, attach
       // every strictly-larger neighbor to min(N(u) ∪ {u})
@@ -161,21 +167,20 @@ object ConnectedComponents {
         .union(joined.filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct())
-      converged = sameEdges(small, edges)
+      val smallSig = signature(small)
+      converged = smallSig == edgeSig && small.exceptAll(edges).isEmpty
       edges = small
+      edgeSig = smallSig
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"large/small-star components did not converge within $maxIter rounds")
     // converged stars: every edge points a vertex at its component min;
     // vertices with no outgoing edge (the roots) label themselves
-    lastStarRounds = iter
-    vertices.join(edges.select(col("a").as("doc_id"),
+    (vertices.join(edges.select(col("a").as("doc_id"),
         col("b").as("component")), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("component"))
+        coalesce(col("component"), col("doc_id")).as("component")),
+      iter)
   }
-
-  /** Rounds the last [[runStars]] took (spec-observable O(log n) bound). */
-  @volatile var lastStarRounds: Int = 0
 }

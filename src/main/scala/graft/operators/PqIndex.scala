@@ -170,15 +170,20 @@ object PqIndex {
     rows.toDF("mi", "ki", "centroid", "half_nc2")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
     val part = fs.listStatus(new Path(tmp))
       .find(f => f.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new java.io.IOException(
         s"pq save: no parquet part written under $tmp"))
     Option(target.getParent).foreach(fs.mkdirs)
-    fs.delete(target, false)
-    if (!fs.rename(part.getPath, target))
-      throw new java.io.IOException(s"pq save: cannot move part to $path")
+    // FileContext rename with OVERWRITE replaces atomically (a plain
+    // FileSystem.rename cannot replace, and delete-then-rename would
+    // open a window with NO fixture at `path` — the oracle reads this
+    // exact file, so the swap must never leave it absent)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(part.getPath, target,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     fs.delete(new Path(tmp), true)
   }
 

@@ -137,7 +137,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             s"leaving join unrewritten: ${e.getMessage}")
           None
       }
-    widthCache.synchronized { widthCache.put(key, w) }
+    // only SUCCESSFUL widths are memoized: caching a None (empty interval
+    // side at first execution, transient failure) would silently disable
+    // the rewrite for the JVM lifetime — an unpriceable join retries at
+    // the next optimization instead, matching the pre-cache behavior
+    if (w.isDefined) widthCache.synchronized { widthCache.put(key, w) }
     w
   }
 

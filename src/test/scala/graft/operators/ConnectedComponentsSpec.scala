@@ -77,11 +77,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     // a 200-node chain has diameter 199: naive propagation needs ~200
     // rounds, star alternation must stay logarithmic in component size
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = ConnectedComponents.runStars(chain)
+    val (labels, rounds) = ConnectedComponents.runStarsCounted(chain)
     assert(labels.select("component").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(1L))
     assert(labels.count() == 200)
-    assert(ConnectedComponents.lastStarRounds <= 12,
-      s"expected O(log n) rounds, took ${ConnectedComponents.lastStarRounds}")
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
   }
 }
