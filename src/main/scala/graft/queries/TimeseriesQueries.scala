@@ -161,6 +161,34 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // EWMA (InfluxDB's EXPONENTIAL_MOVING_AVERAGE): per series, the
+    // exponentially-weighted mean of the trailing 20 points with decay
+    // 0.9, normalized over the weights actually present (so the warm-up
+    // rows are well-defined). ONE window pass collects the trailing
+    // values (20 doubles/row, bounded), then a codegen'd higher-order
+    // fold scores newest-first with pow(0.9, k) weights — the SAME
+    // newest-first order and pow the oracle's ORDER BY ... DESC
+    // aggregate uses, keeping fp summation order identical across
+    // engines. One shuffle on the series key, like every window op here.
+    "q_ewma" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .select(col("event_id"),
+          r6(expr(
+            """aggregate(
+              |  zip_with(reverse(vals), sequence(0, size(vals) - 1),
+              |           (v, k) -> v * pow(0.9D, k)),
+              |  0D, (a, x) -> a + x)
+              |/ aggregate(
+              |  transform(sequence(0, size(vals) - 1),
+              |            k -> pow(0.9D, k)),
+              |  0D, (a, x) -> a + x)""".stripMargin)).as("ewma"))
+        .orderBy(col("event_id"))
+    },
+
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
     // one count aggregate + one tiny per-series window, both shuffles on
@@ -360,6 +388,22 @@ object TimeseriesQueries extends QuerySet {
         |  CAST(floor((value - prev_v) / (CAST(dt_us AS DOUBLE) / 1000000.0)
         |    * 1000000.0 + 0.5) AS BIGINT) AS rate_micro FROM r)
         |ORDER BY event_id""".stripMargin,
+
+    // same newest-first summation order as the Spark fold (ORDER BY
+    // rn DESC inside the aggregates) — fp addition order is part of the
+    // cross-engine contract here
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.event_id,
+        |  round(sum(b.value * pow(0.9, a.rn - b.rn) ORDER BY b.rn DESC)
+        |        / sum(pow(0.9, a.rn - b.rn) ORDER BY b.rn DESC), 6) AS ewma
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |GROUP BY a.event_id
+        |ORDER BY a.event_id""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (
