@@ -32,7 +32,8 @@ import graft.ingest.IngestPipeline
   * Empty results are empty DataFrames, never errors (deviation D4); tags
   * round-trip and are queryable (D3).
   */
-class Engine(val spark: SparkSession, warehouse: String) {
+class Engine(val spark: SparkSession, warehouse: String)
+    extends org.apache.spark.internal.Logging {
 
   val tablePath = s"$warehouse/measurements"
 
@@ -417,17 +418,29 @@ class Engine(val spark: SparkSession, warehouse: String) {
     *  - in-process: the rename runs under the same table lock
     *    atomicOverwrite holds across its two renames (lock-free fast
     *    path for the healthy case);
-    *  - cross-JVM: recovery is skipped while a FOREIGN writer lease
-    *    exists — that window may be another JVM's live swap, and the
-    *    single-writer posture already defines the crash protocol there
-    *    (operator runs [[breakWriterLease]], after which reads recover).
+    *  - cross-JVM: recovery is skipped (with a LOUD warning) while a
+    *    FOREIGN writer lease exists — that window may be another JVM's
+    *    live swap. Note a crashed writer's own restart also reads as
+    *    foreign (writer ids are per-process): the single-writer posture
+    *    already defines that protocol — the operator runs
+    *    [[breakWriterLease]], after which reads recover; any WRITE path
+    *    self-heals sooner by simply rebuilding the derived side table.
+    *    The warning makes the until-then empty reads diagnosable instead
+    *    of silent.
     */
   private def recoverSideTable(path: String): Unit =
     if (!pathExists(path) && pathExists(path + ".old"))
       Engine.tableLock(tablePath).synchronized {
         // re-check under the lock: the writer may have completed the swap
-        val foreign = leaseHolder().exists(_ != Engine.writerId)
-        if (!foreign && !pathExists(path) && pathExists(path + ".old"))
+        val holder = leaseHolder()
+        val foreign = holder.exists(_ != Engine.writerId)
+        if (foreign)
+          logWarning(s"$path is missing with a recovery copy at " +
+            s"$path.old, but the warehouse writer lease belongs to JVM " +
+            s"${holder.get} — skipping recovery (live swap or crashed " +
+            "writer). If that writer crashed, run breakWriterLease() or " +
+            "rebuild the side table; reads serve EMPTY until then.")
+        else if (!pathExists(path) && pathExists(path + ".old"))
           renamePath(path + ".old", path)
       }
 

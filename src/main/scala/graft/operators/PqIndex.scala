@@ -177,13 +177,24 @@ object PqIndex {
       .getOrElse(throw new java.io.IOException(
         s"pq save: no parquet part written under $tmp"))
     Option(target.getParent).foreach(fs.mkdirs)
-    // FileContext rename with OVERWRITE replaces atomically (a plain
-    // FileSystem.rename cannot replace, and delete-then-rename would
-    // open a window with NO fixture at `path` — the oracle reads this
-    // exact file, so the swap must never leave it absent)
-    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-      .rename(part.getPath, target,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the oracle reads this exact file, so the swap must never leave it
+    // absent. On a local filesystem the ONLY truly atomic replace is the
+    // POSIX rename(2) NIO exposes as ATOMIC_MOVE+REPLACE_EXISTING
+    // (Hadoop's LocalFs implements overwrite-rename as delete-then-
+    // rename, which opens exactly the missing-file window). Non-local
+    // schemes fall back to FileContext OVERWRITE — atomic on HDFS,
+    // best-effort elsewhere (documented; fixtures are repo-local).
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(part.getPath.toUri.getPath)
+      val dst = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        .rename(part.getPath, target,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     fs.delete(new Path(tmp), true)
   }
 

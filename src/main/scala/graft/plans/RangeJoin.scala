@@ -93,16 +93,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
   /** Per-plan memo of sampled widths: the same query re-optimizes on
-    * every action, and the width for a given (interval side, bounds) is
-    * stable — cache it by canonicalized plan+bounds so the sampling job
-    * runs once per distinct join, not once per execution. Bounded (drop
-    * oldest insertion) so a long-lived session cannot leak plans. */
+    * every action (and the fixed-point optimizer batches visit a join
+    * several times per compilation), and the width for a given (interval
+    * side, bounds) is stable — cache it by canonicalized plan+bounds so
+    * the sampling job runs once per distinct join, not once per visit.
+    * Failed samplings (empty interval side, transient error) are
+    * NEGATIVE-cached with a short TTL: long enough to cover all visits
+    * of a compilation, short enough that a table that gains data gets
+    * re-priced — permanent None-caching would silently disable the
+    * rewrite for the JVM lifetime. Bounded (drop oldest insertion) so a
+    * long-lived session cannot leak plans. */
+  private val NoneRetryMs = 30000L
   private val widthCache =
     new java.util.LinkedHashMap[(LogicalPlan, Expression, Expression),
-        Option[Double]](16, 0.75f, false) {
+        (Option[Double], Long)](16, 0.75f, false) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(LogicalPlan, Expression, Expression),
-            Option[Double]]): Boolean = size() > 64
+            (Option[Double], Long)]): Boolean = size() > 64
     }
 
   /** p50 of the interval spans, from one bounded aggregate over the
@@ -117,7 +124,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
     widthCache.synchronized {
       val hit = widthCache.get(key)
-      if (hit != null) return hit
+      if (hit != null && (hit._1.isDefined ||
+          System.currentTimeMillis() - hit._2 < NoneRetryMs))
+        return hit._1
     }
     val w =
       try {
@@ -137,11 +146,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             s"leaving join unrewritten: ${e.getMessage}")
           None
       }
-    // only SUCCESSFUL widths are memoized: caching a None (empty interval
-    // side at first execution, transient failure) would silently disable
-    // the rewrite for the JVM lifetime — an unpriceable join retries at
-    // the next optimization instead, matching the pre-cache behavior
-    if (w.isDefined) widthCache.synchronized { widthCache.put(key, w) }
+    widthCache.synchronized {
+      widthCache.put(key, (w, System.currentTimeMillis()))
+    }
     w
   }
 

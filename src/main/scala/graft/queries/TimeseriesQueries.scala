@@ -170,11 +170,16 @@ object TimeseriesQueries extends QuerySet {
     // newest-first order and pow the oracle's ORDER BY ... DESC
     // aggregate uses, keeping fp summation order identical across
     // engines. One shuffle on the series key, like every window op here.
+    // NULL values are filtered BEFORE the window on both engines:
+    // collect_list silently drops NULLs, which would compress Spark's
+    // trailing array while the oracle's rn-distance weights kept the
+    // gap — pre-filtering pins one semantics (EWMA over present values).
     "q_ewma" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(-19, Window.currentRow)
       t(s, dir, "events")
+        .filter(col("value").isNotNull)
         .withColumn("vals", collect_list(col("value")).over(w))
         .select(col("event_id"),
           r6(expr(
@@ -396,7 +401,7 @@ object TimeseriesQueries extends QuerySet {
       """WITH e AS (
         |  SELECT event_id, user_id, value, ts,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT a.event_id,
         |  round(sum(b.value * pow(0.9, a.rn - b.rn) ORDER BY b.rn DESC)
         |        / sum(pow(0.9, a.rn - b.rn) ORDER BY b.rn DESC), 6) AS ewma
