@@ -359,6 +359,13 @@ object DedupQueries extends QuerySet {
       |                 FOR i IN range(1, greatest(len(w) - 4, 1) + 1)]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
+  // cand wraps the three band joins in an explicit SELECT DISTINCT
+  // instead of relying on UNION's dedup: inside a WITH RECURSIVE clause
+  // (the connected-components oracle) DuckDB 1.0 keeps duplicates across
+  // the chained UNIONs, and a duplicated candidate pair double-counts its
+  // shingle intersections downstream (ni > na+nb ⇒ the pair silently
+  // fails the jaccard filter — exactly the exact-duplicate pairs that
+  // match in all 3 bands, caught by the sf0.1 cross-check)
   private val sigSql =
     s"""$shinglesSql,
        |sig AS (
@@ -368,14 +375,15 @@ object DedupQueries extends QuerySet {
        |    min(md5('s5' || sh)) || min(md5('s6' || sh)) AS b3
        |  FROM sh GROUP BY doc_id),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id
-       |  FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id
-       |  FROM sig a JOIN sig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)""".stripMargin
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+       |    UNION
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |    UNION
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM sig a JOIN sig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id))""".stripMargin
 
   private val simhashSql =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
