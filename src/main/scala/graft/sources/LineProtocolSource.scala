@@ -170,13 +170,27 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       seriesEq, nameEq)
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"lineprotocol $path, columns=${required.fieldNames.mkString(",")}" +
         (if (accepted.isEmpty) ""
          else s", pushed=[${accepted.mkString(",")}]")
+
+    /** Total byte size of the visible spool files — lets the planner
+      * treat a small line-protocol table like any other small relation
+      * (broadcast-join eligibility, AQE sizing) instead of assuming the
+      * conservative default. Row count is left unknown: fan-out per line
+      * is data-dependent. */
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val bytes = listFiles().map(_.getLen).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
     override def planInputPartitions(): Array[InputPartition] =
       listFiles().flatMap(f =>

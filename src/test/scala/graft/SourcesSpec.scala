@@ -172,6 +172,33 @@ class SourcesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("lineprotocol works as a SQL table (CREATE TABLE USING) and " +
+      "reports its size to the planner (broadcast eligibility)") {
+    val dir = tmpDir("graft-lp-ddl")
+    Files.write(Paths.get(dir, "a.lp"), java.util.List.of(
+      "cpu,host=a usage=0.5", "mem,host=b used=0.25"))
+    // SQL DDL surface: the TableProvider serves CREATE TABLE ... USING
+    spark.sql("DROP TABLE IF EXISTS lp_ddl")
+    spark.sql(
+      s"CREATE TABLE lp_ddl USING lineprotocol OPTIONS (path '$dir')")
+    try {
+      val rows = spark.sql(
+        "SELECT series, name, value FROM lp_ddl WHERE parse_error IS NULL")
+        .collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("cpu", "mem"))
+      // the scan reports file-size statistics, so a join against it can
+      // plan as a broadcast without hints or conf overrides
+      val joined = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .join(spark.table("lp_ddl").filter(col("parse_error").isNull)
+          .select(col("series"), col("value").as("lp_v")),
+          col("event_type") === col("series"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"small lineprotocol table not broadcast:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS lp_ddl")
+  }
+
   test("bounded streaming offsets never lose a backlog: files older than " +
       "the lag window behind the NEWEST mtime still ingest (floor anchor)") {
     val dir = tmpDir("graft-lp-backlog")
