@@ -417,4 +417,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
     assert(got == Seq(("x", 1.0), ("x", 4.0), ("y", 2.0), ("z", 3.0)))
   }
+
+  test("st13: streaming online EWMA — per-series state carries across " +
+      "micro-batches and matches the offline recurrence") {
+    import graft.streaming.StreamingEwma
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val smoothed = StreamingEwma.smooth(
+      in.toDF().toDF("user_id", "ts", "event_id", "value"), alpha = 0.5)
+    val q = smoothed.writeStream.outputMode("append").format("memory")
+      .queryName("st13").start()
+    try {
+      // batch 1: two series; u1 gets two points (in-batch fold order by ts)
+      in.addData((1L, ts(0), 10L, 4.0), (1L, ts(1), 11L, 8.0),
+        (2L, ts(0), 20L, 100.0))
+      q.processAllAvailable()
+      // batch 2: state carries — u1's ewma continues from 6.0, not reseeds
+      in.addData((1L, ts(2), 12L, 10.0), (2L, ts(1), 21L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st13").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // offline recurrence with alpha=0.5: u1: 4.0 -> (8+4)/2=6.0 -> (10+6)/2=8.0
+    //                                   u2: 100.0 -> (50+100)/2=75.0
+    assert(got == Map(10L -> 4.0, 11L -> 6.0, 12L -> 8.0,
+      20L -> 100.0, 21L -> 75.0), s"got $got")
+  }
 }
