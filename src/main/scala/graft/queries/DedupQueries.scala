@@ -378,10 +378,10 @@ object DedupQueries extends QuerySet {
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |    FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-       |    UNION
+       |    UNION ALL
        |    SELECT a.doc_id, b.doc_id
        |    FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-       |    UNION
+       |    UNION ALL
        |    SELECT a.doc_id, b.doc_id
        |    FROM sig a JOIN sig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id))""".stripMargin
 

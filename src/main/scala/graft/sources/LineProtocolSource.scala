@@ -83,6 +83,10 @@ object LineProtocolSource {
   /** Files above this size split into newline-aligned chunks. */
   val DefaultSplitSize: Long = 16L * 1024 * 1024
 
+  /** Conservative materialized-size multiple of raw spool bytes for
+    * planner statistics (per-field fan-out + per-row series/tags). */
+  val RowExpansionFactor: Long = 10L
+
   /** Streaming: files whose mtime is older than (watermark - lag) are
     * considered seen without being carried in the offset (see
     * [[LineProtocolOffset]]). */
@@ -179,15 +183,21 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
         (if (accepted.isEmpty) ""
          else s", pushed=[${accepted.mkString(",")}]")
 
-    /** Total byte size of the visible spool files — lets the planner
-      * treat a small line-protocol table like any other small relation
-      * (broadcast-join eligibility, AQE sizing) instead of assuming the
-      * conservative default. Row count is left unknown: fan-out per line
-      * is data-dependent. */
+    /** Size estimate for the planner — lets a small line-protocol table
+      * become broadcast-eligible instead of assuming the conservative
+      * default. Raw spool bytes are scaled by a fixed expansion factor:
+      * the scan fans out one row PER FIELD, each carrying the series
+      * string, the full tags map, and the typed value union, so
+      * materialized rows can dwarf the text that produced them (same
+      * reason FileScan sources apply fileCompressionFactor). Listed once
+      * per Scan (lazy) — planning must not re-issue the directory RPC on
+      * every statistics call. Row count is left unknown: fan-out per
+      * line is data-dependent. */
+    private lazy val statsBytes =
+      listFiles().map(_.getLen).sum * LineProtocolSource.RowExpansionFactor
     override def estimateStatistics(): Statistics = new Statistics {
-      private val bytes = listFiles().map(_.getLen).sum
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(statsBytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }

@@ -10,12 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * on ingest, versus the batch q_ewma's trailing-window form over stored
   * rows).
   *
-  * Shape: state per series is ONE double (+ the last event id for
-  * deterministic replay) — the smallest possible stateful operator; one
-  * shuffle on the series key; RocksDB-ready like every stateful op here
-  * (StreamingSpec st9). Within a micro-batch, rows fold in (ts, event_id)
-  * order so replays and out-of-order batch contents produce identical
-  * state — determinism a monitoring pipeline needs for exactly-once
+  * Shape: state per series is ONE double — the smallest possible
+  * stateful operator; one shuffle on the series key; RocksDB-ready like
+  * every stateful op here (StreamingSpec st9). Determinism comes from
+  * the in-batch fold order alone: rows fold in (ts, event_id) order, so
+  * a replayed micro-batch (same contents, any arrival order) produces
+  * identical state — what a monitoring pipeline needs for exactly-once
   * sinks.
   */
 object StreamingEwma {
