@@ -25,6 +25,39 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("tf").desc, col("tok"))
     },
 
+    // Approximate HEAVY HITTERS via count-min sketch — the streaming-
+    // friendly top-k the exact q_vocab cannot give at 100 TB (an exact
+    // top-k shuffles every distinct token; the CMS is a fixed-size
+    // mergeable summary whose partials combine map-side, like the HLL in
+    // q_approx_sketches). Driver-visible gate, same pattern as
+    // q_approx_sketches: emit the EXACT top-10 counts (hash-compared for
+    // real) plus a per-token boolean that the sketch estimate respects
+    // the CMS contract (estimate >= true, <= true + eps*N) — the oracle
+    // pins the booleans TRUE, so a sketch drifting out of its bound
+    // fails the driver's hash gate. Driver-side state is the sketch
+    // bytes + 10 rows (model/catalog-sized, per the collect policy).
+    "q_approx_topk" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
+      // ONE pass builds the sketch and the token total together
+      val agg = toks.agg(
+        expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("cms"),
+        count(lit(1)).as("n")).head
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+      val slack = (0.001 * agg.getLong(1)).toLong + 1
+      exact.toSeq.map { r =>
+        val (tok, cnt) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(tok)
+        (tok, cnt, est >= cnt && est <= cnt + slack)
+      }.toDF("tok", "exact_cnt", "cms_within_bound")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+
     // Collocations: bigram PMI (pointwise mutual information) over word
     // pairs — log(p(ab) / (p(a) p(b))), min support 5.
     "q_bigram_pmi" -> { (s, dir) =>
@@ -196,6 +229,14 @@ object PipelineQueries extends QuerySet {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM tok GROUP BY tok ORDER BY tf DESC, tok""".stripMargin,
+
+    // exact counts cross-checked; the TRUE literals are the expectation
+    // that Spark's count-min estimates respect their bound (see query)
+    "q_approx_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt, TRUE AS cms_within_bound
+        |FROM c ORDER BY exact_cnt DESC, tok LIMIT 10""".stripMargin,
 
     "q_bigram_pmi" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
