@@ -53,7 +53,7 @@ object AnnIndex {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(ipLit(emb, c.toSeq).as("ip"), lit(i).as("id"))
     }
-    array_max(array(scored: _*)).getField("id")
+    array_max(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*)).getField("id")
   }
 
   /** Spherical k-means coarse quantizer. Deterministic hash-spread init
@@ -213,10 +213,11 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     // per-query top-p lists WITHOUT a join or window: negative ip sorts
     // ascending == ip descending; slice keeps the p best
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(0.0) - ipLit(col("embedding"), c.toSeq)).as("nip"),
-        lit(i).as("id"))
-    }: _*)
+    val scored = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.zipWithIndex.map { case (c, i) =>
+        struct((lit(0.0) - ipLit(col("embedding"), c.toSeq)).as("nip"),
+          lit(i).as("id"))
+      }): _*)
     val routed = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         explode(transform(slice(array_sort(scored), 1, probes),

@@ -78,7 +78,7 @@ object ConnectedComponents {
           col("old")))
       converged = !next
         .agg(coalesce(max(col("component") =!= col("old")), lit(false)))
-        .head.getBoolean(0)
+        .head().getBoolean(0)
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
     }
@@ -140,7 +140,7 @@ object ConnectedComponents {
     // false convergence and the exact check runs only at the fixpoint
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(hash(col("a"), col("b"))
-        .cast("long")), lit(0L))).head
+        .cast("long")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
 

@@ -116,7 +116,7 @@ object PqIndex {
         struct((VecOps.vec_dot(sub, typedLit(c.toSeq)) - lit(0.5 * nc2))
           .as("s"), lit(ki).as("id"))
       }
-      array_max(array(scored: _*)).getField("id")
+      array_max(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*)).getField("id")
     }
     array(perSub: _*)
   }

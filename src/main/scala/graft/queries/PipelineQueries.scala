@@ -46,7 +46,7 @@ object PipelineQueries extends QuerySet {
       val agg = toks.agg(
         expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), " +
           "CAST(0.99 AS DOUBLE), 42)").as("cms"),
-        count(lit(1)).as("n")).head
+        count(lit(1)).as("n")).head()
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
       val slack = (0.001 * agg.getLong(1)).toLong + 1

@@ -101,7 +101,7 @@ object SimilarityQueries extends QuerySet {
       val e = t(s, dir, "embeddings")
       val cb = PqIndex.load(s, graft.Fixtures.pqCodebooks)
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+        .head().getSeq[Float](0).map(_.toDouble).toArray
       val corpus = e.filter(col("vec_id") =!= 0)
       // ADC shortlist (cheap scan over codes), then exact rerank of the
       // shortlist only — the standard PQ serving shape: full-precision

@@ -152,14 +152,15 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
     val hadoop = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(hadoop)
-    if (fs.isDirectory(p))
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
       fs.listStatus(p).filter(_.isFile)
         // in-flight temp and hidden files (the gateway's `.x.tmp` staging
         // names) are not yet atomically visible data
         .filterNot(f => f.getPath.getName.startsWith(".") ||
           f.getPath.getName.startsWith("_"))
         .sortBy(_.getPath.toString).toSeq
-    else Seq(fs.getFileStatus(p))
+    else Seq(st)
   }
 
   /** Newline-aligned chunks: every `splitSize` slice of a large file is
