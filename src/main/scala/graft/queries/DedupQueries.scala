@@ -225,6 +225,47 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // BLOOM-FILTER decontamination pre-filter: the benchmark shingle set
+    // compressed into a driver-built Bloom filter (model-sized — MBs for
+    // millions of shingles), broadcast, and probed MAP-ONLY over the
+    // corpus. At 100 TB this is the step that runs BEFORE
+    // q_decontaminate's shingle equi-join: the probe eliminates the
+    // overwhelmingly-clean majority of the corpus with zero shuffle, and
+    // only bloom-positive docs (true hits + the small fpp) reach the
+    // exact join. The probe is a scalar UDF by necessity (Spark exposes
+    // no SQL surface for BloomFilter.mightContain; the internal
+    // expression serves runtime filters only) — acceptable off the
+    // codegen hot path because it replaces a shuffle, not an expression.
+    //
+    // Driver-visible gate (same pattern as q_approx_sketches): the exact
+    // hit set is hash-compared for real, and a per-doc boolean pins the
+    // Bloom CONTRACT — no false negatives (every exact hit is
+    // bloom-flagged). The oracle expects TRUE everywhere; a broken
+    // filter fails the driver's hash gate.
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val bench = sets.filter(col("doc_id") % 20 === 0)
+      val corpus = sets.filter(col("doc_id") % 20 =!= 0)
+      val bloom = bench.stat.bloomFilter("sh", 1L << 20, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((sh: String) => bc.value.mightContain(sh))
+      val flagged = corpus.filter(mightContain(col("sh")))
+        .select(col("doc_id")).distinct()
+        .withColumn("bloom_hit", lit(true))
+      val exact = corpus.join(bench.select(col("sh")), Seq("sh"))
+        .select(col("doc_id")).distinct()
+        .withColumn("exact_hit", lit(true))
+      corpus.select(col("doc_id")).distinct()
+        .join(exact, Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_hit"), lit(false)).as("exact_hit"),
+          (coalesce(col("bloom_hit"), lit(false)) ||
+            !coalesce(col("exact_hit"), lit(false)))
+            .as("bloom_no_false_negative"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cross-corpus BOILERPLATE detection (the CCNet/RefinedWeb step that
     // line-level dedup does on web text, adapted to token streams): a word
     // 3-gram occurring in >= 5 distinct documents is boilerplate
@@ -484,6 +525,22 @@ object DedupQueries extends QuerySet {
          |FROM sets c JOIN sets b ON b.sh = c.sh AND b.doc_id % 20 = 0
          |WHERE c.doc_id % 20 <> 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // exact hits cross-checked; TRUE literals pin the Bloom no-false-
+    // negative contract (see the query comment)
+    "q_decontaminate_bloom" ->
+      s"""WITH $shinglesSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |corpus AS (SELECT * FROM sets WHERE doc_id % 20 <> 0),
+         |exact AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM corpus c JOIN sets b ON b.sh = c.sh AND b.doc_id % 20 = 0)
+         |SELECT d.doc_id,
+         |       (e.doc_id IS NOT NULL) AS exact_hit,
+         |       TRUE AS bloom_no_false_negative
+         |FROM (SELECT DISTINCT doc_id FROM corpus) d
+         |LEFT JOIN exact e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
