@@ -89,8 +89,22 @@ object ExplodeLine {
     ColumnBridge.column(ExplodeLine(ColumnBridge.expression(c)))
   }
 
+  /** Arity-checked builder for SQL registration paths: a bad call count
+    * must surface as the standard WRONG_NUM_ARGS analysis error naming
+    * the function, not a raw NoSuchElementException from `exprs.head`
+    * (round-6 ADVICE). */
+  def fromArgs(exprs: Seq[Expression]): ExplodeLine = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> "`explode_line`", "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    ExplodeLine(exprs.head)
+  }
+
   /** SQL registration: `SELECT explode_line(value) FROM ...`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "explode_line", exprs => ExplodeLine(exprs.head), "built-in")
+      "explode_line", fromArgs, "built-in")
 }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    // the rule is bound to the session it was injected into — width
+    // sampling must run on the session compiling the plan, not whatever
+    // SparkSession.active happens to be in a multi-session app
+    e.injectOptimizerRule(s => new BinnedRangeJoinRule(Some(s)))
     e.injectOptimizerRule(_ => ApproxCountDistinctRule)
     // the custom generator is part of the extension surface too, so a
     // session built with GraftExtensions can SELECT explode_line(...)
@@ -28,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("explode_line"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.ExplodeLine].getName, "explode_line"),
-      (exprs: Seq[Expression]) => graft.functions.ExplodeLine(exprs.head)))
+      graft.functions.ExplodeLine.fromArgs))
   }
 }
 
@@ -76,12 +79,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * range conjuncts, so without this guard the equi mode would re-fire on
   * its own output forever).
   */
-object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+object BinnedRangeJoinRule extends BinnedRangeJoinRule(None) {
 
   val BinSizeConf = "spark.graft.rangeJoin.binSize"
   val AutoBinConf = "spark.graft.rangeJoin.autoBin"
   val EquiConf = "spark.graft.rangeJoin.binEquiJoins"
   val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerRow"
+
+  /** Per-plan memo of sampled widths, shared across sessions (the key is
+    * the canonicalized interval subtree, which is session-independent):
+    * the same query re-optimizes on every action (and the fixed-point
+    * optimizer batches visit a join several times per compilation), and
+    * the width for a given (interval side, bounds) is stable over a
+    * compilation — cache it so the sampling job runs once per distinct
+    * join, not once per visit. BOTH polarities expire (round-6 ADVICE):
+    * failed samplings (empty side, transient error) retry after a short
+    * TTL so a table that gains data gets re-priced, and successful
+    * samplings expire after a longer TTL so a table that grows or shifts
+    * its span distribution cannot keep a stale width for the JVM
+    * lifetime. Bounded (drop oldest insertion) so a long-lived session
+    * cannot leak plans. */
+  private[plans] val NoneRetryMs = 30000L
+  private[plans] val SomeTtlMs = 10 * 60 * 1000L
+  private[plans] val widthCache =
+    new java.util.LinkedHashMap[(LogicalPlan, Expression, Expression),
+        (Option[Double], Long)](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, Expression, Expression),
+            (Option[Double], Long)]): Boolean = size() > 64
+    }
+}
+
+class BinnedRangeJoinRule(sessionOpt: Option[SparkSession])
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import BinnedRangeJoinRule._
+
+  /** The session whose plans this rule instance compiles. Extension
+    * injection binds the real session (GraftExtensions above); the
+    * companion-object fallback resolves `active` only for direct
+    * object-level use in tests — rule-time jobs must otherwise never
+    * depend on which session a multi-session app happens to have made
+    * active (round-6 ADVICE). */
+  protected def session: SparkSession =
+    sessionOpt.getOrElse(SparkSession.active)
 
   private def binnable(e: Expression): Boolean = e.dataType match {
     case _: NumericType | TimestampType => true
@@ -91,26 +131,6 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   /** floor(x / w) as a LongType bin id (timestamps cast through seconds). */
   private def bin(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
-
-  /** Per-plan memo of sampled widths: the same query re-optimizes on
-    * every action (and the fixed-point optimizer batches visit a join
-    * several times per compilation), and the width for a given (interval
-    * side, bounds) is stable — cache it by canonicalized plan+bounds so
-    * the sampling job runs once per distinct join, not once per visit.
-    * Failed samplings (empty interval side, transient error) are
-    * NEGATIVE-cached with a short TTL: long enough to cover all visits
-    * of a compilation, short enough that a table that gains data gets
-    * re-priced — permanent None-caching would silently disable the
-    * rewrite for the JVM lifetime. Bounded (drop oldest insertion) so a
-    * long-lived session cannot leak plans. */
-  private val NoneRetryMs = 30000L
-  private val widthCache =
-    new java.util.LinkedHashMap[(LogicalPlan, Expression, Expression),
-        (Option[Double], Long)](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(LogicalPlan, Expression, Expression),
-            (Option[Double], Long)]): Boolean = size() > 64
-    }
 
   /** p50 of the interval spans, from one bounded aggregate over the
     * interval side — runs at rewrite time, only after a rewritable join
@@ -124,9 +144,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
     widthCache.synchronized {
       val hit = widthCache.get(key)
-      if (hit != null && (hit._1.isDefined ||
-          System.currentTimeMillis() - hit._2 < NoneRetryMs))
-        return hit._1
+      if (hit != null) {
+        val age = System.currentTimeMillis() - hit._2
+        val ttl = if (hit._1.isDefined) SomeTtlMs else NoneRetryMs
+        if (age < ttl) return hit._1
+      }
     }
     val w =
       try {
@@ -135,7 +157,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           .toAggregateExpression()
         val agg = Aggregate(Nil, Seq(Alias(p50, "w")()),
           LocalLimit(Literal(10000), bound))
-        val row = DatasetBridge.ofRows(SparkSession.active, agg).head()
+        val row = DatasetBridge.ofRows(session, agg).head()
         val got = if (row.isNullAt(0)) None
           else Some(row.getDouble(0)).filter(_ > 0)
         got.foreach(v => logInfo(s"binned range join: sampled bin width $v"))

@@ -94,7 +94,10 @@ object LineProtocolSource {
 
   /** Test-observable count of lines fully parsed across all readers in
     * this JVM — lets SourcesSpec prove the pushed series filter skips
-    * lines BEFORE parse (local-mode only; never read by the engine). */
+    * lines BEFORE parse (local-mode only; never read by the engine).
+    * Readers flush a local counter here once at close(), so the value is
+    * accurate only after the scan completes — and the hot loop never
+    * touches shared state. */
   val linesParsed = new AtomicLong
 
   /** Canonical sorted-key tags MapData — shared by the DSv2 reader and
@@ -271,7 +274,23 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
         end.asInstanceOf[LineProtocolOffset].recent
           .filter { case (name, mtime, _) =>
             mtime > s.watermark - spoolLagMs && !seenNames(name) }
-          .flatMap { case (name, _, len) => partitionsFor(name, len) }
+          .flatMap { case (name, _, len) =>
+            // length -1 = unknown (legacy pre-upgrade offset): resolve by
+            // stat at plan time — planning zero-length partitions here
+            // would read nothing, commit, and silently lose those files
+            // forever (round-6 ADVICE, medium). A vanished file is
+            // genuinely empty work, not an error (spool files are
+            // immutable; only retention could have removed it).
+            val resolved =
+              if (len >= 0) len
+              else {
+                val p = new Path(name)
+                val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+                try fs.getFileStatus(p).getLen
+                catch { case _: java.io.FileNotFoundException => 0L }
+              }
+            partitionsFor(name, resolved)
+          }
           .toArray
       }
 
@@ -287,8 +306,10 @@ class LineProtocolScanBuilder(path: String, splitSize: Long,
   * OR it appears in `recent` — so the serialized offset never grows past
   * the recent window. Legacy offsets (a plain JSON file-name array from
   * the previous unbounded format) deserialize as watermark 0 with
-  * zero-length entries, which keeps their files marked seen without
-  * re-reading them. */
+  * length -1 (= unknown): as a START offset they mark their files seen;
+  * as the END of a replayed uncommitted batch the unknown lengths are
+  * resolved by a stat at plan time, so the replay actually re-reads the
+  * data instead of planning zero-length partitions and losing it. */
 case class LineProtocolOffset(watermark: Long,
     recent: Seq[(String, Long, Long)])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -310,7 +331,7 @@ object LineProtocolOffset {
     parse(json) match {
       case JArray(els) => // legacy unbounded format: ["file", ...]
         LineProtocolOffset(0L,
-          els.map(e => (e.extract[String], 0L, 0L)))
+          els.map(e => (e.extract[String], 0L, -1L)))
       case obj =>
         LineProtocolOffset((obj \ "wm").extract[Long],
           (obj \ "files").extract[Seq[JValue]].map(f =>
@@ -364,6 +385,7 @@ class LineProtocolPartitionReader(part: LineProtocolInputPartition,
 
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  private var localLinesParsed = 0L
 
   // column writers for the pruned schema, resolved once per reader
   private val writers: Array[(String, Map[String, String], String, String,
@@ -415,7 +437,10 @@ class LineProtocolPartitionReader(part: LineProtocolInputPartition,
     // (their series column is NULL), so they are skipped too.
     if (seriesEq.exists(v => !LineProtocol.measurementOf(line).contains(v)))
       return Iterator.empty
-    LineProtocolSource.linesParsed.incrementAndGet()
+    // local counter, flushed once in close(): a per-line shared AtomicLong
+    // increment is one cache line contended across every reader core on a
+    // wide scan (round-6 ADVICE)
+    localLinesParsed += 1
     LineProtocol.parse(line) match {
       case Right(r) =>
         val tags = r.tags.toMap
@@ -452,5 +477,9 @@ class LineProtocolPartitionReader(part: LineProtocolInputPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = { lines.close(); in.close() }
+  override def close(): Unit = {
+    LineProtocolSource.linesParsed.addAndGet(localLinesParsed)
+    localLinesParsed = 0L
+    lines.close(); in.close()
+  }
 }

@@ -230,6 +230,29 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("legacy (pre-upgrade) offsets replay with real lengths: an " +
+      "uncommitted legacy batch re-reads its files instead of planning " +
+      "zero-length partitions and losing them") {
+    import graft.sources.{LineProtocolInputPartition, LineProtocolOffset, LineProtocolScanBuilder}
+    val dir = tmpDir("graft-lp-legacy")
+    val p = Paths.get(dir, "f-legacy.txt")
+    Files.write(p, "cpu,host=a v=1.0\ncpu,host=b v=2.0\n".getBytes)
+    // the old unbounded offset format was a bare JSON array of file names
+    val legacy = LineProtocolOffset.fromJson(s"""["${p.toString}"]""")
+    assert(legacy.recent.head._3 == -1L,
+      "legacy entries must deserialize with UNKNOWN (-1) length, " +
+        "not 0 — zero would plan an empty read and mark the file seen")
+    val stream = new LineProtocolScanBuilder(dir, 16L * 1024 * 1024, 1000L,
+      spark).build().toMicroBatchStream(tmpDir("graft-lp-legacy-ckpt"))
+    // replay of an uncommitted pre-upgrade batch: start is a fresh
+    // initial offset, end is the legacy offset restored from checkpoint
+    val parts = stream.planInputPartitions(stream.initialOffset(), legacy)
+    val planned =
+      parts.map(_.asInstanceOf[LineProtocolInputPartition].length).sum
+    assert(planned == Files.size(p),
+      s"legacy replay planned $planned bytes, expected ${Files.size(p)}")
+  }
+
   test("rate source generates load (streaming load-gen)") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500")
       .load()

@@ -98,6 +98,17 @@ class FunctionsSpec extends SparkSpec {
     assert(canon(gen) == canon(src))
   }
 
+  test("explode_line with wrong arity raises the standard WRONG_NUM_ARGS " +
+      "analysis error, not a NoSuchElementException") {
+    graft.functions.ExplodeLine.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT explode_line()").collect()
+    }
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      s"unexpected error condition: ${e.getCondition}\n${e.getMessage}")
+    assert(e.getMessage.contains("explode_line"))
+  }
+
   test("approx sketches stay within tolerance of exact (q_approx_sketches)") {
     val dir = "/root/testdata/sf0.001"
     // the query now self-certifies (within_tol booleans hash-checked by the
