@@ -982,8 +982,24 @@ class Engine(val spark: SparkSession, warehouse: String)
   }
 
   /** R16: real JSON rows (the reference returns Rust debug strings inside a
-    * JSON string, SURVEY Q-J). */
-  def toJsonRows(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+    * JSON string, SURVEY Q-J), streamed partition-at-a-time.
+    *
+    * `toLocalIterator` schedules one job per partition and holds at most
+    * ONE partition's rows on the driver at a time, so a full-table SELECT
+    * through the HTTP surface is bounded by partition size, not result
+    * size — the round-6 "unbounded driver collect in a user-facing hot
+    * path" fix. (The reference has the same flaw, utils/db.rs:18-27; our
+    * bar is the 100 TB posture.) The JSON rendering itself runs on the
+    * executors (`toJSON` is a distributed map); the driver only relays
+    * strings. */
+  def jsonRowIterator(df: DataFrame): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    df.toJSON.toLocalIterator().asScala
+  }
+
+  /** Fully-materialized convenience for small results (tests, internal
+    * tooling). User-facing paths must use [[jsonRowIterator]]. */
+  def toJsonRows(df: DataFrame): Seq[String] = jsonRowIterator(df).toSeq
 }
 
 object Engine {

@@ -92,6 +92,44 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("query results stream with chunked transfer (no driver-sized " +
+      "materialization) and max_rows caps in the plan") {
+    val engine = new Engine(spark, tmpDir("graft-api-stream"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val lines = (1 to 2000).map(i =>
+        s"cpu,host=h$i v=$i.5 ${1700000000000000000L + i * 1000000000L}")
+      engine.ingestLines(lines)
+      val con = URI.create(s"$base/query").toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      con.setRequestMethod("POST")
+      con.setDoOutput(true)
+      con.getOutputStream.write("q=SELECT%20name%2C%20value%20FROM%20cpu"
+        .getBytes(UTF_8))
+      assert(con.getResponseCode == 200)
+      // the response must be chunked — a Content-Length would mean the
+      // whole result was materialized on the driver to measure it
+      assert(con.getHeaderField("Transfer-encoding") == "chunked",
+        "query results must stream, not carry Content-Length")
+      assert(con.getHeaderField("Content-length") == null)
+      val streamed = new String(con.getInputStream.readAllBytes(), UTF_8)
+      assert(streamed.startsWith("[{") && streamed.endsWith("}]"))
+      assert(streamed.split("\\},\\{").length == 2000)
+
+      // max_rows is a plan-side limit, honored before the stream starts
+      val (cc, cb) = call(s"$base/query?max_rows=7", "POST",
+        "q=SELECT%20name%2C%20value%20FROM%20cpu")
+      assert(cc == 200 && cb.split("\\},\\{").length == 7, cb)
+
+      // a failing query still gets a clean error status: the first
+      // partition is forced before headers commit
+      val (fc, _) = call(s"$base/query", "POST",
+        "q=SELECT%20name%20FROM%20no_such_series_anywhere")
+      assert(fc == 400 || fc == 500)
+    } finally api.stop()
+  }
+
   test("retention and DROP SERIES endpoints (superset: the reference has " +
       "no delete path)") {
     val engine = new Engine(spark, tmpDir("graft-api-del"))
