@@ -743,7 +743,8 @@ class Engine(val spark: SparkSession, warehouse: String)
     * under `warehouse/bucketed_<name>`. Same table lock as writeBatch /
     * compact: the snapshot must not race an append. */
   def compactBucketed(tableName: String, key: String = "series",
-      buckets: Int = 32): Unit =
+      buckets: Int = 32,
+      statsColumns: Seq[String] = Seq("series", "name", "day")): Unit =
     Engine.tableLock(tablePath).synchronized {
       acquireWriterLease()
       table()
@@ -751,6 +752,20 @@ class Engine(val spark: SparkSession, warehouse: String)
         .option("path", s"$warehouse/bucketed_$tableName")
         .mode("overwrite")
         .saveAsTable(tableName)
+      // CBO statistics ride the same maintenance slot (round-6 VERDICT
+      // #6). Table-level stats pin rowCount (the file listing already
+      // yields sizeInBytes for this unpartitioned layout); the COLUMN
+      // stats are what change plans: ndv/min-max on the predicate
+      // columns lets `spark.sql.cbo.enabled` price a selective filter at
+      // rows/ndv instead of "same size as the table", which is the
+      // difference between shuffling a fact-sized side and broadcasting
+      // the handful of surviving rows (EngineSpec asserts exactly that
+      // flip). One metadata + one column-agg pass over files just
+      // rewritten anyway — the cheapest moment to pay it.
+      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
+      val cols = (statsColumns :+ key).distinct.map(c => s"`$c`")
+      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${cols.mkString(", ")}")
     }
 
   // --------------------------------------------------------------- catalog

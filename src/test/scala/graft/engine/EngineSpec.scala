@@ -454,6 +454,70 @@ class EngineSpec extends SparkSpec {
       .toOption.get.head().getLong(0) == 1L)
   }
 
+  test("compactBucketed ANALYZEs the catalog table: CBO column stats " +
+      "flip a selectively-filtered join side to broadcast") {
+    val e = new Engine(spark, tmpDir("graft-cbo"))
+    // 3000 rows with ~3000 DISTINCT field names: `name = 'f42'` keeps ~1
+    // row, and only ndv stats can tell the planner that
+    e.ingestLines((1 to 3000).map(i =>
+      s"cpu,host=h${i % 7} f$i=$i.5 17000000${i % 10}0000000000"))
+    val keys =
+      Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // the probe key must not be foldable or the equi-join degenerates to
+    // a nested loop over a literal predicate
+    def probe = spark.range(0, 3000000)
+      .select(expr("if(id % 2 = 0, 'cpu', concat('k', id))").as("series"),
+        col("id"))
+    def dim(dimName: String) = spark.table(dimName)
+      .filter(col("name") === "f42").select(col("series"), col("name"))
+    def staticPlan(dimName: String): String =
+      probe.join(dim(dimName), Seq("series"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n"))
+        .queryExecution.sparkPlan.toString // STATIC plan: no AQE rescue
+    try {
+      // control: the same data saved WITHOUT stats — the filter is
+      // priced at (pruned) table size because nothing knows its ndv
+      e.table().write.bucketBy(4, "series").sortBy("series")
+        .option("path", tmpDir("graft-cbo-nostats") + "/t")
+        .saveAsTable("m_cbo_nostats")
+      // maintenance slot: compactBucketed writes AND analyzes
+      e.compactBucketed("m_cbo_stats", key = "series", buckets = 4)
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED m_cbo_stats")
+        .collect().map(_.mkString("|")).mkString("\n")
+      assert(desc.contains("Statistics"), s"no stats recorded:\n$desc")
+      // the measurable CBO effect: ndv prices `name = 'f42'` at ~1 of
+      // ~3000 rows; the unanalyzed control cannot shrink the filter
+      val noStatsEst = dim("m_cbo_nostats").queryExecution
+        .optimizedPlan.stats.sizeInBytes
+      val statsEst = dim("m_cbo_stats").queryExecution
+        .optimizedPlan.stats.sizeInBytes
+      assert(statsEst * 10 <= noStatsEst,
+        s"column stats did not shrink the filter estimate: " +
+          s"$statsEst vs $noStatsEst")
+      // and that estimate is what flips the join: with the broadcast
+      // threshold between the two estimates, only the analyzed side
+      // plans as a broadcast join (self-calibrating against parquet
+      // size drift)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((statsEst + noStatsEst) / 2).toString)
+      assert(!staticPlan("m_cbo_nostats").contains("BroadcastHashJoin"),
+        s"control broadcasts without stats:\n" +
+          staticPlan("m_cbo_nostats"))
+      assert(staticPlan("m_cbo_stats").contains("BroadcastHashJoin"),
+        s"ndv-priced selective filter did not flip to broadcast:\n" +
+          staticPlan("m_cbo_stats"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS m_cbo_nostats")
+      spark.sql("DROP TABLE IF EXISTS m_cbo_stats")
+    }
+  }
+
   test("library functions are callable from the engine SQL surface " +
       "(parse_line_expr / vec_dot / vec_cosine)") {
     val r = engine.query(
