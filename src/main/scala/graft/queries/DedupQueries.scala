@@ -226,16 +226,19 @@ object DedupQueries extends QuerySet {
     },
 
     // BLOOM-FILTER decontamination pre-filter: the benchmark shingle set
-    // compressed into a driver-built Bloom filter (model-sized — MBs for
-    // millions of shingles), broadcast, and probed MAP-ONLY over the
-    // corpus. At 100 TB this is the step that runs BEFORE
+    // compressed into a Bloom filter built by Catalyst's own
+    // BloomFilterAggregate over xxhash64(sh) (model-sized — MBs for
+    // millions of shingles), then probed MAP-ONLY over the corpus with
+    // the native BloomFilterMightContain expression — the exact
+    // build/probe pair Spark's runtime-filter injection uses, so the
+    // probe compiles INSIDE whole-stage codegen (no ScalaUDF node; the
+    // round-6 fix). The filter bytes ride a foldable literal, which
+    // Spark ships with the task binary — the broadcast-equivalent for
+    // model-sized state. At 100 TB this is the step that runs BEFORE
     // q_decontaminate's shingle equi-join: the probe eliminates the
     // overwhelmingly-clean majority of the corpus with zero shuffle, and
     // only bloom-positive docs (true hits + the small fpp) reach the
-    // exact join. The probe is a scalar UDF by necessity (Spark exposes
-    // no SQL surface for BloomFilter.mightContain; the internal
-    // expression serves runtime filters only) — acceptable off the
-    // codegen hot path because it replaces a shuffle, not an expression.
+    // exact join.
     //
     // Driver-visible gate (same pattern as q_approx_sketches): the exact
     // hit set is hash-compared for real, and a per-doc boolean pins the
@@ -243,13 +246,21 @@ object DedupQueries extends QuerySet {
     // bloom-flagged). The oracle expects TRUE everywhere; a broken
     // filter fails the driver's hash gate.
     "q_decontaminate_bloom" -> { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
       val sets = shingleSets(s, dir)
       val bench = sets.filter(col("doc_id") % 20 === 0)
       val corpus = sets.filter(col("doc_id") % 20 =!= 0)
-      val bloom = bench.stat.bloomFilter("sh", 1L << 20, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((sh: String) => bc.value.mightContain(sh))
-      val flagged = corpus.filter(mightContain(col("sh")))
+      def hashed = new XxHash64(Seq(ColumnBridge.expression(col("sh"))))
+      val bloomBytes = bench.select(ColumnBridge.column(
+          new BloomFilterAggregate(hashed, 1L << 20).toAggregateExpression())
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), hashed))
+      val flagged = corpus.filter(mightContain)
         .select(col("doc_id")).distinct()
         .withColumn("bloom_hit", lit(true))
       val exact = corpus.join(bench.select(col("sh")), Seq("sh"))

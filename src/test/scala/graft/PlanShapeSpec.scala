@@ -63,6 +63,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination probes with the native codegen expression, " +
+      "not a Scala UDF") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no native bloom probe in plan:\n${plan.take(3000)}")
+    assert(!plan.contains("UDF"),
+      s"bloom probe fell back to a Scala UDF (opaque to codegen):\n" +
+        plan.take(3000))
+  }
+
   test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {
     val dir = "/root/testdata/sf0.001"
     allowCross.filterNot(_ == "q11_cross_join").foreach { name =>
