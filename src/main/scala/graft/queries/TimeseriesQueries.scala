@@ -194,6 +194,36 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // EWMA RECURRENCE (batch twin of streaming st13): the SAME infinite
+    // recurrence `ewma := 0.3*x + 0.7*ewma` (seeded by the series' first
+    // value) folded over the full (ts, event_id)-ordered history of each
+    // series, emitting the per-series fixpoint — so a batch backfill and
+    // the online StreamingEwma produce the SAME state (StreamingSpec
+    // asserts the agreement; round-6 VERDICT #7). Versus q_ewma's
+    // bounded trailing-20 window: that one scales per-ROW (20 doubles
+    // each); this one materializes each series' full history in one
+    // fold, the deliberate per-KEY cost of exact recurrence semantics in
+    // batch — series too long for that belong on the streaming path,
+    // whose state is one double. One shuffle on the series key. The
+    // DuckDB oracle runs the identical fold (list_reduce, same seed,
+    // same op order), so fp summation matches term for term.
+    "q_ewma_recurrence" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          expr("transform(sort_array(collect_list(struct(ts, event_id, " +
+            "value))), p -> p.value)").as("vals"),
+          count(lit(1)).as("n_points"))
+        .select(col("user_id"), col("n_points"),
+          r6(expr(
+            """aggregate(slice(vals, 2, size(vals) - 1),
+              |  element_at(vals, 1),
+              |  (acc, x) -> 0.3D * x + 0.7D * acc)""".stripMargin))
+            .as("ewma_final"))
+        .orderBy(col("user_id"))
+    },
+
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
     // one count aggregate + one tiny per-series window, both shuffles on
@@ -409,6 +439,18 @@ object TimeseriesQueries extends QuerySet {
         |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
         |GROUP BY a.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    // identical fold: list_reduce seeds with the first ordered element
+    // and applies the same 0.3*x + 0.7*acc op pairwise, so the fp result
+    // matches Spark's aggregate() term for term (r6 bridges the last ulp)
+    "q_ewma_recurrence" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc),
+        |    6) AS ewma_final
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (

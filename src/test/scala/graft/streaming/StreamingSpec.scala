@@ -443,4 +443,88 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(10L -> 4.0, 11L -> 6.0, 12L -> 8.0,
       20L -> 100.0, 21L -> 75.0), s"got $got")
   }
+
+  test("st13b: the batch recurrence twin (q_ewma_recurrence) equals the " +
+      "streaming fixpoint over the same history — backfill == online") {
+    import graft.streaming.StreamingEwma
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_ewma_recurrence")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("ewma_final"))
+      .toMap
+    // the same history, replayed through the online smoother in two
+    // micro-batches (state crosses a batch boundary mid-series)
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingEwma.smooth(
+      in.toDF().toDF("user_id", "ts", "event_id", "value"), alpha = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st13b").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("st13b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
+    batch.foreach { case (u, bf) =>
+      val sf = stream((u, lastEvent(u)))
+      // identical fold order and ops -> raw doubles agree exactly; the
+      // batch side is r6-rounded for the oracle, hence the 5e-7 bound
+      assert(math.abs(sf - bf) <= 5.01e-7, s"user $u: batch $bf vs stream $sf")
+    }
+  }
+
+  test("st14: stateful fault tolerance — EWMA state survives a " +
+      "kill-and-restart from a RocksDB checkpoint") {
+    import graft.streaming.StreamingEwma
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp, Long, Double)]
+      def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      val ckpt = tmpDir("graft-st14-ckpt")
+      val out = tmpDir("graft-st14-out")
+      // file sink: the fault-tolerant sink pairing (memory sink cannot
+      // recover a checkpointed query)
+      def start() = StreamingEwma.smooth(
+        in.toDF().toDF("user_id", "ts", "event_id", "value"), alpha = 0.5)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      val q1 = start()
+      in.addData((1L, ts(0), 10L, 4.0), (1L, ts(1), 11L, 8.0),
+        (2L, ts(0), 20L, 100.0))
+      q1.processAllAvailable()
+      q1.stop() // the kill: state exists only in the RocksDB checkpoint
+      // data keeps arriving while the query is down
+      in.addData((1L, ts(2), 12L, 10.0), (2L, ts(1), 21L, 50.0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+        .toMap
+      // 12 -> 8.0 REQUIRES the restored state 6.0: a query that lost its
+      // state would reseed u1 at 10.0 (and u2 at 50.0, not 75.0)
+      assert(got == Map(10L -> 4.0, 11L -> 6.0, 12L -> 8.0,
+        20L -> 100.0, 21L -> 75.0),
+        s"state did not survive the restart: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
