@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-posture evidence (round-6 VERDICT #1): every 100×-scale claim in
+  * SCALE.md rested on plan shapes; this main produces EXECUTION evidence
+  * by synthesizing a key-remapped KX replica of sf0.1 (testdata is
+  * read-only, so the replica lands under /tmp) and running the heaviest
+  * queries at both scales. A healthy operator scales ≈ linearly (factor
+  * ≈ K + constant overheads); anything super-linear is a named bug.
+  *
+  * Replica construction (per replica r of K):
+  *  - documents: doc_id shifted into a disjoint id range; text passed
+  *    through a per-replica Caesar rotation (`translate`) — every word
+  *    changes, so cross-replica shingle/minhash/simhash overlap is ~zero
+  *    while WITHIN-replica duplicate structure (exact dups, planted
+  *    near-dups, boilerplate) is preserved EXACTLY: the dedup workload
+  *    grows 10× in documents AND 10× in duplicate clusters, which is the
+  *    honest way to scale a dedup benchmark (plain replication would
+  *    instead create 10-way cross-replica dup cliques — quadratic pair
+  *    growth by data construction, not by plan regression).
+  *  - events: event_id/user_id shifted into disjoint ranges, everything
+  *    else unchanged — 10× series of the SAME length, so per-key state
+  *    (q_ewma windows, recurrence folds) stays constant and only
+  *    parallelism grows, matching how a TSDB fleet actually scales.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench [K]"` (default K=10). Prints one
+  * JSON line per query with base/replica medians and the scaling factor,
+  * then a summary line. SPARK_GRAFT_SCALE_DIR overrides the replica
+  * location; an existing replica dir is reused (delete it to rebuild).
+  */
+object ScaleBench {
+
+  /** The heaviest BENCH_r06 queries that read documents/events. */
+  val heavy: Seq[String] = Seq(
+    "q_dedup_components", "q_dedup_apply", "q_dedup_jaccard_verify",
+    "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_boilerplate",
+    "q_decontaminate_bloom", "q_text_repetition", "q_text_levenshtein",
+    "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
+    "q_ingest_typed", "q_ingest_generator")
+
+  private val alphaLo = "abcdefghijklmnopqrstuvwxyz"
+  private val alphaUp = alphaLo.toUpperCase
+
+  /** Per-replica Caesar rotation: deterministic, codegen'd (translate),
+    * length-preserving, and bijective — within-replica text relations
+    * (equality, Jaccard, simhash distance) are preserved exactly. */
+  private def rot(r: Int): (String, String) = {
+    val k = r % 26
+    (alphaLo + alphaUp,
+      alphaLo.drop(k) + alphaLo.take(k) + alphaUp.drop(k) + alphaUp.take(k))
+  }
+
+  def buildReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    val docs = Tables.load(spark, base, "documents")
+    val docN = (0 until k).map { r =>
+      val (from, to) = rot(r)
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 1000000000L)).as("doc_id"),
+        translate(col("text"), from, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+    docN.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val events = Tables.load(spark, base, "events")
+    val evN = (0 until k).map { r =>
+      events.select(
+        (col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+    evN.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale/sf0.1x$k")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fs = new java.io.File(s"$out/events.parquet")
+    if (!fs.exists()) {
+      val t0 = System.nanoTime()
+      buildReplica(spark, base, out, k)
+      System.err.println(
+        f"[scale] built ${k}x replica at $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else System.err.println(s"[scale] reusing replica at $out")
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+    // warm-up both datasets (codegen + file index, untimed)
+    heavy.headOption.foreach { q =>
+      try { run(SparkEntry.queries(q)(spark, base))
+            run(SparkEntry.queries(q)(spark, out)) }
+      catch { case _: Throwable => () }
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = heavy.filter(q => only.forall(_.contains(q))).map { name =>
+      val fn = SparkEntry.queries(name)
+      val tBase = median((1 to runs).map(_ => time(run(fn(spark, base)))))
+      val tBig = median((1 to runs).map(_ => time(run(fn(spark, out)))))
+      val factor = tBig / tBase
+      println(f"""{"query":"$name","base_sec":$tBase%.3f,"x${k}_sec":$tBig%.3f,"factor":$factor%.2f}""")
+      (name, tBase, tBig, factor)
+    }
+    val sumBase = results.map(_._2).sum
+    val sumBig = results.map(_._3).sum
+    println(f"""{"metric":"scale_total","k":$k,"base_sec":$sumBase%.2f,"x${k}_sec":$sumBig%.2f,"factor":${sumBig / sumBase}%.2f,"queries":${results.length}}""")
+    spark.stop()
+  }
+}
