@@ -401,6 +401,55 @@ object DedupQueries extends QuerySet {
             / (col("na") * col("nb"))).as("cos_sim"))
         .filter(col("cos_sim") >= 0.8)
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // SEMANTIC decontamination: flag corpus documents whose EMBEDDING is
+    // near-identical (cosine >= 0.8) to any held-out benchmark embedding
+    // — the step that catches PARAPHRASED benchmark leakage, which
+    // n-gram decontamination (q_decontaminate) is blind to. Candidates
+    // come from the same 8-bit sign-LSH bucket equi-join as
+    // q_dedup_embedding — never corpus × benchmark. At 100 TB the
+    // benchmark side is model-sized (thousands of vectors) → broadcast:
+    // the probe is then MAP-ONLY over the corpus, the embedding analog
+    // of the Bloom pre-filter. Benchmark membership: vec_id % 20 == 0
+    // (the q_decontaminate convention) plus the odd planted ids; the
+    // fixture's natural in-bucket cosine tops out at 0.43, so the two
+    // planted near-identical pairs are exactly the contamination hits
+    // (vacuity-proof by construction, same closed-form rows as
+    // q_dedup_embedding — bit-identical across engines).
+    "q_decontaminate_semantic" -> { (s, dir) =>
+      val planted = s.range(1, 5).select(
+        (col("id") + 900000L).as("vec_id"),
+        expr("""transform(sequence(1, 64), i -> CAST(
+            (((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+              % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+             - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25D
+            + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25D ELSE 0D END)
+            AS FLOAT))""").as("embedding"),
+        lit(90).as("label"))
+      val bucketExpr = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
+          .otherwise(lit(0))).reduce(_ + _)
+      val e = t(s, dir, "embeddings").unionByName(planted)
+        .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+          graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+      val isBench = col("vec_id") % 20 === 0 ||
+        col("vec_id").isin(900001L, 900003L)
+      val bench = e.filter(isBench)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
+          col("bucket"), col("nrm").as("nb"))
+      val corpus = e.filter(!isBench)
+        .select(col("vec_id"), col("embedding").as("ec"), col("bucket"),
+          col("nrm").as("nc"))
+      corpus.join(broadcast(bench), Seq("bucket"))
+        .select(col("vec_id"),
+          r6(graft.functions.VecOps.vec_dot(col("ec"), col("eb"))
+            / (col("nc") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.8)
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos_sim")).as("max_cos"),
+          count(lit(1)).as("n_bench_hits"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -628,6 +677,46 @@ object DedupQueries extends QuerySet {
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |              p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.8
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same planted rows, bucket and norm derivations as q_dedup_embedding;
+    // the split mirrors q_decontaminate's % 20 benchmark convention
+    "q_decontaminate_semantic" ->
+      """WITH emb AS (
+        |  SELECT * FROM embeddings
+        |  UNION ALL
+        |  SELECT 900000 + id AS vec_id,
+        |    CAST(list_transform(range(1, 65), i ->
+        |      CAST((((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+        |             % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+        |            - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25::DOUBLE
+        |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
+        |           AS FLOAT)) AS FLOAT[]) AS embedding,
+        |    90 AS label
+        |  FROM range(1, 5) t(id)),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+        |    (vec_id % 20 = 0 OR vec_id IN (900001, 900003)) AS is_bench
+        |  FROM emb),
+        |p AS (
+        |  SELECT c.vec_id,
+        |    round(list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |            q -> q[1]::DOUBLE * q[2]::DOUBLE)) / (c.nrm * b.nrm), 6) AS cos_sim
+        |  FROM e c JOIN e b ON c.bucket = b.bucket
+        |  WHERE NOT c.is_bench AND b.is_bench)
+        |SELECT vec_id, max(cos_sim) AS max_cos,
+        |       CAST(count(*) AS BIGINT) AS n_bench_hits
+        |FROM p WHERE cos_sim >= 0.8
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin
   )
 }
