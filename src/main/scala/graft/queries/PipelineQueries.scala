@@ -25,6 +25,25 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("tf").desc, col("tok"))
     },
 
+    // SOURCE/DOMAIN BLOCKLIST filter (the RefinedWeb/CCNet URL-filter
+    // step, over the documents table's source column): drop every
+    // document from a blocklisted source via a broadcast LEFT ANTI join
+    // — at 100 TB the blocklist is catalog-sized (thousands to millions
+    // of domains, still MBs) → broadcast, so the filter is MAP-ONLY over
+    // the corpus; the survivors roll up per source. A NOT IN subquery
+    // plans the same anti join but a DataFrame blocklist is the real
+    // shape (blocklists live in files, not SQL literals). PlanShapeSpec
+    // asserts the BroadcastHashJoin LeftAnti.
+    "q_filter_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val block = Seq("src3", "src7", "src13").toDF("source")
+      t(s, dir, "documents")
+        .join(broadcast(block), Seq("source"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    },
+
     // Approximate HEAVY HITTERS via count-min sketch — the streaming-
     // friendly top-k the exact q_vocab cannot give at 100 TB (an exact
     // top-k shuffles every distinct token; the CMS is a fixed-size
@@ -225,6 +244,14 @@ object PipelineQueries extends QuerySet {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_filter_blocklist" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src13')
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     "q_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -63,6 +63,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("blocklist filter is a broadcast anti join (map-only over the " +
+      "corpus), semantic decontamination broadcasts the benchmark side") {
+    val dir = "/root/testdata/sf0.001"
+    val anti = SparkEntry.queries("q_filter_blocklist")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("BroadcastHashJoin") && anti.contains("LeftAnti"),
+      s"blocklist did not plan a broadcast anti join:\n${anti.take(3000)}")
+    val sem = SparkEntry.queries("q_decontaminate_semantic")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sem.contains("BroadcastHashJoin"),
+      s"benchmark embeddings not broadcast:\n${sem.take(3000)}")
+  }
+
   test("bloom decontamination probes with the native codegen expression, " +
       "not a Scala UDF") {
     val dir = "/root/testdata/sf0.001"

@@ -484,6 +484,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st15: streaming decontamination pre-filter — documents probed " +
+      "against a broadcast benchmark Bloom with the native expression, " +
+      "map-only and state-free") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // benchmark shingle set, compressed once into model-sized bytes that
+    // ship with the plan — the streaming twin of q_decontaminate_bloom:
+    // the probe is a stateless codegen'd expression, so the stream needs
+    // NO state store at all (contrast st10's per-band state)
+    val bench = Seq("alpha beta gamma", "delta epsilon zeta").toDF("sh")
+    def hashed(c: Column) = new XxHash64(Seq(ColumnBridge.expression(c)))
+    val bloomBytes = bench.select(ColumnBridge.column(
+        new BloomFilterAggregate(hashed(col("sh")), 1L << 16)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = ColumnBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), hashed(col("sh"))))
+    val in = MemoryStream[(Long, String)]
+    val hits = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> array_join(slice(split(text, ' '), i, 3), ' '))"""
+          .stripMargin)).as("sh"))
+      .filter(probe)
+      .select(col("doc_id"), col("sh"))
+    val q = hits.writeStream.outputMode("append").format("memory")
+      .queryName("st15").start()
+    try {
+      in.addData((1L, "pre alpha beta gamma post"), (2L, "totally clean text"))
+      q.processAllAvailable()
+      in.addData((3L, "delta epsilon zeta trailer"), (4L, "another clean doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st15").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "alpha beta gamma"), (3L, "delta epsilon zeta")),
+      s"got $got")
+  }
+
   test("st14: stateful fault tolerance — EWMA state survives a " +
       "kill-and-restart from a RocksDB checkpoint") {
     import graft.streaming.StreamingEwma
