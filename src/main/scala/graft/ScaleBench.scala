@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   * ≈ K + constant overheads); anything super-linear is a named bug.
   *
   * Replica construction (per replica r of K):
-  *  - documents: doc_id shifted into a disjoint id range; text passed
-  *    through a per-replica Caesar rotation (`translate`) — every word
-  *    changes, so cross-replica shingle/minhash/simhash overlap is ~zero
-  *    while WITHIN-replica duplicate structure (exact dups, planted
-  *    near-dups, boilerplate) is preserved EXACTLY: the dedup workload
-  *    grows 10× in documents AND 10× in duplicate clusters, which is the
-  *    honest way to scale a dedup benchmark (plain replication would
-  *    instead create 10-way cross-replica dup cliques — quadratic pair
-  *    growth by data construction, not by plan regression).
+  *  - documents: doc_id shifted into a disjoint id range; every WORD of
+  *    the text gets a fixed-width per-replica suffix (`~07`) — injective
+  *    for ANY K (a Caesar rotation would collide at r % 26 — round-7
+  *    review fix), so cross-replica shingle/minhash/simhash overlap is
+  *    exactly zero while WITHIN-replica duplicate structure (exact dups,
+  *    planted near-dups, boilerplate) is preserved EXACTLY (same suffix
+  *    on every word of a replica; word-level relations are invariant
+  *    under an injective per-word map). The dedup workload grows K× in
+  *    documents AND K× in duplicate clusters, which is the honest way to
+  *    scale a dedup benchmark (plain replication would instead create
+  *    K-way cross-replica dup cliques — quadratic pair growth by data
+  *    construction, not by plan regression). The suffix is fixed-width,
+  *    so every replica (including r=0) carries identical text lengths.
   *  - events: event_id/user_id shifted into disjoint ranges, everything
   *    else unchanged — 10× series of the SAME length, so per-key state
   *    (q_ewma windows, recurrence folds) stays constant and only
@@ -40,26 +44,18 @@ object ScaleBench {
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
     "q_ingest_typed", "q_ingest_generator")
 
-  private val alphaLo = "abcdefghijklmnopqrstuvwxyz"
-  private val alphaUp = alphaLo.toUpperCase
-
-  /** Per-replica Caesar rotation: deterministic, codegen'd (translate),
-    * length-preserving, and bijective — within-replica text relations
-    * (equality, Jaccard, simhash distance) are preserved exactly. */
-  private def rot(r: Int): (String, String) = {
-    val k = r % 26
-    (alphaLo + alphaUp,
-      alphaLo.drop(k) + alphaLo.take(k) + alphaUp.drop(k) + alphaUp.take(k))
-  }
-
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
+    require(k <= 100, s"replica suffix is 2 digits; k=$k would collide")
     val docs = Tables.load(spark, base, "documents")
     val docN = (0 until k).map { r =>
-      val (from, to) = rot(r)
+      // fixed-width per-word replica tag: injective for any K, uniform
+      // text length across replicas, codegen'd (split/transform/join)
+      val tag = f"~$r%02d"
       docs.select(
         (col("doc_id") + lit(r.toLong * 1000000000L)).as("doc_id"),
-        translate(col("text"), from, to).as("text"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(tag))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionAll(_))
     docN.repartition(64).write.mode("overwrite")
@@ -116,7 +112,11 @@ object ScaleBench {
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = heavy.filter(q => only.forall(_.contains(q))).map { name =>
+    val selected = heavy.filter(q => only.forall(_.contains(q)))
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} matches no heavy " +
+        s"query; choose from: ${heavy.mkString(", ")}")
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val tBase = median((1 to runs).map(_ => time(run(fn(spark, base)))))
       val tBig = median((1 to runs).map(_ => time(run(fn(spark, out)))))

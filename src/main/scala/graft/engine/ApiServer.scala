@@ -25,7 +25,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * This runs on the Spark driver (queries plan from here; executors do the
   * work) — the 100 TB posture is a thin stateless facade over the cluster.
   */
-class ApiServer(engine: Engine, port: Int = 0) {
+class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8) {
 
   private var http: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -87,12 +87,20 @@ class ApiServer(engine: Engine, port: Int = 0) {
 
   /** Optional `max_rows=N` query param: a PLAN-side cap (`df.limit`), so
     * the limit executes on the cluster (collect-limit / early stop), not
-    * as a driver-side truncation of a full result. */
+    * as a driver-side truncation of a full result. A malformed or
+    * non-positive value FAILS CLOSED (Left → 400): the client asked for
+    * a bound, so silently streaming the unbounded result instead would
+    * drop exactly the guard they requested. */
   private def capRows(df: org.apache.spark.sql.DataFrame,
-      params: Map[String, String]): org.apache.spark.sql.DataFrame =
-    params.get("max_rows")
-      .flatMap(v => Try(v.toInt).toOption).filter(_ > 0)
-      .map(df.limit).getOrElse(df)
+      params: Map[String, String])
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    params.get("max_rows") match {
+      case None => Right(df)
+      case Some(v) => Try(v.toInt).toOption.filter(_ > 0) match {
+        case Some(n) => Right(df.limit(n))
+        case None => Left(s"max_rows must be a positive 32-bit int, got '$v'")
+      }
+    }
 
   private def quote(s: String): String =
     "\"" + s.flatMap {
@@ -145,9 +153,9 @@ class ApiServer(engine: Engine, port: Int = 0) {
           if (!engine.seriesExists(series))
             respond(ex, 404,
               s"""{"error":${quote(s"unknown series $series")}}""")
-          else engine.range(series, s0, e0) match {
+          else engine.range(series, s0, e0).flatMap(capRows(_, p)) match {
             case Right(df) =>
-              respondRowStream(ex, engine.jsonRowIterator(capRows(df, p)))
+              respondRowStream(ex, engine.jsonRowIterator(df))
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }
         case _ =>
@@ -172,10 +180,9 @@ class ApiServer(engine: Engine, port: Int = 0) {
           val isForm = ct.startsWith("application/x-www-form-urlencoded") ||
             (ct.isEmpty && raw.startsWith("q="))
           val sql = if (isForm) parseForm(raw).getOrElse("q", "") else raw
-          engine.query(sql) match {
+          engine.query(sql).flatMap(capRows(_, queryParams(ex))) match {
             case Right(df) =>
-              respondRowStream(ex,
-                engine.jsonRowIterator(capRows(df, queryParams(ex))))
+              respondRowStream(ex, engine.jsonRowIterator(df))
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }
         }
@@ -261,8 +268,15 @@ class ApiServer(engine: Engine, port: Int = 0) {
 
     // a small fixed pool: the JDK default (no executor) serves every
     // request on the single dispatcher thread, so one long query would
-    // head-of-line-block writes and health checks (round-6 VERDICT)
-    pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    // head-of-line-block writes and health checks (round-6 VERDICT).
+    // Bound, not unbounded: each streaming response holds its thread for
+    // the client-paced transfer, so `poolSize` is literally the max
+    // concurrent slow readers before requests queue — size it to the
+    // expected client count (an unbounded pool would instead let N slow
+    // readers pin N toLocalIterator jobs on the cluster, trading queuing
+    // for resource exhaustion; a production facade would front this with
+    // a real async server)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize,
       (r: Runnable) => {
         val t = new Thread(r, "graft-api")
         t.setDaemon(true)

@@ -712,9 +712,11 @@ class Engine(val spark: SparkSession, warehouse: String)
         // vanished-series path in query()): releasing ownership without
         // dropping would leave a stale un-owned view the lazy registration
         // could never replace
-        if (Engine.ownsView(spark, series)) {
-          spark.catalog.dropTempView(series)
-          Engine.releaseView(spark, series)
+        Engine.viewLock(spark).synchronized {
+          if (Engine.ownsView(spark, series)) {
+            spark.catalog.dropTempView(series)
+            Engine.releaseView(spark, series)
+          }
         }
         // and the dropped series' sketch partition must not keep
         // answering approxDistinct (review fix) — a directory delete,
@@ -954,7 +956,7 @@ class Engine(val spark: SparkSession, warehouse: String)
             Left(s"'${clash.get}' is a reserved side-table name that " +
               "also exists as a series; read the series via measurements " +
               s"WHERE series = '${byLower(clash.get.toLowerCase)}'")
-          else {
+          else Engine.viewLock(spark).synchronized {
           rels.foreach { name =>
             sideTables.get(name.toLowerCase) match {
               case Some(mk)
@@ -1058,6 +1060,18 @@ object Engine {
     * drop path failed to recognize as ours (round-2 ADVICE fix). */
   private val ownedViews = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** Per-session lock serializing temp-view registration + SQL analysis
+    * in [[Engine.query]] (and the view drop in dropSeries): the
+    * ApiServer's request pool (round 7) runs handlers concurrently, so
+    * without this, request B could drop/replace a view request A just
+    * registered before A's analysis ran — a spurious "table not found"
+    * under concurrency. Analysis is milliseconds; EXECUTION (iterating
+    * the returned frame) stays outside the lock and fully parallel. */
+  private val viewLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Object]())
+  private[engine] def viewLock(spark: SparkSession): Object =
+    viewLocks.computeIfAbsent(spark, _ => new Object)
 
   private def ownsView(spark: SparkSession, name: String): Boolean =
     Option(ownedViews.get(spark)).exists(_.contains(name.toLowerCase))

@@ -39,6 +39,37 @@ object DedupQueries extends QuerySet {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir).distinct()
 
+  /** The 4 PLANTED embedding rows (2 near-identical pairs, vec_id
+    * 900001-900004) — ONE closed form shared by q_dedup_embedding and
+    * q_decontaminate_semantic (and mirrored verbatim by
+    * [[plantedEmbSql]]): every element is an exact multiple of 0.25
+    * (representable in float32, so int-mod arithmetic + one float cast
+    * is bit-identical across engines), and each pair differs only in
+    * element 64 by +0.25 → cosine ≈ 0.9992 while every natural sf
+    * pair stays below 0.43. */
+  private def plantedEmbeddings(s: SparkSession): DataFrame =
+    s.range(1, 5).select(
+      (col("id") + 900000L).as("vec_id"),
+      expr("""transform(sequence(1, 64), i -> CAST(
+          (((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+            % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+           - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25D
+          + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25D ELSE 0D END)
+          AS FLOAT))""").as("embedding"),
+      lit(90).as("label"))
+
+  /** embeddings ∪ planted, with the 8-bit sign-LSH bucket and the L2
+    * norm — the shared candidate-bucketing base of both embedding
+    * queries. */
+  private def bucketedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
+        .otherwise(lit(0))).reduce(_ + _)
+    t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+        graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+  }
+
   /** ONE aggregate pass over the distinct shingle sets yields BOTH the
     * per-doc set size and all 6 MinHashes (min of md5(seed || shingle)) —
     * shared by candidate generation AND Jaccard verification, so the
@@ -376,21 +407,7 @@ object DedupQueries extends QuerySet {
     // and each pair differs only in element 64 by +0.25 → cosine ≈ 0.9992,
     // far above the 0.8 threshold while every natural pair stays far below.
     "q_dedup_embedding" -> { (s, dir) =>
-      val planted = s.range(1, 5).select(
-        (col("id") + 900000L).as("vec_id"),
-        expr("""transform(sequence(1, 64), i -> CAST(
-            (((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
-              % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
-             - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25D
-            + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25D ELSE 0D END)
-            AS FLOAT))""").as("embedding"),
-        lit(90).as("label"))
-      val bucketExpr = (1 to 8).map(i =>
-        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
-          .otherwise(lit(0))).reduce(_ + _)
-      val e = t(s, dir, "embeddings").unionByName(planted)
-        .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
-          graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+      val e = bucketedEmbeddings(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("bucket"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -418,21 +435,7 @@ object DedupQueries extends QuerySet {
     // (vacuity-proof by construction, same closed-form rows as
     // q_dedup_embedding — bit-identical across engines).
     "q_decontaminate_semantic" -> { (s, dir) =>
-      val planted = s.range(1, 5).select(
-        (col("id") + 900000L).as("vec_id"),
-        expr("""transform(sequence(1, 64), i -> CAST(
-            (((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
-              % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
-             - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25D
-            + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25D ELSE 0D END)
-            AS FLOAT))""").as("embedding"),
-        lit(90).as("label"))
-      val bucketExpr = (1 to 8).map(i =>
-        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
-          .otherwise(lit(0))).reduce(_ + _)
-      val e = t(s, dir, "embeddings").unionByName(planted)
-        .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
-          graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+      val e = bucketedEmbeddings(s, dir)
       val isBench = col("vec_id") % 20 === 0 ||
         col("vec_id").isin(900001L, 900003L)
       val bench = e.filter(isBench)
@@ -452,6 +455,37 @@ object DedupQueries extends QuerySet {
         .orderBy(col("vec_id"))
     }
   )
+
+  /** DuckDB mirror of [[plantedEmbeddings]] + [[bucketedEmbeddings]]:
+    * the `emb` (union with planted rows) and `e` (bucket + norm +
+    * is_bench) CTEs shared by both embedding oracles — one copy, so the
+    * bit-identical-planted-rows invariant cannot drift between them. */
+  private val bucketedEmbSql =
+    """WITH emb AS (
+      |  SELECT * FROM embeddings
+      |  UNION ALL
+      |  SELECT 900000 + id AS vec_id,
+      |    CAST(list_transform(range(1, 65), i ->
+      |      CAST((((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
+      |             % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
+      |            - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25::DOUBLE
+      |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
+      |           AS FLOAT)) AS FLOAT[]) AS embedding,
+      |    90 AS label
+      |  FROM range(1, 5) t(id)),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+      |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |    (vec_id % 20 = 0 OR vec_id IN (900001, 900003)) AS is_bench
+      |  FROM emb)""".stripMargin
 
   private val shinglesSql =
     """sh AS (
@@ -647,30 +681,7 @@ object DedupQueries extends QuerySet {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_embedding" ->
-      """WITH emb AS (
-        |  SELECT * FROM embeddings
-        |  UNION ALL
-        |  SELECT 900000 + id AS vec_id,
-        |    CAST(list_transform(range(1, 65), i ->
-        |      CAST((((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
-        |             % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
-        |            - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25::DOUBLE
-        |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
-        |           AS FLOAT)) AS FLOAT[]) AS embedding,
-        |    90 AS label
-        |  FROM range(1, 5) t(id)),
-        |e AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
-        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        |  FROM emb)
+      s"""$bucketedEmbSql
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos_sim
@@ -679,34 +690,10 @@ object DedupQueries extends QuerySet {
         |              p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // same planted rows, bucket and norm derivations as q_dedup_embedding;
-    // the split mirrors q_decontaminate's % 20 benchmark convention
+    // same shared CTEs; the benchmark split mirrors q_decontaminate's
+    // % 20 convention plus the odd planted ids
     "q_decontaminate_semantic" ->
-      """WITH emb AS (
-        |  SELECT * FROM embeddings
-        |  UNION ALL
-        |  SELECT 900000 + id AS vec_id,
-        |    CAST(list_transform(range(1, 65), i ->
-        |      CAST((((i * (CASE WHEN id <= 2 THEN 7 ELSE 5 END))
-        |             % (CASE WHEN id <= 2 THEN 11 ELSE 13 END))
-        |            - (CASE WHEN id <= 2 THEN 5 ELSE 6 END)) * 0.25::DOUBLE
-        |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
-        |           AS FLOAT)) AS FLOAT[]) AS embedding,
-        |    90 AS label
-        |  FROM range(1, 5) t(id)),
-        |e AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
-        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-        |    (vec_id % 20 = 0 OR vec_id IN (900001, 900003)) AS is_bench
-        |  FROM emb),
+      s"""$bucketedEmbSql,
         |p AS (
         |  SELECT c.vec_id,
         |    round(list_sum(list_transform(list_zip(c.embedding, b.embedding),

@@ -244,11 +244,15 @@ object PipelineQueries extends QuerySet {
   )
 
   val oracle: Map[String, String] = Map(
+    // IS NULL arm matches the anti-join's semantics: a NULL source never
+    // equi-matches the blocklist, so the row SURVIVES — bare NOT IN
+    // would evaluate NULL and silently drop it (engines would diverge on
+    // the first null-source corpus)
     "q_filter_blocklist" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents
-        |WHERE source NOT IN ('src3', 'src7', 'src13')
+        |WHERE source IS NULL OR source NOT IN ('src3', 'src7', 'src13')
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 

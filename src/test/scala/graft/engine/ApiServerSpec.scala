@@ -127,6 +127,14 @@ class ApiServerSpec extends SparkSpec {
       val (fc, _) = call(s"$base/query", "POST",
         "q=SELECT%20name%20FROM%20no_such_series_anywhere")
       assert(fc == 400 || fc == 500)
+
+      // an invalid cap FAILS CLOSED: the client asked for a bound, so
+      // streaming the unbounded result instead would drop their guard
+      for (bad <- Seq("2147483648", "0", "-5", "lots")) {
+        val (bc, bb) = call(s"$base/query?max_rows=$bad", "POST",
+          "q=SELECT%20name%2C%20value%20FROM%20cpu")
+        assert(bc == 400 && bb.contains("max_rows"), s"$bad -> $bc $bb")
+      }
     } finally api.stop()
   }
 
