@@ -50,13 +50,20 @@ object ScaleBench {
     val docs = Tables.load(spark, base, "documents")
     val docN = (0 until k).map { r =>
       // fixed-width per-word replica tag: injective for any K, uniform
-      // text length across replicas, codegen'd (split/transform/join)
+      // text length across replicas, codegen'd (split/transform/join).
+      // The 1× base is built with the SAME construction (tag ~00), so
+      // base and K× compare byte-for-byte in shape — suffixing only the
+      // big side would bake a constant text-inflation bias into every
+      // factor (round-7 review fix). n_chars is recomputed to stay
+      // consistent with the transformed text.
       val tag = f"~$r%02d"
+      val text = array_join(transform(split(col("text"), " "),
+        w => concat(w, lit(tag))), " ")
       docs.select(
         (col("doc_id") + lit(r.toLong * 1000000000L)).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit(tag))), " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
     }.reduce(_.unionAll(_))
     docN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
@@ -88,13 +95,20 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fs = new java.io.File(s"$out/events.parquet")
-    if (!fs.exists()) {
-      val t0 = System.nanoTime()
-      buildReplica(spark, base, out, k)
-      System.err.println(
-        f"[scale] built ${k}x replica at $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    } else System.err.println(s"[scale] reusing replica at $out")
+    // the 1× BASE is built with the identical construction (same word
+    // tags, same 64-file layout): factors then measure data growth
+    // alone, not text-inflation or file-layout differences between the
+    // original sf0.1 and the synthetic replicas (round-7 review fix)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
+      "/tmp/graft_scale/sf0.1x01")
+    for ((dir, kk) <- Seq((baseDir, 1), (out, k))) {
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        val t0 = System.nanoTime()
+        buildReplica(spark, base, dir, kk)
+        System.err.println(f"[scale] built ${kk}x replica at $dir in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } else System.err.println(s"[scale] reusing replica at $dir")
+    }
 
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -105,20 +119,23 @@ object ScaleBench {
 
     // warm-up both datasets (codegen + file index, untimed)
     heavy.headOption.foreach { q =>
-      try { run(SparkEntry.queries(q)(spark, base))
+      try { run(SparkEntry.queries(q)(spark, baseDir))
             run(SparkEntry.queries(q)(spark, out)) }
       catch { case _: Throwable => () }
     }
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo mixed with valid names must fail loudly, not silently
+    // shrink the measured set
+    val unknown = only.getOrElse(Set()) -- heavy.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+        s"${unknown.mkString(", ")}; choose from: ${heavy.mkString(", ")}")
     val selected = heavy.filter(q => only.forall(_.contains(q)))
-    require(selected.nonEmpty,
-      s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} matches no heavy " +
-        s"query; choose from: ${heavy.mkString(", ")}")
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      val tBase = median((1 to runs).map(_ => time(run(fn(spark, base)))))
+      val tBase = median((1 to runs).map(_ => time(run(fn(spark, baseDir)))))
       val tBig = median((1 to runs).map(_ => time(run(fn(spark, out)))))
       val factor = tBig / tBase
       println(f"""{"query":"$name","base_sec":$tBase%.3f,"x${k}_sec":$tBig%.3f,"factor":$factor%.2f}""")

@@ -688,7 +688,27 @@ class Engine(val spark: SparkSession, warehouse: String)
     * UNESCAPED directory name, so series whose names contain structural
     * characters (escaped as %XX by Spark's partition writer) drop
     * correctly. Returns true iff at least one directory was removed. */
-  def dropSeries(series: String): Boolean = Engine.tableLock(tablePath).synchronized {
+  def dropSeries(series: String): Boolean = {
+    val dropped = dropSeriesData(series)
+    // the owned temp view is dropped OUTSIDE the table lock: query()
+    // holds viewLock while its side-table recovery may take tableLock,
+    // so taking viewLock while holding tableLock here would be the
+    // classic ABBA deadlock (round-7 review fix). Lock order is
+    // therefore viewLock-never-inside-tableLock, engine-wide. The
+    // between-locks window (data gone, view momentarily alive) only
+    // turns into the same missing-files execution error a concurrent
+    // reader could already get mid-drop.
+    if (dropped) Engine.viewLock(spark).synchronized {
+      if (Engine.ownsView(spark, series)) {
+        spark.catalog.dropTempView(series)
+        Engine.releaseView(spark, series)
+      }
+    }
+    dropped
+  }
+
+  private def dropSeriesData(series: String): Boolean =
+    Engine.tableLock(tablePath).synchronized {
     acquireWriterLease()
     if (!exists) false
     else {
@@ -708,17 +728,7 @@ class Engine(val spark: SparkSession, warehouse: String)
       if (hit) {
         writeVersion += 1
         seriesCache = null
-        // drop the series' owned temp view NOW (mirror of the
-        // vanished-series path in query()): releasing ownership without
-        // dropping would leave a stale un-owned view the lazy registration
-        // could never replace
-        Engine.viewLock(spark).synchronized {
-          if (Engine.ownsView(spark, series)) {
-            spark.catalog.dropTempView(series)
-            Engine.releaseView(spark, series)
-          }
-        }
-        // and the dropped series' sketch partition must not keep
+        // the dropped series' sketch partition must not keep
         // answering approxDistinct (review fix) — a directory delete,
         // symmetric with the data delete above
         if (pathExists(sketchPath)) {

@@ -41,7 +41,10 @@ object PipelineQueries extends QuerySet {
         .join(broadcast(block), Seq("source"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-        .orderBy(col("source"))
+        // NULLS LAST pins row order to DuckDB's default: a NULL-source
+        // group survives the anti join on both engines (see oracle), and
+        // must then also SORT identically on both
+        .orderBy(col("source").asc_nulls_last)
     },
 
     // Approximate HEAVY HITTERS via count-min sketch — the streaming-
