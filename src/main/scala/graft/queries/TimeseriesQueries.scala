@@ -224,6 +224,46 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"))
     },
 
+    // HOLT-WINTERS double exponential smoothing (InfluxQL's
+    // HOLT_WINTERS, the trend-aware step past q_ewma_recurrence's
+    // single smoother): per series, fold the full ordered history
+    // through the level+trend recurrence
+    //   l' = α·x + (1-α)·(l + b);  b' = β·(l' - l) + (1-β)·b
+    // (α=0.5, β=0.3, seeded l=x₁ b=0) and emit the fixpoint plus the
+    // 1-step forecast l+b — what an alerting path projects forward.
+    // State rides a 2-element DOUBLE ARRAY, not a struct: DuckDB 1.0's
+    // list_reduce updates a struct accumulator FIELD-BY-FIELD (the b
+    // expression would see the new l — measured, not speculated), while
+    // list-typed state folds correctly; Spark's aggregate() is pure
+    // either way, and the array form keeps both engines on the
+    // identical op sequence (l' inlined twice, same fp order). One
+    // shuffle on the series key; same per-key history cost as
+    // q_ewma_recurrence (streaming st13 is the O(1)-state path).
+    "q_holt_winters" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          expr("transform(sort_array(collect_list(struct(ts, event_id, " +
+            "value))), p -> p.value)").as("vals"),
+          count(lit(1)).as("n_points"))
+        .select(col("user_id"), col("n_points"),
+          expr("""aggregate(
+            |  slice(vals, 2, size(vals) - 1),
+            |  array(element_at(vals, 1), CAST(0.0D AS DOUBLE)),
+            |  (acc, x) -> array(
+            |    0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            |    0.3D * ((0.5D * x + 0.5D * (element_at(acc, 1)
+            |      + element_at(acc, 2))) - element_at(acc, 1))
+            |      + 0.7D * element_at(acc, 2)))""".stripMargin).as("st"))
+        .select(col("user_id"), col("n_points"),
+          r6(element_at(col("st"), 1)).as("level"),
+          r6(element_at(col("st"), 2)).as("trend"),
+          r6(element_at(col("st"), 1) + element_at(col("st"), 2))
+            .as("forecast_next"))
+        .orderBy(col("user_id"))
+    },
+
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
     // one count aggregate + one tiny per-series window, both shuffles on
@@ -451,6 +491,26 @@ object TimeseriesQueries extends QuerySet {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // identical list-state fold (see the query's scaladoc for why state
+    // is a list, not a struct: DuckDB 1.0 list_reduce struct aliasing)
+    "q_holt_winters" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_transform(list(value ORDER BY ts, event_id),
+        |      v -> [v, 0.0::DOUBLE]) AS pts
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_points,
+        |    list_reduce(pts, (acc, x) -> [
+        |      0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+        |      0.3::DOUBLE * ((0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1]
+        |        + acc[2])) - acc[1]) + 0.7::DOUBLE * acc[2]]) AS st
+        |  FROM s)
+        |SELECT user_id, n_points, round(st[1], 6) AS level,
+        |       round(st[2], 6) AS trend,
+        |       round(st[1] + st[2], 6) AS forecast_next
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (
