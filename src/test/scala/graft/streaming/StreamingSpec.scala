@@ -526,6 +526,48 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("st16: streaming Holt-Winters — two doubles of state per series, " +
+      "and the online fixpoint equals the batch q_holt_winters backfill") {
+    import graft.streaming.StreamingHoltWinters
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_holt_winters")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend")))
+      .toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingHoltWinters.smooth(
+      in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st16").start()
+    try {
+      // two micro-batches: level AND trend must cross a state boundary
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("st16").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
+    batch.foreach { case (u, (bl, bt)) =>
+      val (sl, st) = stream((u, lastEvent(u)))
+      // identical fold order and ops -> raw doubles agree exactly; the
+      // batch side is r6-rounded for the oracle, hence the 5e-7 bound
+      assert(math.abs(sl - bl) <= 5.01e-7 && math.abs(st - bt) <= 5.01e-7,
+        s"user $u: batch ($bl, $bt) vs stream ($sl, $st)")
+    }
+  }
+
   test("st14: stateful fault tolerance — EWMA state survives a " +
       "kill-and-restart from a RocksDB checkpoint") {
     import graft.streaming.StreamingEwma
