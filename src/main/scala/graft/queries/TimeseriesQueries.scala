@@ -238,7 +238,8 @@ object TimeseriesQueries extends QuerySet {
     // either way, and the array form keeps both engines on the
     // identical op sequence (l' inlined twice, same fp order). One
     // shuffle on the series key; same per-key history cost as
-    // q_ewma_recurrence (streaming st13 is the O(1)-state path).
+    // q_ewma_recurrence (streaming st16 / StreamingHoltWinters is the
+    // O(1)-state path — two doubles per series).
     "q_holt_winters" -> { (s, dir) =>
       t(s, dir, "events")
         .filter(col("value").isNotNull)

@@ -37,8 +37,14 @@ object StreamingEwma {
       .flatMapGroupsWithState[Double, EwmaPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Point], state: GroupState[Double]) =>
-          // deterministic fold order inside the micro-batch
-          val ordered = rows.toSeq.sortBy(p => (p.ts.getTime, p.event_id))
+          // deterministic fold order inside the micro-batch, at FULL
+          // timestamp precision: getTime alone is milliseconds, which
+          // would collapse distinct microsecond events into event_id
+          // order and diverge from the batch backfill's (ts, event_id)
+          // sort (round-7 review fix)
+          val ordered = rows.toSeq.sortBy(p =>
+            (Math.floorDiv(p.ts.getTime, 1000L) * 1000000000L
+              + p.ts.getNanos, p.event_id))
           var cur = state.getOption
           val out = ordered.map { p =>
             val next = cur match {

@@ -41,7 +41,11 @@ object StreamingHoltWinters {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Point],
             state: GroupState[(Double, Double)]) =>
-          val ordered = rows.toSeq.sortBy(p => (p.ts.getTime, p.event_id))
+          // full-precision fold order — see StreamingEwma's note on the
+          // millisecond truncation of getTime
+          val ordered = rows.toSeq.sortBy(p =>
+            (Math.floorDiv(p.ts.getTime, 1000L) * 1000000000L
+              + p.ts.getNanos, p.event_id))
           var cur = state.getOption
           val out = ordered.map { p =>
             val (l, b) = cur match {

@@ -444,16 +444,23 @@ class StreamingSpec extends SparkSpec {
       20L -> 100.0, 21L -> 75.0), s"got $got")
   }
 
-  test("st13b: the batch recurrence twin (q_ewma_recurrence) equals the " +
-      "streaming fixpoint over the same history — backfill == online") {
-    import graft.streaming.StreamingEwma
+  /** Shared backfill==online harness for st13b/st16: run a batch query's
+    * per-series fixpoint, replay the same events through the online
+    * smoother in two micro-batches (state crosses a boundary
+    * mid-series), and compare at each series' last event. `extract`
+    * pulls the compared doubles from (batch row, stream row). Raw
+    * doubles agree exactly (identical fold order and ops); the batch
+    * side is r6-rounded for the oracle, hence the 5.01e-7 bound. */
+  private def assertBackfillEqualsOnline(batchQuery: String,
+      sinkName: String,
+      smooth: DataFrame => Dataset[_],
+      batchCols: Seq[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
-    val batch = graft.SparkEntry.queries("q_ewma_recurrence")(spark, dir)
+    val batch = graft.SparkEntry.queries(batchQuery)(spark, dir)
       .collect()
-      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("ewma_final"))
+      .map(r => r.getAs[Long]("user_id") ->
+        batchCols.map(c => r.getAs[Double](c)))
       .toMap
-    // the same history, replayed through the online smoother in two
-    // micro-batches (state crosses a batch boundary mid-series)
     val rows = graft.Tables.load(spark, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
@@ -463,25 +470,33 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getDouble(3)))
     val in = MemoryStream[(Long, Timestamp, Long, Double)]
-    val q = StreamingEwma.smooth(
-      in.toDF().toDF("user_id", "ts", "event_id", "value"), alpha = 0.3)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("st13b").start()
+    val q = smooth(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(sinkName).start()
     try {
       val (a, b) = rows.splitAt(rows.length / 2)
       in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
       in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
     } finally q.stop()
-    val stream = spark.table("st13b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val stream = spark.table(sinkName).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (2 until 2 + batchCols.length).map(r.getDouble)).toMap
     val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
     assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
-    batch.foreach { case (u, bf) =>
-      val sf = stream((u, lastEvent(u)))
-      // identical fold order and ops -> raw doubles agree exactly; the
-      // batch side is r6-rounded for the oracle, hence the 5e-7 bound
-      assert(math.abs(sf - bf) <= 5.01e-7, s"user $u: batch $bf vs stream $sf")
+    batch.foreach { case (u, bs) =>
+      val ss = stream((u, lastEvent(u)))
+      bs.zip(ss).zip(batchCols).foreach { case ((b0, s0), cn) =>
+        assert(math.abs(s0 - b0) <= 5.01e-7,
+          s"user $u $cn: batch $b0 vs stream $s0")
+      }
     }
+  }
+
+  test("st13b: the batch recurrence twin (q_ewma_recurrence) equals the " +
+      "streaming fixpoint over the same history — backfill == online") {
+    assertBackfillEqualsOnline("q_ewma_recurrence", "st13b",
+      df => graft.streaming.StreamingEwma.smooth(df, alpha = 0.3),
+      Seq("ewma_final"))
   }
 
   test("st15: streaming decontamination pre-filter — documents probed " +
@@ -528,44 +543,9 @@ class StreamingSpec extends SparkSpec {
 
   test("st16: streaming Holt-Winters — two doubles of state per series, " +
       "and the online fixpoint equals the batch q_holt_winters backfill") {
-    import graft.streaming.StreamingHoltWinters
-    val dir = "/root/testdata/sf0.001"
-    val batch = graft.SparkEntry.queries("q_holt_winters")(spark, dir)
-      .collect()
-      .map(r => r.getAs[Long]("user_id") ->
-        (r.getAs[Double]("level"), r.getAs[Double]("trend")))
-      .toMap
-    val rows = graft.Tables.load(spark, dir, "events")
-      .filter(col("value").isNotNull)
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
-        col("event_id").cast("long"), col("value").cast("double"))
-      .orderBy(col("ts"), col("event_id"))
-      .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
-        r.getDouble(3)))
-    val in = MemoryStream[(Long, Timestamp, Long, Double)]
-    val q = StreamingHoltWinters.smooth(
-      in.toDF().toDF("user_id", "ts", "event_id", "value"))
-      .writeStream.outputMode("append").format("memory")
-      .queryName("st16").start()
-    try {
-      // two micro-batches: level AND trend must cross a state boundary
-      val (a, b) = rows.splitAt(rows.length / 2)
-      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
-      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
-    } finally q.stop()
-    val stream = spark.table("st16").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getDouble(2), r.getDouble(3))).toMap
-    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
-    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
-    batch.foreach { case (u, (bl, bt)) =>
-      val (sl, st) = stream((u, lastEvent(u)))
-      // identical fold order and ops -> raw doubles agree exactly; the
-      // batch side is r6-rounded for the oracle, hence the 5e-7 bound
-      assert(math.abs(sl - bl) <= 5.01e-7 && math.abs(st - bt) <= 5.01e-7,
-        s"user $u: batch ($bl, $bt) vs stream ($sl, $st)")
-    }
+    assertBackfillEqualsOnline("q_holt_winters", "st16",
+      df => graft.streaming.StreamingHoltWinters.smooth(df),
+      Seq("level", "trend"))
   }
 
   test("st14: stateful fault tolerance — EWMA state survives a " +
