@@ -20,8 +20,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingEwma {
 
-  case class Point(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
-      value: Double)
+  import SeriesPoint.Point
+
   case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
 
   /** `events` must carry user_id, ts, event_id, value; emits one smoothed
@@ -37,14 +37,8 @@ object StreamingEwma {
       .flatMapGroupsWithState[Double, EwmaPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Point], state: GroupState[Double]) =>
-          // deterministic fold order inside the micro-batch, at FULL
-          // timestamp precision: getTime alone is milliseconds, which
-          // would collapse distinct microsecond events into event_id
-          // order and diverge from the batch backfill's (ts, event_id)
-          // sort (round-7 review fix)
-          val ordered = rows.toSeq.sortBy(p =>
-            (Math.floorDiv(p.ts.getTime, 1000L) * 1000000000L
-              + p.ts.getNanos, p.event_id))
+          // deterministic full-precision fold order — SeriesPoint.orderKey
+          val ordered = rows.toSeq.sortBy(SeriesPoint.orderKey)
           var cur = state.getOption
           val out = ordered.map { p =>
             val next = cur match {

@@ -21,8 +21,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingHoltWinters {
 
-  case class Point(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
-      value: Double)
+  import SeriesPoint.Point
+
   case class HwPoint(user_id: Long, event_id: Long, level: Double,
       trend: Double, forecast_next: Double)
 
@@ -41,11 +41,8 @@ object StreamingHoltWinters {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Point],
             state: GroupState[(Double, Double)]) =>
-          // full-precision fold order — see StreamingEwma's note on the
-          // millisecond truncation of getTime
-          val ordered = rows.toSeq.sortBy(p =>
-            (Math.floorDiv(p.ts.getTime, 1000L) * 1000000000L
-              + p.ts.getNanos, p.event_id))
+          // deterministic full-precision fold order — SeriesPoint.orderKey
+          val ordered = rows.toSeq.sortBy(SeriesPoint.orderKey)
           var cur = state.getOption
           val out = ordered.map { p =>
             val (l, b) = cur match {

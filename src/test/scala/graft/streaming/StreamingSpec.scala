@@ -447,10 +447,11 @@ class StreamingSpec extends SparkSpec {
   /** Shared backfill==online harness for st13b/st16: run a batch query's
     * per-series fixpoint, replay the same events through the online
     * smoother in two micro-batches (state crosses a boundary
-    * mid-series), and compare at each series' last event. `extract`
-    * pulls the compared doubles from (batch row, stream row). Raw
-    * doubles agree exactly (identical fold order and ops); the batch
-    * side is r6-rounded for the oracle, hence the 5.01e-7 bound. */
+    * mid-series), and compare at each series' last event. CONTRACT: the
+    * stream sink's columns 2..N must positionally match `batchCols`
+    * order (columns 0/1 are user_id/event_id). Raw doubles agree
+    * exactly (identical fold order and ops); the batch side is
+    * r6-rounded for the oracle, hence the 5.01e-7 bound. */
   private def assertBackfillEqualsOnline(batchQuery: String,
       sinkName: String,
       smooth: DataFrame => Dataset[_],
@@ -546,6 +547,48 @@ class StreamingSpec extends SparkSpec {
     assertBackfillEqualsOnline("q_holt_winters", "st16",
       df => graft.streaming.StreamingHoltWinters.smooth(df),
       Seq("level", "trend"))
+  }
+
+  test("st16b: Holt-Winters hand-computed fixture — pins the recurrence " +
+      "itself, not just three co-authored transcriptions agreeing") {
+    // st16 and the DuckDB oracle prove Spark-batch == DuckDB == streaming,
+    // but all three folds were written together: an identical
+    // mis-transcription (wrong b' form, wrong seed) would pass them all.
+    // These values are derived by hand from the published recurrence
+    //   l' = a*x + (1-a)*(l + b);  b' = beta*(l' - l) + (1-beta)*b
+    // with seed (l, b) = (x1, 0), alpha=0.5, beta=0.3 — the st13 analog.
+    import graft.streaming.StreamingHoltWinters
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val q = StreamingHoltWinters
+      .smooth(in.toDF().toDF("user_id", "ts", "event_id", "value"),
+        alpha = 0.5, beta = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st16b").start()
+    try {
+      in.addData((1L, ts(0), 10L, 4.0), (1L, ts(1), 11L, 10.0),
+        (2L, ts(0), 20L, 100.0))
+      q.processAllAvailable()
+      // state (l, b) crosses the micro-batch boundary mid-series
+      in.addData((1L, ts(2), 12L, 7.0), (2L, ts(1), 21L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st16b").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    // u1: (4, 0) -> l=.5*10+.5*4=7, b=.3*3=0.9, f=7.9
+    //            -> l=.5*7+.5*7.9=7.45, b=.3*.45+.7*.9=0.765, f=8.215
+    // u2: (100, 0) -> l=.5*50+.5*100=75, b=.3*(-25)=-7.5, f=67.5
+    val want = Map(
+      10L -> (4.0, 0.0, 4.0), 11L -> (7.0, 0.9, 7.9),
+      12L -> (7.45, 0.765, 8.215),
+      20L -> (100.0, 0.0, 100.0), 21L -> (75.0, -7.5, 67.5))
+    assert(got.keySet == want.keySet, s"got $got")
+    want.foreach { case (id, (l, b, f)) =>
+      val (gl, gb, gf) = got(id)
+      assert(math.abs(gl - l) < 1e-9 && math.abs(gb - b) < 1e-9 &&
+        math.abs(gf - f) < 1e-9, s"event $id: got ${got(id)}, want ($l,$b,$f)")
+    }
   }
 
   test("st14: stateful fault tolerance — EWMA state survives a " +
