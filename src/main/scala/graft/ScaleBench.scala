@@ -44,6 +44,24 @@ object ScaleBench {
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
     "q_ingest_typed", "q_ingest_generator")
 
+  /** The similarity-search family over the embeddings replica (fixed 1×
+    * query side, K× corpus — the serving shape). The `@12bit` row is
+    * q_dedup_embedding with a wider sign-LSH bucket: the corpus self-join
+    * is the one shape whose CANDIDATE set grows quadratically in
+    * per-bucket occupancy under fixed bucket bits, and widening the key
+    * by ~log2(K) bits is the named fix — both sides measured. */
+  val simHeavy: Seq[String] = Seq(
+    "q34_cosine_topk", "q34b_ann_ivf", "q34c_knn_join",
+    "q34d_ann_multiprobe", "q34e_pq_ann",
+    "q_decontaminate_semantic", "q_dedup_embedding",
+    "q_dedup_embedding@12bit")
+
+  /** Measurable plans: the public contract plus the wide-bucket variant. */
+  def fns: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntry.queries + ("q_dedup_embedding@12bit" ->
+      ((s: SparkSession, d: String) =>
+        queries.DedupQueries.embeddingDedupPairs(s, d, bits = 12)))
+
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     require(k <= 100, s"replica suffix is 2 digits; k=$k would collide")
@@ -78,6 +96,46 @@ object ScaleBench {
     }.reduce(_.unionAll(_))
     evN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+
+    if (k <= 64) buildEmbeddingsReplica(spark, base, out, k)
+    else System.err.println(s"[scale] skipping embeddings at k=$k " +
+      "(rotation collides past 64 replicas; similarity scaling is " +
+      "measured at k<=50)")
+  }
+
+  /** Embeddings replica: the QUERY side (vec_id=0 for single-query ANN,
+    * label=0 for the k-NN join set) stays fixed at 1× — replicas carry
+    * corpus rows only, the serving shape (a fixed evaluation set probing
+    * a K× corpus). Each replica's vectors are circularly ROTATED by r
+    * positions — an orthogonal transform, so WITHIN-replica pairwise
+    * cosines (planted near-dup structure, bucket co-occupancy shape) are
+    * preserved EXACTLY, while cross-replica cosines against the base
+    * measure ≤ 0.65 on this corpus (verified numerically; the near-dup
+    * threshold is 0.8) — the embeddings analog of the per-word suffix.
+    * Rotation is injective per replica only up to the 64 dims, hence the
+    * K ≤ 64 guard (the similarity scaling point is measured at 10×). */
+  def buildEmbeddingsReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    require(k <= 64, s"embedding rotation collides past 64 replicas; k=$k")
+    val emb = Tables.load(spark, base, "embeddings")
+    val embN = (0 until k).map { r =>
+      val rolled = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      // replicas carry CORPUS rows only: label=0 (k-NN query set),
+      // vec_id=0 (single-query vector) and vec_id%20=0 (the
+      // q_decontaminate_semantic benchmark membership — the r*1e9 shift
+      // is ≡0 mod 20, so replicated rows would stay "benchmark" and grow
+      // the held-out side K× instead of keeping it fixed) stay 1×
+      val side = if (r == 0) emb
+        else emb.filter(col("label") =!= 0 && col("vec_id") =!= 0 &&
+          col("vec_id") % 20 =!= 0)
+      side.select(
+        (col("vec_id") + lit(r.toLong * 1000000000L)).as("vec_id"),
+        rolled.as("embedding"), col("label"))
+    }.reduce(_.unionAll(_))
+    embN.repartition(16).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,13 +159,31 @@ object ScaleBench {
     // original sf0.1 and the synthetic replicas (round-7 review fix)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
       "/tmp/graft_scale/sf0.1x01")
+
+    val all = heavy ++ simHeavy
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // a typo mixed with valid names must fail loudly, not silently
+    // shrink the measured set
+    val unknown = only.getOrElse(Set()) -- all.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+        s"${unknown.mkString(", ")}; choose from: ${all.mkString(", ")}")
+    val selected = all.filter(q => only.forall(_.contains(q)))
+
+    // build each table group only if a selected query reads it: a
+    // similarity-only run at K=50 must not pay for 50x documents/events
+    val needCore = selected.exists(heavy.contains)
+    val needEmb = selected.exists(simHeavy.contains)
     for ((dir, kk) <- Seq((baseDir, 1), (out, k))) {
-      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      if (needCore && !new java.io.File(s"$dir/events.parquet").exists()) {
         val t0 = System.nanoTime()
         buildReplica(spark, base, dir, kk)
         System.err.println(f"[scale] built ${kk}x replica at $dir in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-      } else System.err.println(s"[scale] reusing replica at $dir")
+      }
+      if (needEmb && !new java.io.File(s"$dir/embeddings.parquet").exists())
+        buildEmbeddingsReplica(spark, base, dir, kk)
     }
 
     def run(df: DataFrame): Unit =
@@ -118,23 +194,13 @@ object ScaleBench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 
     // warm-up both datasets (codegen + file index, untimed)
-    heavy.headOption.foreach { q =>
-      try { run(SparkEntry.queries(q)(spark, baseDir))
-            run(SparkEntry.queries(q)(spark, out)) }
+    selected.headOption.foreach { q =>
+      try { run(fns(q)(spark, baseDir)); run(fns(q)(spark, out)) }
       catch { case _: Throwable => () }
     }
 
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    // a typo mixed with valid names must fail loudly, not silently
-    // shrink the measured set
-    val unknown = only.getOrElse(Set()) -- heavy.toSet
-    require(unknown.isEmpty,
-      s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
-        s"${unknown.mkString(", ")}; choose from: ${heavy.mkString(", ")}")
-    val selected = heavy.filter(q => only.forall(_.contains(q)))
     val results = selected.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = fns(name)
       val tBase = median((1 to runs).map(_ => time(run(fn(spark, baseDir)))))
       val tBig = median((1 to runs).map(_ => time(run(fn(spark, out)))))
       val factor = tBig / tBase

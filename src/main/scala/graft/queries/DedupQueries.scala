@@ -58,16 +58,39 @@ object DedupQueries extends QuerySet {
           AS FLOAT))""").as("embedding"),
       lit(90).as("label"))
 
-  /** embeddings ∪ planted, with the 8-bit sign-LSH bucket and the L2
-    * norm — the shared candidate-bucketing base of both embedding
-    * queries. */
-  private def bucketedEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = (1 to 8).map(i =>
+  /** embeddings ∪ planted, with the sign-LSH bucket and the L2 norm —
+    * the shared candidate-bucketing base of both embedding queries.
+    * `bits` (default 8, what the oracle-checked queries use) is the
+    * fixed-bucket-width knob: candidate pairs per bucket grow
+    * quadratically in per-bucket occupancy, so a corpus K× larger wants
+    * ~log2(K) more bits to hold pair counts linear — ScaleBench measures
+    * both sides of that trade (SCALE.md §9). */
+  private def bucketedEmbeddings(s: SparkSession, dir: String,
+      bits: Int = 8): DataFrame = {
+    val bucketExpr = (1 to bits).map(i =>
       when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
         .otherwise(lit(0))).reduce(_ + _)
     t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
       .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
         graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+  }
+
+  /** The q_dedup_embedding plan with a parameterized bucket width —
+    * public so ScaleBench can measure the bits-vs-corpus-size recipe;
+    * bits=8 IS the oracle-checked q_dedup_embedding. */
+  def embeddingDedupPairs(s: SparkSession, dir: String,
+      bits: Int = 8): DataFrame = {
+    val e = bucketedEmbeddings(s, dir, bits)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("bucket"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("bucket"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        r6(graft.functions.VecOps.vec_dot(col("ea"), col("eb"))
+          / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.8)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** ONE aggregate pass over the distinct shingle sets yields BOTH the
@@ -406,19 +429,7 @@ object DedupQueries extends QuerySet {
     // int-mod arithmetic + one float cast is bit-identical across engines),
     // and each pair differs only in element 64 by +0.25 → cosine ≈ 0.9992,
     // far above the 0.8 threshold while every natural pair stays far below.
-    "q_dedup_embedding" -> { (s, dir) =>
-      val e = bucketedEmbeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("bucket"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("bucket"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          r6(graft.functions.VecOps.vec_dot(col("ea"), col("eb"))
-            / (col("na") * col("nb"))).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.8)
-        .orderBy(col("vec_a"), col("vec_b"))
-    },
+    "q_dedup_embedding" -> { (s, dir) => embeddingDedupPairs(s, dir) },
 
     // SEMANTIC decontamination: flag corpus documents whose EMBEDDING is
     // near-identical (cosine >= 0.8) to any held-out benchmark embedding
