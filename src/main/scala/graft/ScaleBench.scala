@@ -97,10 +97,6 @@ object ScaleBench {
     evN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
-    if (k <= 64) buildEmbeddingsReplica(spark, base, out, k)
-    else System.err.println(s"[scale] skipping embeddings at k=$k " +
-      "(rotation collides past 64 replicas; similarity scaling is " +
-      "measured at k<=50)")
   }
 
   /** Embeddings replica: the QUERY side (vec_id=0 for single-query ANN,
@@ -112,8 +108,13 @@ object ScaleBench {
     * preserved EXACTLY, while cross-replica cosines against the base
     * measure ≤ 0.65 on this corpus (verified numerically; the near-dup
     * threshold is 0.8) — the embeddings analog of the per-word suffix.
+    * One deliberate approximation: the sign-LSH bucket reads dims 1..8,
+    * so replica r's bucket key is the signs of ORIGINAL dims r+1..r+8 —
+    * per-replica co-bucketing is statistically equivalent (same vector
+    * distribution), not bit-identical; pairwise cosines, the quantity
+    * the dedup threshold acts on, are what rotation preserves exactly.
     * Rotation is injective per replica only up to the 64 dims, hence the
-    * K ≤ 64 guard (the similarity scaling point is measured at 10×). */
+    * K ≤ 64 guard (the similarity scaling point is measured at 10×/50×). */
   def buildEmbeddingsReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
     require(k <= 64, s"embedding rotation collides past 64 replicas; k=$k")
@@ -169,21 +170,36 @@ object ScaleBench {
     require(unknown.isEmpty,
       s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
         s"${unknown.mkString(", ")}; choose from: ${all.mkString(", ")}")
-    val selected = all.filter(q => only.forall(_.contains(q)))
+    var selected = all.filter(q => only.forall(_.contains(q)))
+    if (k > 64 && selected.exists(simHeavy.contains)) {
+      // the rotation construction collides past 64 replicas: degrade to
+      // the core measurement instead of crashing (the documented K=100
+      // dedup point must keep working)
+      System.err.println(s"[scale] k=$k > 64: skipping the similarity " +
+        "family (embedding rotation collides; measured at k<=50)")
+      selected = selected.filterNot(simHeavy.contains)
+    }
 
     // build each table group only if a selected query reads it: a
     // similarity-only run at K=50 must not pay for 50x documents/events
     val needCore = selected.exists(heavy.contains)
     val needEmb = selected.exists(simHeavy.contains)
     for ((dir, kk) <- Seq((baseDir, 1), (out, k))) {
-      if (needCore && !new java.io.File(s"$dir/events.parquet").exists()) {
-        val t0 = System.nanoTime()
-        buildReplica(spark, base, dir, kk)
-        System.err.println(f"[scale] built ${kk}x replica at $dir in " +
+      def build(name: String, fn: => Unit): Unit = {
+        val t0 = System.nanoTime(); fn
+        System.err.println(f"[scale] built ${kk}x $name at $dir in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-      if (needEmb && !new java.io.File(s"$dir/embeddings.parquet").exists())
-        buildEmbeddingsReplica(spark, base, dir, kk)
+      if (needCore) {
+        if (!new java.io.File(s"$dir/events.parquet").exists())
+          build("docs+events", buildReplica(spark, base, dir, kk))
+        else System.err.println(s"[scale] reusing docs+events at $dir")
+      }
+      if (needEmb) {
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+          build("embeddings", buildEmbeddingsReplica(spark, base, dir, kk))
+        else System.err.println(s"[scale] reusing embeddings at $dir")
+      }
     }
 
     def run(df: DataFrame): Unit =
@@ -193,11 +209,15 @@ object ScaleBench {
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 
-    // warm-up both datasets (codegen + file index, untimed)
-    selected.headOption.foreach { q =>
-      try { run(fns(q)(spark, baseDir)); run(fns(q)(spark, out)) }
-      catch { case _: Throwable => () }
-    }
+    // warm-up both datasets (codegen + file index, untimed) — one query
+    // per TABLE GROUP, or a mixed run leaves the embeddings side cold
+    // and the first similarity query's timed runs absorb the file-index
+    // and vector-codegen cost
+    (selected.find(heavy.contains) ++ selected.find(simHeavy.contains))
+      .foreach { q =>
+        try { run(fns(q)(spark, baseDir)); run(fns(q)(spark, out)) }
+        catch { case _: Throwable => () }
+      }
 
     val results = selected.map { name =>
       val fn = fns(name)
