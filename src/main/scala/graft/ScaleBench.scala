@@ -45,22 +45,31 @@ object ScaleBench {
     "q_ingest_typed", "q_ingest_generator")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
-    * query side, K× corpus — the serving shape). The `@12bit` row is
-    * q_dedup_embedding with a wider sign-LSH bucket: the corpus self-join
-    * is the one shape whose CANDIDATE set grows quadratically in
-    * per-bucket occupancy under fixed bucket bits, and widening the key
-    * by ~log2(K) bits is the named fix — both sides measured. */
+    * query side, K× corpus — the serving shape). The corpus self-join is
+    * the one shape whose CANDIDATE set grows quadratically in per-bucket
+    * occupancy under fixed bucket bits (measured 4.48× at 50× with the
+    * oracle-pinned 8-bit key), so three variants are measured side by
+    * side: the pinned 8-bit oracle form, the explicit `@12bit` fix, and
+    * `@auto` — the OPERATOR DEFAULT (SignLsh.bitsFor, no bits argument),
+    * which must track the explicit fix. `q34c_knn_join@auto` is the same
+    * default through the k-NN join. */
   val simHeavy: Seq[String] = Seq(
     "q34_cosine_topk", "q34b_ann_ivf", "q34c_knn_join",
-    "q34d_ann_multiprobe", "q34e_pq_ann",
+    "q34c_knn_join@auto", "q34d_ann_multiprobe", "q34e_pq_ann",
     "q_decontaminate_semantic", "q_dedup_embedding",
-    "q_dedup_embedding@12bit")
+    "q_dedup_embedding@12bit", "q_dedup_embedding@auto")
 
-  /** Measurable plans: the public contract plus the wide-bucket variant. */
+  /** Measurable plans: the public contract plus the bucket-width variants
+    * (`@auto` = the no-argument operator default the VERDICT gate is on). */
   def fns: Map[String, (SparkSession, String) => DataFrame] =
-    SparkEntry.queries + ("q_dedup_embedding@12bit" ->
-      ((s: SparkSession, d: String) =>
-        queries.DedupQueries.embeddingDedupPairs(s, d, bits = 12)))
+    SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "q_dedup_embedding@12bit" ->
+        ((s, d) => queries.DedupQueries.embeddingDedupPairs(s, d,
+          bits = Some(12))),
+      "q_dedup_embedding@auto" ->
+        ((s, d) => queries.DedupQueries.embeddingDedupPairs(s, d)),
+      "q34c_knn_join@auto" ->
+        ((s, d) => queries.SimilarityQueries.knnJoin(s, d)))
 
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -207,7 +216,11 @@ object ScaleBench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // LOWER median: identical to the true median for odd run counts, and
+    // the MIN for runs=2 — the upper-middle form silently reported the
+    // max of 2 runs (round-7 advice), inflating both sides of a factor.
+    def median(xs: Seq[Double]): Double =
+      xs.sorted.apply((xs.length - 1) / 2)
 
     // warm-up both datasets (codegen + file index, untimed) — one query
     // per TABLE GROUP, or a mixed run leaves the embeddings side cold

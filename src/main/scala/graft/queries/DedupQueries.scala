@@ -60,26 +60,30 @@ object DedupQueries extends QuerySet {
 
   /** embeddings ∪ planted, with the sign-LSH bucket and the L2 norm —
     * the shared candidate-bucketing base of both embedding queries.
-    * `bits` (default 8, what the oracle-checked queries use) is the
-    * fixed-bucket-width knob: candidate pairs per bucket grow
-    * quadratically in per-bucket occupancy, so a corpus K× larger wants
-    * ~log2(K) more bits to hold pair counts linear — ScaleBench measures
-    * both sides of that trade (SCALE.md §9). */
+    * `bits=None` (the operator default) derives the bucket width from the
+    * corpus row count via [[graft.operators.SignLsh.bitsFor]]
+    * (≈log2(n/32), clamped to [8,24]) — the measured fix for the one
+    * super-linear shape in SCALE.md §9 (fixed 8-bit self-join: 4.48× at
+    * 50× corpus; auto resolves to 12 there: 1.32×). The oracle-checked
+    * queries pin Some(8) because their DuckDB SQL hardcodes the 8-bit
+    * key (at fixture scale auto resolves to 8 anyway). */
   private def bucketedEmbeddings(s: SparkSession, dir: String,
-      bits: Int = 8): DataFrame = {
-    val bucketExpr = (1 to bits).map(i =>
-      when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
-        .otherwise(lit(0))).reduce(_ + _)
+      bits: Option[Int] = None): DataFrame = {
+    import graft.operators.SignLsh
+    val b = bits.getOrElse(
+      SignLsh.autoBits(s"$dir/embeddings", t(s, dir, "embeddings")))
     t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
-      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+      .select(col("vec_id"), col("embedding"),
+        SignLsh.bucketExpr(col("embedding"), b).as("bucket"),
         graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
   }
 
   /** The q_dedup_embedding plan with a parameterized bucket width —
     * public so ScaleBench can measure the bits-vs-corpus-size recipe;
-    * bits=8 IS the oracle-checked q_dedup_embedding. */
+    * bits=Some(8) IS the oracle-checked q_dedup_embedding; bits=None
+    * self-scales (SignLsh.bitsFor). */
   def embeddingDedupPairs(s: SparkSession, dir: String,
-      bits: Int = 8): DataFrame = {
+      bits: Option[Int] = None): DataFrame = {
     val e = bucketedEmbeddings(s, dir, bits)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("bucket"), col("nrm").as("na"))
@@ -429,7 +433,11 @@ object DedupQueries extends QuerySet {
     // int-mod arithmetic + one float cast is bit-identical across engines),
     // and each pair differs only in element 64 by +0.25 → cosine ≈ 0.9992,
     // far above the 0.8 threshold while every natural pair stays far below.
-    "q_dedup_embedding" -> { (s, dir) => embeddingDedupPairs(s, dir) },
+    // bits pinned to 8: the DuckDB oracle hardcodes the 8-bit key (and at
+    // fixture scale the auto default resolves to 8 anyway). Operator
+    // callers get the self-scaling default (SignLsh.bitsFor).
+    "q_dedup_embedding" -> { (s, dir) =>
+      embeddingDedupPairs(s, dir, bits = Some(8)) },
 
     // SEMANTIC decontamination: flag corpus documents whose EMBEDDING is
     // near-identical (cosine >= 0.8) to any held-out benchmark embedding
@@ -445,27 +453,35 @@ object DedupQueries extends QuerySet {
     // planted near-identical pairs are exactly the contamination hits
     // (vacuity-proof by construction, same closed-form rows as
     // q_dedup_embedding — bit-identical across engines).
+    // bits pinned to 8 for the same oracle reason as q_dedup_embedding.
     "q_decontaminate_semantic" -> { (s, dir) =>
-      val e = bucketedEmbeddings(s, dir)
-      val isBench = col("vec_id") % 20 === 0 ||
-        col("vec_id").isin(900001L, 900003L)
-      val bench = e.filter(isBench)
-        .select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
-          col("bucket"), col("nrm").as("nb"))
-      val corpus = e.filter(!isBench)
-        .select(col("vec_id"), col("embedding").as("ec"), col("bucket"),
-          col("nrm").as("nc"))
-      corpus.join(broadcast(bench), Seq("bucket"))
-        .select(col("vec_id"),
-          r6(graft.functions.VecOps.vec_dot(col("ec"), col("eb"))
-            / (col("nc") * col("nb"))).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.8)
-        .groupBy(col("vec_id"))
-        .agg(max(col("cos_sim")).as("max_cos"),
-          count(lit(1)).as("n_bench_hits"))
-        .orderBy(col("vec_id"))
-    }
+      semanticDecontaminate(s, dir, bits = Some(8)) }
   )
+
+  /** The q_decontaminate_semantic plan with a parameterized bucket width
+    * — public so operator callers (and ScaleBench) get the self-scaling
+    * default; bits=Some(8) IS the oracle-checked query. */
+  def semanticDecontaminate(s: SparkSession, dir: String,
+      bits: Option[Int] = None): DataFrame = {
+    val e = bucketedEmbeddings(s, dir, bits)
+    val isBench = col("vec_id") % 20 === 0 ||
+      col("vec_id").isin(900001L, 900003L)
+    val bench = e.filter(isBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
+        col("bucket"), col("nrm").as("nb"))
+    val corpus = e.filter(!isBench)
+      .select(col("vec_id"), col("embedding").as("ec"), col("bucket"),
+        col("nrm").as("nc"))
+    corpus.join(broadcast(bench), Seq("bucket"))
+      .select(col("vec_id"),
+        r6(graft.functions.VecOps.vec_dot(col("ec"), col("eb"))
+          / (col("nc") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.8)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_sim")).as("max_cos"),
+        count(lit(1)).as("n_bench_hits"))
+      .orderBy(col("vec_id"))
+  }
 
   /** DuckDB mirror of [[plantedEmbeddings]] + [[bucketedEmbeddings]]:
     * the `emb` (union with planted rows) and `e` (bucket + norm +

@@ -41,34 +41,14 @@ object SimilarityQueries extends QuerySet {
     },
 
     // Q34c: k-NN JOIN — top-3 neighbors for EVERY label-0 query vector in
-    // one plan: block the corpus by sign-LSH bucket (same 8-bit key as the
-    // near-dup op), join queries to their bucket only, rank within query.
-    // At scale this is the shuffle-partitioned batch-ANN shape: no
-    // all-pairs, each query compares against its bucket.
-    "q34c_knn_join" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val bucketExpr = (1 to 8).map(i =>
-        when(element_at(col("embedding"), i) >= 0, lit(1 << (i - 1)))
-          .otherwise(lit(0))).reduce(_ + _)
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), col("label"),
-          bucketExpr.as("bucket"))
-      val queries = e.filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("bucket"))
-      val corpus = e.filter(col("label") =!= 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-          col("bucket"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("c_id"))
-      queries.join(corpus, Seq("bucket"))
-        .select(col("q_id"), col("c_id"),
-          r6(cosine(col("qe"), col("ce"))).as("cos_sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("rk"), col("c_id"), col("cos_sim"))
-        .orderBy(col("q_id"), col("rk"))
-    },
+    // one plan: block the corpus by sign-LSH bucket (same key family as
+    // the near-dup op), join queries to their bucket only, rank within
+    // query. At scale this is the shuffle-partitioned batch-ANN shape: no
+    // all-pairs, each query compares against its bucket. bits pinned to 8
+    // because the DuckDB oracle hardcodes the 8-bit key (at fixture scale
+    // the auto default resolves to 8 anyway); operator callers get the
+    // self-scaling default via [[knnJoin]].
+    "q34c_knn_join" -> { (s, dir) => knnJoin(s, dir, bits = Some(8)) },
 
     // Q34b: IVF probe — nearest centroid first, then exact cosine inside
     // that cluster only. Centroids computed in long (label, pos, v) format
@@ -116,6 +96,37 @@ object SimilarityQueries extends QuerySet {
         .limit(10)
     }
   )
+
+  /** The q34c plan with a parameterized sign-LSH bucket width — public so
+    * operator callers and ScaleBench get the self-scaling default
+    * (SignLsh.bitsFor ≈ log2(corpus/32), the SCALE.md §9 measured fix for
+    * fixed-width bucket growth); bits=Some(8) IS the oracle-checked
+    * q34c_knn_join. */
+  def knnJoin(s: SparkSession, dir: String,
+      bits: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SignLsh
+    val b = bits.getOrElse(
+      SignLsh.autoBits(s"$dir/embeddings", t(s, dir, "embeddings")))
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        SignLsh.bucketExpr(col("embedding"), b).as("bucket"))
+    val queries = e.filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val corpus = e.filter(col("label") =!= 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    queries.join(corpus, Seq("bucket"))
+      .select(col("q_id"), col("c_id"),
+        r6(cosine(col("qe"), col("ce"))).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("c_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 
   /** IVF ANN: rank centroids by query dot product, scan the top-`probes`
     * clusters only, exact cosine + global top-10 inside the probed set. */

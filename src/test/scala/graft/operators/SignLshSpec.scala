@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The self-scaling sign-LSH bucket width (round-8 VERDICT #1): the
+  * operator default must track corpus size (bits ≈ log2(n/32)) while the
+  * oracle-pinned 8-bit form stays byte-identical at fixture scale. */
+class SignLshSpec extends SparkSpec {
+
+  test("bitsFor reproduces the measured recipe points") {
+    // fixture scale (~2k vectors) clamps to the oracle-pinned 8
+    assert(SignLsh.bitsFor(2004) == 8)
+    // the 50x replica (~100k) lands on the SCALE.md-measured fix: 12 bits
+    assert(SignLsh.bitsFor(100200) == 12)
+    // growth is logarithmic with the data
+    assert(SignLsh.bitsFor(1000000) == 15)
+    assert(SignLsh.bitsFor(10000000) == 19)
+    // capped: the key reads leading dims and must stay far from dim 64
+    assert(SignLsh.bitsFor(Long.MaxValue) == SignLsh.MaxBits)
+    // unknown / failed count fails open to the pinned floor
+    assert(SignLsh.bitsFor(0) == 8)
+    assert(SignLsh.bitsFor(-1) == 8)
+  }
+
+  test("bucketExpr packs sign bits of the leading dims") {
+    val df = spark.range(1).select(
+      expr("array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), " +
+        "CAST(0.0 AS FLOAT), CAST(-0.5 AS FLOAT))").as("v"))
+    // signs: + - 0(>=0) -  → bits 1,3 set → 1 + 4 = 5
+    val b = df.select(SignLsh.bucketExpr(col("v"), 4).as("b"))
+      .head().getInt(0)
+    assert(b == 5)
+  }
+
+  test("autoBits counts once per cache key and fails open") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    assert(SignLsh.autoBits(s"$dir/embeddings", emb) == SignLsh.bitsFor(n))
+    // second call must hit the cache: hand it a corpus that would THROW
+    // if evaluated
+    // analyzes clean, but ANSI division-by-zero throws the moment any
+    // count() actually evaluates it
+    val poison = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(expr("vec_id / 0 = 1"))
+    assert(SignLsh.autoBits(s"$dir/embeddings", poison) == SignLsh.bitsFor(n))
+    // a failing count on a fresh key falls back to the 8-bit floor
+    assert(SignLsh.autoBits(s"poison-${System.nanoTime()}", poison) == 8)
+  }
+
+  test("operator default == pinned 8-bit plan at fixture scale") {
+    val dir = "/root/testdata/sf0.001"
+    val auto = graft.queries.DedupQueries.embeddingDedupPairs(spark, dir)
+      .collect().toSeq
+    val pinned = graft.queries.DedupQueries
+      .embeddingDedupPairs(spark, dir, bits = Some(8)).collect().toSeq
+    assert(auto == pinned)
+    assert(auto.nonEmpty) // the planted near-dup pairs
+  }
+}
