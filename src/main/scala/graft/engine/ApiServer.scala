@@ -25,7 +25,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * This runs on the Spark driver (queries plan from here; executors do the
   * work) — the 100 TB posture is a thin stateless facade over the cluster.
   */
-class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8) {
+class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
+    extends org.apache.spark.internal.Logging {
 
   private var http: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -43,7 +44,14 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8) {
       case e: Exception =>
         if (ex.getResponseCode == -1)
           respond(ex, 500, s"""{"error":${quote(s"internal: ${e.getMessage}")}}""")
-        else ex.close()
+        else {
+          // the truncation is only diagnosable server-side from here: the
+          // client just sees a broken chunked body (round-7 advice)
+          logWarning(s"response already committed for " +
+            s"${ex.getRequestMethod} ${ex.getRequestURI}: truncating " +
+            s"chunked body after execution failure", e)
+          ex.close()
+        }
     }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -287,8 +295,16 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8) {
     this
   }
 
-  def stop(): Unit = {
-    if (http != null) http.stop(0)
-    if (pool != null) pool.shutdown()
+  /** Graceful-ish shutdown: give in-flight chunked responses a short
+    * drain window instead of severing them mid-body (round-7 advice) —
+    * http.stop(n) blocks up to n seconds for active exchanges, then the
+    * pool is drained with a bounded wait before returning. */
+  def stop(drainSeconds: Int = 2): Unit = {
+    if (http != null) http.stop(drainSeconds)
+    if (pool != null) {
+      pool.shutdown()
+      pool.awaitTermination(drainSeconds.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 }

@@ -139,18 +139,25 @@ class BinnedRangeJoinRule(sessionOpt: Option[SparkSession])
     * a width heuristic needs a representative sample, not the exact p50.
     * None (→ no rewrite) on empty input, non-positive spans, or any
     * sampling failure: binning must never break a plan it cannot price. */
-  private def sampledWidth(bound: LogicalPlan, lo: Expression,
+  private[plans] def sampledWidth(bound: LogicalPlan, lo: Expression,
       hi: Expression): Option[Double] = {
     val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
+    // an expired-but-known-good width: if the refresh fails transiently
+    // (momentarily empty side, sampling error), fall back to it and
+    // re-stamp instead of negative-caching — a valid width was known, and
+    // disabling the rewrite for NoneRetryMs on a blip is strictly worse
+    // (round-7 advice)
+    var stale: Option[Double] = None
     widthCache.synchronized {
       val hit = widthCache.get(key)
       if (hit != null) {
         val age = System.currentTimeMillis() - hit._2
         val ttl = if (hit._1.isDefined) SomeTtlMs else NoneRetryMs
         if (age < ttl) return hit._1
+        stale = hit._1
       }
     }
-    val w =
+    val fresh =
       try {
         val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
         val p50 = new ApproximatePercentile(span, Literal(0.5))
@@ -164,10 +171,12 @@ class BinnedRangeJoinRule(sessionOpt: Option[SparkSession])
         got
       } catch {
         case NonFatal(e) =>
-          logWarning(s"binned range join: width sampling failed, " +
-            s"leaving join unrewritten: ${e.getMessage}")
+          logWarning(s"binned range join: width sampling failed" +
+            stale.fold(", leaving join unrewritten")(v =>
+              s", keeping stale width $v") + s": ${e.getMessage}")
           None
       }
+    val w = fresh.orElse(stale)
     widthCache.synchronized {
       widthCache.put(key, (w, System.currentTimeMillis()))
     }

@@ -152,6 +152,37 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("an expired known-good width survives a transient resample failure " +
+      "(stale fallback, round-7 advice)") {
+    import spark.implicits._
+    val dir = tmpDir("rj-stale")
+    Seq((0.0, 3.0), (1.0, 4.0), (2.0, 5.0)).toDF("lo", "hi")
+      .write.mode("overwrite").parquet(s"$dir/iv")
+    val df = spark.read.parquet(s"$dir/iv")
+    val bound = df.queryExecution.analyzed
+    val Seq(lo, hi) = bound.output
+    val rule = new BinnedRangeJoinRule(Some(spark))
+    assert(rule.sampledWidth(bound, lo, hi) == Some(3.0))
+
+    // age the cached entry past its TTL, then break the underlying files
+    // so the refresh fails mid-sampling
+    val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
+    BinnedRangeJoinRule.widthCache.synchronized {
+      val (v, _) = BinnedRangeJoinRule.widthCache.get(key)
+      BinnedRangeJoinRule.widthCache.put(key,
+        (v, System.currentTimeMillis() - BinnedRangeJoinRule.SomeTtlMs - 1))
+    }
+    val ivDir = new java.io.File(s"$dir/iv")
+    ivDir.listFiles().foreach(_.delete())
+    ivDir.delete()
+
+    // the stale width is reused (NOT negative-cached) and re-stamped:
+    // the next lookup hits the cache without touching the dead files
+    assert(rule.sampledWidth(bound, lo, hi) == Some(3.0),
+      "expired width was not reused on resample failure")
+    assert(rule.sampledWidth(bound, lo, hi) == Some(3.0))
+  }
+
   test("runaway interval spans fail loudly (maxBinsPerRow) instead of " +
       "allocating huge per-row bin arrays") {
     withExtendedSession { ext =>
