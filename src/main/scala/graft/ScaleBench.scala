@@ -59,8 +59,19 @@ object ScaleBench {
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto")
 
+  /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
+    * formulations on a replica that concentrates K×100k points into ONE
+    * series — per-key state is exactly what differs between them (the
+    * SeriesFold form streams with O(1) doubles; the collect_list form
+    * materializes the full series as one in-memory array on one task).
+    * Run against the `long_x*` table group, not the core replica. */
+  val longHeavy: Seq[String] = Seq(
+    "long:q_ewma_recurrence", "long:q_ewma_recurrence@arrayfold",
+    "long:q_holt_winters", "long:q_holt_winters@arrayfold")
+
   /** Measurable plans: the public contract plus the bucket-width variants
-    * (`@auto` = the no-argument operator default the VERDICT gate is on). */
+    * (`@auto` = the no-argument operator default the VERDICT gate is on)
+    * and the superseded collect_list recurrence folds. */
   def fns: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
       "q_dedup_embedding@12bit" ->
@@ -69,7 +80,11 @@ object ScaleBench {
       "q_dedup_embedding@auto" ->
         ((s, d) => queries.DedupQueries.embeddingDedupPairs(s, d)),
       "q34c_knn_join@auto" ->
-        ((s, d) => queries.SimilarityQueries.knnJoin(s, d)))
+        ((s, d) => queries.SimilarityQueries.knnJoin(s, d)),
+      "q_ewma_recurrence@arrayfold" ->
+        ((s, d) => queries.TimeseriesQueries.ewmaRecurrenceArrayFold(s, d)),
+      "q_holt_winters@arrayfold" ->
+        ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)))
 
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -106,6 +121,25 @@ object ScaleBench {
     evN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
+  }
+
+  /** Long-series replica: K copies of events COLLAPSED INTO ONE SERIES
+    * (user_id := 1, event_id disjoint per copy) — at K=10 over sf0.1
+    * that is one series of 1M points. The opposite stress of
+    * [[buildReplica]]'s events (which grows the series COUNT at constant
+    * length): here per-key state grows K×, which is exactly what the
+    * collect_list recurrence fold cannot bound and SeriesFold can. */
+  def buildLongSeriesReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    val events = Tables.load(spark, base, "events")
+    val evN = (0 until k).map { r =>
+      events.select(
+        (col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+        col("ts"), lit(1L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+    evN.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
   }
 
   /** Embeddings replica: the QUERY side (vec_id=0 for single-query ANN,
@@ -170,7 +204,7 @@ object ScaleBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
       "/tmp/graft_scale/sf0.1x01")
 
-    val all = heavy ++ simHeavy
+    val all = heavy ++ simHeavy ++ longHeavy
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // a typo mixed with valid names must fail loudly, not silently
@@ -193,6 +227,9 @@ object ScaleBench {
     // similarity-only run at K=50 must not pay for 50x documents/events
     val needCore = selected.exists(heavy.contains)
     val needEmb = selected.exists(simHeavy.contains)
+    val needLong = selected.exists(longHeavy.contains)
+    val longBase = s"/tmp/graft_scale/long_x01"
+    val longOut = s"/tmp/graft_scale/long_x$k"
     for ((dir, kk) <- Seq((baseDir, 1), (out, k))) {
       def build(name: String, fn: => Unit): Unit = {
         val t0 = System.nanoTime(); fn
@@ -209,7 +246,22 @@ object ScaleBench {
           build("embeddings", buildEmbeddingsReplica(spark, base, dir, kk))
         else System.err.println(s"[scale] reusing embeddings at $dir")
       }
+      if (needLong) {
+        val ldir = if (kk == 1) longBase else longOut
+        if (!new java.io.File(s"$ldir/events.parquet").exists()) {
+          val t0 = System.nanoTime()
+          buildLongSeriesReplica(spark, base, ldir, kk)
+          System.err.println(f"[scale] built ${kk}x long-series events at " +
+            f"$ldir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } else System.err.println(s"[scale] reusing long-series at $ldir")
+      }
     }
+
+    /** long:-prefixed rows run on the long-series table pair. */
+    def dirsFor(name: String): (String, String, String) =
+      if (name.startsWith("long:"))
+        (name.stripPrefix("long:"), longBase, longOut)
+      else (name, baseDir, out)
 
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -226,16 +278,19 @@ object ScaleBench {
     // per TABLE GROUP, or a mixed run leaves the embeddings side cold
     // and the first similarity query's timed runs absorb the file-index
     // and vector-codegen cost
-    (selected.find(heavy.contains) ++ selected.find(simHeavy.contains))
+    (selected.find(heavy.contains) ++ selected.find(simHeavy.contains) ++
+      selected.find(longHeavy.contains))
       .foreach { q =>
-        try { run(fns(q)(spark, baseDir)); run(fns(q)(spark, out)) }
+        val (fq, b, o) = dirsFor(q)
+        try { run(fns(fq)(spark, b)); run(fns(fq)(spark, o)) }
         catch { case _: Throwable => () }
       }
 
     val results = selected.map { name =>
-      val fn = fns(name)
-      val tBase = median((1 to runs).map(_ => time(run(fn(spark, baseDir)))))
-      val tBig = median((1 to runs).map(_ => time(run(fn(spark, out)))))
+      val (fnName, bDir, oDir) = dirsFor(name)
+      val fn = fns(fnName)
+      val tBase = median((1 to runs).map(_ => time(run(fn(spark, bDir)))))
+      val tBig = median((1 to runs).map(_ => time(run(fn(spark, oDir)))))
       val factor = tBig / tBase
       println(f"""{"query":"$name","base_sec":$tBase%.3f,"x${k}_sec":$tBig%.3f,"factor":$factor%.2f}""")
       (name, tBase, tBig, factor)

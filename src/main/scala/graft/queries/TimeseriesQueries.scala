@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,30 +200,17 @@ object TimeseriesQueries extends QuerySet {
     // value) folded over the full (ts, event_id)-ordered history of each
     // series, emitting the per-series fixpoint — so a batch backfill and
     // the online StreamingEwma produce the SAME state (StreamingSpec
-    // asserts the agreement; round-6 VERDICT #7). Versus q_ewma's
-    // bounded trailing-20 window: that one scales per-ROW (20 doubles
-    // each); this one materializes each series' full history in one
-    // fold, the deliberate per-KEY cost of exact recurrence semantics in
-    // batch — series too long for that belong on the streaming path,
-    // whose state is one double. One shuffle on the series key. The
-    // DuckDB oracle runs the identical fold (list_reduce, same seed,
-    // same op order), so fp summation matches term for term.
-    "q_ewma_recurrence" -> { (s, dir) =>
-      t(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(
-          expr("transform(sort_array(collect_list(struct(ts, event_id, " +
-            "value))), p -> p.value)").as("vals"),
-          count(lit(1)).as("n_points"))
-        .select(col("user_id"), col("n_points"),
-          r6(expr(
-            """aggregate(slice(vals, 2, size(vals) - 1),
-              |  element_at(vals, 1),
-              |  (acc, x) -> 0.3D * x + 0.7D * acc)""".stripMargin))
-            .as("ewma_final"))
-        .orderBy(col("user_id"))
-    },
+    // asserts the agreement; round-6 VERDICT #7). Computed CONSTANT-
+    // MEMORY (round-8: operators.SeriesFold — repartition by series +
+    // external sortWithinPartitions + one mapPartitions streaming pass,
+    // O(1) doubles per series), so a 100 TB backfill with arbitrarily
+    // long series cannot OOM an executor; [[ewmaRecurrenceArrayFold]] is
+    // the previous collect_list formulation, kept for the measured
+    // comparison (SCALE.md §9). Same single shuffle on the series key;
+    // identical fp op order (the sort mirrors sort_array's struct
+    // order), so the DuckDB oracle's list_reduce fold still matches
+    // term for term.
+    "q_ewma_recurrence" -> { (s, dir) => ewmaRecurrence(s, dir) },
 
     // HOLT-WINTERS double exponential smoothing (InfluxQL's
     // HOLT_WINTERS, the trend-aware step past q_ewma_recurrence's
@@ -231,39 +219,19 @@ object TimeseriesQueries extends QuerySet {
     //   l' = α·x + (1-α)·(l + b);  b' = β·(l' - l) + (1-β)·b
     // (α=0.5, β=0.3, seeded l=x₁ b=0) and emit the fixpoint plus the
     // 1-step forecast l+b — what an alerting path projects forward.
-    // State rides a 2-element DOUBLE ARRAY, not a struct: DuckDB 1.0's
+    // Computed CONSTANT-MEMORY via operators.SeriesFold (round-8, like
+    // q_ewma_recurrence above): two doubles of state per series instead
+    // of the full history array; [[holtWintersArrayFold]] keeps the
+    // collect_list form for the measured comparison. The DuckDB oracle
+    // folds a LIST-typed accumulator, not a struct: DuckDB 1.0's
     // list_reduce updates a struct accumulator FIELD-BY-FIELD (the b
     // expression would see the new l — measured, not speculated), while
-    // list-typed state folds correctly; Spark's aggregate() is pure
-    // either way, and the array form keeps both engines on the
-    // identical op sequence (l' inlined twice, same fp order). One
-    // shuffle on the series key; same per-key history cost as
-    // q_ewma_recurrence (streaming st16 / StreamingHoltWinters is the
-    // O(1)-state path — two doubles per series).
-    "q_holt_winters" -> { (s, dir) =>
-      t(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(
-          expr("transform(sort_array(collect_list(struct(ts, event_id, " +
-            "value))), p -> p.value)").as("vals"),
-          count(lit(1)).as("n_points"))
-        .select(col("user_id"), col("n_points"),
-          expr("""aggregate(
-            |  slice(vals, 2, size(vals) - 1),
-            |  array(element_at(vals, 1), CAST(0.0D AS DOUBLE)),
-            |  (acc, x) -> array(
-            |    0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
-            |    0.3D * ((0.5D * x + 0.5D * (element_at(acc, 1)
-            |      + element_at(acc, 2))) - element_at(acc, 1))
-            |      + 0.7D * element_at(acc, 2)))""".stripMargin).as("st"))
-        .select(col("user_id"), col("n_points"),
-          r6(element_at(col("st"), 1)).as("level"),
-          r6(element_at(col("st"), 2)).as("trend"),
-          r6(element_at(col("st"), 1) + element_at(col("st"), 2))
-            .as("forecast_next"))
-        .orderBy(col("user_id"))
-    },
+    // list-typed state folds correctly. In the Scala step, computing l'
+    // once and reusing it is bit-identical to the oracle's inlined
+    // recomputation (same expression over the same values, strict
+    // IEEE-754 both sides). One shuffle on the series key (streaming
+    // st16 / StreamingHoltWinters stays the online path).
+    "q_holt_winters" -> { (s, dir) => holtWinters(s, dir) },
 
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
@@ -350,6 +318,88 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     }
   )
+
+  /** Constant-memory q_ewma_recurrence: one streaming fold per series
+    * (operators.SeriesFold), state = a single double. Bit-identical to
+    * [[ewmaRecurrenceArrayFold]] and to the DuckDB list_reduce oracle. */
+  def ewmaRecurrence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesFold.fold(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      "user_id", Seq("ts", "event_id"), "value", Seq("ewma_raw"),
+      seed = v => Array(v),
+      step = (acc, x) => Array(0.3d * x + 0.7d * acc(0)))
+      .select(col("user_id"), col("n_points"),
+        r6(col("ewma_raw")).as("ewma_final"))
+      .orderBy(col("user_id"))
+
+  /** Constant-memory q_holt_winters: state = (level, trend). l' is
+    * computed once and reused — bit-identical to the Catalyst/DuckDB
+    * folds that inline its recomputation (same expression, same values,
+    * strict IEEE-754). Rounding and the l+b forecast stay in the
+    * DataFrame layer, exactly as before. */
+  def holtWinters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesFold.fold(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      "user_id", Seq("ts", "event_id"), "value",
+      Seq("level_raw", "trend_raw"),
+      seed = v => Array(v, 0.0d),
+      step = (acc, x) => {
+        val l1 = 0.5d * x + 0.5d * (acc(0) + acc(1))
+        Array(l1, 0.3d * (l1 - acc(0)) + 0.7d * acc(1))
+      })
+      .select(col("user_id"), col("n_points"),
+        r6(col("level_raw")).as("level"),
+        r6(col("trend_raw")).as("trend"),
+        r6(col("level_raw") + col("trend_raw")).as("forecast_next"))
+      .orderBy(col("user_id"))
+
+  /** The PREVIOUS q_ewma_recurrence formulation (collect_list the full
+    * series history into one array, fold with aggregate()): correct and
+    * whole-stage-codegen'd, but per-KEY memory is the series length —
+    * kept public for the measured long-series comparison (SCALE.md §9)
+    * and as the documented contrast to [[ewmaRecurrence]]. */
+  def ewmaRecurrenceArrayFold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(ts, event_id, " +
+          "value))), p -> p.value)").as("vals"),
+        count(lit(1)).as("n_points"))
+      .select(col("user_id"), col("n_points"),
+        r6(expr(
+          """aggregate(slice(vals, 2, size(vals) - 1),
+            |  element_at(vals, 1),
+            |  (acc, x) -> 0.3D * x + 0.7D * acc)""".stripMargin))
+          .as("ewma_final"))
+      .orderBy(col("user_id"))
+
+  /** The previous q_holt_winters formulation — see
+    * [[ewmaRecurrenceArrayFold]]'s note; array-typed accumulator, l'
+    * inlined twice (the DuckDB fold-order twin). */
+  def holtWintersArrayFold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(ts, event_id, " +
+          "value))), p -> p.value)").as("vals"),
+        count(lit(1)).as("n_points"))
+      .select(col("user_id"), col("n_points"),
+        expr("""aggregate(
+          |  slice(vals, 2, size(vals) - 1),
+          |  array(element_at(vals, 1), CAST(0.0D AS DOUBLE)),
+          |  (acc, x) -> array(
+          |    0.5D * x + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+          |    0.3D * ((0.5D * x + 0.5D * (element_at(acc, 1)
+          |      + element_at(acc, 2))) - element_at(acc, 1))
+          |      + 0.7D * element_at(acc, 2)))""".stripMargin).as("st"))
+      .select(col("user_id"), col("n_points"),
+        r6(element_at(col("st"), 1)).as("level"),
+        r6(element_at(col("st"), 2)).as("trend"),
+        r6(element_at(col("st"), 1) + element_at(col("st"), 2))
+          .as("forecast_next"))
+      .orderBy(col("user_id"))
 
   val oracle: Map[String, String] = Map(
     "q_pivot" ->
