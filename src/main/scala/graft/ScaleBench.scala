@@ -59,6 +59,16 @@ object ScaleBench {
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto")
 
+  /** The join/window/agg families (round-8 VERDICT #2): the heaviest
+    * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
+    * §7.6 itself flags it shuffle-heavy; q13b is the binned-range-join
+    * alternative measured next to it), cube, exact percentile, window
+    * frames, sessionization, funnel. events queries scale by series
+    * COUNT (constant length); orders/lineitem get disjoint key ranges. */
+  val sqlHeavy: Seq[String] = Seq(
+    "q13_asof_join", "q13b_asof_interval", "q16b_cube", "q18_percentile",
+    "q21_frames", "q_sessionize", "q_funnel")
+
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
     * series — per-key state is exactly what differs between them (the
@@ -121,6 +131,37 @@ object ScaleBench {
     evN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
+  }
+
+  /** orders/lineitem replica for the agg-family measurements: disjoint
+    * order/customer key ranges per copy, every attribute column
+    * unchanged — group COUNTS stay constant while group SIZES grow K×
+    * (cube cells, percentile groups, join fan-in), which is the
+    * at-scale shape for these queries. */
+  def buildTpchReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    val orders = Tables.load(spark, base, "orders")
+    val ordN = (0 until k).map { r =>
+      orders.select(
+        (col("o_orderkey") + lit(r.toLong * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(r.toLong * 1000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_.unionAll(_))
+    ordN.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
+    val li = Tables.load(spark, base, "lineitem")
+    val liN = (0 until k).map { r =>
+      li.select(
+        (col("l_orderkey") + lit(r.toLong * 1000000000L)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+    }.reduce(_.unionAll(_))
+    liN.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
   }
 
   /** Long-series replica: K copies of events COLLAPSED INTO ONE SERIES
@@ -204,7 +245,7 @@ object ScaleBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
       "/tmp/graft_scale/sf0.1x01")
 
-    val all = heavy ++ simHeavy ++ longHeavy
+    val all = heavy ++ simHeavy ++ longHeavy ++ sqlHeavy
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // a typo mixed with valid names must fail loudly, not silently
@@ -225,7 +266,11 @@ object ScaleBench {
 
     // build each table group only if a selected query reads it: a
     // similarity-only run at K=50 must not pay for 50x documents/events
-    val needCore = selected.exists(heavy.contains)
+    val eventsSql = Set("q13_asof_join", "q13b_asof_interval", "q21_frames",
+      "q_sessionize", "q_funnel")
+    val needCore = selected.exists(heavy.contains) ||
+      selected.exists(eventsSql.contains)
+    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     val longBase = s"/tmp/graft_scale/long_x01"
@@ -240,6 +285,11 @@ object ScaleBench {
         if (!new java.io.File(s"$dir/events.parquet").exists())
           build("docs+events", buildReplica(spark, base, dir, kk))
         else System.err.println(s"[scale] reusing docs+events at $dir")
+      }
+      if (needTpch) {
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+          build("orders+lineitem", buildTpchReplica(spark, base, dir, kk))
+        else System.err.println(s"[scale] reusing orders+lineitem at $dir")
       }
       if (needEmb) {
         if (!new java.io.File(s"$dir/embeddings.parquet").exists())
@@ -279,7 +329,7 @@ object ScaleBench {
     // and the first similarity query's timed runs absorb the file-index
     // and vector-codegen cost
     (selected.find(heavy.contains) ++ selected.find(simHeavy.contains) ++
-      selected.find(longHeavy.contains))
+      selected.find(longHeavy.contains) ++ selected.find(sqlHeavy.contains))
       .foreach { q =>
         val (fq, b, o) = dirsFor(q)
         try { run(fns(fq)(spark, b)); run(fns(fq)(spark, o)) }

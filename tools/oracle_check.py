@@ -69,10 +69,17 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import os
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # partial dirs (ScaleBench replicas) carry only the tables their
+        # queries read — register what exists, the rest would fail anyway
+        p = f"{sf_dir}/{tbl}.parquet"
+        if os.path.isdir(p):  # Spark-written replica: a directory of parts
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
