@@ -138,6 +138,57 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("D8 truncation semantics under a planted execution failure: a " +
+      "LATER-partition failure truncates the chunked body detectably, a " +
+      "FIRST-partition failure is a clean 500") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // failure planted by row id: ids land in deterministic range
+    // partitions (0..250 in partition 0 of 4, 750+ in partition 3), and
+    // toLocalIterator walks partitions in order
+    def planted(failFrom: Long) = {
+      val boom = udf((id: Long) => {
+        if (id >= failFrom) throw new RuntimeException("planted failure")
+        id
+      })
+      spark.range(0, 1000, 1, 4).select(boom(col("id")).as("id"))
+    }
+    def engineWith(failFrom: Long) =
+      new Engine(spark, tmpDir("graft-api-d8")) {
+        override def query(sql: String) = Right(planted(failFrom))
+      }
+
+    // (a) later partition fails: 200 + chunked already committed, the
+    // body breaks mid-stream — client sees malformed JSON or an aborted
+    // chunked read, NEVER a well-formed-but-short array that parses
+    val api1 = new ApiServer(engineWith(750L)).start()
+    try {
+      val con = URI.create(s"http://127.0.0.1:${api1.boundPort}/query")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      con.setRequestMethod("POST")
+      con.setDoOutput(true)
+      con.getOutputStream.write("q=SELECT%201".getBytes(UTF_8))
+      assert(con.getResponseCode == 200) // headers committed before fail
+      assert(con.getHeaderField("Transfer-encoding") == "chunked")
+      val outcome = try {
+        val b = new String(con.getInputStream.readAllBytes(), UTF_8)
+        if (b.startsWith("[") && b.endsWith("]")) s"well-formed: $b"
+        else "truncated-json"
+      } catch { case _: java.io.IOException => "aborted-chunked-read" }
+      assert(outcome == "truncated-json" || outcome == "aborted-chunked-read",
+        s"a mid-stream failure must be detectable, got $outcome")
+    } finally api1.stop()
+
+    // (b) first partition fails: forced BEFORE headers commit → clean 500
+    // with a JSON error, no torn body
+    val api2 = new ApiServer(engineWith(0L)).start()
+    try {
+      val (c, b) = call(s"http://127.0.0.1:${api2.boundPort}/query", "POST",
+        "q=SELECT%201")
+      assert(c == 500, s"first-partition failure must 500, got $c")
+      assert(b.contains("\"error\"") && b.contains("internal"), b)
+    } finally api2.stop()
+  }
+
   test("retention and DROP SERIES endpoints (superset: the reference has " +
       "no delete path)") {
     val engine = new Engine(spark, tmpDir("graft-api-del"))

@@ -1,0 +1,136 @@
+package graft.engine
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors,
+  TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Round-8 VERDICT #5: the API pool, streaming ingest and the
+  * foreachBatch maintenance slot (compaction + tag index) exercised
+  * SIMULTANEOUSLY. The contract under concurrency:
+  *
+  *  - no deadlock (the 8ddd636 lock-order class) — everything completes
+  *    inside the latch timeout;
+  *  - every response is classifiable: a COMPLETE well-formed JSON array,
+  *    a DETECTABLY truncated chunked body (a streamed read that raced the
+  *    compaction dir swap — D8 semantics: broken JSON, never silently
+  *    wrong), or a clean 4xx/5xx. Nothing unclassifiable.
+  *  - plan-side caps hold exactly under load (max_rows responses);
+  *  - the final state is exact: seeded + streamed rows all present,
+  *    maintenance artifacts (compacted dirs, tag index) in place.
+  */
+class ConcurrentLoadSpec extends SparkSpec {
+
+  private def post(url: String, bodyStr: String): (Int, String) = {
+    val con = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    con.setRequestMethod("POST")
+    con.setDoOutput(true)
+    con.getOutputStream.write(bodyStr.getBytes(UTF_8))
+    val code = con.getResponseCode
+    val is = if (code < 400) con.getInputStream else con.getErrorStream
+    val out = try new String(is.readAllBytes(), UTF_8)
+      catch { case _: java.io.IOException => "<<stream-aborted>>" }
+    (code, out)
+  }
+
+  test("parallel streamed queries + live ingest + compaction/tag-index " +
+      "maintenance: no deadlock, no silent corruption, exact final state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engine = new Engine(spark, tmpDir("graft-conc"))
+    val seeded = 3000
+    engine.ingestLines((1 to seeded).map(i =>
+      s"cpu,host=h${i % 7} v=$i.5 ${1700000000000000000L + i * 1000000000L}"))
+    val api = new ApiServer(engine, poolSize = 6).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    val in = MemoryStream[String]
+    val stream = engine.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-conc-ckpt"),
+      compactEveryBatches = 2, tagIndexEveryBatches = 2)
+
+    val clients = 8
+    val rounds = 3
+    val pool = Executors.newFixedThreadPool(clients)
+    val problems = new ConcurrentLinkedQueue[String]()
+    val complete = new AtomicInteger()
+    val truncated = new AtomicInteger()
+    val errored = new AtomicInteger()
+    val done = new CountDownLatch(clients)
+    try {
+      for (t <- 1 to clients) pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            for (r <- 1 to rounds) (t + r) % 3 match {
+              case 0 => // full streamed result: complete or DETECTABLY cut
+                val (c, b) = post(s"$base/query",
+                  "q=SELECT%20name%2C%20value%20FROM%20cpu")
+                if (c >= 400) errored.incrementAndGet()
+                else if (b.startsWith("[") && b.endsWith("]") &&
+                    (b == "[]" || (b.startsWith("[{") && b.endsWith("}]"))))
+                  complete.incrementAndGet()
+                else truncated.incrementAndGet() // broken JSON = detectable
+              case 1 => // plan-side cap must hold EXACTLY under load
+                val (c, b) = post(s"$base/query?max_rows=50",
+                  "q=SELECT%20name%2C%20value%20FROM%20cpu")
+                if (c >= 400) errored.incrementAndGet()
+                else if (b.startsWith("[{") && b.endsWith("}]")) {
+                  if (b.split("\\},\\{").length == 50)
+                    complete.incrementAndGet()
+                  else problems.add(s"max_rows=50 returned wrong count")
+                } else truncated.incrementAndGet()
+              case 2 => // the reference's own range path, same contract
+                val (c, b) = post(
+                  s"$base/query?max_rows=25",
+                  "q=SELECT%20id%2C%20name%2C%20value%20FROM%20cpu")
+                if (c >= 400) errored.incrementAndGet()
+                else if (b.startsWith("[{") && b.endsWith("}]"))
+                  complete.incrementAndGet()
+                else truncated.incrementAndGet()
+            }
+          } catch {
+            case e: Exception => problems.add(s"client $t: $e")
+          } finally done.countDown()
+        }
+      })
+
+      // drive 6 micro-batches (3 compactions + 3 tag-index rebuilds)
+      // while the clients hammer the query surface
+      val streamed = 600
+      for (b <- 0 until 6) {
+        in.addData((1 to 100).map(i =>
+          s"cpu,host=s$b v=${b * 100 + i}.25 " +
+            s"${1710000000000000000L + (b * 100 + i) * 1000000000L}"): _*)
+        stream.processAllAvailable()
+      }
+
+      // the latch is the deadlock detector: lock-order regressions hang
+      // a client on a query the maintenance slot will never release
+      assert(done.await(300, TimeUnit.SECONDS),
+        "concurrent load did not finish: deadlock or stuck stream")
+      assert(problems.isEmpty, s"contract violations: $problems")
+      val total = complete.get() + truncated.get() + errored.get()
+      assert(total == clients * rounds, s"lost responses: $total")
+      // the surface must actually WORK under load, not fail gracefully
+      // 24 times: most responses complete (truncation is only legitimate
+      // for reads racing a compaction swap)
+      assert(complete.get() >= clients * rounds / 2,
+        s"complete=$complete truncated=$truncated errored=$errored")
+
+      // exact final state: every seeded + streamed row present
+      assert(engine.table().count() == seeded + streamed)
+      // maintenance really ran in the slot: tag index fresh enough to
+      // serve the pruned path, and the table survived its compactions
+      val viaTag = engine.queryByTag("host", "s5").count()
+      assert(viaTag == 100, s"tag-index path returned $viaTag")
+      info(s"complete=$complete truncated=$truncated errored=$errored")
+    } finally {
+      stream.stop(); api.stop(); pool.shutdownNow()
+    }
+  }
+}
