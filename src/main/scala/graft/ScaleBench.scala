@@ -98,6 +98,16 @@ object ScaleBench {
 
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
+    buildDocsReplica(spark, base, out, k)
+    buildEventsReplica(spark, base, out, k)
+  }
+
+  /** The per-word-suffix documents replica — by far the slowest build
+    * (split/transform/concat over every replica), so it is built ONLY
+    * when a selected query reads documents: an events-only run (q13,
+    * q21, q_sessionize…) must not pay for K× documents construction. */
+  def buildDocsReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
     require(k <= 100, s"replica suffix is 2 digits; k=$k would collide")
     val docs = Tables.load(spark, base, "documents")
     val docN = (0 until k).map { r =>
@@ -119,7 +129,12 @@ object ScaleBench {
     }.reduce(_.unionAll(_))
     docN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
+  }
 
+  /** Disjoint-key events replica (series COUNT grows, length constant). */
+  def buildEventsReplica(spark: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    require(k <= 100, s"replica suffix is 2 digits; k=$k would collide")
     val events = Tables.load(spark, base, "events")
     val evN = (0 until k).map { r =>
       events.select(
@@ -130,7 +145,6 @@ object ScaleBench {
     }.reduce(_.unionAll(_))
     evN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
-
   }
 
   /** orders/lineitem replica for the agg-family measurements: disjoint
@@ -265,26 +279,42 @@ object ScaleBench {
     }
 
     // build each table group only if a selected query reads it: a
-    // similarity-only run at K=50 must not pay for 50x documents/events
+    // similarity-only run at K=50 must not pay for 50x documents/events,
+    // and an events-only run (the sqlHeavy family) must not pay for the
+    // K× per-word documents transform it never reads
     val eventsSql = Set("q13_asof_join", "q13b_asof_interval", "q21_frames",
       "q_sessionize", "q_funnel")
-    val needCore = selected.exists(heavy.contains) ||
+    val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
+      "q_ingest_typed", "q_ingest_generator")
+    val needDocs = selected.exists(q =>
+      heavy.contains(q) && !eventsHeavy.contains(q))
+    val needEvents = selected.exists(eventsHeavy.contains) ||
       selected.exists(eventsSql.contains)
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
-    val longBase = s"/tmp/graft_scale/long_x01"
-    val longOut = s"/tmp/graft_scale/long_x$k"
+    // long-series replicas live beside the core replica dirs, so the
+    // SPARK_GRAFT_SCALE_BASE/SPARK_GRAFT_SCALE_DIR relocation overrides
+    // (small or read-only /tmp) cover every table group
+    def sibling(dir: String, name: String): String =
+      new java.io.File(new java.io.File(dir).getParent, name).getPath
+    val longBase = sibling(baseDir, "long_x01")
+    val longOut = sibling(out, s"long_x$k")
     for ((dir, kk) <- Seq((baseDir, 1), (out, k))) {
       def build(name: String, fn: => Unit): Unit = {
         val t0 = System.nanoTime(); fn
         System.err.println(f"[scale] built ${kk}x $name at $dir in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-      if (needCore) {
+      if (needDocs) {
+        if (!new java.io.File(s"$dir/documents.parquet").exists())
+          build("documents", buildDocsReplica(spark, base, dir, kk))
+        else System.err.println(s"[scale] reusing documents at $dir")
+      }
+      if (needEvents) {
         if (!new java.io.File(s"$dir/events.parquet").exists())
-          build("docs+events", buildReplica(spark, base, dir, kk))
-        else System.err.println(s"[scale] reusing docs+events at $dir")
+          build("events", buildEventsReplica(spark, base, dir, kk))
+        else System.err.println(s"[scale] reusing events at $dir")
       }
       if (needTpch) {
         if (!new java.io.File(s"$dir/lineitem.parquet").exists())

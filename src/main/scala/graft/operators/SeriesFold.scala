@@ -46,6 +46,11 @@ object SeriesFold {
     * in (`orderCols`, value) order. Returns
     * (keyCol, n_points, stateNames...) with the final state's doubles.
     *
+    * NULL keys form their own group with a NULL output key, exactly like
+    * the groupBy formulation this replaces — an InternalRow getLong on a
+    * null field silently reads 0, so nullity is tracked explicitly rather
+    * than merging null-key rows into the real key-0 series.
+    *
     * @param seed  state for a 1-point series, from its first value
     * @param step  (state, nextValue) => state; must not mutate its input
     */
@@ -69,13 +74,15 @@ object SeriesFold {
     val rows = sorted.queryExecution.toRdd.mapPartitions { it =>
       new Iterator[Row] {
         private var pendingKey = 0L
+        private var pendingNull = false
         private var state: Array[Double] = null
         private var n = 0L
         private var done = false
         private var emit: Row = null
 
         private def finish(): Row =
-          Row.fromSeq(pendingKey +: n +: state.toSeq)
+          Row.fromSeq((if (pendingNull) null else pendingKey) +: n +:
+            state.toSeq)
 
         advance()
         private def advance(): Unit = {
@@ -86,15 +93,16 @@ object SeriesFold {
               done = true
             } else {
               val r = it.next()
-              val k = r.getLong(kIdx)
+              val kNull = r.isNullAt(kIdx)
+              val k = if (kNull) 0L else r.getLong(kIdx)
               val v = r.getDouble(vIdx)
               if (state == null) {
-                pendingKey = k; state = seed(v); n = 1L
-              } else if (k == pendingKey) {
+                pendingKey = k; pendingNull = kNull; state = seed(v); n = 1L
+              } else if (kNull == pendingNull && k == pendingKey) {
                 state = step(state, v); n += 1L
               } else {
                 emit = finish()
-                pendingKey = k; state = seed(v); n = 1L
+                pendingKey = k; pendingNull = kNull; state = seed(v); n = 1L
               }
             }
           }

@@ -59,15 +59,25 @@ object SignLsh {
 
   // One count per table path per JVM: the count is a metadata-cheap parquet
   // aggregate, but the operators are plan-BUILDERS and may be called
-  // repeatedly (bench loops, tests). Fail-open like the range-join width
-  // sampler: a failed count means MinBits, never an error.
+  // repeatedly (bench loops, tests). Fail-open: a failed count means MinBits
+  // for THIS call only — never cached, so a transient failure (compaction
+  // swap, momentary storage error) does not pin a 100k+ corpus to 8-bit
+  // buckets for the JVM's lifetime. The count job also runs OUTSIDE the
+  // map lock (computeIfAbsent must not block unrelated bins on a Spark job);
+  // a duplicate count on a rare first-call race is the cheaper failure mode.
   private val countCache = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Derive the auto bucket width for a corpus, counting it at most once
     * per `cacheKey` (use the table path) per JVM. */
   def autoBits(cacheKey: String, corpus: => DataFrame): Int = {
-    val n = countCache.computeIfAbsent(cacheKey,
-      _ => Long.box(Try(corpus.count()).getOrElse(-1L)))
+    val cached = countCache.get(cacheKey)
+    val n =
+      if (cached != null) cached.longValue()
+      else Try(corpus.count()) match {
+        case scala.util.Success(c) =>
+          countCache.putIfAbsent(cacheKey, Long.box(c)); c
+        case scala.util.Failure(_) => -1L // fail-open, retry next call
+      }
     bitsFor(n)
   }
 

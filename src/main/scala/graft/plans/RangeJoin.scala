@@ -157,7 +157,11 @@ class BinnedRangeJoinRule(sessionOpt: Option[SparkSession])
         stale = hit._1
       }
     }
-    val fresh =
+    // A SUCCESSFUL sample that determines None (empty side, non-positive
+    // spans) is an authoritative "do not rewrite" and must replace a stale
+    // width — the data the old width was priced on is gone. Only a sampling
+    // FAILURE (exception) falls back to the stale width.
+    val w =
       try {
         val span = Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))
         val p50 = new ApproximatePercentile(span, Literal(0.5))
@@ -174,9 +178,8 @@ class BinnedRangeJoinRule(sessionOpt: Option[SparkSession])
           logWarning(s"binned range join: width sampling failed" +
             stale.fold(", leaving join unrewritten")(v =>
               s", keeping stale width $v") + s": ${e.getMessage}")
-          None
+          stale
       }
-    val w = fresh.orElse(stale)
     widthCache.synchronized {
       widthCache.put(key, (w, System.currentTimeMillis()))
     }

@@ -99,10 +99,14 @@ class ConcurrentLoadSpec extends SparkSpec {
         }
       })
 
-      // drive 6 micro-batches (3 compactions + 3 tag-index rebuilds)
-      // while the clients hammer the query surface
-      val streamed = 600
-      for (b <- 0 until 6) {
+      // drive 7 micro-batches while the clients hammer the query surface.
+      // The every-2 maintenance slot (id > 0 && id % 2 == 0) fires at
+      // batches 2, 4 and 6 — 3 compactions + 3 tag-index rebuilds, and
+      // the LAST rebuild runs after batch 6's own write, so the index is
+      // fresh (tagIndexBuiltAt == writeVersion) and the tag query below
+      // must take the pruned path, not the staleness-fallback full scan
+      val streamed = 700
+      for (b <- 0 until 7) {
         in.addData((1 to 100).map(i =>
           s"cpu,host=s$b v=${b * 100 + i}.25 " +
             s"${1710000000000000000L + (b * 100 + i) * 1000000000L}"): _*)
@@ -124,9 +128,15 @@ class ConcurrentLoadSpec extends SparkSpec {
 
       // exact final state: every seeded + streamed row present
       assert(engine.table().count() == seeded + streamed)
-      // maintenance really ran in the slot: tag index fresh enough to
-      // serve the pruned path, and the table survived its compactions
-      val viaTag = engine.queryByTag("host", "s5").count()
+      // maintenance really ran in the slot: the tag index is fresh enough
+      // to serve the PRUNED path (the pruned plan re-enters the table
+      // with literal IN predicates on the partition columns; the
+      // staleness fallback is a plain tags[k] filter with no IN), and
+      // the table survived its compactions
+      val viaTagDf = engine.queryByTag("host", "s5")
+      assert(viaTagDf.queryExecution.analyzed.toString.contains(" IN "),
+        "queryByTag took the staleness-fallback scan, not the index-pruned path")
+      val viaTag = viaTagDf.count()
       assert(viaTag == 100, s"tag-index path returned $viaTag")
       info(s"complete=$complete truncated=$truncated errored=$errored")
     } finally {

@@ -67,6 +67,41 @@ class SeriesFoldSpec extends SparkSpec {
     assert(got == byArray.collect().toSeq)
   }
 
+  test("NULL keys form their own group and never merge into key 0") {
+    // an InternalRow getLong on a null field silently reads 0 — so a
+    // fold that ignores nullity would merge the null-key series into the
+    // real key-0 series (or emit two rows both claiming key 0). The
+    // groupBy formulation this operator replaces keeps a distinct null
+    // group; so must the fold.
+    val d = tmpDir("seriesfold-null")
+    spark.range(30).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 3 - 1).as("user_id"), // keys: null, 0, 1
+      col("id").cast("double").as("value"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val src = spark.read.parquet(s"$d/events.parquet")
+
+    val got = graft.operators.SeriesFold.fold(
+      src, "user_id", Seq("ts", "event_id"), "value", Seq("last"),
+      seed = v => Array(v),
+      step = (_, x) => Array(x))
+      .collect().toSeq
+    assert(got.size == 3, s"expected null/0/1 groups, got $got")
+    val byKey = got.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+      .toMap
+    assert(byKey == Map(None -> 10L, Some(0L) -> 10L, Some(1L) -> 10L))
+    // the "last value" state proves rows were routed to the right group:
+    // ids ≡ 0 (null), ≡ 1 (key 0), ≡ 2 (key 1) mod 3, max id 29/28/29
+    val lastByKey = got.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getDouble(2)).toMap
+    assert(lastByKey == Map(None -> 27.0, Some(0L) -> 28.0,
+      Some(1L) -> 29.0))
+  }
+
   test("the streaming fold plan has no per-key history aggregate") {
     val plan = graft.queries.TimeseriesQueries.ewmaRecurrence(spark, dir)
       .queryExecution.executedPlan.toString

@@ -46,8 +46,16 @@ class SignLshSpec extends SparkSpec {
     val poison = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(expr("vec_id / 0 = 1"))
     assert(SignLsh.autoBits(s"$dir/embeddings", poison) == SignLsh.bitsFor(n))
-    // a failing count on a fresh key falls back to the 8-bit floor
-    assert(SignLsh.autoBits(s"poison-${System.nanoTime()}", poison) == 8)
+    // a failing count on a fresh key falls back to the 8-bit floor...
+    val poisonKey = s"poison-${System.nanoTime()}"
+    assert(SignLsh.autoBits(poisonKey, poison) == 8)
+    // ...but the failure is NOT cached: once the table is readable again
+    // (transient blip — compaction swap, momentary storage error), the
+    // same key recovers the real corpus-derived width instead of pinning
+    // MinBits for the JVM's lifetime
+    assert(SignLsh.autoBits(poisonKey, emb) == SignLsh.bitsFor(n))
+    // and the recovered count is now cached like any success
+    assert(SignLsh.autoBits(poisonKey, poison) == SignLsh.bitsFor(n))
   }
 
   test("operator default == pinned 8-bit plan at fixture scale") {

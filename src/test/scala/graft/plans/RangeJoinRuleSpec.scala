@@ -183,6 +183,45 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(rule.sampledWidth(bound, lo, hi) == Some(3.0))
   }
 
+  test("a SUCCESSFUL none-determination replaces a stale width instead of " +
+      "being overridden by it") {
+    import spark.implicits._
+    val dir = tmpDir("rj-stale-none")
+    Seq((0.0, 3.0), (1.0, 4.0), (2.0, 5.0)).toDF("lo", "hi")
+      .write.mode("overwrite").parquet(s"$dir/iv")
+    val df = spark.read.parquet(s"$dir/iv")
+    val bound = df.queryExecution.analyzed
+    val Seq(lo, hi) = bound.output
+    val rule = new BinnedRangeJoinRule(Some(spark))
+    assert(rule.sampledWidth(bound, lo, hi) == Some(3.0))
+
+    val key = (bound.canonicalized, lo.canonicalized, hi.canonicalized)
+    BinnedRangeJoinRule.widthCache.synchronized {
+      val (v, _) = BinnedRangeJoinRule.widthCache.get(key)
+      BinnedRangeJoinRule.widthCache.put(key,
+        (v, System.currentTimeMillis() - BinnedRangeJoinRule.SomeTtlMs - 1))
+    }
+    // the interval data is legitimately GONE (retention, not a blip):
+    // with missing files ignored the resample SUCCEEDS over zero rows —
+    // an authoritative "no width, do not rewrite" that must replace the
+    // stale 3.0, not keep re-stamping a width priced on vanished data
+    val prev = spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val ivDir = new java.io.File(s"$dir/iv")
+      ivDir.listFiles().foreach(_.delete())
+      ivDir.delete()
+      assert(rule.sampledWidth(bound, lo, hi) == None,
+        "successful empty-side sample did not clear the stale width")
+      assert(rule.sampledWidth(bound, lo, hi) == None)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.ignoreMissingFiles", v)
+        case None => spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+      }
+    }
+  }
+
   test("runaway interval spans fail loudly (maxBinsPerRow) instead of " +
       "allocating huge per-row bin arrays") {
     withExtendedSession { ext =>
