@@ -67,7 +67,7 @@ object ScaleBench {
     * COUNT (constant length); orders/lineitem get disjoint key ranges. */
   val sqlHeavy: Seq[String] = Seq(
     "q13_asof_join", "q13b_asof_interval", "q16b_cube", "q18_percentile",
-    "q21_frames", "q_sessionize", "q_funnel")
+    "q18b_percentile_sorted", "q21_frames", "q_sessionize", "q_funnel")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -290,7 +290,8 @@ object ScaleBench {
       heavy.contains(q) && !eventsHeavy.contains(q))
     val needEvents = selected.exists(eventsHeavy.contains) ||
       selected.exists(eventsSql.contains)
-    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile").contains)
+    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile",
+      "q18b_percentile_sorted").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

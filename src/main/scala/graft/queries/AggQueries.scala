@@ -125,6 +125,59 @@ object AggQueries extends QuerySet {
         .orderBy(col("l_returnflag"))
     },
 
+    // Q18b: the SAME exact interpolated percentiles as q18, via the
+    // count-compress formulation that scales where q18's plan does not.
+    // `percentile(...)` is a TypedImperativeAggregate (ObjectHashAggregate):
+    // per-group value→count maps updated row-by-row OUTSIDE whole-stage
+    // codegen — measured as the join/window/agg family's largest constant
+    // factor at 30× data (SCALE.md §9.3). This form compresses the input
+    // to (group, value) → count in a codegen'd hash aggregate FIRST (the
+    // map-side partial shrinks the shuffle to the distinct-value set), then
+    // runs one small window over the distinct values per group to find the
+    // two values bracketing the target rank, interpolating with the exact
+    // fp operations of Spark's Percentile (0-based pos = p*(n-1);
+    // (hi-pos)*vLo + (pos-lo)*vHi; integral pos short-circuits to vLo) —
+    // bit-identical to q18, same oracle. Groups whose column is entirely
+    // NULL would drop out of the inner join (q18 keeps a NULL cell); the
+    // synthetic data has no such group, and a production caller can left
+    // join from the group list.
+    "q18b_percentile_sorted" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val g = "l_returnflag"
+      def pct(c: String, p: Double, alias: String) = {
+        val counts = li.filter(col(c).isNotNull)
+          .groupBy(col(g), col(c)).agg(count(lit(1)).as("cnt"))
+        val byVal = Window.partitionBy(col(g)).orderBy(col(c))
+        val whole = Window.partitionBy(col(g))
+        val ranked = counts
+          .withColumn("cum", sum(col("cnt")).over(byVal))
+          .withColumn("pos",
+            lit(p) * (sum(col("cnt")).over(whole) - lit(1L)).cast("double"))
+        val lo = floor(col("pos"))
+        val hi = ceil(col("pos"))
+        // 0-based rank k is covered by a value's run iff cum-cnt <= k <= cum-1
+        def covered(k: org.apache.spark.sql.Column) =
+          (col("cum") - col("cnt")).cast("double") <= k &&
+            k <= (col("cum") - 1L).cast("double")
+        ranked
+          .filter(covered(lo) || covered(hi))
+          .groupBy(col(g))
+          .agg(
+            max(when(covered(lo), col(c).cast("double"))).as("v_lo"),
+            max(when(covered(hi), col(c).cast("double"))).as("v_hi"),
+            max(col("pos")).as("pos"))
+          .select(col(g),
+            r6(when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+              .otherwise((ceil(col("pos")) - col("pos")) * col("v_lo") +
+                (col("pos") - floor(col("pos"))) * col("v_hi"))).as(alias))
+      }
+      pct("l_quantity", 0.5, "median_qty")
+        .join(pct("l_extendedprice", 0.9, "p90_price"), Seq(g))
+        .join(pct("l_discount", 0.25, "p25_disc"), Seq(g))
+        .orderBy(col(g))
+    },
+
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // covariance, least-squares regression — identical co-moment
     // definitions in both engines; magnitudes keep fp error << 1e-6.
@@ -256,6 +309,14 @@ object AggQueries extends QuerySet {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical semantics to q18 — the Spark side differs only in plan
+    "q18b_percentile_sorted" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,

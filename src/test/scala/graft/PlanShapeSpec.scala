@@ -88,6 +88,24 @@ class PlanShapeSpec extends SparkSpec {
         plan.take(3000))
   }
 
+  test("q18b's percentile plan stays in codegen hash aggregation — no " +
+      "object-hash value-count maps") {
+    // the point of the count-compress formulation: q18's percentile() is a
+    // TypedImperativeAggregate forcing ObjectHashAggregate (per-row map
+    // updates outside codegen, the agg family's largest measured constant
+    // at 30x — SCALE.md §9.3); q18b must plan only codegen'd HashAggregate
+    // + small windows over distinct values, and must agree with q18 exactly
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q18b_percentile_sorted")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"q18b fell back to object aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    val viaMap = SparkEntry.queries("q18_percentile")(spark, dir)
+      .collect().toSeq
+    assert(df.collect().toSeq == viaMap, "q18b != q18 on the fixture")
+  }
+
   test("allowlisted cross joins only broadcast single-row / tiny-dim sides") {
     val dir = "/root/testdata/sf0.001"
     allowCross.filterNot(_ == "q11_cross_join").foreach { name =>
