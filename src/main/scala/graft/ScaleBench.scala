@@ -41,6 +41,7 @@ object ScaleBench {
     "q_dedup_components", "q_dedup_apply", "q_dedup_jaccard_verify",
     "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_boilerplate",
     "q_decontaminate_bloom", "q_text_repetition", "q_text_levenshtein",
+    "q_text_levenshtein_blocked",
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
     "q_ingest_typed", "q_ingest_generator")
 

@@ -124,6 +124,64 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_a"))
     },
 
+    // The SAME successor pairs as q_text_levenshtein, restructured for
+    // scale. The plain form's window partitions by `source` alone — with
+    // a handful of sources, parallelism is capped at the SOURCE COUNT no
+    // matter how big the data gets (measured 5.3× at 10× data, the text
+    // family's worst factor, SCALE.md §9). Here adjacency decomposes:
+    //  1. lead() within (source, doc_id-block) partitions — parallelism
+    //     scales with data volume (blocks), not source cardinality;
+    //  2. boundary pairs from a per-(source, block) min/max aggregate
+    //     (two rows per block — tiny) chained by one window over blocks,
+    //     which also skips empty blocks correctly.
+    // Union of the two is exactly the successor relation; same oracle.
+    "q_text_levenshtein_blocked" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val blockSize = 4096
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 60).as("tp"),
+          floor(col("doc_id") / blockSize).as("blk"))
+      val wBlk = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("doc_id"))
+      // pid/nid mark block-FIRST (no predecessor) and block-LAST (no
+      // successor) rows. The boundary branch filters on these WINDOW
+      // outputs — deliberately: a filter that depends on the window
+      // cannot be pushed below it, so both union branches keep the
+      // IDENTICAL raw (source, blk) exchange and the planner reuses it
+      // (one text scan, one shuffle — the jaccard-verify ReusedExchange
+      // pattern). The first cut aggregated struct min/max per block
+      // instead; Catalyst pruned the window from that branch and
+      // partial-aggregated below its own exchange — a second full text
+      // scan plus a SortAggregate (struct min/max is not hash-able),
+      // measured ~1.7× slower at 30× data.
+      val dw = d
+        .withColumn("pid", lag(col("doc_id"), 1).over(wBlk))
+        .withColumn("nid", lead(col("doc_id"), 1).over(wBlk))
+        .withColumn("ntp", lead(col("tp"), 1).over(wBlk))
+      val within = dw
+        .filter(col("nid").isNotNull)
+        .select(col("doc_id"), col("tp"), col("nid"), col("ntp"))
+      // the block-edge subset is ~2 rows per populated block. Chaining it
+      // with the ORIGINAL per-source window is safe at any source
+      // cardinality (input is tiny) and skips empty blocks for free: the
+      // successor of a block-LAST row within the edge subset is exactly
+      // the next populated block's first row.
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val boundary = dw
+        .filter(col("nid").isNull || col("pid").isNull)
+        .withColumn("bid", lead(col("doc_id"), 1).over(wSrc))
+        .withColumn("btp", lead(col("tp"), 1).over(wSrc))
+        .filter(col("nid").isNull && col("bid").isNotNull)
+        .select(col("doc_id"), col("tp"),
+          col("bid").as("nid"), col("btp").as("ntp"))
+      within.unionByName(boundary)
+        .select(col("doc_id").as("doc_a"), col("nid").as("doc_b"),
+          levenshtein(col("tp"), col("ntp")).as("edit_dist"))
+        .filter(col("edit_dist") <= 40)
+        .orderBy(col("doc_a"))
+    },
+
     // Tokenizer comparison: whitespace tokens vs BPE-ish regex tokens
     // (runs of letters / digits / single specials) + est. subword count.
     "q_text_tokens" -> { (s, dir) =>
@@ -350,6 +408,19 @@ object TextQueries extends QuerySet {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_levenshtein" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substr(text, 1, 60) AS tp,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.tp, b.tp) AS INT) AS edit_dist
+        |FROM d a JOIN d b ON a.source = b.source AND b.rn = a.rn + 1
+        |WHERE levenshtein(a.tp, b.tp) <= 40
+        |ORDER BY doc_a""".stripMargin,
+
+    // identical semantics to q_text_levenshtein — Spark side differs
+    // only in how the successor pairs are generated
+    "q_text_levenshtein_blocked" ->
       """WITH d AS (
         |  SELECT doc_id, source, substr(text, 1, 60) AS tp,
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
