@@ -25,11 +25,22 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * This runs on the Spark driver (queries plan from here; executors do the
   * work) — the 100 TB posture is a thin stateless facade over the cluster.
   */
-class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
+class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
+    defaultQueryTimeoutMs: Long = 0)
     extends org.apache.spark.internal.Logging {
 
   private var http: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+
+  // one shared timer thread arms per-request cancellations — the work of
+  // a timeout happens on Spark's side (cancelJobGroup), never here
+  private lazy val canceller =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-api-timeout")
+        t.setDaemon(true)
+        t
+      })
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -110,6 +121,61 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
       }
     }
 
+  /** Optional `timeout_ms=N` query param (falling back to the server-wide
+    * default; 0 = unbounded). Malformed values fail closed like max_rows:
+    * the client asked for a bound, so running unbounded instead would
+    * drop the guard they requested. */
+  private def timeoutOf(params: Map[String, String])
+      : Either[String, Option[Long]] =
+    params.get("timeout_ms") match {
+      case None => Right(Some(defaultQueryTimeoutMs).filter(_ > 0))
+      case Some(v) => Try(v.toLong).toOption.filter(_ > 0) match {
+        case Some(n) => Right(Some(n))
+        case None =>
+          Left(s"timeout_ms must be a positive integer, got '$v'")
+      }
+    }
+
+  /** Stream a result with an optional wall-clock bound. The request's
+    * Spark jobs run in their own job group (thread-scoped, so the
+    * toLocalIterator partition jobs all join it); on expiry one shared
+    * timer cancels the GROUP — executors interrupt mid-task, the pool
+    * thread is freed, and other requests' groups are untouched. A
+    * timeout BEFORE the first partition returns a clean 408; a timeout
+    * mid-stream can only truncate the chunked body (the documented D8
+    * semantics — detectably broken, never silently short). The group is
+    * always cleared: pool threads are reused and a leaked group would
+    * tie the NEXT request on this thread to an old cancellation. */
+  private def respondRowStreamBounded(ex: HttpExchange,
+      df: org.apache.spark.sql.DataFrame, timeout: Option[Long]): Unit =
+    timeout match {
+      case None => respondRowStream(ex, engine.jsonRowIterator(df))
+      case Some(ms) =>
+        val sc = engine.spark.sparkContext
+        val gid = s"graft-api-${java.util.UUID.randomUUID()}"
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        sc.setJobGroup(gid, s"graft api request (timeout ${ms}ms)",
+          interruptOnCancel = true)
+        val trigger = canceller.schedule(new Runnable {
+          override def run(): Unit = {
+            timedOut.set(true)
+            logWarning(s"cancelling api job group $gid after ${ms}ms timeout")
+            sc.cancelJobGroup(gid)
+          }
+        }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+        try respondRowStream(ex, engine.jsonRowIterator(df))
+        catch {
+          case e: Exception if timedOut.get() && ex.getResponseCode == -1 =>
+            respond(ex, 408,
+              s"""{"error":${quote(s"query exceeded timeout_ms=$ms")}}""")
+          // mid-stream expiry or an unrelated failure: rethrow → safely()
+          // logs and truncates the committed chunked body (D8)
+        } finally {
+          trigger.cancel(false)
+          sc.clearJobGroup()
+        }
+    }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -161,10 +227,17 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
           if (!engine.seriesExists(series))
             respond(ex, 404,
               s"""{"error":${quote(s"unknown series $series")}}""")
-          else engine.range(series, s0, e0).flatMap(capRows(_, p)) match {
-            case Right(df) =>
-              respondRowStream(ex, engine.jsonRowIterator(df))
-            case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
+          else {
+            val planned = for {
+              df <- engine.range(series, s0, e0)
+              capped <- capRows(df, p)
+              tmo <- timeoutOf(p)
+            } yield (capped, tmo)
+            planned match {
+              case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo)
+              case Left(err) =>
+                respond(ex, 400, s"""{"error":${quote(err)}}""")
+            }
           }
         case _ =>
           respond(ex, 400, """{"error":"start and end are required"}""")
@@ -188,9 +261,14 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
           val isForm = ct.startsWith("application/x-www-form-urlencoded") ||
             (ct.isEmpty && raw.startsWith("q="))
           val sql = if (isForm) parseForm(raw).getOrElse("q", "") else raw
-          engine.query(sql).flatMap(capRows(_, queryParams(ex))) match {
-            case Right(df) =>
-              respondRowStream(ex, engine.jsonRowIterator(df))
+          val p = queryParams(ex)
+          val planned = for {
+            df <- engine.query(sql)
+            capped <- capRows(df, p)
+            tmo <- timeoutOf(p)
+          } yield (capped, tmo)
+          planned match {
+            case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo)
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }
         }
@@ -306,5 +384,6 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8)
       pool.awaitTermination(drainSeconds.toLong,
         java.util.concurrent.TimeUnit.SECONDS)
     }
+    canceller.shutdownNow()
   }
 }

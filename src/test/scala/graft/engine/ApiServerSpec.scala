@@ -189,6 +189,85 @@ class ApiServerSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("timeout_ms cancels the request's job group: pre-stream expiry is " +
+      "a clean 408 and the pool thread is freed; malformed values fail " +
+      "closed; a generous bound streams normally") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // rows sleeping from a given id: ids land in deterministic range
+    // partitions (0..1 in partition 0 of 4), toLocalIterator walks them
+    // in order, and interruptOnCancel breaks the sleep immediately
+    def slow(sleepFromId: Long) = {
+      val snooze = udf((id: Long) => {
+        if (id >= sleepFromId) Thread.sleep(30000L)
+        id
+      })
+      spark.range(0, 8, 1, 4).select(snooze(col("id")).as("id"))
+    }
+    val engine = new Engine(spark, tmpDir("graft-api-tmo")) {
+      override def query(sql: String) =
+        if (sql.contains("sleepy")) Right(slow(0L))
+        else Right(spark.range(0, 3).toDF("id"))
+    }
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // (a) first partition sleeps past the bound → cancelled BEFORE
+      // headers commit → crisp 408, not a hung request or a torn body
+      val t0 = System.nanoTime()
+      val (c1, b1) = call(s"$base/query?timeout_ms=400", "POST", "q=sleepy")
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(c1 == 408, s"expected 408, got $c1: $b1")
+      assert(b1.contains("timeout_ms=400"), b1)
+      assert(elapsedMs < 15000L,
+        s"cancellation must interrupt the sleeping task, took ${elapsedMs}ms")
+      // (b) the pool thread is free and NO job-group leak ties the next
+      // request on this thread to the old cancellation
+      val (c2, b2) = call(s"$base/query", "POST", "q=SELECT")
+      assert(c2 == 200 && b2.startsWith("[{") && b2.endsWith("}]"), s"$c2 $b2")
+      // (c) malformed timeout fails closed, like max_rows
+      val (c3, b3) = call(s"$base/query?timeout_ms=abc", "POST", "q=SELECT")
+      assert(c3 == 400 && b3.contains("timeout_ms"), s"$c3 $b3")
+      // (d) a generous bound does not disturb a fast query
+      val (c4, b4) = call(s"$base/query?timeout_ms=60000", "POST",
+        "q=SELECT")
+      assert(c4 == 200 && b4.startsWith("[{") && b4.endsWith("}]"), s"$c4 $b4")
+    } finally api.stop()
+  }
+
+  test("a MID-STREAM timeout truncates the chunked body detectably " +
+      "(the D8 semantics, now for cancellation)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    def slowTail() = {
+      val snooze = udf((id: Long) => {
+        if (id >= 6) Thread.sleep(30000L) // partition 3 of 4 only
+        id
+      })
+      spark.range(0, 8, 1, 4).select(snooze(col("id")).as("id"))
+    }
+    val engine = new Engine(spark, tmpDir("graft-api-tmo2")) {
+      override def query(sql: String) = Right(slowTail())
+    }
+    val api = new ApiServer(engine).start()
+    try {
+      val con = URI.create(
+        s"http://127.0.0.1:${api.boundPort}/query?timeout_ms=800")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      con.setRequestMethod("POST")
+      con.setDoOutput(true)
+      con.getOutputStream.write("q=whatever".getBytes(UTF_8))
+      // early partitions execute inside the bound → headers commit
+      assert(con.getResponseCode == 200)
+      assert(con.getHeaderField("Transfer-encoding") == "chunked")
+      val outcome = try {
+        val b = new String(con.getInputStream.readAllBytes(), UTF_8)
+        if (b.startsWith("[") && b.endsWith("]")) s"well-formed: $b"
+        else "truncated-json"
+      } catch { case _: java.io.IOException => "aborted-chunked-read" }
+      assert(outcome == "truncated-json" || outcome == "aborted-chunked-read",
+        s"a mid-stream timeout must be detectable, got $outcome")
+    } finally api.stop()
+  }
+
   test("retention and DROP SERIES endpoints (superset: the reference has " +
       "no delete path)") {
     val engine = new Engine(spark, tmpDir("graft-api-del"))
