@@ -18,6 +18,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *                                     (R12/R14, handlers.rs:70-92)
   *  - `POST /write` (line-protocol body) → ingest (R4, handlers.rs:100-145)
   *
+  * Superset operational surface (the reference has none): `/retention`,
+  * `/tags`, `DELETE /series/<name>`, `GET /jobs` + `DELETE /jobs/<id>`
+  * (list / cancel running streamed queries), per-request `max_rows` and
+  * `timeout_ms` bounds.
+  *
   * Unlike the reference, responses are REAL JSON rows (Q-J fix), empty
   * results are `[]` not errors (D4), and errors come back as 4xx with a
   * message instead of panicking the worker (Q-B/handlers.rs:41-42).
@@ -136,45 +141,73 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     }
 
-  /** Stream a result with an optional wall-clock bound. The request's
-    * Spark jobs run in their own job group (thread-scoped, so the
-    * toLocalIterator partition jobs all join it); on expiry one shared
-    * timer cancels the GROUP — executors interrupt mid-task, the pool
-    * thread is freed, and other requests' groups are untouched. A
-    * timeout BEFORE the first partition returns a clean 408; a timeout
-    * mid-stream can only truncate the chunked body (the documented D8
-    * semantics — detectably broken, never silently short). The group is
-    * always cleared: pool threads are reused and a leaked group would
-    * tie the NEXT request on this thread to an old cancellation. */
+  /** A live streaming request, visible on GET /jobs and cancellable via
+    * DELETE /jobs/<id>. `cancelReason` is set BEFORE the group cancel
+    * fires (by the timeout timer or the /jobs handler) so the victim's
+    * handler can answer with the reason instead of a bare 500. */
+  private final class ActiveQuery(val gid: String, val what: String,
+      val startNanos: Long) {
+    val cancelReason =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+  }
+  private val nextQueryId = new java.util.concurrent.atomic.AtomicLong(1L)
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[String, ActiveQuery]()
+
+  /** Stream a result with an optional wall-clock bound. EVERY streaming
+    * request runs its Spark jobs in its own job group (thread-scoped, so
+    * the toLocalIterator partition jobs all join it) and registers in
+    * [[active]] — observable on GET /jobs, cancellable by id. On timeout
+    * expiry one shared timer cancels the GROUP — executors interrupt
+    * mid-task, the pool thread is freed, and other requests' groups are
+    * untouched; a manual DELETE /jobs/<id> takes the same path. A cancel
+    * BEFORE the first partition returns a clean 408 with the reason; a
+    * cancel mid-stream can only truncate the chunked body (the
+    * documented D8 semantics — detectably broken, never silently
+    * short). The group is always cleared and the entry deregistered:
+    * pool threads are reused and a leaked group would tie the NEXT
+    * request on this thread to an old cancellation. */
   private def respondRowStreamBounded(ex: HttpExchange,
-      df: org.apache.spark.sql.DataFrame, timeout: Option[Long]): Unit =
-    timeout match {
-      case None => respondRowStream(ex, engine.jsonRowIterator(df))
-      case Some(ms) =>
-        val sc = engine.spark.sparkContext
-        val gid = s"graft-api-${java.util.UUID.randomUUID()}"
-        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-        sc.setJobGroup(gid, s"graft api request (timeout ${ms}ms)",
-          interruptOnCancel = true)
-        val trigger = canceller.schedule(new Runnable {
-          override def run(): Unit = {
-            timedOut.set(true)
-            logWarning(s"cancelling api job group $gid after ${ms}ms timeout")
-            sc.cancelJobGroup(gid)
-          }
-        }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
-        try respondRowStream(ex, engine.jsonRowIterator(df))
-        catch {
-          case e: Exception if timedOut.get() && ex.getResponseCode == -1 =>
-            respond(ex, 408,
-              s"""{"error":${quote(s"query exceeded timeout_ms=$ms")}}""")
-          // mid-stream expiry or an unrelated failure: rethrow → safely()
-          // logs and truncates the committed chunked body (D8)
-        } finally {
-          trigger.cancel(false)
-          sc.clearJobGroup()
-        }
+      df: org.apache.spark.sql.DataFrame, timeout: Option[Long],
+      what: String): Unit = {
+    val sc = engine.spark.sparkContext
+    val id = nextQueryId.getAndIncrement().toString
+    // the gid must be unique ACROSS server instances sharing one
+    // SparkContext: cancelJobGroupAndFutureJobs poisons the group id in
+    // the DAGScheduler permanently, so a reused "graft-api-1" from a
+    // later instance would have its jobs silently skipped
+    val q = new ActiveQuery(
+      s"graft-api-$id-${java.util.UUID.randomUUID()}", what,
+      System.nanoTime())
+    sc.setJobGroup(q.gid,
+      s"graft api request $id" +
+        timeout.fold("")(ms => s" (timeout ${ms}ms)"),
+      interruptOnCancel = true)
+    active.put(id, q)
+    val trigger = timeout.map(ms => canceller.schedule(new Runnable {
+      override def run(): Unit = {
+        q.cancelReason.compareAndSet(null, s"query exceeded timeout_ms=$ms")
+        logWarning(s"cancelling api job group ${q.gid} after ${ms}ms timeout")
+        // ...AndFutureJobs: a plain cancelJobGroup only kills ACTIVE jobs,
+        // so a timer firing before the first partition job is submitted
+        // would let the query run to completion anyway (the group must
+        // stay poisoned for jobs submitted after the cancel)
+        sc.cancelJobGroupAndFutureJobs(q.gid)
+      }
+    }, ms, java.util.concurrent.TimeUnit.MILLISECONDS))
+    try respondRowStream(ex, engine.jsonRowIterator(df))
+    catch {
+      case e: Exception if q.cancelReason.get() != null &&
+          ex.getResponseCode == -1 =>
+        respond(ex, 408, s"""{"error":${quote(q.cancelReason.get())}}""")
+      // mid-stream cancel or an unrelated failure: rethrow → safely()
+      // logs and truncates the committed chunked body (D8)
+    } finally {
+      trigger.foreach(_.cancel(false))
+      active.remove(id)
+      sc.clearJobGroup()
     }
+  }
 
   private def quote(s: String): String =
     "\"" + s.flatMap {
@@ -234,7 +267,8 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
               tmo <- timeoutOf(p)
             } yield (capped, tmo)
             planned match {
-              case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo)
+              case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo,
+                s"range($series, $s0, $e0)")
               case Left(err) =>
                 respond(ex, 400, s"""{"error":${quote(err)}}""")
             }
@@ -268,7 +302,8 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
             tmo <- timeoutOf(p)
           } yield (capped, tmo)
           planned match {
-            case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo)
+            case Right((df, tmo)) =>
+              respondRowStreamBounded(ex, df, tmo, sql)
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }
         }
@@ -333,6 +368,45 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           respond(ex, 200,
             s"""{"values":${jsonArray(engine.tagValues(k).map(quote))}}""")
         } else respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+
+    // GET /jobs → running streamed queries; DELETE /jobs/<id> → cancel
+    // one (its job group only — other requests untouched). The victim's
+    // client sees a 408 with the reason if nothing was streamed yet, or
+    // the D8 detectable truncation mid-stream. Superset endpoint: the
+    // reference has no observability surface at all, but a facade whose
+    // requests can hold cluster resources needs list + cancel.
+    http.createContext("/jobs", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val raw = ex.getRequestURI.getRawPath
+        (ex.getRequestMethod, raw) match {
+          case ("GET", "/jobs") =>
+            val now = System.nanoTime()
+            val rows = active.entrySet().stream().iterator()
+            val sb = new StringBuilder("[")
+            var first = true
+            rows.forEachRemaining { e =>
+              if (!first) sb.append(",")
+              first = false
+              sb.append(s"""{"id":${quote(e.getKey)},""" +
+                s""""query":${quote(e.getValue.what)},""" +
+                s""""elapsed_ms":${(now - e.getValue.startNanos) / 1000000L}}""")
+            }
+            respond(ex, 200, sb.append("]").toString)
+          case ("DELETE", p) if p.startsWith("/jobs/") =>
+            val id = p.stripPrefix("/jobs/")
+            Option(active.get(id)) match {
+              case Some(q) =>
+                q.cancelReason.compareAndSet(null, "query cancelled by client")
+                logWarning(s"cancelling api job group ${q.gid} on client request")
+                engine.spark.sparkContext.cancelJobGroupAndFutureJobs(q.gid)
+                respond(ex, 200, s"""{"cancelled":${quote(id)}}""")
+              case None =>
+                respond(ex, 404, s"""{"error":${quote(s"no such job $id")}}""")
+            }
+          case _ => respond(ex, 404, """{"error":"not found"}""")
+        }
       }
     })
 

@@ -268,6 +268,55 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /jobs observes running queries and DELETE /jobs/<id> cancels " +
+      "exactly one: the victim gets the reason, others run on") {
+    import org.apache.spark.sql.functions.{col, udf}
+    def slow() = {
+      val snooze = udf((id: Long) => { Thread.sleep(30000L); id })
+      spark.range(0, 8, 1, 4).select(snooze(col("id")).as("id"))
+    }
+    val engine = new Engine(spark, tmpDir("graft-api-jobs")) {
+      override def query(sql: String) =
+        if (sql.contains("sleepy")) Right(slow())
+        else Right(spark.range(0, 3).toDF("id"))
+    }
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // fire the victim from a background thread; it will block pre-stream
+      val victim = new java.util.concurrent.CompletableFuture[(Int, String)]()
+      val t = new Thread(() =>
+        victim.complete(call(s"$base/query", "POST", "q=sleepy")))
+      t.setDaemon(true); t.start()
+
+      // the job list must show it (with its SQL) once the handler is in
+      var jobs = ""
+      val deadline = System.nanoTime() + 15000000000L
+      while (!jobs.contains("sleepy") && System.nanoTime() < deadline) {
+        Thread.sleep(100); jobs = call(s"$base/jobs")._2
+      }
+      assert(jobs.contains("\"query\":\"sleepy\""), s"job not listed: $jobs")
+      assert(jobs.contains("\"elapsed_ms\":"), jobs)
+      val id = "\"id\":\"(\\d+)\"".r.findFirstMatchIn(jobs).get.group(1)
+
+      // unknown ids 404; cancelling the real one answers immediately
+      assert(call(s"$base/jobs/99999", "DELETE")._1 == 404)
+      val (cc, cb) = call(s"$base/jobs/$id", "DELETE")
+      assert(cc == 200 && cb.contains(s""""cancelled":"$id""""), s"$cc $cb")
+
+      // the victim unblocks promptly with the cancellation reason (it had
+      // streamed nothing, so a clean 408 — not a 30 s hang, not a 500)
+      val (vc, vb) = victim.get(15, java.util.concurrent.TimeUnit.SECONDS)
+      assert(vc == 408, s"victim got $vc: $vb")
+      assert(vb.contains("cancelled by client"), vb)
+
+      // the entry is gone and the server still serves other queries
+      assert(!call(s"$base/jobs")._2.contains("sleepy"))
+      val (c2, b2) = call(s"$base/query", "POST", "q=SELECT")
+      assert(c2 == 200 && b2.startsWith("[{"), s"$c2 $b2")
+    } finally api.stop()
+  }
+
   test("retention and DROP SERIES endpoints (superset: the reference has " +
       "no delete path)") {
     val engine = new Engine(spark, tmpDir("graft-api-del"))
