@@ -55,18 +55,19 @@ class ConcurrentLoadSpec extends SparkSpec {
       compactEveryBatches = 2, tagIndexEveryBatches = 2)
 
     val clients = 8
-    val rounds = 3
+    val rounds = 4
     val pool = Executors.newFixedThreadPool(clients)
     val problems = new ConcurrentLinkedQueue[String]()
     val complete = new AtomicInteger()
     val truncated = new AtomicInteger()
     val errored = new AtomicInteger()
+    val timedOut = new AtomicInteger()
     val done = new CountDownLatch(clients)
     try {
       for (t <- 1 to clients) pool.submit(new Runnable {
         override def run(): Unit = {
           try {
-            for (r <- 1 to rounds) (t + r) % 3 match {
+            for (r <- 1 to rounds) (t + r) % 4 match {
               case 0 => // full streamed result: complete or DETECTABLY cut
                 val (c, b) = post(s"$base/query",
                   "q=SELECT%20name%2C%20value%20FROM%20cpu")
@@ -90,6 +91,18 @@ class ConcurrentLoadSpec extends SparkSpec {
                   "q=SELECT%20id%2C%20name%2C%20value%20FROM%20cpu")
                 if (c >= 400) errored.incrementAndGet()
                 else if (b.startsWith("[{") && b.endsWith("}]"))
+                  complete.incrementAndGet()
+                else truncated.incrementAndGet()
+              case 3 => // an intentionally-unmeetable bound UNDER load:
+                // must resolve promptly (latch) as a clean 408 or, if
+                // the first partition won the race, a normal/truncated
+                // stream — and must never take down a neighbor (their
+                // groups are independent)
+                val (c, b) = post(s"$base/query?timeout_ms=1",
+                  "q=SELECT%20name%2C%20value%20FROM%20cpu")
+                if (c == 408) timedOut.incrementAndGet()
+                else if (c >= 400) errored.incrementAndGet()
+                else if (b.startsWith("[") && b.endsWith("]"))
                   complete.incrementAndGet()
                 else truncated.incrementAndGet()
             }
@@ -118,13 +131,16 @@ class ConcurrentLoadSpec extends SparkSpec {
       assert(done.await(300, TimeUnit.SECONDS),
         "concurrent load did not finish: deadlock or stuck stream")
       assert(problems.isEmpty, s"contract violations: $problems")
-      val total = complete.get() + truncated.get() + errored.get()
+      val total = complete.get() + truncated.get() + errored.get() +
+        timedOut.get()
       assert(total == clients * rounds, s"lost responses: $total")
       // the surface must actually WORK under load, not fail gracefully
-      // 24 times: most responses complete (truncation is only legitimate
-      // for reads racing a compaction swap)
-      assert(complete.get() >= clients * rounds / 2,
-        s"complete=$complete truncated=$truncated errored=$errored")
+      // every time: most NON-timeout responses complete (truncation is
+      // only legitimate for reads racing a compaction swap; the
+      // timeout_ms=1 class is EXPECTED to 408)
+      assert(complete.get() >= (clients * rounds * 3 / 4) / 2,
+        s"complete=$complete truncated=$truncated errored=$errored " +
+          s"timedOut=$timedOut")
 
       // exact final state: every seeded + streamed row present
       assert(engine.table().count() == seeded + streamed)
@@ -138,7 +154,8 @@ class ConcurrentLoadSpec extends SparkSpec {
         "queryByTag took the staleness-fallback scan, not the index-pruned path")
       val viaTag = viaTagDf.count()
       assert(viaTag == 100, s"tag-index path returned $viaTag")
-      info(s"complete=$complete truncated=$truncated errored=$errored")
+      info(s"complete=$complete truncated=$truncated errored=$errored " +
+        s"timedOut=$timedOut")
     } finally {
       stream.stop(); api.stop(); pool.shutdownNow()
     }
