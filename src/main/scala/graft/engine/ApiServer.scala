@@ -109,36 +109,44 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
     ex.close()
   }
 
-  /** Optional `max_rows=N` query param: a PLAN-side cap (`df.limit`), so
-    * the limit executes on the cluster (collect-limit / early stop), not
-    * as a driver-side truncation of a full result. A malformed or
-    * non-positive value FAILS CLOSED (Left → 400): the client asked for
-    * a bound, so silently streaming the unbounded result instead would
-    * drop exactly the guard they requested. */
-  private def capRows(df: org.apache.spark.sql.DataFrame,
-      params: Map[String, String])
-      : Either[String, org.apache.spark.sql.DataFrame] =
-    params.get("max_rows") match {
-      case None => Right(df)
-      case Some(v) => Try(v.toInt).toOption.filter(_ > 0) match {
-        case Some(n) => Right(df.limit(n))
-        case None => Left(s"max_rows must be a positive 32-bit int, got '$v'")
+  /** Parse an optional positive numeric bound param. Malformed or
+    * negative values FAIL CLOSED (Left → 400): the client asked for a
+    * bound, so running unbounded instead would drop exactly the guard
+    * they requested. `zeroMeansOff` admits an explicit 0 as "no bound"
+    * (how timeout_ms opts out of a server-wide default). */
+  private def boundParam(params: Map[String, String], name: String,
+      zeroMeansOff: Boolean = false): Either[String, Option[Long]] =
+    params.get(name) match {
+      case None => Right(None)
+      case Some(v) => Try(v.toLong).toOption match {
+        case Some(0) if zeroMeansOff => Right(Some(0L))
+        case Some(n) if n > 0 => Right(Some(n))
+        case _ => Left(s"$name must be a positive integer, got '$v'")
       }
     }
 
-  /** Optional `timeout_ms=N` query param (falling back to the server-wide
-    * default; 0 = unbounded). Malformed values fail closed like max_rows:
-    * the client asked for a bound, so running unbounded instead would
-    * drop the guard they requested. */
+  /** Optional `max_rows=N` query param: a PLAN-side cap (`df.limit`), so
+    * the limit executes on the cluster (collect-limit / early stop), not
+    * as a driver-side truncation of a full result. */
+  private def capRows(df: org.apache.spark.sql.DataFrame,
+      params: Map[String, String])
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    boundParam(params, "max_rows").flatMap {
+      case None => Right(df)
+      case Some(n) if n <= Int.MaxValue => Right(df.limit(n.toInt))
+      case Some(n) => Left(s"max_rows must be a positive 32-bit int, got '$n'")
+    }
+
+  /** Optional `timeout_ms=N` query param, falling back to the server-wide
+    * default. An EXPLICIT `timeout_ms=0` means unbounded — the only way
+    * a client with a legitimately long query can opt out of a server
+    * default (matching the constructor's documented 0 = unbounded). */
   private def timeoutOf(params: Map[String, String])
       : Either[String, Option[Long]] =
-    params.get("timeout_ms") match {
-      case None => Right(Some(defaultQueryTimeoutMs).filter(_ > 0))
-      case Some(v) => Try(v.toLong).toOption.filter(_ > 0) match {
-        case Some(n) => Right(Some(n))
-        case None =>
-          Left(s"timeout_ms must be a positive integer, got '$v'")
-      }
+    boundParam(params, "timeout_ms", zeroMeansOff = true).map {
+      case None => Some(defaultQueryTimeoutMs).filter(_ > 0)
+      case Some(0L) => None
+      case other => other
     }
 
   /** A live streaming request, visible on GET /jobs and cancellable via
@@ -457,6 +465,14 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       pool.shutdown()
       pool.awaitTermination(drainSeconds.toLong,
         java.util.concurrent.TimeUnit.SECONDS)
+    }
+    // whatever is still streaming after the drain window has no client
+    // left to read it: cancel its cluster jobs instead of letting them
+    // run to completion (minutes at scale) holding executor slots
+    active.forEach { (id, q) =>
+      q.cancelReason.compareAndSet(null, "server shutting down")
+      logWarning(s"cancelling api job group ${q.gid} (job $id) on shutdown")
+      engine.spark.sparkContext.cancelJobGroupAndFutureJobs(q.gid)
     }
     canceller.shutdownNow()
   }

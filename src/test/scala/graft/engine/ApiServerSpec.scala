@@ -250,21 +250,52 @@ class ApiServerSpec extends SparkSpec {
     val api = new ApiServer(engine).start()
     try {
       val con = URI.create(
-        s"http://127.0.0.1:${api.boundPort}/query?timeout_ms=800")
+        s"http://127.0.0.1:${api.boundPort}/query?timeout_ms=3000")
         .toURL.openConnection().asInstanceOf[HttpURLConnection]
       con.setRequestMethod("POST")
       con.setDoOutput(true)
       con.getOutputStream.write("q=whatever".getBytes(UTF_8))
-      // early partitions execute inside the bound → headers commit
-      assert(con.getResponseCode == 200)
-      assert(con.getHeaderField("Transfer-encoding") == "chunked")
-      val outcome = try {
-        val b = new String(con.getInputStream.readAllBytes(), UTF_8)
-        if (b.startsWith("[") && b.endsWith("]")) s"well-formed: $b"
-        else "truncated-json"
-      } catch { case _: java.io.IOException => "aborted-chunked-read" }
-      assert(outcome == "truncated-json" || outcome == "aborted-chunked-read",
-        s"a mid-stream timeout must be detectable, got $outcome")
+      // early partitions normally execute well inside the bound →
+      // headers commit and the cancel can only truncate. On a badly
+      // contended box the FIRST partition can lose the race too — that
+      // legitimate outcome is the other test's 408 path, not a failure
+      // here, so it only downgrades this run to the pre-stream case.
+      val code = con.getResponseCode
+      if (code == 200) {
+        assert(con.getHeaderField("Transfer-encoding") == "chunked")
+        val outcome = try {
+          val b = new String(con.getInputStream.readAllBytes(), UTF_8)
+          if (b.startsWith("[") && b.endsWith("]")) s"well-formed: $b"
+          else "truncated-json"
+        } catch { case _: java.io.IOException => "aborted-chunked-read" }
+        assert(outcome == "truncated-json" ||
+          outcome == "aborted-chunked-read",
+          s"a mid-stream timeout must be detectable, got $outcome")
+      } else {
+        info("first partition lost the race: pre-stream 408 path")
+        assert(code == 408, s"expected 200-then-truncation or 408, got $code")
+      }
+    } finally api.stop()
+  }
+
+  test("timeout_ms=0 opts out of a server-wide default bound") {
+    import org.apache.spark.sql.functions.{col, udf}
+    def nap() = {
+      val z = udf((id: Long) => { Thread.sleep(1200L); id })
+      spark.range(0, 1, 1, 1).select(z(col("id")).as("id"))
+    }
+    val engine = new Engine(spark, tmpDir("graft-api-tmo0")) {
+      override def query(sql: String) = Right(nap())
+    }
+    val api = new ApiServer(engine, defaultQueryTimeoutMs = 300).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // the server default applies when the client says nothing
+      val (c1, b1) = call(s"$base/query", "POST", "q=x")
+      assert(c1 == 408 && b1.contains("timeout_ms=300"), s"$c1 $b1")
+      // an EXPLICIT 0 is the documented unbounded opt-out, not a 400
+      val (c2, b2) = call(s"$base/query?timeout_ms=0", "POST", "q=x")
+      assert(c2 == 200 && b2 == """[{"id":0}]""", s"$c2 $b2")
     } finally api.stop()
   }
 
