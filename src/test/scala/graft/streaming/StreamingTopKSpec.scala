@@ -82,6 +82,38 @@ class StreamingTopKSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st17d: streamed over the real documents tokens == the batch " +
+      "exact top-10 (capacity covers the vocabulary)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+    val state = tmpDir("topk-docs")
+    val in = MemoryStream[String]
+    val vocab = docs.flatMap(_.getString(1).split(" ")).distinct.length
+    val q = StreamingTopK.maintain(in.toDF().toDF("tok"), state,
+      capacity = vocab + 10)
+      .option("checkpointLocation", tmpDir("topk-docs-ckpt")).start()
+    try {
+      // stream the corpus document-by-document in 3 uneven batches
+      docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.flatMap(_.getString(1).split(" ")).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = StreamingTopK.topK(spark, state, 10).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+      val exact = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
+        .map(r => (r.getString(0), r.getLong(1), true))
+      assert(streamed.toSeq == exact.toSeq)
+    } finally q.stop()
+  }
+
   test("st17c: kill-restart from the checkpoint replays without " +
       "double-counting (the versioned-state recovery contract)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
