@@ -468,11 +468,14 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
     }
     // whatever is still streaming after the drain window has no client
     // left to read it: cancel its cluster jobs instead of letting them
-    // run to completion (minutes at scale) holding executor slots
+    // run to completion (minutes at scale) holding executor slots.
+    // Per-entry Try: if the SparkContext was stopped first (shutdown
+    // hooks race), assertNotStopped throws — that must not abort the
+    // remaining cancels or skip the canceller shutdown below
     active.forEach { (id, q) =>
       q.cancelReason.compareAndSet(null, "server shutting down")
       logWarning(s"cancelling api job group ${q.gid} (job $id) on shutdown")
-      engine.spark.sparkContext.cancelJobGroupAndFutureJobs(q.gid)
+      Try(engine.spark.sparkContext.cancelJobGroupAndFutureJobs(q.gid))
     }
     canceller.shutdownNow()
   }
