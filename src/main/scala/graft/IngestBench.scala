@@ -73,6 +73,34 @@ object IngestBench {
       return
     }
 
+    if (mode == "topk") {
+      // streaming heavy hitters: one Misra-Gries merge per micro-batch
+      // is the entire stateful cost (SURVEY st17) — measure the merge
+      // over a skewed token batch at ingest-sized volume. Zipfian-ish
+      // skew: token id = i % (i % 997 + 1) clusters mass on small ids.
+      import org.apache.spark.sql.functions.col
+      val toks = spark.range(nLines)
+        .selectExpr("concat('tok_', id % (id % 997 + 1)) AS tok")
+      toks.cache(); toks.count()
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-topk-bench").toString
+      def once(prev: org.apache.spark.sql.DataFrame, prevTotal: Long)
+          : Double = {
+        val t0 = System.nanoTime()
+        val (rows, _) = graft.streaming.StreamingTopK.merge(
+          prev, prevTotal, toks, 1000)
+        assert(rows.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val empty = graft.streaming.StreamingTopK.summary(spark, state)
+      once(empty, 0L) // warm
+      val secs = (1 to 3).map(_ => once(empty, 0L)).sorted
+      val s = secs(1)
+      println(f"""{"metric":"topk_merge","tokens":$nLines,"sec":$s%.3f,"tokens_per_sec":${(nLines / s).toLong}}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val parsed = graft.ingest.IngestPipeline.parseLines(spark, lines)
     if (mode == "parse") parsed.write.format("noop").mode("overwrite").save()
