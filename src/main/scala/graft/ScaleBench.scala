@@ -60,6 +60,14 @@ object ScaleBench {
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto")
 
+  /** The text-analysis scoring family: map-side expressions + one agg
+    * each, vocab/LM/idf sides broadcast (plan-asserted in
+    * PlanShapeSpec) — expected ≈flat factors; measured to close the
+    * last family without execution evidence. Reads documents. */
+  val textHeavy: Seq[String] = Seq(
+    "q_text_tfidf", "q_text_perplexity", "q_text_langid",
+    "q_text_quality", "q_text_fingerprint", "q_text_tokens")
+
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
     * §7.6 itself flags it shuffle-heavy; q13b is the binned-range-join
@@ -260,7 +268,7 @@ object ScaleBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
       "/tmp/graft_scale/sf0.1x01")
 
-    val all = heavy ++ simHeavy ++ longHeavy ++ sqlHeavy
+    val all = heavy ++ simHeavy ++ longHeavy ++ sqlHeavy ++ textHeavy
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // a typo mixed with valid names must fail loudly, not silently
@@ -288,7 +296,8 @@ object ScaleBench {
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator")
     val needDocs = selected.exists(q =>
-      heavy.contains(q) && !eventsHeavy.contains(q))
+      (heavy.contains(q) && !eventsHeavy.contains(q)) ||
+        textHeavy.contains(q))
     val needEvents = selected.exists(eventsHeavy.contains) ||
       selected.exists(eventsSql.contains)
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile",
@@ -361,7 +370,8 @@ object ScaleBench {
     // and the first similarity query's timed runs absorb the file-index
     // and vector-codegen cost
     (selected.find(heavy.contains) ++ selected.find(simHeavy.contains) ++
-      selected.find(longHeavy.contains) ++ selected.find(sqlHeavy.contains))
+      selected.find(longHeavy.contains) ++ selected.find(sqlHeavy.contains) ++
+      selected.find(textHeavy.contains))
       .foreach { q =>
         val (fq, b, o) = dirsFor(q)
         try { run(fns(fq)(spark, b)); run(fns(fq)(spark, o)) }
