@@ -19,7 +19,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *  - `POST /write` (line-protocol body) → ingest (R4, handlers.rs:100-145)
   *
   * Superset operational surface (the reference has none): `/retention`,
-  * `/tags`, `DELETE /series/<name>`, `GET /jobs` + `DELETE /jobs/<id>`
+  * `/tags`, `/fields` (SHOW FIELD KEYS analog with value types),
+  * `DELETE /series/<name>`, `GET /jobs` + `DELETE /jobs/<id>`
   * (list / cancel running streamed queries), per-request `max_rows` and
   * `timeout_ms` bounds.
   *
@@ -414,6 +415,35 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
                 respond(ex, 404, s"""{"error":${quote(s"no such job $id")}}""")
             }
           case _ => respond(ex, 404, """{"error":"not found"}""")
+        }
+      }
+    })
+
+    // GET /fields → field keys with their value types across all series;
+    // GET /fields/<series> → one series (InfluxDB SHOW FIELD KEYS analog)
+    http.createContext("/fields", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val raw = ex.getRequestURI.getRawPath
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else {
+          val series =
+            if (raw == "/fields") None
+            else if (raw.startsWith("/fields/") &&
+                raw.stripPrefix("/fields/").nonEmpty &&
+                !raw.stripPrefix("/fields/").contains("/"))
+              Some(decodeSegment(raw.stripPrefix("/fields/")))
+            else null
+          if (series == null) respond(ex, 404, """{"error":"not found"}""")
+          else if (series.exists(!engine.seriesExists(_)))
+            respond(ex, 404,
+              s"""{"error":${quote(s"unknown series ${series.get}")}}""")
+          else {
+            val body = engine.fieldKeys(series).map { case (name, types) =>
+              s"""{"field":${quote(name)},"types":${jsonArray(types.map(quote))}}"""
+            }
+            respond(ex, 200, s"""{"fields":${jsonArray(body)}}""")
+          }
         }
       }
     })

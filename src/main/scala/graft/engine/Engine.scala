@@ -489,6 +489,31 @@ class Engine(val spark: SparkSession, warehouse: String)
   def tagValues(k: String): Seq[String] =
     distinctSorted(tagMeta().filter(col("tag_k") === k), "tag_v")
 
+  /** InfluxDB `SHOW FIELD KEYS` analog: per (optional) series, each
+    * field name with the value TYPES it has carried — the line protocol
+    * admits float / integer / string / boolean per field, and the
+    * canonical table stores them in typed columns, so the type set is
+    * one aggregation over presence flags (catalog-sized result; the
+    * per-series form prunes to that series' partitions statically). */
+  def fieldKeys(series: Option[String] = None): Seq[(String, Seq[String])] = {
+    if (!exists) return Seq.empty
+    val base = series.fold(table())(s => table().filter(col("series") === s))
+    base.groupBy(col("name"))
+      .agg(
+        max(col("value").isNotNull).as("f"),
+        max(col("value_long").isNotNull).as("i"),
+        max(col("value_str").isNotNull).as("s"),
+        max(col("value_bool").isNotNull).as("b"))
+      .collect()
+      .map { r =>
+        val types = Seq("float" -> r.getBoolean(1), "integer" -> r.getBoolean(2),
+          "string" -> r.getBoolean(3), "boolean" -> r.getBoolean(4))
+          .collect { case (t, true) => t }
+        r.getString(0) -> types
+      }
+      .sortBy(_._1).toSeq
+  }
+
   /** All rows carrying tag `k=v`. Fast path: scan ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
     * CATALOG-sized (series, day) list to the driver — same posture as

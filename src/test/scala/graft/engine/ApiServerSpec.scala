@@ -278,6 +278,30 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /fields lists field keys with their carried value types " +
+      "(SHOW FIELD KEYS analog), per series and globally") {
+    val engine = new Engine(spark, tmpDir("graft-api-fields"))
+    engine.ingestLines(Seq(
+      "cpu,host=h1 usage=0.5,cores=8i 1700000000000000000",
+      "cpu,host=h2 usage=0.7,label=\"hot\" 1700000001000000000",
+      "disk,host=h1 free=0.9,mounted=true 1700000002000000000"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(s"$base/fields")
+      assert(c1 == 200, b1)
+      assert(b1.contains("""{"field":"cores","types":["integer"]}"""), b1)
+      assert(b1.contains("""{"field":"usage","types":["float"]}"""), b1)
+      assert(b1.contains("""{"field":"label","types":["string"]}"""), b1)
+      assert(b1.contains("""{"field":"mounted","types":["boolean"]}"""), b1)
+      val (c2, b2) = call(s"$base/fields/disk")
+      assert(c2 == 200 && b2.contains("free") && b2.contains("mounted") &&
+        !b2.contains("usage"), s"$c2 $b2")
+      val (c3, _) = call(s"$base/fields/nope")
+      assert(c3 == 404)
+    } finally api.stop()
+  }
+
   test("timeout_ms=0 opts out of a server-wide default bound") {
     import org.apache.spark.sql.functions.{col, udf}
     def nap() = {
