@@ -326,6 +326,54 @@ object TextQueries extends QuerySet {
         .select(col("doc_id"), col("rnk"), col("tok"), col("tf"),
           col("idf_micro"), col("score"))
         .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // HASHING-TRICK linear classifier — the fastText-shaped quality
+    // filter modern pipelines gate documents with (classifier-based
+    // filtering à la GPT-3/LLaMA web-quality models): every word unigram
+    // and bigram hashes into one of 4096 feature buckets (char-fold
+    // polynomial hash, all integer arithmetic) and the document's score
+    // is the sum of the bucket weights. The hashing trick means there is
+    // NO vocabulary table at all — not even a broadcast join (contrast
+    // q_text_perplexity's broadcast LM): scoring is per-row higher-order-
+    // function arithmetic inside whole-stage codegen, ZERO shuffle at any
+    // corpus size beyond the oracle's final sort. A trained model would
+    // ship its weight array as one broadcast array literal — identical
+    // plan shape. Weights here are a fixed integer mix of the bucket id
+    // (exact on any engine), so scores hash-match bit-for-bit.
+    "q_text_classifier" -> { (s, dir) =>
+      // weight of one token `v`: bucket = charfold(v) % 4096, then an
+      // integer scramble of the bucket id into [-1000, 1000]
+      def wgt(v: String): String =
+        s"(((aggregate(sequence(1, length($v)), CAST(0 AS BIGINT), " +
+        s"(h, i) -> (h * 31 + ascii(substring($v, i, 1))) % 1000003) " +
+        s"% 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      t(s, dir, "documents")
+        .withColumn("w",
+          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+        // DuckDB's range(1, n) is already empty at n<=1; Spark's
+        // sequence(1, 0) would count DOWN, hence the explicit guard
+        .withColumn("bg", expr(
+          "CASE WHEN size(w) > 1 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), '_', element_at(w, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .withColumn("uni_score", expr(
+          s"aggregate(transform(w, tk -> ${wgt("tk")}), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("bi_score", expr(
+          s"aggregate(transform(bg, tk -> ${wgt("tk")}), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tok"),
+          (size(col("w")) + size(col("bg"))).as("n_feat"),
+          col("uni_score"), col("bi_score"),
+          (col("uni_score") + col("bi_score")).as("score"),
+          micro((col("uni_score") + col("bi_score")).cast("double") /
+            (size(col("w")) + size(col("bg"))).cast("double"))
+            .as("avg_w_micro"),
+          when(col("uni_score") + col("bi_score") >= 0, "keep")
+            .otherwise("drop").as("label"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -492,6 +540,45 @@ object TextQueries extends QuerySet {
         |        ORDER BY score DESC, tok) AS rnk FROM s)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
         |       idf_micro, CAST(score AS BIGINT) AS score
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // identical integer arithmetic: char-fold hash via list_reduce (seed
+    // prepended — DuckDB's reduce takes the first element as the
+    // accumulator), same scramble, same sums
+    "q_text_classifier" -> {
+      def wgtSql(v: String): String =
+        s"(((list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"range(1, length($v) + 1)), " +
+        s"(h, i) -> (h * 31 + ascii(substr($v, CAST(i AS INT), 1))) " +
+        s"% 1000003) % 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '),
+         |                     tk -> length(tk) > 0) AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, w,
+         |         list_transform(range(1, len(w)),
+         |                        i -> w[i] || '_' || w[i + 1]) AS bg
+         |  FROM d),
+         |sc AS (
+         |  SELECT doc_id, w, bg,
+         |    COALESCE(CAST(list_sum(list_transform(w,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS uni_score,
+         |    COALESCE(CAST(list_sum(list_transform(bg,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS bi_score
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(len(w) AS INT) AS n_tok,
+         |  CAST(len(w) + len(bg) AS INT) AS n_feat,
+         |  uni_score, bi_score,
+         |  uni_score + bi_score AS score,
+         |  CAST(floor(CAST(uni_score + bi_score AS DOUBLE)
+         |    / CAST(len(w) + len(bg) AS DOUBLE) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS avg_w_micro,
+         |  CASE WHEN uni_score + bi_score >= 0 THEN 'keep' ELSE 'drop' END
+         |    AS label
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }
   )
 }
