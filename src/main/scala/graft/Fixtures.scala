@@ -20,4 +20,11 @@ object Fixtures {
     * with the same sequential Scala arithmetic the Spark encode expression
     * uses — the oracle reads the stored value instead of re-deriving it. */
   def pqCodebooks: String = s"$dir/pq_codebooks.parquet"
+
+  /** Spherical k-means centroids for q_dedup_semdedup (written once by
+    * [[graft.tools.MakeFixtures]], committed): one row per cluster with
+    * the centroid as DOUBLE[] and its L2 norm precomputed at save time —
+    * both engines read the STORED norm, so the assignment denominator is
+    * the same value by construction, not by matched re-derivation. */
+  def semdedupCentroids: String = s"$dir/semdedup_centroids.parquet"
 }

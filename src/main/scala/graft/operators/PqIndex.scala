@@ -152,13 +152,10 @@ object PqIndex {
     * centroid DOUBLE[], half_nc2 DOUBLE). half_nc2 is precomputed here with
     * the same sequential sum [[codesExpr]] embeds as a literal, so a SQL
     * oracle reading the fixture scores code assignment with bit-identical
-    * constants. Written as a single file (coalesce(1) + move) because
-    * DuckDB's read_parquet targets a file, not a Spark directory. All
-    * file ops go through the Hadoop FileSystem API so the path may live
-    * on any filesystem Spark can write (java.io.File would NPE on
-    * hdfs:// or s3a:// — same posture as Engine's path helpers). */
+    * constants. Written as a single atomically-swapped file
+    * ([[graft.tools.FixtureIO.writeSingleParquet]]) because DuckDB's
+    * read_parquet targets a file, not a Spark directory. */
   def save(spark: SparkSession, cb: Codebooks, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(cb.books.forall(_.length == cb.k),
       "pq save: ragged codebooks (fewer distinct training points than k)")
@@ -166,36 +163,8 @@ object PqIndex {
       val c = cb.books(mi)(ki)
       (mi, ki, c.toSeq, 0.5 * c.map(x => x * x).sum)
     }
-    val tmp = path + ".tmpdir"
-    rows.toDF("mi", "ki", "centroid", "half_nc2")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = new Path(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = target.getFileSystem(conf)
-    val part = fs.listStatus(new Path(tmp))
-      .find(f => f.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new java.io.IOException(
-        s"pq save: no parquet part written under $tmp"))
-    Option(target.getParent).foreach(fs.mkdirs)
-    // the oracle reads this exact file, so the swap must never leave it
-    // absent. On a local filesystem the ONLY truly atomic replace is the
-    // POSIX rename(2) NIO exposes as ATOMIC_MOVE+REPLACE_EXISTING
-    // (Hadoop's LocalFs implements overwrite-rename as delete-then-
-    // rename, which opens exactly the missing-file window). Non-local
-    // schemes fall back to FileContext OVERWRITE — atomic on HDFS,
-    // best-effort elsewhere (documented; fixtures are repo-local).
-    if (fs.getScheme == "file") {
-      val src = java.nio.file.Paths.get(part.getPath.toUri.getPath)
-      val dst = java.nio.file.Paths.get(target.toUri.getPath)
-      java.nio.file.Files.move(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-        .rename(part.getPath, target,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-    fs.delete(new Path(tmp), true)
+    graft.tools.FixtureIO.writeSingleParquet(spark,
+      rows.toDF("mi", "ki", "centroid", "half_nc2"), path)
   }
 
   /** Load codebooks written by [[save]] (model-sized: m*k rows). */

@@ -455,8 +455,70 @@ object DedupQueries extends QuerySet {
     // q_dedup_embedding — bit-identical across engines).
     // bits pinned to 8 for the same oracle reason as q_dedup_embedding.
     "q_decontaminate_semantic" -> { (s, dir) =>
-      semanticDecontaminate(s, dir, bits = Some(8)) }
+      semanticDecontaminate(s, dir, bits = Some(8)) },
+
+    // SemDeDup — the CLUSTER-bucketed semantic dedup method (Abbas et
+    // al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    // semantic deduplication"): embeddings are first assigned to their
+    // nearest k-means centroid, and near-duplicate pairs (cosine >=
+    // 0.8) are searched ONLY within each cluster. Methodologically
+    // distinct from q_dedup_embedding's hyperplane (sign-LSH) buckets:
+    // centroids ADAPT to the data's density, so cluster buckets stay
+    // balanced where fixed hyperplanes cannot. The centroids are a
+    // pinned fixture (Fixtures.semdedupCentroids, the PQ-codebook
+    // pattern) so the DuckDB oracle re-derives the assignment as static
+    // SQL. Assignment here is MAP-ONLY — an argmax over k broadcast
+    // struct literals (ccos, -cid), no join, no shuffle (ties, were
+    // they possible, break to the smallest cid on both engines); the
+    // only shuffle is the per-cluster self-join, whose fan-out is
+    // bounded by the k-vs-corpus ratio (SemDeDup's k ≈ O(sqrt N)
+    // recipe). Removal rule (deterministic): a doc is removed iff a
+    // smaller-id doc in its cluster sits above the threshold; planted
+    // pair rows make the hits vacuity-proof.
+    "q_dedup_semdedup" -> { (s, dir) => semDedup(s, dir) }
   )
+
+  /** The q_dedup_semdedup plan — public so operator callers and
+    * ScaleBench can run it standalone. Centroids come from the pinned
+    * fixture; k is model-sized, so the argmax ships as k expression
+    * literals (broadcast-by-plan, map-only). */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecOps
+    val centRows = s.read.parquet(graft.Fixtures.semdedupCentroids)
+      .orderBy(col("cid")).collect() // k rows — model-sized, collect policy
+    val emb = t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
+      .select(col("vec_id"), col("embedding"),
+        VecOps.vec_norm(col("embedding")).as("nrm"))
+    val scored = centRows.map { r =>
+      val cid = r.getInt(0)
+      val c = r.getSeq[Double](1)
+      val cn = r.getDouble(2)
+      struct(
+        (VecOps.vec_dot(col("embedding"), typedLit(c)) /
+          (col("nrm") * lit(cn))).as("ccos"),
+        lit(-cid).as("ncid"))
+    }
+    val best = array_max(array(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*))
+    val assigned = emb
+      .withColumn("cid", -best.getField("ncid"))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        r6(VecOps.vec_dot(col("ea"), col("eb"))
+          / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.8)
+      .groupBy(col("vec_b"))
+      .agg(min(col("cid")).as("cid"), min(col("vec_a")).as("kept_rep"),
+        max(col("cos_sim")).as("max_cos"))
+      .select(col("vec_b").as("vec_id"), col("cid"), col("kept_rep"),
+        col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
 
   /** The q_decontaminate_semantic plan with a parameterized bucket width
     * — public so operator callers (and ScaleBench) get the self-scaling
@@ -483,12 +545,11 @@ object DedupQueries extends QuerySet {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB mirror of [[plantedEmbeddings]] + [[bucketedEmbeddings]]:
-    * the `emb` (union with planted rows) and `e` (bucket + norm +
-    * is_bench) CTEs shared by both embedding oracles — one copy, so the
-    * bit-identical-planted-rows invariant cannot drift between them. */
-  private val bucketedEmbSql =
-    """WITH emb AS (
+  /** DuckDB mirror of [[plantedEmbeddings]] alone (the `emb` union CTE)
+    * — shared by the bucketed oracles AND q_dedup_semdedup, one copy, so
+    * the bit-identical-planted-rows invariant cannot drift between them. */
+  private val plantedEmbSql =
+    """emb AS (
       |  SELECT * FROM embeddings
       |  UNION ALL
       |  SELECT 900000 + id AS vec_id,
@@ -499,7 +560,13 @@ object DedupQueries extends QuerySet {
       |           + (CASE WHEN i = 64 AND id % 2 = 0 THEN 0.25::DOUBLE ELSE 0::DOUBLE END)
       |           AS FLOAT)) AS FLOAT[]) AS embedding,
       |    90 AS label
-      |  FROM range(1, 5) t(id)),
+      |  FROM range(1, 5) t(id))""".stripMargin
+
+  /** DuckDB mirror of [[bucketedEmbeddings]]: `emb` + the `e` CTE
+    * (bucket + norm + is_bench) shared by both bucketed embedding
+    * oracles. */
+  private val bucketedEmbSql =
+    s"""WITH $plantedEmbSql,
       |e AS (
       |  SELECT vec_id, embedding,
       |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
@@ -731,6 +798,38 @@ object DedupQueries extends QuerySet {
         |       CAST(count(*) AS BIGINT) AS n_bench_hits
         |FROM p WHERE cos_sim >= 0.8
         |GROUP BY vec_id
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // same planted rows; assignment re-derived from the pinned centroid
+    // fixture (argmax mirrored as a window: max ccos, then smallest cid
+    // — the same order Spark's struct-max over (ccos, -cid) yields)
+    "q_dedup_semdedup" ->
+      s"""WITH $plantedEmbSql,
+        |cents AS (SELECT cid, centroid, cnrm
+        |          FROM read_parquet('${graft.Fixtures.semdedupCentroids}')),
+        |x AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+        |  FROM emb),
+        |asg AS (
+        |  SELECT x.vec_id, x.embedding, x.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |      (list_sum(list_transform(list_zip(x.embedding, c.centroid),
+        |         p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (x.nrm * c.cnrm))
+        |      DESC, c.cid) AS rk
+        |  FROM x, cents c),
+        |a AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE rk = 1),
+        |p AS (
+        |  SELECT s1.cid, s1.vec_id AS vec_a, s2.vec_id AS vec_b,
+        |    round(list_sum(list_transform(
+        |        list_zip(s1.embedding, s2.embedding),
+        |        q -> q[1]::DOUBLE * q[2]::DOUBLE)) / (s1.nrm * s2.nrm), 6)
+        |      AS cos_sim
+        |  FROM a s1 JOIN a s2 ON s1.cid = s2.cid AND s1.vec_id < s2.vec_id)
+        |SELECT vec_b AS vec_id, CAST(min(cid) AS INT) AS cid,
+        |       CAST(min(vec_a) AS BIGINT) AS kept_rep, max(cos_sim) AS max_cos
+        |FROM p WHERE cos_sim >= 0.8
+        |GROUP BY vec_b ORDER BY vec_id""".stripMargin
   )
 }
