@@ -84,6 +84,9 @@ class Engine(val spark: SparkSession, warehouse: String)
     *    keeps its index-pruned fast path under continuous ingest
     *    (without a fresh index it falls back to the direct scan — see
     *    [[queryByTag]]).
+    *  - `cqEveryBatches` > 0: after every Nth micro-batch, refresh every
+    *    registered continuous query ([[refreshCqs]]) — incremental, so
+    *    the slot's cost tracks the batch size, not the table.
     * All run inside foreachBatch — i.e. between micro-batches, never
     * racing an append (same table lock), and a hook failure fails the
     * batch (retried by the stream) rather than being silently lost. */
@@ -91,7 +94,8 @@ class Engine(val spark: SparkSession, warehouse: String)
       compactEveryBatches: Int = 0, maxBatchDirs: Int = 64,
       bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed",
       retainDays: Int = 0, retentionEveryBatches: Int = 0,
-      sketchEveryBatches: Int = 0, tagIndexEveryBatches: Int = 0)
+      sketchEveryBatches: Int = 0, tagIndexEveryBatches: Int = 0,
+      cqEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -124,6 +128,11 @@ class Engine(val spark: SparkSession, warehouse: String)
         if (tagIndexEveryBatches > 0 && id > 0 &&
             id % tagIndexEveryBatches == 0)
           buildTagIndex()
+        // continuous-query rollups refresh incrementally in the same
+        // slot: only the (series, day) slices the batches since the last
+        // refresh touched are recomputed
+        if (cqEveryBatches > 0 && id > 0 && id % cqEveryBatches == 0)
+          refreshCqs()
         ()
       }
       .start()
@@ -937,6 +946,201 @@ class Engine(val spark: SparkSession, warehouse: String)
     }
   }
 
+  // ----------------------------------------------------- continuous queries
+  // The reference's "pre-calculated stats" TODO (refluxdb README.md:58)
+  // as InfluxDB-style CONTINUOUS QUERIES, maintained INCREMENTALLY:
+  // each registered CQ materializes per-(series, name, time-bucket)
+  // count/sum/min/max into its own partitioned side table, and a refresh
+  // recomputes ONLY the (series, day) slices touched by ingest batches
+  // it has not seen yet. Late-arriving data needs no lag window at all:
+  // whenever a late row lands (in a new batch), its (series, day) slice
+  // is dirty and the affected buckets are recomputed from the canonical
+  // table — eventual exactness by construction. At 100 TB the refresh
+  // cost is O(new data + dirty slices), never O(table): dirty discovery
+  // reads only the new `ingest_batch=` partitions (static pruning on the
+  // first partition column), the recompute scans only the dirty
+  // (series, day) partitions, and the write is a dynamic partition
+  // overwrite of exactly those slices. Progress state is one empty
+  // marker file per processed batch directory (catalog-sized metadata);
+  // compaction rewrites batch dirs, which conservatively re-dirties what
+  // it rewrote — a redundant but idempotent recompute (documented
+  // trade-off: correctness never depends on the marker set being
+  // minimal; a crash between data write and marker write redoes the
+  // slice, never skips it).
+
+  private def cqRoot = s"$warehouse/cq"
+  private def cqCatalogPath = s"$cqRoot/_catalog"
+  private def cqTargetPath(name: String) = s"$cqRoot/$name/target"
+  private def cqDonePath(name: String) = s"$cqRoot/$name/_done"
+
+  /** date_trunc units a CQ may bucket by (all divide a day, so a bucket
+    * never straddles the `day` partition boundary). */
+  private val cqBuckets = Set("minute", "hour", "day")
+
+  private val cqResultSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "bucket_start TIMESTAMP, name STRING, n BIGINT, sum_v DOUBLE, " +
+      "min_v DOUBLE, max_v DOUBLE, series STRING, day DATE")
+
+  @volatile private var cqCache: Seq[(String, String)] = null
+
+  /** Registered continuous queries as (name, bucket unit), sorted.
+    * Catalog-sized; cached until a register/drop through THIS engine
+    * (a fresh Engine on the same warehouse re-reads — restart-safe). */
+  def cqCatalog(): Seq[(String, String)] = {
+    val cached = cqCache
+    if (cached != null) cached
+    else {
+      val cat =
+        if (!pathExists(cqCatalogPath)) Seq.empty[(String, String)]
+        else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "cq_name STRING, bucket STRING"))
+          .parquet(cqCatalogPath).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+      cqCache = cat
+      cat
+    }
+  }
+
+  /** Register a continuous query `name` bucketing by `bucket` (one of
+    * minute/hour/day). Its rollup becomes SELECT-able as `cq_<name>` on
+    * the SQL surface. Re-registering the same (name, bucket) is a no-op;
+    * changing the bucket of an existing name is an error (drop first) —
+    * half-refreshed state under a silently-changed bucket would mix
+    * granularities. */
+  def registerCq(name: String, bucket: String): Unit =
+    Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"cq name must match [A-Za-z][A-Za-z0-9_]*, got '$name'")
+      require(cqBuckets.contains(bucket),
+        s"cq bucket must be one of ${cqBuckets.toSeq.sorted.mkString("/")}, " +
+          s"got '$bucket'")
+      val viewName = s"cq_$name".toLowerCase
+      if (listSeries().exists(_.toLowerCase == viewName))
+        throw new IllegalStateException(
+          s"a series named '$viewName' already exists; the continuous " +
+            "query would shadow it on the SQL surface")
+      val cat = cqCatalog()
+      cat.find(_._1 == name) match {
+        case Some((_, b)) if b == bucket => // idempotent re-register
+        case Some((_, b)) => throw new IllegalStateException(
+          s"continuous query '$name' already registered with bucket " +
+            s"'$b'; drop it before re-registering with '$bucket'")
+        case None =>
+          writeCqCatalog(cat :+ (name -> bucket))
+      }
+    }
+
+  /** Drop a continuous query: catalog entry, rollup table, and progress
+    * markers. Returns whether it existed. */
+  def dropCq(name: String): Boolean =
+    Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
+      val cat = cqCatalog()
+      if (!cat.exists(_._1 == name)) false
+      else {
+        writeCqCatalog(cat.filterNot(_._1 == name))
+        deletePath(s"$cqRoot/$name")
+        true
+      }
+    }
+
+  private def writeCqCatalog(cat: Seq[(String, String)]): Unit = {
+    atomicOverwrite(cat.toDF("cq_name", "bucket"), cqCatalogPath, Seq.empty)
+    cqCache = null
+  }
+
+  /** The rollup maintained for CQ `name` (empty frame before the first
+    * refresh). Schema pinned like [[table]] for read compatibility. */
+  def cqTable(name: String): DataFrame = {
+    require(cqCatalog().exists(_._1 == name),
+      s"no continuous query '$name'")
+    if (pathExists(cqTargetPath(name)))
+      spark.read.schema(cqResultSchema).parquet(cqTargetPath(name))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cqResultSchema)
+  }
+
+  /** Refresh every registered CQ; returns per-name recomputed slice
+    * counts. Hook it manually or via [[ingestStream]]'s cqEveryBatches. */
+  def refreshCqs(): Map[String, Long] =
+    cqCatalog().map { case (n, _) => n -> refreshCq(n) }.toMap
+
+  /** Incremental refresh of one CQ (algorithm in the section comment).
+    * Returns the number of (series, day) slices recomputed. Above
+    * `maxDirtySlices` dirty slices the per-slice predicate would bloat
+    * the plan, so the refresh falls back to one full recompute (loud). */
+  def refreshCq(name: String, maxDirtySlices: Int = 4096): Long =
+    Engine.tableLock(tablePath).synchronized {
+      acquireWriterLease()
+      require(cqCatalog().exists(_._1 == name),
+        s"no continuous query '$name'")
+      val bucket = cqCatalog().toMap.apply(name)
+      if (!exists) 0L
+      else {
+        val fsys = fs(tablePath)
+        val tags = fsys
+          .listStatus(new org.apache.hadoop.fs.Path(tablePath)).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("ingest_batch="))
+          .map(_.getPath.getName.stripPrefix("ingest_batch=")).toSet
+        val done: Set[String] =
+          if (!pathExists(cqDonePath(name))) Set.empty
+          else fs(cqDonePath(name))
+            .listStatus(new org.apache.hadoop.fs.Path(cqDonePath(name)))
+            .map(_.getPath.getName).toSet
+        // markers whose batch dir vanished (compaction/retention) are
+        // stale metadata — prune so the marker set tracks live dirs
+        (done -- tags).foreach(t => deletePath(s"${cqDonePath(name)}/$t"))
+        val newTags = tags -- done
+        if (newTags.isEmpty) 0L
+        else {
+          // dirty discovery reads ONLY the unseen batch partitions
+          val dirty = spark.read.schema(Engine.canonicalSchema)
+            .parquet(tablePath)
+            .filter(col("ingest_batch").isin(newTags.toSeq: _*))
+            .select(col("series"), col("day")).distinct().collect()
+            .map(r => (r.getString(0), r.getDate(1)))
+          val slices =
+            if (dirty.length > maxDirtySlices) {
+              logWarning(s"cq $name: ${dirty.length} dirty slices exceed " +
+                s"$maxDirtySlices; falling back to a full recompute")
+              table()
+            } else if (dirty.isEmpty) null
+            else table().filter(dirty.map { case (s, d) =>
+              col("series") === s && col("day") === lit(d)
+            }.reduce(_ || _))
+          if (slices != null) {
+            val agg = slices
+              .groupBy(col("series"), col("name"),
+                date_trunc(bucket, col("time")).as("bucket_start"))
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+                min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+              // bucket units divide a day, so the bucket's date IS the
+              // slice's day partition
+              .withColumn("day", col("bucket_start").cast("date"))
+              .select(col("bucket_start"), col("name"), col("n"),
+                col("sum_v"), col("min_v"), col("max_v"), col("series"),
+                col("day"))
+            agg.repartition(col("series"), col("day"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("series", "day")
+              .parquet(cqTargetPath(name))
+          }
+          // markers land AFTER the data: a crash between the two redoes
+          // the slices on the next refresh, never skips them
+          val doneDir = new org.apache.hadoop.fs.Path(cqDonePath(name))
+          fs(cqDonePath(name)).mkdirs(doneDir)
+          newTags.foreach { t =>
+            fs(cqDonePath(name)).create(
+              new org.apache.hadoop.fs.Path(doneDir, t), true).close()
+          }
+          if (slices == null) 0L else dirty.length.toLong
+        }
+      }
+    }
+
   // ----------------------------------------------------------------- query
 
   /** R12/R14: ad-hoc SQL over the series catalog. The reference's substring
@@ -984,7 +1188,10 @@ class Engine(val spark: SparkSession, warehouse: String)
           val sideTables: Map[String, () => DataFrame] = Map(
             "quarantine" -> (() => quarantine()),
             "sketch_daily" -> (() => sketchTable()),
-            "tag_index" -> (() => tagIndex()))
+            "tag_index" -> (() => tagIndex())) ++
+            cqCatalog().map { case (n, _) =>
+              s"cq_$n".toLowerCase -> (() => cqTable(n))
+            }
           val clash = rels.find(n => sideTables.contains(n.toLowerCase) &&
             byLower.contains(n.toLowerCase))
           if (clash.isDefined)
