@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md, FIXTURES.md §B).
   *
@@ -30,9 +30,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) file read under nanosAsLong
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // µs-precision naive timestamps (driver generators vary): the
+        // session TZ is pinned UTC everywhere, so NTZ→LTZ keeps the same
+        // wall clock while restoring the instant semantics every query
+        // (epoch arithmetic, casts to double) is written against
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (for the SQL facade / spark.sql). */
