@@ -40,6 +40,7 @@ object ScaleBench {
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_dedup_apply", "q_dedup_jaccard_verify",
     "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_boilerplate",
+    "q_dedup_substring",
     "q_decontaminate_bloom", "q_text_repetition", "q_text_levenshtein",
     "q_text_levenshtein_blocked",
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
@@ -58,7 +59,8 @@ object ScaleBench {
     "q34_cosine_topk", "q34b_ann_ivf", "q34c_knn_join",
     "q34c_knn_join@auto", "q34d_ann_multiprobe", "q34e_pq_ann",
     "q_decontaminate_semantic", "q_dedup_embedding",
-    "q_dedup_embedding@12bit", "q_dedup_embedding@auto")
+    "q_dedup_embedding@12bit", "q_dedup_embedding@auto",
+    "q_dedup_semdedup", "q_dedup_semdedup@sqrtk")
 
   /** The text-analysis scoring family: map-side expressions + one agg
     * each, vocab/LM/idf sides broadcast (plan-asserted in
@@ -66,7 +68,8 @@ object ScaleBench {
     * last family without execution evidence. Reads documents. */
   val textHeavy: Seq[String] = Seq(
     "q_text_tfidf", "q_text_perplexity", "q_text_langid",
-    "q_text_quality", "q_text_fingerprint", "q_text_tokens")
+    "q_text_quality", "q_text_fingerprint", "q_text_tokens",
+    "q_text_classifier")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -103,7 +106,9 @@ object ScaleBench {
       "q_ewma_recurrence@arrayfold" ->
         ((s, d) => queries.TimeseriesQueries.ewmaRecurrenceArrayFold(s, d)),
       "q_holt_winters@arrayfold" ->
-        ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)))
+        ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)),
+      "q_dedup_semdedup@sqrtk" ->
+        ((s, d) => queries.DedupQueries.semDedupScaled(s, d)))
 
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {

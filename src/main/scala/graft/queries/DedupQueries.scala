@@ -475,7 +475,27 @@ object DedupQueries extends QuerySet {
     // recipe). Removal rule (deterministic): a doc is removed iff a
     // smaller-id doc in its cluster sits above the threshold; planted
     // pair rows make the hits vacuity-proof.
-    "q_dedup_semdedup" -> { (s, dir) => semDedup(s, dir) }
+    "q_dedup_semdedup" -> { (s, dir) => semDedup(s, dir) },
+
+    // EXACT-SUBSTRING span dedup — the semantics of the suffix-array
+    // method (Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better"): any 8-token span whose text occurs
+    // anywhere else in the corpus (including again in the same
+    // document) is removed, KEEPING the globally-first occurrence;
+    // overlapping/adjacent removed spans merge, and every document is
+    // reassembled from its surviving tokens in order. This is the
+    // span-level member of the dedup family — document-level (Q33),
+    // chunk-level (q_dedup_chunks) and near-dup (MinHash/SimHash)
+    // cannot remove a duplicated PASSAGE embedded in otherwise-unique
+    // text. Scale shape (suffix arrays don't distribute; hashed
+    // fixed-width grams do): the gram shuffle carries md5 keys +
+    // (doc_id, pos) — bounded width, never corpus text; keep-first is
+    // a map-side-combinable min over an encoded (doc_id, pos) BIGINT,
+    // not a per-gram sort window; the occurrence subtree feeds both
+    // the aggregate and the probe join on the same key, so the
+    // exchange is reused; span merge + reassembly are per-document
+    // windows bounded by document length.
+    "q_dedup_substring" -> { (s, dir) => substringDedup(s, dir) }
   )
 
   /** The q_dedup_semdedup plan — public so operator callers and
@@ -503,6 +523,14 @@ object DedupQueries extends QuerySet {
     val assigned = emb
       .withColumn("cid", -best.getField("ncid"))
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    semDedupPairs(assigned)
+  }
+
+  /** Within-cluster pair phase of SemDeDup (shared by the pinned-fixture
+    * oracle query and the corpus-scaled variant): cosine ≥ 0.8 pairs
+    * inside each cluster, keep-smallest-id removal rule. */
+  private def semDedupPairs(assigned: DataFrame): DataFrame = {
+    import graft.functions.VecOps
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
@@ -518,6 +546,95 @@ object DedupQueries extends QuerySet {
       .select(col("vec_b").as("vec_id"), col("cid"), col("kept_rep"),
         col("max_cos"))
       .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup with corpus-scaled, freshly-trained centroids — the SCALE
+    * path of q_dedup_semdedup. The pinned-fixture query holds k constant,
+    * so per-cluster occupancy grows linearly with corpus size and the
+    * within-cluster pair count quadratically — the same pathology as the
+    * fixed-8-bit sign-LSH bucket (SCALE.md §9.1). SemDeDup's own recipe
+    * scales k ≈ O(√N) to keep occupancy flat: here k = ceil(√N) spherical
+    * k-means centroids (AnnIndex.train, 2 Lloyd rounds — linear map-side
+    * passes, timed INLINE so the measurement carries the full training
+    * cost), clamped to [16, 256] because assignment is an argmax over k
+    * expression literals (map-only; past ~1k centroids an IVF index's
+    * partitioned assignment is the right surface — operators.AnnIndex).
+    * Not oracle-checkable (centroids depend on corpus content); measured
+    * next to the pinned form in SCALE.md §9.6. */
+  def semDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecOps
+    import graft.operators.AnnIndex
+    val emb = t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
+      .select(col("vec_id"), col("embedding"),
+        VecOps.vec_norm(col("embedding")).as("nrm"))
+    val k = math.min(256,
+      math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+    val cents = AnnIndex.train(emb, k, iters = 2)
+    val assigned = emb
+      .withColumn("cid", AnnIndex.assignExpr(cents, col("embedding")))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    semDedupPairs(assigned)
+  }
+
+  /** The q_dedup_substring plan — public so operator callers and
+    * ScaleBench can run it standalone. `k` is the span width in tokens
+    * (8 = the oracle-checked query; the suffix-array method's 50-token
+    * threshold maps to larger k on real corpora). Positions are encoded
+    * as doc_id*1e6+pos for the keep-first min — documents here are far
+    * below 1e6 tokens (the corpus max is ~100; a real deployment would
+    * widen the multiplier or use a struct min). */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val toks = docs.select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p0", "tok")
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    // full k-gram occurrences keyed by md5: the shuffle moves 32-char
+    // hashes, never text (md5 for oracle portability; a deployment
+    // would use xxhash64 twice for narrower keys)
+    val occ = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"), col("w"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(k)), " ")).as("h"))
+    val key = col("doc_id") * lit(1000000L) + col("i")
+    val firsts = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(key).as("first_key"))
+      .filter(col("cnt") >= 2)
+    val dupSpans = occ.join(firsts, Seq("h"))
+      .filter(key =!= col("first_key"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    // merge overlapping/adjacent spans (gaps-and-islands; (s, e) is
+    // unique per doc so the ordering is total → deterministic)
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val islands = dupSpans
+      .withColumn("pmax", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng",
+        when(col("s") > coalesce(col("pmax"), lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("ng")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val stats = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_dup_tokens"))
+    // reassembly: tokens outside every merged span, original order
+    val kept = toks.join(islands,
+      toks("doc_id") === islands("doc_id") &&
+        col("pos").between(col("s"), col("e")), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("cleaned_md5"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
   }
 
   /** The q_decontaminate_semantic plan with a parameterized bucket width
@@ -830,6 +947,45 @@ object DedupQueries extends QuerySet {
         |SELECT vec_b AS vec_id, CAST(min(cid) AS INT) AS cid,
         |       CAST(min(vec_a) AS BIGINT) AS kept_rep, max(cos_sim) AS max_cos
         |FROM p WHERE cos_sim >= 0.8
-        |GROUP BY vec_b ORDER BY vec_id""".stripMargin
+        |GROUP BY vec_b ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM d),
+        |tok AS (SELECT doc_id, pos, w[pos] AS tok FROM tk),
+        |o AS (SELECT doc_id, unnest([i FOR i IN range(1, len(w) - 6)]) AS i, w
+        |      FROM d WHERE len(w) >= 8),
+        |oc AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS h FROM o),
+        |f AS (SELECT h, count(*) AS cnt, min(doc_id * 1000000 + i) AS first_key
+        |      FROM oc GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT oc.doc_id, oc.i AS s, oc.i + 7 AS e
+        |       FROM oc JOIN f ON f.h = oc.h
+        |       WHERE oc.doc_id * 1000000 + oc.i <> f.first_key),
+        |m AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |               ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             -1) + 1 THEN 1 ELSE 0 END AS ng
+        |      FROM ds),
+        |isl AS (SELECT doc_id, s, e,
+        |          sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |        FROM m),
+        |sp AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+        |       FROM isl GROUP BY doc_id, grp),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+        |       FROM sp GROUP BY doc_id),
+        |kp AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |       WHERE NOT EXISTS (SELECT 1 FROM sp
+        |         WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+        |ck AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+        |       FROM kp GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(st.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(ck.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM d LEFT JOIN st ON st.doc_id = d.doc_id
+        |LEFT JOIN ck ON ck.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
