@@ -20,6 +20,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *
   * Superset operational surface (the reference has none): `/retention`,
   * `/tags`, `/fields` (SHOW FIELD KEYS analog with value types),
+  * `/quantiles/<series>` (percentiles over any day range from the
+  * mergeable histogram rollup — no raw scan),
   * `DELETE /series/<name>`, `GET /jobs` + `DELETE /jobs/<id>`
   * (list / cancel running streamed queries), per-request `max_rows` and
   * `timeout_ms` bounds.
@@ -444,6 +446,49 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
             }
             respond(ex, 200, s"""{"fields":${jsonArray(body)}}""")
           }
+        }
+      }
+    })
+
+    // GET /quantiles/<series>?name=<field>&from=<day>&to=<day>[&q=0.5,0.99]
+    // — percentile serving from the mergeable histogram rollup
+    // (Engine.approxQuantiles): any day range, no raw scan, ≤ ~0.5%
+    // relative error. Catalog-sized answers → plain respond, no
+    // streaming needed.
+    http.createContext("/quantiles/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/quantiles/"))
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        val qsRaw = p.getOrElse("q", "0.5,0.95,0.99")
+        val qs = qsRaw.split(",").toSeq.map(s => Try(s.trim.toDouble))
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else if (!p.contains("name"))
+          respond(ex, 400, """{"error":"name parameter required"}""")
+        else if (!p.get("from").exists(_.matches(day)) ||
+            !p.get("to").exists(_.matches(day)))
+          respond(ex, 400,
+            """{"error":"from/to must be yyyy-MM-dd"}""")
+        else if (qs.exists(t => t.isFailure ||
+            t.toOption.exists(q => q <= 0.0 || q > 1.0)))
+          // malformed quantiles fail closed, like max_rows/timeout_ms
+          respond(ex, 400,
+            s"""{"error":${quote(s"q must be numbers in (0,1]: $qsRaw")}}""")
+        else {
+          val rows = engine.approxQuantiles(series, p("name"), p("from"),
+            p("to"), qs.map(_.get)).collect()
+          val body = rows.map { r =>
+            s"""{"quantile":${r.getDouble(0)},""" +
+              s""""approx_value":${r.getDouble(1)},""" +
+              s""""n_rows":${r.getLong(2)}}"""
+          }.toSeq
+          respond(ex, 200, s"""{"quantiles":${jsonArray(body)}}""")
         }
       }
     })

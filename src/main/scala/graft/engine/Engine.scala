@@ -5,7 +5,7 @@ import java.time.{Instant, OffsetDateTime}
 
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}
 import org.apache.spark.sql.functions._
 
@@ -121,10 +121,13 @@ class Engine(val spark: SparkSession, warehouse: String)
             applyRetention(maxDay.toLocalDate.minusDays(retainDays - 1L)
               .toString)
         }
-        // sketch rollups refresh in the same slot, so dashboard distinct-
-        // cardinality panels stay warm under continuous ingest
-        if (sketchEveryBatches > 0 && id > 0 && id % sketchEveryBatches == 0)
+        // sketch + histogram rollups refresh in the same slot, so
+        // dashboard distinct-cardinality and percentile panels stay warm
+        // under continuous ingest
+        if (sketchEveryBatches > 0 && id > 0 && id % sketchEveryBatches == 0) {
           sketchRollup()
+          histogramRollup()
+        }
         if (tagIndexEveryBatches > 0 && id > 0 &&
             id % tagIndexEveryBatches == 0)
           buildTagIndex()
@@ -384,6 +387,101 @@ class Engine(val spark: SparkSession, warehouse: String)
         hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
           .as("approx_distinct_tagsets"))
 
+  // ----------------------------------------- quantile histogram rollup
+
+  private def histPath = s"$warehouse/hist_daily"
+
+  /** Log-binned histogram bin id (the HdrHistogram / Prometheus
+    * native-histogram shape): bin 0 holds exact zero, positive values
+    * land in `1 + floor(ln(v)/ln(G))`, negatives mirror below zero.
+    * G = 1.01 → every bin spans 1% relative width, so a quantile read
+    * back from bin midpoints carries ≤ ~0.5% relative error. Bin ids are
+    * bounded integers (|bin| ≤ ~69k over the whole double range), so a
+    * day's histogram is catalog-sized whatever the row count — the
+    * mergeable-summary property HLL gives distinct counts, here for
+    * percentiles: fixed-size partials that SUM associatively across
+    * days, unlike exact percentile (needs the raw values) or
+    * percentile_approx (whose summary Spark does not expose for
+    * persistence). */
+  private val histGrowth: Double = 1.01
+
+  private val lnG = math.log(histGrowth)
+
+  private def binExpr(v: Column): Column =
+    when(v === 0.0, lit(0L))
+      .when(v > 0.0,
+        (floor(org.apache.spark.sql.functions.log(v) / lnG) + 1)
+          .cast("long"))
+      .otherwise(
+        (-floor(org.apache.spark.sql.functions.log(-v) / lnG) - 1)
+          .cast("long"))
+
+  /** Geometric midpoint of a bin — the value a quantile answer reports. */
+  private def repExpr(bin: Column): Column =
+    when(bin === 0L, lit(0.0))
+      .when(bin > 0L, pow(lit(histGrowth), bin.cast("double") - 0.5))
+      .otherwise(-pow(lit(histGrowth), -bin.cast("double") - 0.5))
+
+  /** Materialize the per-(series, day, field) value histogram — one
+    * hash aggregate over the canonical table (map-side combinable:
+    * partials are (bin → count) maps far smaller than the data), the
+    * same maintenance cadence as [[sketchRollup]]. */
+  def histogramRollup(): Unit = Engine.tableLock(tablePath).synchronized {
+    acquireWriterLease()
+    if (exists) {
+      val rollup = table()
+        .filter(col("value").isNotNull)
+        .groupBy(col("series"), col("day"), col("name"),
+          binExpr(col("value")).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .repartition(col("series"))
+      atomicOverwrite(rollup, histPath, Seq("series"))
+    }
+  }
+
+  private val histSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "day DATE, name STRING, bin BIGINT, cnt BIGINT, series STRING")
+
+  /** The histogram rollup table (typed empty frame when never built —
+    * empty-not-error posture, deviation D4). */
+  def histTable(): DataFrame = {
+    recoverSideTable(histPath)
+    if (pathExists(histPath))
+      spark.read.schema(histSchema).parquet(histPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+  }
+
+  /** Approximate quantiles of one field of one series over an inclusive
+    * day range, answered ENTIRELY from the histogram rollup: per-day
+    * bins merge by count addition (associative, order-free), then the
+    * quantile is the first bin whose cumulative weight reaches q·N.
+    * ≤ ~0.5% relative error by bin construction, any day range, no raw
+    * scan. The cumulative window is global but runs over a CATALOG-sized
+    * frame (≤ a few thousand distinct bins — bounded by value dynamic
+    * range, independent of row count). Empty range → empty frame. */
+  def approxQuantiles(series: String, name: String, fromDay: String,
+      toDay: String,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = histTable()
+      .filter(col("series") === series && col("name") === name &&
+        col("day") >= fromDay && col("day") <= toDay)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("w"))
+    val cum = merged
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(
+        Window.partitionBy(lit(1))))
+    val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    qDf.join(cum, col("cum") >= col("q") * col("total"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"), min(col("total")).as("n_rows"))
+      .select(col("q").as("quantile"), repExpr(col("bin")).as("approx_value"),
+        col("n_rows"))
+      .orderBy(col("quantile"))
+  }
+
   // ------------------------------------------------------------ tag index
 
   private def tagIndexPath = s"$warehouse/tag_index"
@@ -605,11 +703,11 @@ class Engine(val spark: SparkSession, warehouse: String)
     // is actively producing (review fix: vacuum is a write, lease it)
     acquireWriterLease()
     var n = 0
-    for (base <- Seq(tablePath, sketchPath, tagIndexPath);
+    for (base <- Seq(tablePath, sketchPath, histPath, tagIndexPath);
          suffix <- Seq(".compacting", ".staging")) {
       if (pathExists(base + suffix)) { deletePath(base + suffix); n += 1 }
     }
-    for (base <- Seq(tablePath, sketchPath, tagIndexPath)) {
+    for (base <- Seq(tablePath, sketchPath, histPath, tagIndexPath)) {
       if (pathExists(base) && pathExists(base + ".old")) {
         deletePath(base + ".old"); n += 1
       }
@@ -710,6 +808,7 @@ class Engine(val spark: SparkSession, warehouse: String)
           // it from the now-pruned table. Tag-index staleness is benign
           // (see tagIndex scaladoc), so it is left for its own refresh.
           if (pathExists(sketchPath)) sketchRollup()
+          if (pathExists(histPath)) histogramRollup()
         }
         dropped
       }
@@ -762,12 +861,12 @@ class Engine(val spark: SparkSession, warehouse: String)
       if (hit) {
         writeVersion += 1
         seriesCache = null
-        // the dropped series' sketch partition must not keep
-        // answering approxDistinct (review fix) — a directory delete,
-        // symmetric with the data delete above
-        if (pathExists(sketchPath)) {
-          val sfs = fs(sketchPath)
-          for (s <- sfs.listStatus(new org.apache.hadoop.fs.Path(sketchPath))
+        // the dropped series' sketch/histogram partitions must not keep
+        // answering approxDistinct/approxQuantiles (review fix) — a
+        // directory delete, symmetric with the data delete above
+        for (side <- Seq(sketchPath, histPath) if pathExists(side)) {
+          val sfs = fs(side)
+          for (s <- sfs.listStatus(new org.apache.hadoop.fs.Path(side))
                  if s.isDirectory && s.getPath.getName.startsWith("series=")
                  if unescapePathName(
                    s.getPath.getName.stripPrefix("series=")) == series)
@@ -1188,6 +1287,7 @@ class Engine(val spark: SparkSession, warehouse: String)
           val sideTables: Map[String, () => DataFrame] = Map(
             "quarantine" -> (() => quarantine()),
             "sketch_daily" -> (() => sketchTable()),
+            "hist_daily" -> (() => histTable()),
             "tag_index" -> (() => tagIndex())) ++
             cqCatalog().map { case (n, _) =>
               s"cq_$n".toLowerCase -> (() => cqTable(n))

@@ -302,6 +302,37 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /quantiles serves percentiles from the histogram rollup " +
+      "with fail-closed parameter validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-quant"))
+    engine.ingestLines((1 to 100).map(v =>
+      s"lat,host=a v=$v.0 ${1700000000000000000L + v * 1000000000L}"))
+    engine.histogramRollup()
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(
+        s"$base/quantiles/lat?name=v&from=2023-11-14&to=2023-11-14&q=0.5,0.99")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"quantile\":0.5") && b1.contains("\"n_rows\":100"),
+        b1)
+      // p50 of 1..100 from 1%-wide bins: within 1% of 50
+      val p50 = """"quantile":0.5,"approx_value":([0-9.]+)""".r
+        .findFirstMatchIn(b1).get.group(1).toDouble
+      assert(math.abs(p50 - 50.0) / 50.0 <= 0.01, s"p50=$p50")
+      // validation fails closed: bad quantile, missing params, bad days
+      assert(call(s"$base/quantiles/lat?name=v&from=2023-11-14&to=2023-11-14&q=1.5")._1 == 400)
+      assert(call(s"$base/quantiles/lat?name=v&from=2023-11-14&to=2023-11-14&q=abc")._1 == 400)
+      assert(call(s"$base/quantiles/lat?from=2023-11-14&to=2023-11-14")._1 == 400)
+      assert(call(s"$base/quantiles/lat?name=v&from=14-11-2023&to=2023-11-14")._1 == 400)
+      assert(call(s"$base/quantiles/nope?name=v&from=2023-11-14&to=2023-11-14")._1 == 404)
+      // empty day range → empty list, not an error (D4 posture)
+      val (ce, be) = call(
+        s"$base/quantiles/lat?name=v&from=1999-01-01&to=1999-01-02")
+      assert(ce == 200 && be == """{"quantiles":[]}""", s"$ce $be")
+    } finally api.stop()
+  }
+
   test("timeout_ms=0 opts out of a server-wide default bound") {
     import org.apache.spark.sql.functions.{col, udf}
     def nap() = {
