@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer training and encoding
+  * (Sennrich et al. 2016) — the real merge-learning algorithm, not the
+  * regex approximation (`q_text_tokens` keeps that as the cheap oracle-
+  * checked form).
+  *
+  * Scale design (the reason industrial BPE trainers distribute at all):
+  * training never touches the corpus again after ONE word-count pass —
+  * the corpus compresses to its word HISTOGRAM (vocabulary-sized:
+  * bounded by distinct words, independent of corpus rows; at 100 TB
+  * this is the difference between iterating over ~10^11 documents and
+  * ~10^6 histogram rows). Each merge round is then one pair-count
+  * aggregate over the cached histogram (pairs derived per row by a
+  * codegen'd `transform` lambda — no explode of the corpus), a
+  * driver-sized argmax (ONE row collected per round), and a map-only
+  * merge application. Lineage is cut with localCheckpoint every few
+  * rounds (the ConnectedComponents pattern) so hundreds of rounds do
+  * not accumulate a plan tower.
+  *
+  * Determinism: the argmax tie-breaks on (count DESC, left ASC,
+  * right ASC) — byte-identical merge tables across runs and cluster
+  * layouts (sum-of-longs is order-free).
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` fuse into one symbol at `rank`. */
+  case class Merge(rank: Int, left: String, right: String)
+
+  /** Greedy left-to-right single-pair application (the BPE primitive):
+    * every non-overlapping (l, r) adjacency fuses, leftmost first. */
+  private[operators] def applyMerge(syms: IndexedSeq[String], l: String,
+      r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** The corpus's word histogram as (syms ARRAY<STRING>, cnt BIGINT) —
+    * each distinct whitespace word once, split to single-character
+    * symbols, weighted by its corpus frequency. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"),
+        col("cnt"))
+
+  /** Learn up to `numMerges` merges. Stops early when no adjacent pair
+    * occurs at least `minCount` times (default 2 — merging a singleton
+    * pair cannot compress anything). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    var hist = wordHistogram(docs, textCol).cache()
+    hist.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var done = false
+    var round = 0
+    while (!done && round < numMerges) {
+      // adjacent symbol pairs per histogram row, weighted by word count:
+      // a codegen'd lambda over the syms array (try_element_at is
+      // 1-based and null past the end — ANSI-safe — so the last
+      // position's missing partner just filters out)
+      val top = hist.select(col("cnt"), explode(expr(
+          "filter(transform(syms, (s, i) -> " +
+            "struct(s AS l, try_element_at(syms, i + 2) AS r)), " +
+            "p -> p.r IS NOT NULL)")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(Row(l: String, r: String, c: Long)) if c >= minCount =>
+          merges += Merge(round, l, r)
+          val mergeUdf = udf((syms: Seq[String]) =>
+            applyMerge(syms.toIndexedSeq, l, r))
+          val prev = hist
+          hist = hist.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
+          // cut lineage every few rounds or the plan tower grows O(rounds)
+          hist = (if ((round + 1) % 8 == 0) hist.localCheckpoint()
+                  else hist).cache()
+          hist.count()
+          prev.unpersist()
+          round += 1
+        case _ => done = true
+      }
+    }
+    hist.unpersist()
+    merges.toSeq
+  }
+
+  /** Encode one word with a learned merge table: repeatedly fuse the
+    * LOWEST-rank adjacent pair present — for a table produced by
+    * [[train]] this reaches the same fixpoint as replaying the merges
+    * in rank order (the canonical BPE inference rule). */
+  def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: IndexedSeq[String] = word.map(_.toString).toIndexedSeq
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bl = ""; var br = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        syms = applyMerge(syms, bl, br)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Tokenize a text column: adds `tokens ARRAY<STRING>` and `n_tokens`.
+    * The merge table ships in the UDF closure (model-sized — exactly the
+    * broadcast-small-side shape of the vocab/LM/idf text operators);
+    * encoding is map-only, zero shuffle at any corpus size. */
+  def tokens(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val enc = udf((text: String) =>
+      text.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => encodeWord(w, ranks)))
+    docs.withColumn("tokens", enc(col(textCol)))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+}
