@@ -391,36 +391,16 @@ class Engine(val spark: SparkSession, warehouse: String)
 
   private def histPath = s"$warehouse/hist_daily"
 
-  /** Log-binned histogram bin id (the HdrHistogram / Prometheus
-    * native-histogram shape): bin 0 holds exact zero, positive values
-    * land in `1 + floor(ln(v)/ln(G))`, negatives mirror below zero.
-    * G = 1.01 → every bin spans 1% relative width, so a quantile read
-    * back from bin midpoints carries ≤ ~0.5% relative error. Bin ids are
-    * bounded integers (|bin| ≤ ~69k over the whole double range), so a
-    * day's histogram is catalog-sized whatever the row count — the
-    * mergeable-summary property HLL gives distinct counts, here for
-    * percentiles: fixed-size partials that SUM associatively across
-    * days, unlike exact percentile (needs the raw values) or
-    * percentile_approx (whose summary Spark does not expose for
-    * persistence). */
-  private val histGrowth: Double = 1.01
-
-  private val lnG = math.log(histGrowth)
-
+  /** Bin math lives in [[graft.operators.LogHistogram]] — ONE definition
+    * shared with the streaming histogram (st18), so the per-day rollup
+    * and the online form are the same mergeable summary by
+    * construction: 1% log bins (≤ ~0.5% relative quantile error),
+    * catalog-sized whatever the row count, merged by count addition —
+    * the percentile analog of what HLL sketches give distinct counts
+    * (exact percentile needs the raw values; percentile_approx's
+    * summary is not persistable; bins are). */
   private def binExpr(v: Column): Column =
-    when(v === 0.0, lit(0L))
-      .when(v > 0.0,
-        (floor(org.apache.spark.sql.functions.log(v) / lnG) + 1)
-          .cast("long"))
-      .otherwise(
-        (-floor(org.apache.spark.sql.functions.log(-v) / lnG) - 1)
-          .cast("long"))
-
-  /** Geometric midpoint of a bin — the value a quantile answer reports. */
-  private def repExpr(bin: Column): Column =
-    when(bin === 0L, lit(0.0))
-      .when(bin > 0L, pow(lit(histGrowth), bin.cast("double") - 0.5))
-      .otherwise(-pow(lit(histGrowth), -bin.cast("double") - 0.5))
+    graft.operators.LogHistogram.binExpr(v)
 
   /** Materialize the per-(series, day, field) value histogram — one
     * hash aggregate over the canonical table (map-side combinable:
@@ -462,25 +442,13 @@ class Engine(val spark: SparkSession, warehouse: String)
     * range, independent of row count). Empty range → empty frame. */
   def approxQuantiles(series: String, name: String, fromDay: String,
       toDay: String,
-      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val merged = histTable()
-      .filter(col("series") === series && col("name") === name &&
-        col("day") >= fromDay && col("day") <= toDay)
-      .groupBy(col("bin")).agg(sum(col("cnt")).as("w"))
-    val cum = merged
-      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("w")).over(
-        Window.partitionBy(lit(1))))
-    val qDf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
-    qDf.join(cum, col("cum") >= col("q") * col("total"))
-      .groupBy(col("q"))
-      .agg(min(col("bin")).as("bin"), min(col("total")).as("n_rows"))
-      .select(col("q").as("quantile"), repExpr(col("bin")).as("approx_value"),
-        col("n_rows"))
-      .orderBy(col("quantile"))
-  }
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    graft.operators.LogHistogram.quantiles(
+      histTable()
+        .filter(col("series") === series && col("name") === name &&
+          col("day") >= fromDay && col("day") <= toDay)
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("w")),
+      qs)
 
   // ------------------------------------------------------------ tag index
 

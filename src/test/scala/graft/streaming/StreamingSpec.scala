@@ -634,4 +634,47 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("st18: streaming quantile histogram — the state store IS the " +
+      "mergeable summary; online quantiles match the batch bins") {
+    import graft.operators.LogHistogram
+    val in = MemoryStream[(String, String, Double)]
+    // continuous groupBy(series, name, bin) count: Spark's agg state
+    // holds one row per OCCUPIED BIN (catalog-sized, bounded by value
+    // dynamic range — never by row count), and complete-mode output is
+    // the live histogram. The same LogHistogram bin definition as the
+    // engine's per-day rollup, so online == batch by construction.
+    val hist = in.toDF().toDF("series", "name", "value")
+      .groupBy(col("series"), col("name"),
+        LogHistogram.binExpr(col("value")).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = hist.writeStream.outputMode("complete").format("memory")
+      .queryName("st18").start()
+    try {
+      in.addData((1 to 500).map(v => ("lat", "v", v * 1.0)): _*)
+      q.processAllAvailable()
+      in.addData((501 to 1000).map(v => ("lat", "v", v * 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st18")
+    // the streamed bins equal a batch pass over the same values —
+    // same summary, built incrementally
+    val batch = spark.range(1, 1001)
+      .select(lit("lat").as("series"), lit("v").as("name"),
+        (col("id") * 1.0).as("value"))
+      .groupBy(col("series"), col("name"),
+        LogHistogram.binExpr(col("value")).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "online bins == batch bins")
+    // quantiles read live off the streamed bins, within bin error
+    val p = LogHistogram.quantiles(
+      streamed.select(col("bin"), col("cnt").as("w")), Seq(0.5, 0.99))
+      .collect()
+    assert(p(0).getLong(2) == 1000)
+    assert(math.abs(p(0).getDouble(1) - 500.0) / 500.0 <= 0.01,
+      s"p50=${p(0).getDouble(1)}")
+    assert(math.abs(p(1).getDouble(1) - 990.0) / 990.0 <= 0.01,
+      s"p99=${p(1).getDouble(1)}")
+  }
 }
