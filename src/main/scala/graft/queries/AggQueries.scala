@@ -234,6 +234,46 @@ object AggQueries extends QuerySet {
         .orderBy(col("l_returnflag"))
     },
 
+    // Histogram-rollup quantiles, driver-certified (the q_approx_sketches
+    // pattern): p50/p95 per event_type computed from LogHistogram's 1%
+    // log bins — the SAME bin math Engine.histogramRollup persists and
+    // st18 streams — next to the exact interpolated percentile. The
+    // exact values hash-match DuckDB for real; the within-2% booleans
+    // (bin midpoint error ≤ ~0.5% + rank-vs-interpolation delta) are
+    // pinned TRUE by the oracle, so a bin-math regression flips a
+    // boolean and fails the driver's hash gate. Scale shape: one
+    // catalog-sized bin aggregate + per-group cumulative windows over
+    // ≤ a few hundred bins; rep() is monotone in bin, so min(rep) over
+    // cum≥target selects the first qualifying bin without a rank pass.
+    "q_approx_quantiles" -> { (s, dir) =>
+      import graft.operators.LogHistogram
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(r6(expr("percentile(value, 0.5)")).as("p50_exact"),
+          r6(expr("percentile(value, 0.95)")).as("p95_exact"))
+      val cum = ev
+        .groupBy(col("event_type"),
+          LogHistogram.binExpr(col("value")).as("bin"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("cum", sum(col("w")).over(
+          Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("w")).over(
+          Window.partitionBy("event_type")))
+      def hq(q: Double) = min(when(col("cum") >= lit(q) * col("total"),
+        LogHistogram.repExpr(col("bin"))))
+      val approx = cum.groupBy(col("event_type"))
+        .agg(hq(0.5).as("p50_hist"), hq(0.95).as("p95_hist"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+          (abs(col("p50_hist") - col("p50_exact")) / col("p50_exact")
+            <= 0.02).as("p50_within_tol"),
+          (abs(col("p95_hist") - col("p95_exact")) / col("p95_exact")
+            <= 0.02).as("p95_within_tol"))
+        .orderBy(col("event_type"))
+    },
+
     // Custom UDAF surface (§2.4k): time-weighted average of events.value per
     // user — weight = seconds until the next event of the same user.
     // The weighting is a window (lag-free, shuffle once by user), the
@@ -344,6 +384,14 @@ object AggQueries extends QuerySet {
         |  TRUE AS parts_within_tol,
         |  TRUE AS median_within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p95_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_udaf_time_weighted_avg" ->
       """WITH weighted AS (
