@@ -40,11 +40,11 @@ object ScaleBench {
   val heavy: Seq[String] = Seq(
     "q_dedup_components", "q_dedup_apply", "q_dedup_jaccard_verify",
     "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_boilerplate",
-    "q_dedup_substring",
+    "q_dedup_substring", "bpe_train",
     "q_decontaminate_bloom", "q_text_repetition", "q_text_levenshtein",
     "q_text_levenshtein_blocked",
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
-    "q_ingest_typed", "q_ingest_generator")
+    "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -108,7 +108,18 @@ object ScaleBench {
       "q_holt_winters@arrayfold" ->
         ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)),
       "q_dedup_semdedup@sqrtk" ->
-        ((s, d) => queries.DedupQueries.semDedupScaled(s, d)))
+        ((s, d) => queries.DedupQueries.semDedupScaled(s, d)),
+      // BPE training: 30 merge rounds over the word histogram. NOTE the
+      // replica construction is BPE's worst case — the per-word replica
+      // suffix makes every replica's words DISTINCT, so the vocabulary
+      // (and the histogram the rounds iterate) grows a full K×, where a
+      // real corpus grows vocab ≪ K× (Heaps' law). The factor therefore
+      // upper-bounds real-corpus behavior.
+      "bpe_train" -> ((s, d) => {
+        val m = operators.Bpe.train(Tables.load(s, d, "documents"),
+          "text", numMerges = 30)
+        s.createDataFrame(m)
+      }))
 
   def buildReplica(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -299,7 +310,7 @@ object ScaleBench {
     val eventsSql = Set("q13_asof_join", "q13b_asof_interval", "q21_frames",
       "q_sessionize", "q_funnel")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
-      "q_ingest_typed", "q_ingest_generator")
+      "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
       (heavy.contains(q) && !eventsHeavy.contains(q)) ||
         textHeavy.contains(q))

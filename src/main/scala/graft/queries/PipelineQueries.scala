@@ -243,6 +243,81 @@ object PipelineQueries extends QuerySet {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_kept"), max(col("vec_id")).as("max_kept_id"))
         .orderBy(col("label"))
+    },
+
+    // The COMPOSITE corpus-cleaning pipeline in ONE Catalyst plan — the
+    // RefinedWeb/CCNet stage chain a real curation run executes, here as
+    // a single query so the optimizer sees (and the plan audit covers)
+    // the whole flow: source blocklist → classifier quality gate →
+    // exact dedup (keep-first among survivors) → n-gram benchmark
+    // decontamination → per-source audit counts. Stage attribution is
+    // ordered (a doc counts against its FIRST failing stage), which is
+    // the number an operator actually wants from a cleaning run. Scale
+    // shape: blocklist + quality + bench membership are per-row map
+    // work (the classifier score is the q_text_classifier expression —
+    // zero shuffle); keep-first dedup shuffles md5 hashes only; the
+    // decontamination join shuffles shingles exactly like
+    // q_decontaminate (at 100 TB the Bloom pre-filter,
+    // q_decontaminate_bloom, runs before it); the final rollup is one
+    // catalog-sized aggregate. Benchmark membership follows the
+    // q_decontaminate convention (doc_id % 20 == 0) and those docs are
+    // reported as their own stage, not cleaned. NULL sources are
+    // explicitly NOT blocked (coalesce) so the stage CASE is total.
+    "q_pipeline_clean" -> { (s, dir) =>
+      import s.implicits._
+      val block = Seq("src3", "src7", "src13").toDF("bsource")
+      val docs = t(s, dir, "documents")
+        .withColumn("w",
+          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+        .withColumn("quality",
+          expr(TextQueries.classifierScoreFromTokens("w")))
+        .withColumn("is_bench", col("doc_id") % 20 === 0)
+        .join(broadcast(block), col("source") === col("bsource"), "left")
+        .withColumn("blocked", col("bsource").isNotNull)
+      val keepers = docs
+        .filter(!col("is_bench") && !col("blocked") && col("quality") >= 0)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      // word-5-gram shingles, the q_decontaminate construction
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("wt"))
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(size(wt) - 4, 1))")).as("i"),
+          col("wt"))
+        .select(col("doc_id"),
+          array_join(slice(col("wt"), col("i"), lit(5)), " ").as("sh"))
+        .distinct()
+      val contam = sh.filter(col("doc_id") % 20 =!= 0)
+        .join(sh.filter(col("doc_id") % 20 === 0)
+          .select(col("sh")).distinct(), Seq("sh"))
+        .select(col("doc_id")).distinct()
+        .withColumn("contam", lit(true))
+      docs
+        .join(keepers, md5(col("text")) === col("h"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("is_bench"), lit("bench"))
+            .when(col("blocked"), lit("blocked"))
+            .when(col("quality") < 0, lit("low_quality"))
+            .when(col("doc_id") =!= col("keep_id"), lit("duplicate"))
+            .when(col("contam"), lit("contaminated"))
+            .otherwise(lit("kept")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("stage") === "bench", 1L).otherwise(0L)).as("n_bench"),
+          sum(when(col("stage") === "blocked", 1L).otherwise(0L))
+            .as("n_blocked"),
+          sum(when(col("stage") === "low_quality", 1L).otherwise(0L))
+            .as("n_lowq"),
+          sum(when(col("stage") === "duplicate", 1L).otherwise(0L))
+            .as("n_dup"),
+          sum(when(col("stage") === "contaminated", 1L).otherwise(0L))
+            .as("n_contam"),
+          sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("stage") === "kept", col("n_chars"))),
+            lit(0L)).as("kept_chars"))
+        .orderBy(col("source").asc_nulls_last)
     }
   )
 
@@ -362,6 +437,71 @@ object PipelineQueries extends QuerySet {
         |SELECT source, doc_id, n_tok, CAST(seq_id AS BIGINT) AS seq_id,
         |       CAST(used - n_tok AS BIGINT) AS tok_offset
         |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    "q_pipeline_clean" -> {
+      def wgtSql(v: String): String =
+        s"(((list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"range(1, length($v) + 1)), " +
+        s"(h, i) -> (h * 31 + ascii(substr($v, CAST(i AS INT), 1))) " +
+        s"% 1000003) % 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      s"""WITH w0 AS (
+         |  SELECT doc_id, text, source, n_chars,
+         |         list_filter(string_split(text, ' '),
+         |                     tk -> length(tk) > 0) AS w
+         |  FROM documents),
+         |w1 AS (
+         |  -- bigram STRINGS materialize before weighting: wgt's inner
+         |  -- lambda binds `i` for char positions and would capture an
+         |  -- outer index variable (the q_text_classifier oracle shape)
+         |  SELECT doc_id, text, source, n_chars, w,
+         |         list_transform(range(1, len(w)),
+         |                        i -> w[i] || '_' || w[i + 1]) AS bg
+         |  FROM w0),
+         |sc AS (
+         |  SELECT doc_id, text, source, n_chars,
+         |    COALESCE(CAST(list_sum(list_transform(w,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |    + COALESCE(CAST(list_sum(list_transform(bg,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |      AS quality,
+         |    doc_id % 20 = 0 AS is_bench,
+         |    COALESCE(source IN ('src3', 'src7', 'src13'), FALSE) AS blocked
+         |  FROM w1),
+         |k AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keep_id
+         |  FROM sc WHERE NOT is_bench AND NOT blocked AND quality >= 0
+         |  GROUP BY md5(text)),
+         |shg AS (
+         |  SELECT doc_id,
+         |         unnest([array_to_string(ww[i:i+4], ' ')
+         |                 FOR i IN range(1, greatest(len(ww) - 4, 1) + 1)]) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ww FROM documents)),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
+         |ct AS (
+         |  SELECT DISTINCT c.doc_id FROM sets c
+         |  JOIN sets b ON b.sh = c.sh AND b.doc_id % 20 = 0
+         |  WHERE c.doc_id % 20 <> 0),
+         |st AS (
+         |  SELECT sc.source, sc.n_chars,
+         |    CASE WHEN sc.is_bench THEN 'bench'
+         |         WHEN sc.blocked THEN 'blocked'
+         |         WHEN sc.quality < 0 THEN 'low_quality'
+         |         WHEN sc.doc_id <> k.keep_id THEN 'duplicate'
+         |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |         ELSE 'kept' END AS stage
+         |  FROM sc LEFT JOIN k ON md5(sc.text) = k.h
+         |          LEFT JOIN ct ON ct.doc_id = sc.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'bench' THEN 1 END), 0) AS BIGINT) AS n_bench,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'blocked' THEN 1 END), 0) AS BIGINT) AS n_blocked,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'low_quality' THEN 1 END), 0) AS BIGINT) AS n_lowq,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'duplicate' THEN 1 END), 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'contaminated' THEN 1 END), 0) AS BIGINT) AS n_contam,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'kept' THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN stage = 'kept' THEN n_chars END), 0) AS BIGINT) AS kept_chars
+         |FROM st GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_rebalance" ->
       """WITH r AS (

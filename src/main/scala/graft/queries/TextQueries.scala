@@ -342,12 +342,7 @@ object TextQueries extends QuerySet {
     // plan shape. Weights here are a fixed integer mix of the bucket id
     // (exact on any engine), so scores hash-match bit-for-bit.
     "q_text_classifier" -> { (s, dir) =>
-      // weight of one token `v`: bucket = charfold(v) % 4096, then an
-      // integer scramble of the bucket id into [-1000, 1000]
-      def wgt(v: String): String =
-        s"(((aggregate(sequence(1, length($v)), CAST(0 AS BIGINT), " +
-        s"(h, i) -> (h * 31 + ascii(substring($v, i, 1))) % 1000003) " +
-        s"% 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      def wgt(v: String): String = TextQueries.wgtExpr(v)
       t(s, dir, "documents")
         .withColumn("w",
           expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
@@ -376,6 +371,30 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Integer weight of one classifier token (q_text_classifier's exact
+    * formula): bucket = charfold(v) % 4096, then an integer scramble of
+    * the bucket id into [-1000, 1000] — shared with the composite
+    * cleaning pipeline (q_pipeline_clean). */
+  private[queries] def wgtExpr(v: String): String =
+    s"(((aggregate(sequence(1, length($v)), CAST(0 AS BIGINT), " +
+    s"(h, i) -> (h * 31 + ascii(substring($v, i, 1))) % 1000003) " +
+    s"% 4096) * 2654435761) % 1000003) % 2001 - 1000"
+
+  /** The full classifier document score (unigrams + bigrams) as ONE
+    * Spark SQL expression over a pre-split token-array column — the
+    * q_text_classifier decision value, reusable inside other plans.
+    * Bigram STRINGS materialize in an inner transform before weighting:
+    * wgtExpr's own lambda binds `i` for char positions, so an outer
+    * index lambda feeding it directly would be variable-captured. */
+  private[queries] def classifierScoreFromTokens(wCol: String): String =
+    s"(aggregate(transform($wCol, tk -> ${wgtExpr("tk")}), " +
+    s"CAST(0 AS BIGINT), (a, x) -> a + x) + " +
+    s"CASE WHEN size($wCol) > 1 THEN " +
+    s"aggregate(transform(transform(sequence(1, size($wCol) - 1), " +
+    s"i -> concat(element_at($wCol, i), '_', element_at($wCol, i + 1))), " +
+    s"tk -> ${wgtExpr("tk")}), CAST(0 AS BIGINT), (a, x) -> a + x) " +
+    s"ELSE CAST(0 AS BIGINT) END)"
 
   private def langScoreSql(l: String, words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
