@@ -44,7 +44,14 @@ object ScaleBench {
     "q_decontaminate_bloom", "q_text_repetition", "q_text_levenshtein",
     "q_text_levenshtein_blocked",
     "q_ewma", "q_ewma_recurrence", "q32_json_funcs",
-    "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
+    "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles",
+    // round-10 additions: keep-best rides the CC subtree + a
+    // cluster-sized window; source-cap is one source-key window; cross-
+    // dedup's NEW side is doc_id%10==3, so the replica construction
+    // grows the batch K× along with the corpus — the factor reads as
+    // "batch and corpus both ×K", an upper bound on the fixed-size-batch
+    // serving shape.
+    "q_dedup_keep_best", "q_dedup_cross", "q_source_cap")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is

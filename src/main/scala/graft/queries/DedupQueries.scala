@@ -260,6 +260,83 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // QUALITY-AWARE cluster representative: q_dedup_components picks the
+    // survivor by min doc_id; a real curation pipeline keeps the BEST
+    // member of each near-dup cluster — the shared quality score
+    // (TextQueries.withQuality, the one formula q_source_cap ranks by
+    // too), ties broken by doc_id. Shape on top of the CC output: one
+    // join to the map-only quality column + one per-component window
+    // rank (components are cluster-sized — bounded by the dup-cluster
+    // fan-in, never corpus-sized — so the window partitions stay tiny at
+    // any corpus scale; the corpus-sized work all lives in the
+    // candidate/verify subtree shared with q_dedup_components).
+    "q_dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sets = shingleSets(s, dir)
+      val pairs = candidates(s, dir)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(micro(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
+        .select(col("doc_a"), col("doc_b"))
+      val quality = TextQueries.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_micro"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality_micro").desc, col("doc_id"))
+      graft.operators.ConnectedComponents.run(pairs)
+        .join(quality, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("rep_doc"),
+          max(when(col("rk") === 1, col("quality_micro")))
+            .as("rep_quality_micro"))
+        .orderBy(col("component"))
+    },
+
+    // INCREMENTAL (cross-corpus) dedup: a NEW ingest batch (doc_id%10==3
+    // stands in for it) deduped AGAINST the existing corpus — the shape a
+    // continuously-updated 100 TB corpus actually runs, because
+    // re-self-joining the whole corpus on every refresh re-pays the full
+    // quadratic-candidate bill for data that was already clean. The band
+    // join here is new×old only (batch-sized left side — broadcastable
+    // when the batch is small; the corpus side's band keys are exactly
+    // what a persisted signature store holds, so at scale the corpus
+    // never re-shingles either — st10 is the streaming twin of this
+    // batch form). Every batch doc reports in (LEFT join), so clean
+    // docs are pinned as 0-match rows rather than silently absent.
+    "q_dedup_cross" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val br = bandRows(sets)
+      val newBand = br.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id").as("new_id"), col("n").as("nn"), col("bk"))
+      val oldBand = br.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id").as("old_id"), col("n").as("no"), col("bk"))
+      val cand = newBand.join(oldBand, Seq("bk"))
+        .select(col("new_id"), col("old_id"), col("nn"), col("no")).distinct()
+      val dups = cand
+        .join(sets.select(col("doc_id").as("new_id"), col("sh")),
+          Seq("new_id"))
+        .join(sets.select(col("doc_id").as("old_id"), col("sh")),
+          Seq("old_id", "sh"))
+        .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(micro(col("ni").cast("double") /
+          (col("nn") + col("no") - col("ni")).cast("double")) >= 500000)
+        .select(col("new_id").as("doc_id"), col("old_id"))
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+        .join(dups, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("old_id")).as("n_matches"),
+          min(col("old_id")).as("first_match"))
+        .withColumn("is_dup", col("n_matches") > 0)
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark DECONTAMINATION: flag corpus documents sharing any word
     // 5-gram with a held-out benchmark set (here: doc_id % 20 == 0 stands
     // in for the benchmark) — the standard n-gram-overlap decontamination
@@ -820,6 +897,80 @@ object DedupQueries extends QuerySet {
          |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s)
          |SELECT s AS doc_id, CAST(LEAST(s, min(d)) AS BIGINT) AS component
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.doc_a
+         |  JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+         |comp AS (
+         |  SELECT s AS doc_id, CAST(LEAST(s, min(d)) AS BIGINT) AS component
+         |  FROM reach GROUP BY s),
+         |${TextQueries.qualitySql},
+         |ranked AS (
+         |  SELECT c.component, c.doc_id, q.quality_micro,
+         |         row_number() OVER (PARTITION BY c.component
+         |                            ORDER BY q.quality_micro DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT component,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_doc,
+         |  CAST(max(CASE WHEN rk = 1 THEN quality_micro END) AS BIGINT) AS rep_quality_micro
+         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    "q_dedup_cross" ->
+      s"""WITH $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |cnd AS (
+         |  SELECT DISTINCT new_id, old_id FROM (
+         |    SELECT a.doc_id AS new_id, b.doc_id AS old_id
+         |    FROM sig a JOIN sig b ON a.b1 = b.b1
+         |    WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.b2 = b.b2
+         |    WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.b3 = b.b3
+         |    WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3)),
+         |inter AS (
+         |  SELECT c.new_id, c.old_id, count(*) AS ni
+         |  FROM cnd c
+         |  JOIN sets sa ON sa.doc_id = c.new_id
+         |  JOIN sets sb ON sb.doc_id = c.old_id AND sb.sh = sa.sh
+         |  GROUP BY c.new_id, c.old_id),
+         |dups AS (
+         |  SELECT i.new_id, i.old_id
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.new_id
+         |  JOIN sizes zb ON zb.doc_id = i.old_id
+         |  WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000)
+         |SELECT d.doc_id,
+         |  CAST(count(dp.old_id) AS BIGINT) AS n_matches,
+         |  CAST(min(dp.old_id) AS BIGINT) AS first_match,
+         |  count(dp.old_id) > 0 AS is_dup
+         |FROM documents d LEFT JOIN dups dp ON dp.new_id = d.doc_id
+         |WHERE d.doc_id % 10 = 3
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $shinglesSql,

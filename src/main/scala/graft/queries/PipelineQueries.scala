@@ -47,6 +47,38 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("source").asc_nulls_last)
     },
 
+    // PER-SOURCE DOCUMENT CAP (the C4/FineWeb anti-domain-dominance
+    // step): no single source may contribute more than K documents, and
+    // when a source exceeds the cap it keeps its K BEST documents by the
+    // shared quality score (TextQueries.withQuality — one definition
+    // across the pipeline), ties broken by doc_id for determinism. One
+    // shuffle on the source key + a per-source window rank (the q22
+    // top-k-per-group shape: rank, filter — never a global sort). At
+    // 100 TB: source cardinality is domain-sized (millions), so the
+    // window partitions are small-by-construction EXCEPT the giant
+    // domains the cap exists for — those sort only within their own
+    // partition, and AQE's skew split does not apply to windows, so a
+    // pathological mega-domain would use the two-pass variant (approx
+    // per-source quality threshold from a sample, then a map-only
+    // filter); at any realistic domain skew the rank-window is the
+    // right plan. Output is the per-source audit a curation run reports:
+    // docs seen / kept, the quality bar that the cap imposed, and the
+    // kept byte mass.
+    "q_source_cap" -> { (s, dir) =>
+      val K = 15
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_micro").desc, col("doc_id"))
+      TextQueries.withQuality(t(s, dir, "documents"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= K, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("rk") <= K, col("quality_micro")))
+            .as("cap_quality_micro"),
+          sum(when(col("rk") <= K, col("n_chars"))).as("kept_chars"))
+        .orderBy(col("source"))
+    },
+
     // Approximate HEAVY HITTERS via count-min sketch — the streaming-
     // friendly top-k the exact q_vocab cannot give at 100 TB (an exact
     // top-k shuffles every distinct token; the CMS is a fixed-size
@@ -338,6 +370,20 @@ object PipelineQueries extends QuerySet {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM tok GROUP BY tok ORDER BY tf DESC, tok""".stripMargin,
+
+    "q_source_cap" ->
+      s"""WITH ${TextQueries.qualitySql},
+         |ranked AS (
+         |  SELECT d.source, d.doc_id, d.n_chars, q.quality_micro,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY q.quality_micro DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(min(CASE WHEN rk <= 15 THEN quality_micro END) AS BIGINT) AS cap_quality_micro,
+         |  CAST(sum(CASE WHEN rk <= 15 THEN n_chars END) AS BIGINT) AS kept_chars
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     // exact counts cross-checked; the TRUE literals are the expectation
     // that Spark's count-min estimates respect their bound (see query)

@@ -12,6 +12,59 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QuerySet {
 
+  /** THE document quality score — one definition for every operator that
+    * ranks or filters by quality (q_text_quality's report, q_source_cap's
+    * per-domain cap, q_dedup_keep_best's cluster representative). Adds
+    * `stop_ratio`, `special_ratio`, `quality_micro` (weighted blend of
+    * length / stopword ratio / special-char ratio / mean word length,
+    * fixed-point micro-units: floor(x*1e6 + 0.5) is bit-identical across
+    * engines, unlike round() at exact .5 micro-boundaries — these
+    * weighted small-int ratios do land on them). Map-only: per-document
+    * arithmetic, no shuffle, so stacking it onto any scan is free at
+    * 100 TB. The DuckDB twin is [[qualitySql]].
+    */
+  def withQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val en = array(stopwords.toMap.apply("en").map(lit): _*)
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("w"), tk => array_contains(en, tk)))
+          .cast("double") / col("n_tok"))
+      .withColumn("special_ratio",
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("mean_len",
+        expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
+          .cast("double") / col("n_tok"))
+      .withColumn("quality_micro",
+        floor((least(col("n_tok") / 100.0, lit(1.0)) * 0.3 +
+          col("stop_ratio") * 0.3 +
+          (lit(1.0) - col("special_ratio")) * 0.2 +
+          least(col("mean_len") / 8.0, lit(1.0)) * 0.2) * 1000000.0 + 0.5)
+          .cast("long"))
+      .drop("w", "n_tok", "mean_len")
+  }
+
+  /** DuckDB twin of [[withQuality]]: CTEs `qm` (the ratio metrics) and
+    * `q` (doc_id, quality_micro) over `documents` — splice into any
+    * oracle's WITH list so the SQL side shares the one formula too. */
+  val qualitySql: String =
+    """qm AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) / n_tok AS stop_ratio,
+      |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS special_ratio,
+      |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / n_tok AS mean_len,
+      |    n_tok
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w,
+      |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |        FROM documents)),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(floor((least(n_tok / 100.0, 1.0) * 0.3 + stop_ratio * 0.3
+      |      + (1.0 - special_ratio) * 0.2 + least(mean_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+      |  FROM qm)""".stripMargin
+
   /** Per-language stopword profiles for the language-ID heuristic. */
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und"),
@@ -60,31 +113,14 @@ object TextQueries extends QuerySet {
     },
 
     // Quality score: length, stopword ratio, special-char ratio, word length.
+    // The score itself lives in [[withQuality]] so quality-RANKED operators
+    // (q_source_cap, q_dedup_keep_best) share the one definition.
     "q_text_quality" -> { (s, dir) =>
-      val en = array(stopwords.toMap.apply("en").map(lit): _*)
-      t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tok", size(col("w")).cast("double"))
-        .withColumn("stop_ratio",
-          size(filter(col("w"), tk => array_contains(en, tk)))
-            .cast("double") / col("n_tok"))
-        .withColumn("special_ratio",
-          length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
-            length(col("text")).cast("double"))
-        .withColumn("mean_len",
-          expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
-            .cast("double") / col("n_tok"))
+      withQuality(t(s, dir, "documents"))
         .select(col("doc_id"),
           micro(col("stop_ratio")).as("stop_ratio_micro"),
           micro(col("special_ratio")).as("special_ratio_micro"),
-          // fixed-point micro-units: floor(x*1e6 + 0.5) is bit-identical
-          // across engines, unlike round() at exact .5 micro-boundaries
-          // (these weighted small-int ratios do land on them).
-          floor((least(col("n_tok") / 100.0, lit(1.0)) * 0.3 +
-             col("stop_ratio") * 0.3 +
-             (lit(1.0) - col("special_ratio")) * 0.2 +
-             least(col("mean_len") / 8.0, lit(1.0)) * 0.2) * 1000000.0 + 0.5)
-            .cast("long").as("quality_micro"))
+          col("quality_micro"))
         .orderBy(col("doc_id"))
     },
 
@@ -451,23 +487,12 @@ object TextQueries extends QuerySet {
          |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w,
-        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) / n_tok AS stop_ratio,
-        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS special_ratio,
-        |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / n_tok AS mean_len,
-        |    n_tok
-        |  FROM d)
-        |SELECT doc_id,
-        |  CAST(floor(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ratio_micro,
-        |  CAST(floor(special_ratio * 1000000.0 + 0.5) AS BIGINT) AS special_ratio_micro,
-        |  CAST(floor((least(n_tok / 100.0, 1.0) * 0.3 + stop_ratio * 0.3
-        |        + (1.0 - special_ratio) * 0.2 + least(mean_len / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualitySql
+         |SELECT qm.doc_id,
+         |  CAST(floor(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ratio_micro,
+         |  CAST(floor(special_ratio * 1000000.0 + 0.5) AS BIGINT) AS special_ratio_micro,
+         |  q.quality_micro
+         |FROM qm JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,
