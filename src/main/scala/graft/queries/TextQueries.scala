@@ -405,6 +405,67 @@ object TextQueries extends QuerySet {
           when(col("uni_score") + col("bi_score") >= 0, "keep")
             .otherwise("drop").as("label"))
         .orderBy(col("doc_id"))
+    },
+
+    // CONDITIONAL bigram language model with add-1 smoothing — the
+    // KenLM-shaped CCNet/RefinedWeb perplexity gate with a real
+    // conditional model (q_text_perplexity's unigram LM scores tokens
+    // independent of context; fluency filtering needs p(w|prev)). The LM
+    // trains on a FIXED reference subset (sources src0-src3 — the
+    // Wikipedia analog of CCNet's KenLM) and scores the WHOLE corpus, so
+    // the unseen-bigram smoothing path executes for real on out-of-domain
+    // documents (n_unseen is observably non-zero for non-train sources).
+    // Scale shape: the LM is an aggregate of the REFERENCE corpus, not
+    // the corpus being scored — model-sized at 100 TB, broadcast on both
+    // probe joins (the n-gram analog of the Bloom/blocklist small sides);
+    // scoring is map-only per bigram plus one doc_id aggregate. Per-token
+    // log-probs are micro-quantized before the per-doc sum (exact integer
+    // rollup, engine- and order-independent); the context counts derive
+    // from the bigram counts (cu = Σ_w2 cb) so both probe tables share
+    // one aggregation subtree.
+    "q_text_lm_bigram" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // '<s>' sentence-start padding: every (len>0)-token document emits
+      // exactly len bigrams, and w1='<s>' carries the start-of-doc
+      // distribution (unpadded, the first real token would go unscored)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("p", expr(
+          "concat(array('<s>'), filter(split(text, ' '), tk -> length(tk) > 0))"))
+        .filter(size(col("p")) > 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(p) - 1), " +
+          "i -> struct(element_at(p, i) AS w1, element_at(p, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val train = bigrams(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+      val cb = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+      // V = |{w2}| + 1: the +1 reserves smoothing mass for tokens the
+      // reference corpus never emitted (a pure add-1 over the train vocab
+      // would assign unseen-w2 bigrams probability (0+1)/(cu+V) exactly
+      // like a seen-once one — fine — but V must cover the OOV event so
+      // probabilities stay < 1 even for cu=0 contexts)
+      val vocab = cb.agg(
+        (countDistinct(col("w2")) + 1).cast("double").as("v"))
+      bigrams(docs)
+        .join(broadcast(cb), Seq("w1", "w2"), "left")
+        .join(broadcast(cu), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab)) // 1-row broadcast, no collect
+        .withColumn("logp_micro", micro(log(
+          (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cu"), lit(0L)).cast("double") + col("v")))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"),
+          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(col("logp_micro")).as("sum_logp_micro"))
+        .select(col("doc_id"), col("n_big"), col("n_unseen"),
+          col("sum_logp_micro"),
+          // negate first: half-up integer average on positive operands
+          intDiv(col("sum_logp_micro") * -1 + intDiv(col("n_big"), lit(2)),
+            col("n_big")).as("avg_neg_logp_micro"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -623,6 +684,44 @@ object TextQueries extends QuerySet {
          |  CASE WHEN uni_score + bi_score >= 0 THEN 'keep' ELSE 'drop' END
          |    AS label
          |FROM sc ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // identical arithmetic: same '<s>' padding, same add-1 ratio with the
+    // numerator cast to DOUBLE before the divide, same micro floor, then
+    // pure integer rollups
+    "q_text_lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_prepend('<s>', list_filter(string_split(text, ' '),
+        |                      tk -> length(tk) > 0)) AS p
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(p)),
+        |           i -> struct_pack(w1 := p[i], w2 := p[i + 1]))) AS b
+        |  FROM d WHERE len(p) > 1),
+        |g AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM g
+        |       WHERE source IN ('src0','src1','src2','src3')
+        |       GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v FROM cb),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CAST(floor(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) /
+        |      (CAST(COALESCE(cu.cu, 0) AS DOUBLE) + v.v)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS logp_micro,
+        |    CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM g
+        |  LEFT JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+        |  LEFT JOIN cu ON cu.w1 = g.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_big,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+        |  CAST((-sum(logp_micro) + count(*) // 2) // count(*) AS BIGINT)
+        |    AS avg_neg_logp_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
