@@ -140,6 +140,26 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       case Some(n) => Left(s"max_rows must be a positive 32-bit int, got '$n'")
     }
 
+  /** Optional `explain=<mode>` query param: `true`/`formatted`,
+    * `simple`, `extended`, `codegen`, or `cost` — return the Catalyst
+    * plan as JSON INSTEAD of executing (plan-only: no Spark job runs, so
+    * an operator can inspect pushdown / join strategy / the max_rows
+    * plan-side limit of an expensive query without paying for it).
+    * Malformed modes fail closed with a 400, like max_rows. */
+  private def explainOf(params: Map[String, String])
+      : Either[String, Option[org.apache.spark.sql.execution.ExplainMode]] =
+    params.get("explain") match {
+      case None => Right(None)
+      case Some(v) =>
+        val norm = if (v == "true" || v.isEmpty) "formatted" else v
+        try Right(Some(
+          org.apache.spark.sql.execution.ExplainMode.fromString(norm)))
+        catch { case _: Exception =>
+          Left(s"invalid explain mode '$v' (use formatted, simple, " +
+            "extended, codegen, or cost)")
+        }
+    }
+
   /** Optional `timeout_ms=N` query param, falling back to the server-wide
     * default. An EXPLICIT `timeout_ms=0` means unbounded — the only way
     * a client with a legitimately long query can opt out of a server
@@ -276,10 +296,14 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
               df <- engine.range(series, s0, e0)
               capped <- capRows(df, p)
               tmo <- timeoutOf(p)
-            } yield (capped, tmo)
+              exp <- explainOf(p)
+            } yield (capped, tmo, exp)
             planned match {
-              case Right((df, tmo)) => respondRowStreamBounded(ex, df, tmo,
-                s"range($series, $s0, $e0)")
+              case Right((df, _, Some(mode))) =>
+                respond(ex, 200, s"""{"plan":${quote(
+                  df.queryExecution.explainString(mode))}}""")
+              case Right((df, tmo, None)) => respondRowStreamBounded(ex, df,
+                tmo, s"range($series, $s0, $e0)")
               case Left(err) =>
                 respond(ex, 400, s"""{"error":${quote(err)}}""")
             }
@@ -311,9 +335,13 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
             df <- engine.query(sql)
             capped <- capRows(df, p)
             tmo <- timeoutOf(p)
-          } yield (capped, tmo)
+            exp <- explainOf(p)
+          } yield (capped, tmo, exp)
           planned match {
-            case Right((df, tmo)) =>
+            case Right((df, _, Some(mode))) =>
+              respond(ex, 200, s"""{"plan":${quote(
+                df.queryExecution.explainString(mode))}}""")
+            case Right((df, tmo, None)) =>
               respondRowStreamBounded(ex, df, tmo, sql)
             case Left(err) => respond(ex, 400, s"""{"error":${quote(err)}}""")
           }

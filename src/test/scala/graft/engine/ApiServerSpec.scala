@@ -138,6 +138,39 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("explain=<mode> returns the Catalyst plan without executing, " +
+      "shows the plan-side max_rows cap, and fails closed on bad modes") {
+    val engine = new Engine(spark, tmpDir("graft-api-explain"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      engine.ingestLines(Seq("cpu,host=a v=1 1700000000000000000"))
+      // formatted physical plan, as JSON — not result rows
+      val (c1, b1) = call(s"$base/query?explain=true", "POST",
+        "q=SELECT%20name%2C%20value%20FROM%20cpu%20WHERE%20value%20%3E%200")
+      assert(c1 == 200 && b1.startsWith("""{"plan":"""), b1)
+      assert(b1.contains("Physical Plan"), b1)
+      assert(!b1.contains("\"value\":1"), "explain must not execute")
+      // the value > 0 predicate must reach the parquet scan
+      assert(b1.contains("PushedFilters"), b1)
+
+      // max_rows composes: the cap is visible in the plan as a limit
+      val (c2, b2) = call(s"$base/query?explain=simple&max_rows=7", "POST",
+        "q=SELECT%20name%2C%20value%20FROM%20cpu")
+      assert(c2 == 200 && b2.contains("Limit") && b2.contains("7"), b2)
+
+      // /range supports it too (same plan pipeline as /query)
+      val (c3, b3) = call(s"$base/range/cpu?start=2009-02-13T23:31:31Z" +
+        "&end=2030-01-01T00:00:00Z&explain=extended")
+      assert(c3 == 200 && b3.contains("Physical Plan"), b3)
+
+      // malformed mode fails closed, like max_rows
+      val (c4, b4) = call(s"$base/query?explain=bogus", "POST",
+        "q=SELECT%20name%20FROM%20cpu")
+      assert(c4 == 400 && b4.contains("explain"), s"$c4 $b4")
+    } finally api.stop()
+  }
+
   test("D8 truncation semantics under a planted execution failure: a " +
       "LATER-partition failure truncates the chunked body detectably, a " +
       "FIRST-partition failure is a clean 500") {
