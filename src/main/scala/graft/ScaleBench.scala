@@ -67,7 +67,8 @@ object ScaleBench {
     "q34c_knn_join@auto", "q34d_ann_multiprobe", "q34e_pq_ann",
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto",
-    "q_dedup_semdedup", "q_dedup_semdedup@sqrtk")
+    "q_dedup_semdedup", "q_dedup_semdedup@sqrtk",
+    "q_embed_project", "pca_project")
 
   /** The text-analysis scoring family: map-side expressions + one agg
     * each, vocab/LM/idf sides broadcast (plan-asserted in
@@ -76,7 +77,7 @@ object ScaleBench {
   val textHeavy: Seq[String] = Seq(
     "q_text_tfidf", "q_text_perplexity", "q_text_langid",
     "q_text_quality", "q_text_fingerprint", "q_text_tokens",
-    "q_text_classifier")
+    "q_text_classifier", "q_text_lm_bigram")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -116,6 +117,15 @@ object ScaleBench {
         ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)),
       "q_dedup_semdedup@sqrtk" ->
         ((s, d) => queries.DedupQueries.semDedupScaled(s, d)),
+      // full PCA pipeline: the one-pass moments aggregate + driver
+      // eigensolve run INSIDE the timed call (they are the cost), then
+      // the map-only 64→16 projection over the whole corpus
+      "pca_project" -> ((s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val m = operators.Pca.moments(emb, "embedding")
+        val pcs = operators.Pca.principalComponents(m.cov, 16)
+        operators.Pca.project(emb, "embedding", pcs, m.mean)
+      }),
       // BPE training: 30 merge rounds over the word histogram. NOTE the
       // replica construction is BPE's worst case — the per-word replica
       // suffix makes every replica's words DISTINCT, so the vocabulary

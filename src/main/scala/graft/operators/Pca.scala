@@ -158,4 +158,43 @@ object Pca {
     val tr = cov.indices.map(i => cov(i)(i)).sum
     pcs.map { case (l, _) => l / tr }
   }
+
+  /** Per-row moment TERMS for streaming accumulation: a d-dim vector
+    * expands to d(d+1)/2 upper-triangle product terms (i ≤ j), d sum
+    * terms (j = -1), and one count term (i = j = -1). A continuous
+    * `groupBy(i, j).agg(sum(v))` over these makes Spark's aggregation
+    * state store ITSELF the moments summary — d²-bounded state whatever
+    * the row count, mergeable by addition, exactly the LogHistogram/HLL
+    * rollup contract for second moments. Map-side partial aggregation
+    * collapses each partition's fan-out back to ≤ d² rows before any
+    * shuffle. Rebuild with [[fromMomentRows]]; the model refreshes from
+    * live state at any time (the streaming twin of [[moments]]). */
+  def momentTermsExpr(embCol: String): Column = expr(
+    s"concat(" +
+    s"array(named_struct('i', -1, 'j', -1, 'v', CAST(1.0 AS DOUBLE))), " +
+    s"transform(sequence(1, size($embCol)), i -> named_struct(" +
+    s"'i', i, 'j', -1, 'v', CAST(element_at($embCol, i) AS DOUBLE))), " +
+    s"flatten(transform(sequence(1, size($embCol)), i -> " +
+    s"transform(sequence(i, size($embCol)), j -> named_struct(" +
+    s"'i', i, 'j', j, 'v', CAST(element_at($embCol, i) AS DOUBLE) * " +
+    s"CAST(element_at($embCol, j) AS DOUBLE))))))")
+
+  /** Rebuild [[Moments]] from accumulated (i, j, sum) rows — i/j are
+    * 1-based from [[momentTermsExpr]]. */
+  def fromMomentRows(rows: Seq[(Int, Int, Double)]): Moments = {
+    val n = rows.collectFirst { case (-1, -1, v) => v }
+      .getOrElse(throw new IllegalArgumentException("no count term"))
+    val sums = rows.collect { case (i, -1, v) if i > 0 => (i - 1, v) }.toMap
+    val d = sums.keys.max + 1
+    val mean = Array.tabulate(d)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { case (i1, j1, v) =>
+      if (i1 > 0 && j1 > 0) {
+        val c = v / n - mean(i1 - 1) * mean(j1 - 1)
+        cov(i1 - 1)(j1 - 1) = c
+        cov(j1 - 1)(i1 - 1) = c
+      }
+    }
+    Moments(cov, mean, n.toLong)
+  }
 }

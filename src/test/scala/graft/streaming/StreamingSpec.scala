@@ -677,4 +677,49 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(p(1).getDouble(1) - 990.0) / 990.0 <= 0.01,
       s"p99=${p(1).getDouble(1)}")
   }
+
+  test("st19: streaming PCA moments — the aggregation state store holds " +
+      "the d²-bounded second-moment summary; online model == batch") {
+    import graft.operators.Pca
+    val d = 6
+    // two-axis fixture (the PcaSpec construction at d=6): the stream
+    // accumulates moments, the model refreshes from live state anytime
+    def vec(k: Int): Seq[Double] = {
+      val a = 10.0 * (if (k % 2 == 0) 1 else -1) *
+        (1.0 + (k * 2654435761L % 97) / 97.0)
+      val b = 2.0 * (if (k % 4 < 2) 1 else -1) *
+        (1.0 + (k * 48271L % 89) / 89.0)
+      Seq.tabulate(d)(i =>
+        a * (if (i < 3) 0.5 else 0.0) + b * (if (i >= 3) 0.5 else 0.0))
+    }
+    val in = MemoryStream[Seq[Double]]
+    val terms = in.toDF().toDF("v")
+      .select(explode(Pca.momentTermsExpr("v")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.v")).as("s"))
+    val q = terms.writeStream.outputMode("complete").format("memory")
+      .queryName("st19").start()
+    try {
+      in.addData((0 until 120).map(vec): _*)
+      q.processAllAvailable()
+      in.addData((120 until 240).map(vec): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st19").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    // the state is MODEL-sized: exactly count + d sums + d(d+1)/2
+    // products, however many rows streamed through
+    assert(rows.length == 1 + d + d * (d + 1) / 2, rows.length)
+    val online = Pca.fromMomentRows(rows)
+    val batch = Pca.moments((0 until 240).map(vec).toDF("v"), "v")
+    assert(online.n == 240 && batch.n == 240)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(online.cov(i)(j) - batch.cov(i)(j)) < 1e-9,
+        s"cov($i,$j): ${online.cov(i)(j)} vs ${batch.cov(i)(j)}")
+    // the eigensolve on the online moments lands on the same axis
+    val pOn = Pca.principalComponents(online.cov, 1).head._2
+    val pBat = Pca.principalComponents(batch.cov, 1).head._2
+    val dot = pOn.indices.map(i => pOn(i) * pBat(i)).sum
+    assert(math.abs(dot) > 0.999999, s"axis dot=$dot")
+  }
 }
