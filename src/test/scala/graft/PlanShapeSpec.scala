@@ -14,7 +14,9 @@ class PlanShapeSpec extends SparkSpec {
     "q34d_ann_multiprobe", // 1-row broadcast query vector + 2-row probe set
     "q34e_pq_ann", // 1-row broadcast query vector over the 50-row shortlist
     "q_bigram_pmi", // 1-row broadcast corpus total
-    "q_text_tfidf") // 1-row broadcast document count into the idf table
+    "q_text_tfidf", // 1-row broadcast document count into the idf table
+    "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
+    "q_embed_project") // 1-row broadcast query vector (q34 pattern)
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
