@@ -350,10 +350,91 @@ object PipelineQueries extends QuerySet {
           coalesce(sum(when(col("stage") === "kept", col("n_chars"))),
             lit(0L)).as("kept_chars"))
         .orderBy(col("source").asc_nulls_last)
+    },
+
+    // COLUMN PROFILING (the pipeline-onboarding "describe my 100 TB"
+    // pass, TFDV-style): per column — non-null/null counts, EXACT
+    // distinct count, type-quantized min/max (longs as-is, doubles in
+    // micro units, timestamps in epoch µs, strings by length) and total
+    // string bytes. ONE scan per table: every metric is a map-side
+    // partial agg; the n exact distincts plan as one Expand(×n)+two-level
+    // hash agg — the documented cost of exactness (at 100 TB swap
+    // countDistinct for approx_count_distinct per column and Expand
+    // disappears; the oracle pins the exact form). Output is
+    // catalog-sized: one row per column, driver-safe at any corpus.
+    "q_profile_columns" -> { (s, dir) =>
+      // kinds: long | str | double | ts — chooses the min/max quantizer
+      def profile(df: org.apache.spark.sql.DataFrame, tbl: String,
+          cols: Seq[(String, String)]) = {
+        val aggs = cols.flatMap { case (c, kind) =>
+          val (mn, mx) = kind match {
+            case "long" => (min(col(c)).cast("long"),
+              max(col(c)).cast("long"))
+            case "str" => (min(length(col(c))).cast("long"),
+              max(length(col(c))).cast("long"))
+            case "double" => (micro(min(col(c))), micro(max(col(c))))
+            case "ts" => (unix_micros(min(col(c))), unix_micros(max(col(c))))
+          }
+          Seq(count(col(c)).as(s"${c}__n"),
+            countDistinct(col(c)).as(s"${c}__d"),
+            mn.as(s"${c}__min"), mx.as(s"${c}__max"),
+            (if (kind == "str") sum(length(col(c))).cast("long")
+             else lit(null).cast("long")).as(s"${c}__len"))
+        } :+ count(lit(1)).as("__total")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map { case (c, _) =>
+            struct(lit(tbl).as("tbl"), lit(c).as("col"),
+              col(s"${c}__n").as("n_nonnull"),
+              (col("__total") - col(s"${c}__n")).as("n_null"),
+              col(s"${c}__d").as("n_distinct"),
+              col(s"${c}__min").as("min_q"),
+              col(s"${c}__max").as("max_q"),
+              col(s"${c}__len").as("sum_len"))
+          }: _*)).as("r"))
+          .select(col("r.*"))
+      }
+      profile(t(s, dir, "documents"), "documents",
+        Seq("doc_id" -> "long", "text" -> "str", "lang" -> "str",
+          "source" -> "str", "n_chars" -> "long"))
+        .unionByName(profile(t(s, dir, "events"), "events",
+          Seq("event_id" -> "long", "ts" -> "ts", "user_id" -> "long",
+            "event_type" -> "str", "value" -> "double")))
+        .orderBy(col("tbl"), col("col"))
     }
   )
 
+  /** One oracle row of q_profile_columns (mirrors the Spark quantizers:
+    * longs as-is, strings by length, doubles half-up micro, ts epoch µs). */
+  private def profileSql(tbl: String, c: String, kind: String): String = {
+    val (mn, mx) = kind match {
+      case "long" => (s"CAST(min($c) AS BIGINT)", s"CAST(max($c) AS BIGINT)")
+      case "str" => (s"CAST(min(length($c)) AS BIGINT)",
+        s"CAST(max(length($c)) AS BIGINT)")
+      case "double" =>
+        (s"CAST(floor(min($c) * 1000000.0 + 0.5) AS BIGINT)",
+          s"CAST(floor(max($c) * 1000000.0 + 0.5) AS BIGINT)")
+      case "ts" => (s"epoch_us(min($c))", s"epoch_us(max($c))")
+    }
+    val len = if (kind == "str") s"CAST(sum(length($c)) AS BIGINT)"
+      else "CAST(NULL AS BIGINT)"
+    s"""SELECT '$tbl' AS tbl, '$c' AS col,
+       |  CAST(count($c) AS BIGINT) AS n_nonnull,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $mn AS min_q, $mx AS max_q, $len AS sum_len
+       |FROM $tbl""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_profile_columns" -> (Seq(
+      ("documents", "doc_id", "long"), ("documents", "text", "str"),
+      ("documents", "lang", "str"), ("documents", "source", "str"),
+      ("documents", "n_chars", "long"),
+      ("events", "event_id", "long"), ("events", "ts", "ts"),
+      ("events", "user_id", "long"), ("events", "event_type", "str"),
+      ("events", "value", "double"))
+      .map { case (tb, c, k) => profileSql(tb, c, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")),
     // IS NULL arm matches the anti-join's semantics: a NULL source never
     // equi-matches the blocklist, so the row SURVIVES — bare NOT IN
     // would evaluate NULL and silently drop it (engines would diverge on

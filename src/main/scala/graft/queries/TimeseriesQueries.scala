@@ -138,6 +138,48 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"), col("hour"))
     },
 
+    // GAP FILL, fill(linear) mode (InfluxQL's other fill; q_gapfill is
+    // fill(previous)): interior gaps interpolate between the bracketing
+    // observations, edge gaps (no previous or no next) stay null. Same
+    // per-user generated grid; TWO window passes over ONE exchange — the
+    // backward pass (last observed value+hour) and the forward pass
+    // (first observed value+hour) share the user_id hash partitioning, so
+    // the plan is one shuffle + two in-partition sorts at any scale. The
+    // time fraction is exact integer epoch-second math on both engines.
+    "q_gapfill_linear" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val grid = e.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(expr(
+          "sequence(timestamp'2024-01-05 00:00:00', timestamp'2024-01-05 23:00:00', interval 1 hour)"))
+          .as("hour"))
+      val obs = e
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(avg(col("value")).as("avg_v"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when(col("avg_v").isNotNull, col("hour"))
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"), col("avg_v"),
+          last(col("avg_v"), ignoreNulls = true).over(wb).as("pv"),
+          last(obsHour, ignoreNulls = true).over(wb).as("pt"),
+          first(col("avg_v"), ignoreNulls = true).over(wf).as("nv"),
+          first(obsHour, ignoreNulls = true).over(wf).as("nt"))
+        .select(col("user_id"), ntz(col("hour")).as("hour"),
+          r6(when(col("avg_v").isNotNull, col("avg_v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (col("hour").cast("long") - col("pt").cast("long"))
+                  .cast("double") /
+                (col("nt").cast("long") - col("pt").cast("long"))
+                  .cast("double"))).as("filled_linear"),
+          col("avg_v").isNotNull.as("is_observed"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+
     // DERIVATIVE / non_negative_derivative (InfluxDB's headline transform):
     // per-series rate of change between consecutive points, counter
     // resets (negative deltas) clamped to null. One lag-window pass per
@@ -315,6 +357,33 @@ object TimeseriesQueries extends QuerySet {
         .select(col("event_id"), col("user_id"),
           micro((col("value") - col("m")) / col("sd")).as("z_micro"))
         .filter(abs(col("z_micro")) >= 2000000)
+        .orderBy(col("event_id"))
+    },
+
+    // ROBUST outlier detection: per-user median + MAD (median absolute
+    // deviation), modified z-score 0.6745*(v-med)/MAD, |z| > 3.5
+    // (Iglewicz-Hoaglin). Complements q_stat_anomaly's rolling mean/sd —
+    // the mean/sd pair is itself dragged by the outliers it hunts; the
+    // median/MAD pair has a 50% breakdown point. Scale shape: two exact-
+    // percentile aggs and two joins, ALL keyed on user_id — one hash
+    // partitioning reused end to end, per-group state is the percentile
+    // value-count map (bounded by the per-user value domain; the
+    // count-compress q18b recipe applies verbatim if it ever isn't).
+    "q_anomaly_mad" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = e.groupBy(col("user_id"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val mad = e.join(med, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      e.join(med, Seq("user_id")).join(mad, Seq("user_id"))
+        .filter(col("mad") > 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          micro(lit(0.6745d) * (col("value") - col("med")) / col("mad"))
+            .as("rz_micro"))
+        .filter(abs(col("rz_micro")) > 3500000L)
         .orderBy(col("event_id"))
     }
   )
@@ -498,6 +567,44 @@ object TimeseriesQueries extends QuerySet {
         |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
 
+    "q_gapfill_linear" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, h.hour
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |       (SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                                      TIMESTAMP '2024-01-05 23:00:00',
+        |                                      INTERVAL 1 HOUR)) AS hour) h),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour, avg(value) AS avg_v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.user_id, g.hour, o.avg_v
+        |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour),
+        |w AS (
+        |  SELECT user_id, hour, avg_v,
+        |    last_value(avg_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN avg_v IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(avg_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN avg_v IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT user_id, hour,
+        |  round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+        |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |               pv + (nv - pv)
+        |                 * CAST(epoch(hour)::BIGINT - epoch(pt)::BIGINT AS DOUBLE)
+        |                 / CAST(epoch(nt)::BIGINT - epoch(pt)::BIGINT AS DOUBLE)
+        |        END, 6) AS filled_linear,
+        |  (avg_v IS NOT NULL) AS is_observed
+        |FROM w ORDER BY user_id, hour""".stripMargin,
+
     "q_derivative" ->
       """WITH d AS (
         |  SELECT event_id, user_id, value, ts,
@@ -622,6 +729,26 @@ object TimeseriesQueries extends QuerySet {
         |FROM scored
         |WHERE nw >= 5 AND sd > 0
         |  AND abs(CAST(floor((value - m) / sd * 1000000.0 + 0.5) AS BIGINT)) >= 2000000
+        |ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT user_id, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM e GROUP BY user_id),
+        |mad AS (
+        |  SELECT e.user_id,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - med.med)) AS mad
+        |  FROM e JOIN med USING (user_id) GROUP BY e.user_id),
+        |sc AS (
+        |  SELECT e.event_id, e.user_id, e.value,
+        |    CAST(floor(0.6745 * (e.value - med.med) / mad.mad * 1000000.0 + 0.5)
+        |      AS BIGINT) AS rz_micro
+        |  FROM e JOIN med USING (user_id) JOIN mad ON mad.user_id = e.user_id
+        |  WHERE mad.mad > 0)
+        |SELECT event_id, user_id, value, rz_micro
+        |FROM sc WHERE abs(rz_micro) > 3500000
         |ORDER BY event_id""".stripMargin
   )
 }
