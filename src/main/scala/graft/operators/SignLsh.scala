@@ -82,10 +82,22 @@ object SignLsh {
   }
 
   /** The packed sign-bit bucket key over the first `bits` elements. */
-  def bucketExpr(embedding: Column, bits: Int): Column = {
+  def bucketExpr(embedding: Column, bits: Int): Column =
+    bucketExpr(embedding, bits, 0)
+
+  /** Bucket key over elements [offset+1, offset+bits] — table `t` of a
+    * multi-table LSH uses offset = t*bits, so the tables read DISJOINT
+    * sign coordinates and a near-dup pair split by one table's
+    * disagreeing bit is recovered by another (the union's recall is
+    * 1-(1-p^bits)^T for per-bit agreement p, vs p^bits single-table).
+    * offset+bits stays ≤ 63: element 64 is the planted-pair perturbation
+    * coordinate (see DedupQueries.plantedEmbeddings). */
+  def bucketExpr(embedding: Column, bits: Int, offset: Int): Column = {
     require(bits >= 1 && bits <= MaxBits, s"sign-LSH bits out of range: $bits")
+    require(offset >= 0 && offset + bits <= 63,
+      s"sign-LSH window out of range: offset=$offset bits=$bits")
     (1 to bits).map(i =>
-      when(element_at(embedding, i) >= 0, lit(1 << (i - 1)))
+      when(element_at(embedding, offset + i) >= 0, lit(1 << (i - 1)))
         .otherwise(lit(0))).reduce(_ + _)
   }
 }

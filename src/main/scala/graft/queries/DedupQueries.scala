@@ -97,6 +97,65 @@ object DedupQueries extends QuerySet {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The 2 PLANTED rows proving multi-table recall (vec_id 900005/900006,
+    * mirrored verbatim in the q_dedup_embedding_mt oracle): same
+    * exact-multiple-of-0.25 discipline as [[plantedEmbeddings]], the pair
+    * differing ONLY in element 2's SIGN (±0.75) → cosine ≈ 0.929, a true
+    * near-dup that table 0 (sign bits of elements 1-8) PROVABLY splits
+    * across buckets while table 1 (elements 9-16, all identical) recovers
+    * it — the in-query witness that the second table buys recall. */
+  private def mtPlantedEmbeddings(s: SparkSession): DataFrame =
+    s.range(5, 7).select(
+      (col("id") + 900000L).as("vec_id"),
+      expr("""transform(sequence(1, 64), i -> CAST(
+          (((i * 3) % 7) - 3) * 0.25D
+          * (CASE WHEN i = 2 AND id = 6 THEN -1.0D ELSE 1.0D END)
+          AS FLOAT))""").as("embedding"),
+      lit(91).as("label"))
+
+  /** MULTI-TABLE sign-LSH near-dup pairs — the production recall knob the
+    * single-table scaladoc points at (SignLsh): T tables bucket DISJOINT
+    * sign-coordinate windows (table t reads elements t*bits+1..t*bits+bits)
+    * and the candidate set is the union, so a pair split by one table's
+    * disagreeing sign is recovered by any table whose window agrees —
+    * recall 1-(1-p^bits)^T vs p^bits at T× the join cost (the standard
+    * LSH recall/cost trade; candidates are mostly disjoint between tables,
+    * so the duplicated cosine work on doubly-found pairs is bounded by the
+    * overlap, not the corpus). `tables_mask` (bit t set ⇔ table t found
+    * the pair) makes the recall claim observable IN the result: the
+    * planted cross-sign pair carries mask=2 — table 1 only.
+    * bits=None self-scales via SignLsh.bitsFor; the oracle query pins 8. */
+  def embeddingDedupPairsMultiTable(s: SparkSession, dir: String,
+      bits: Option[Int] = None, tables: Int = 2): DataFrame = {
+    import graft.operators.SignLsh
+    val b = bits.getOrElse(
+      SignLsh.autoBits(s"$dir/embeddings", t(s, dir, "embeddings")))
+    val e = t(s, dir, "embeddings")
+      .unionByName(plantedEmbeddings(s))
+      .unionByName(mtPlantedEmbeddings(s))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+    val branches = (0 until tables).map { tb =>
+      val eb = e.withColumn("bucket",
+        SignLsh.bucketExpr(col("embedding"), b, offset = tb * b))
+      val a = eb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("bucket"), col("nrm").as("na"))
+      val bb = eb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("bucket"), col("nrm").as("nb"))
+      a.join(bb, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (graft.functions.VecOps.vec_dot(col("ea"), col("eb"))
+            / (col("na") * col("nb"))).as("cs"),
+          lit(tb).as("tbl"))
+    }
+    branches.reduce(_ unionByName _)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(r6(max(col("cs"))).as("cos_sim"),
+        expr("bit_or(shiftleft(1, tbl))").cast("long").as("tables_mask"))
+      .filter(col("cos_sim") >= 0.8)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** ONE aggregate pass over the distinct shingle sets yields BOTH the
     * per-doc set size and all 6 MinHashes (min of md5(seed || shingle)) —
     * shared by candidate generation AND Jaccard verification, so the
@@ -515,6 +574,13 @@ object DedupQueries extends QuerySet {
     // callers get the self-scaling default (SignLsh.bitsFor).
     "q_dedup_embedding" -> { (s, dir) =>
       embeddingDedupPairs(s, dir, bits = Some(8)) },
+
+    // MULTI-TABLE sign-LSH (see embeddingDedupPairsMultiTable): two
+    // disjoint-coordinate tables; the planted ±element-2 pair (cosine
+    // ≈ 0.929) is split by table 0 and recovered by table 1 —
+    // tables_mask = 2 in the output is the in-query recall witness.
+    "q_dedup_embedding_mt" -> { (s, dir) =>
+      embeddingDedupPairsMultiTable(s, dir, bits = Some(8), tables = 2) },
 
     // SEMANTIC decontamination: flag corpus documents whose EMBEDDING is
     // near-identical (cosine >= 0.8) to any held-out benchmark embedding
@@ -1050,6 +1116,59 @@ object DedupQueries extends QuerySet {
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |              p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // emb (shared planted CTE) + the 2 multi-table witness rows; bucket
+    // b0 = sign bits of elements 1-8, b1 = elements 9-16; the union of
+    // both self-joins grouped per pair with a found-tables bitmask
+    "q_dedup_embedding_mt" ->
+      s"""WITH $plantedEmbSql,
+        |emb2 AS (
+        |  SELECT * FROM emb
+        |  UNION ALL
+        |  SELECT 900000 + id AS vec_id,
+        |    CAST(list_transform(range(1, 65), i ->
+        |      CAST((((i * 3) % 7) - 3) * 0.25::DOUBLE
+        |           * (CASE WHEN i = 2 AND id = 6 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END)
+        |           AS FLOAT)) AS FLOAT[]) AS embedding,
+        |    91 AS label
+        |  FROM range(5, 7) t(id)),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS b0,
+        |    (CASE WHEN embedding[9] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[10] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[11] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[12] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[13] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[14] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN embedding[15] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN embedding[16] >= 0 THEN 128 ELSE 0 END) AS b1,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM emb2),
+        |u AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm) AS cs,
+        |    0 AS tbl
+        |  FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        |  UNION ALL
+        |  SELECT a.vec_id, b.vec_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (a.nrm * b.nrm) AS cs,
+        |    1 AS tbl
+        |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(max(cs), 6) AS cos_sim,
+        |       CAST(bit_or(1 << tbl) AS BIGINT) AS tables_mask
+        |FROM u GROUP BY vec_a, vec_b
+        |HAVING round(max(cs), 6) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // same shared CTEs; the benchmark split mirrors q_decontaminate's

@@ -67,4 +67,39 @@ class SignLshSpec extends SparkSpec {
     assert(auto == pinned)
     assert(auto.nonEmpty) // the planted near-dup pairs
   }
+
+  test("bucketExpr offset reads a shifted sign window") {
+    val df = spark.range(1).select(
+      expr("array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), " +
+        "CAST(0.0 AS FLOAT), CAST(-0.5 AS FLOAT))").as("v"))
+    // window [3,4]: signs 0(>=0), -  → bit 1 set → 1
+    val b = df.select(SignLsh.bucketExpr(col("v"), 2, 2).as("b"))
+      .head().getInt(0)
+    assert(b == 1)
+    intercept[IllegalArgumentException] {
+      SignLsh.bucketExpr(col("v"), 8, 56) // reaches element 64
+    }
+  }
+
+  test("multi-table LSH recovers the pair single-table provably splits") {
+    val dir = "/root/testdata/sf0.001"
+    val mt = graft.queries.DedupQueries
+      .embeddingDedupPairsMultiTable(spark, dir, bits = Some(8), tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // the planted ±element-2 pair: true near-dup (cos ≈ 0.929), found by
+    // table 1 ONLY — its mask proves table 0 split it
+    assert(mt((900005L, 900006L)) == 2L)
+    // the element-64 planted pairs agree on every leading sign → both
+    // tables find them
+    assert(mt((900001L, 900002L)) == 3L)
+    assert(mt((900003L, 900004L)) == 3L)
+    // and the single-table control (same input incl. the witness rows,
+    // table 0 only) indeed MISSES the cross-sign pair
+    val st = graft.queries.DedupQueries
+      .embeddingDedupPairsMultiTable(spark, dir, bits = Some(8), tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!st.contains((900005L, 900006L)))
+    assert(st.contains((900001L, 900002L)))
+  }
 }
