@@ -275,6 +275,17 @@ object TimeseriesQueries extends QuerySet {
     // st16 / StreamingHoltWinters stays the online path).
     "q_holt_winters" -> { (s, dir) => holtWinters(s, dir) },
 
+    // ONLINE MOMENTS (Welford): exact one-pass running mean/variance per
+    // series — the numerically stable recurrence (the naive
+    // sum/sum-of-squares form catastrophically cancels at large n; at
+    // 100 TB row counts sum² dwarfs the variance). Same
+    // SeriesFold/streaming-twin discipline as q_ewma_recurrence: O(1)
+    // state (n, mean, M2) per series in batch AND online
+    // (StreamingWelford, st19 pins backfill == online); the DuckDB
+    // oracle replays the identical op sequence through list_reduce.
+    // var_run is the SAMPLE variance, pinned 0.0 at n=1 on both engines.
+    "q_welford_moments" -> { (s, dir) => welfordMoments(s, dir) },
+
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
     // one count aggregate + one tiny per-series window, both shuffles on
@@ -420,6 +431,28 @@ object TimeseriesQueries extends QuerySet {
         r6(col("level_raw")).as("level"),
         r6(col("trend_raw")).as("trend"),
         r6(col("level_raw") + col("trend_raw")).as("forecast_next"))
+      .orderBy(col("user_id"))
+
+  /** Constant-memory q_welford_moments: state = (count, mean, M2);
+    * the streaming twin (StreamingWelford) runs the identical update in
+    * the identical order — st19 pins the fixpoint. */
+  def welfordMoments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesFold.fold(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      "user_id", Seq("ts", "event_id"), "value",
+      Seq("cnt_raw", "mean_raw", "m2_raw"),
+      seed = v => Array(1.0d, v, 0.0d),
+      step = (acc, x) => {
+        val n = acc(0) + 1.0d
+        val d = x - acc(1)
+        val m = acc(1) + d / n
+        Array(n, m, acc(2) + d * (x - m))
+      })
+      .select(col("user_id"), col("n_points"),
+        r6(col("mean_raw")).as("mean_run"),
+        r6(when(col("n_points") > 1L,
+          col("m2_raw") / (col("n_points") - 1L).cast("double"))
+          .otherwise(lit(0.0d))).as("var_run"))
       .orderBy(col("user_id"))
 
   /** The PREVIOUS q_ewma_recurrence formulation (collect_list the full
@@ -668,6 +701,31 @@ object TimeseriesQueries extends QuerySet {
         |SELECT user_id, n_points, round(st[1], 6) AS level,
         |       round(st[2], 6) AS trend,
         |       round(st[1] + st[2], 6) AS forecast_next
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // Welford fold with [n, mean, M2] list state; every operand
+    // expression is spelled out so the double ops replay the Spark
+    // SeriesFold step EXACTLY (n' = n+1; d = x−mean; mean' = mean+d/n';
+    // M2' = M2 + d·(x−mean'))
+    "q_welford_moments" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_transform(list(value ORDER BY ts, event_id),
+        |      v -> [1.0::DOUBLE, v, 0.0::DOUBLE]) AS pts
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_points,
+        |    list_reduce(pts, (acc, x) -> [
+        |      acc[1] + 1.0::DOUBLE,
+        |      acc[2] + (x[2] - acc[2]) / (acc[1] + 1.0::DOUBLE),
+        |      acc[3] + (x[2] - acc[2])
+        |        * (x[2] - (acc[2] + (x[2] - acc[2]) / (acc[1] + 1.0::DOUBLE)))
+        |    ]) AS st
+        |  FROM s)
+        |SELECT user_id, n_points, round(st[2], 6) AS mean_run,
+        |       round(CASE WHEN n_points > 1
+        |                  THEN st[3] / CAST(n_points - 1 AS DOUBLE)
+        |                  ELSE 0.0::DOUBLE END, 6) AS var_run
         |FROM f ORDER BY user_id""".stripMargin,
 
     "q_mode" ->

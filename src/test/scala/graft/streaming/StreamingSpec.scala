@@ -591,6 +591,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st20: streaming Welford moments — three doubles of state per " +
+      "series, online fixpoint equals the batch q_welford_moments") {
+    assertBackfillEqualsOnline("q_welford_moments", "st20",
+      df => graft.streaming.StreamingWelford.moments(df),
+      Seq("mean_run", "var_run"))
+  }
+
+  test("st20b: Welford hand-computed fixture — pins the recurrence " +
+      "against an independent derivation") {
+    // by hand from n'=n+1; d=x-mean; mean'=mean+d/n'; M2'=M2+d*(x-mean'):
+    // u1: 4 -> (1,4,0); 10 -> d=6, mean=7, M2=6*3=18, var=18;
+    //     7 -> d=0, mean=7, M2=18, var=18/2=9
+    // u2: 100 -> (1,100,0); 50 -> d=-50, mean=75, M2=-50*(-25)=1250
+    import graft.streaming.StreamingWelford
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val q = StreamingWelford
+      .moments(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st20b").start()
+    try {
+      in.addData((1L, ts(0), 10L, 4.0), (1L, ts(1), 11L, 10.0),
+        (2L, ts(0), 20L, 100.0))
+      q.processAllAvailable()
+      // state (n, mean, M2) crosses the micro-batch boundary mid-series
+      in.addData((1L, ts(2), 12L, 7.0), (2L, ts(1), 21L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st20b").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val want = Map(
+      10L -> (4.0, 0.0), 11L -> (7.0, 18.0), 12L -> (7.0, 9.0),
+      20L -> (100.0, 0.0), 21L -> (75.0, 1250.0))
+    assert(got.keySet == want.keySet, s"got $got")
+    want.foreach { case (id, (m, v)) =>
+      val (gm, gv) = got(id)
+      assert(math.abs(gm - m) < 1e-9 && math.abs(gv - v) < 1e-9,
+        s"event $id: got ${got(id)}, want ($m,$v)")
+    }
+  }
+
   test("st14: stateful fault tolerance — EWMA state survives a " +
       "kill-and-restart from a RocksDB checkpoint") {
     import graft.streaming.StreamingEwma
