@@ -371,6 +371,60 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // WINSORIZATION: per-event-type clipping at the exact [p05, p95]
+    // band — the standard robust preprocessing step before training on
+    // heavy-tailed metrics. Same percentile-agg + join-back shape as
+    // q_anomaly_mad (one grouping key end to end); the clipped MEAN goes
+    // through micro-quantized int64 sums so summation order cannot flip
+    // a digit between engines (the avgMicro discipline).
+    "q_winsorize" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val bounds = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05D)").as("lo"),
+          expr("percentile(value, 0.95D)").as("hi"))
+      val clamped = e.join(bounds, Seq("event_type"))
+        .withColumn("cv",
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")))
+      clamped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          r6(min(col("lo"))).as("p05"),
+          r6(min(col("hi"))).as("p95"),
+          // non-negative values (half-up int rounding; intDiv and
+          // DuckDB's // agree only off negatives — the avgMicro note)
+          intDiv(sum(micro(col("cv"))) + intDiv(count(lit(1)), lit(2)),
+            count(lit(1))).as("mean_clip_micro"))
+        .orderBy(col("event_type"))
+    },
+
+    // SPREAD + ELAPSED (the two InfluxQL aggregates without a dedicated
+    // query yet): per series, the value range and the inter-point time
+    // statistics. One lag window + one agg on the same user_id
+    // partitioning; gaps are exact integer epoch-µs math end to end.
+    "q_spread_elapsed" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          r6(max(col("value")) - min(col("value"))).as("spread"),
+          max(col("gap_us")).as("max_gap_us"),
+          intDiv(max(col("us")) - min(col("us")),
+            greatest(count(lit(1)) - 1L, lit(1L))).as("avg_gap_us"))
+        .orderBy(col("user_id"))
+    },
+
     // ROBUST outlier detection: per-user median + MAD (median absolute
     // deviation), modified z-score 0.6745*(v-med)/MAD, |z| > 3.5
     // (Iglewicz-Hoaglin). Complements q_stat_anomaly's rolling mean/sd —
@@ -788,6 +842,40 @@ object TimeseriesQueries extends QuerySet {
         |WHERE nw >= 5 AND sd > 0
         |  AND abs(CAST(floor((value - m) / sd * 1000000.0 + 0.5) AS BIGINT)) >= 2000000
         |ORDER BY event_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        |  FROM e GROUP BY event_type),
+        |c AS (
+        |  SELECT e.event_type, e.value, b.lo, b.hi,
+        |    CASE WHEN e.value < b.lo THEN b.lo
+        |         WHEN e.value > b.hi THEN b.hi
+        |         ELSE e.value END AS cv
+        |  FROM e JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(min(lo), 6) AS p05, round(min(hi), 6) AS p95,
+        |  CAST((sum(CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT))
+        |    + count(*) // 2) // count(*) AS BIGINT) AS mean_clip_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_spread_elapsed" ->
+      """WITH g AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(max(value) - min(value), 6) AS spread,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  (max(us) - min(us)) // greatest(count(*) - 1, 1) AS avg_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH e AS (
