@@ -478,6 +478,47 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // GET /profile/<series>[?from=<day>&to=<day>] — per-field column
+    // profile (counts per carried type, approx distincts, numeric
+    // min/max, first/last time) from ONE statically-pruned scan
+    // (Engine.profileFields); catalog-sized → plain respond
+    http.createContext("/profile/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/profile/"))
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else if (Seq("from", "to").exists(k =>
+            p.get(k).exists(!_.matches(day))))
+          // malformed day bounds fail closed, like /quantiles
+          respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
+        else {
+          val rows = engine.profileFields(series, p.get("from"), p.get("to"))
+            .collect()
+          def optNum(v: Any): String =
+            if (v == null) "null" else v.toString
+          val body = rows.map { r =>
+            s"""{"field":${quote(r.getString(0))},"n":${r.getLong(1)},""" +
+              s""""n_float":${r.getLong(2)},"n_int":${r.getLong(3)},""" +
+              s""""n_str":${r.getLong(4)},"n_bool":${r.getLong(5)},""" +
+              s""""n_distinct_approx":${r.getLong(6)},""" +
+              s""""min_num":${optNum(r.get(7))},""" +
+              s""""max_num":${optNum(r.get(8))},""" +
+              s""""first_time":${quote(String.valueOf(r.get(9)))},""" +
+              s""""last_time":${quote(String.valueOf(r.get(10)))}}"""
+          }.toSeq
+          respond(ex, 200, s"""{"series":${quote(series)},""" +
+            s""""profile":${jsonArray(body)}}""")
+        }
+      }
+    })
+
     // GET /quantiles/<series>?name=<field>&from=<day>&to=<day>[&q=0.5,0.99]
     // — percentile serving from the mergeable histogram rollup
     // (Engine.approxQuantiles): any day range, no raw scan, ≤ ~0.5%

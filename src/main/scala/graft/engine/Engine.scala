@@ -589,6 +589,38 @@ class Engine(val spark: SparkSession, warehouse: String)
       .sortBy(_._1).toSeq
   }
 
+  /** Per-field column profile of one series (optionally day-bounded):
+    * row count, per-type non-null counts, approximate distinct count,
+    * numeric min/max over the typed-value union, and the first/last
+    * event time — the serving-path sibling of the oracle-gated
+    * q_profile_columns (which is EXACT; a live endpoint over an
+    * unbounded series takes the approx_count_distinct trade instead of
+    * an Expand over every row). One scan, statically pruned by the
+    * series partition (and day range when given); map-side partial aggs;
+    * catalog-sized output (one row per field). */
+  def profileFields(series: String, from: Option[String] = None,
+      to: Option[String] = None): DataFrame = {
+    val base = table().filter(col("series") === series)
+    val ranged = Seq(
+      from.map(d => col("day") >= lit(d).cast("date")),
+      to.map(d => col("day") <= lit(d).cast("date"))).flatten
+      .foldLeft(base)(_ filter _)
+    val num = coalesce(col("value"), col("value_long").cast("double"))
+    ranged.groupBy(col("name"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_float"),
+        count(col("value_long")).as("n_int"),
+        count(col("value_str")).as("n_str"),
+        count(col("value_bool")).as("n_bool"),
+        approx_count_distinct(coalesce(col("value_str"),
+          col("value").cast("string"), col("value_long").cast("string"),
+          col("value_bool").cast("string"))).as("n_distinct_approx"),
+        min(num).as("min_num"), max(num).as("max_num"),
+        min(col("time")).as("first_time"), max(col("time")).as("last_time"))
+      .orderBy(col("name"))
+  }
+
   /** All rows carrying tag `k=v`. Fast path: scan ONLY the (series, day)
     * partitions the index lists for that tag. The index lookup collects a
     * CATALOG-sized (series, day) list to the driver — same posture as

@@ -335,6 +335,41 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /profile serves the per-field column profile with day-range " +
+      "pruning and fail-closed validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-profile"))
+    engine.ingestLines(Seq(
+      // 2023-11-14 (epoch 1700000000): two typed fields + a string field
+      "cpu,host=h1 usage=0.5,cores=8i 1700000000000000000",
+      "cpu,host=h2 usage=0.9,label=\"hot\" 1700000001000000000",
+      // next day: usage only — the day range must exclude it
+      "cpu,host=h1 usage=0.7 1700090000000000000"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(s"$base/profile/cpu")
+      assert(c1 == 200, b1)
+      // usage: 3 float rows, min/max across both days
+      assert(b1.contains(""""field":"usage","n":3,"n_float":3,"n_int":0"""),
+        b1)
+      assert(b1.contains(""""min_num":0.5""") &&
+        b1.contains(""""max_num":0.9"""), b1)
+      // cores: integer-typed; label: string-typed with null numeric range
+      assert(b1.contains(""""field":"cores","n":1,"n_float":0,"n_int":1"""),
+        b1)
+      assert(
+        """"field":"label","n":1,.*"n_str":1,.*"min_num":null""".r
+          .findFirstIn(b1).isDefined, b1)
+      // day bound excludes the second day's usage row
+      val (c2, b2) = call(s"$base/profile/cpu?from=2023-11-14&to=2023-11-14")
+      assert(c2 == 200 &&
+        b2.contains(""""field":"usage","n":2"""), s"$c2 $b2")
+      // validation: unknown series 404, malformed day 400
+      assert(call(s"$base/profile/nope")._1 == 404)
+      assert(call(s"$base/profile/cpu?from=14-11-2023")._1 == 400)
+    } finally api.stop()
+  }
+
   test("GET /quantiles serves percentiles from the histogram rollup " +
       "with fail-closed parameter validation") {
     val engine = new Engine(spark, tmpDir("graft-api-quant"))
