@@ -425,6 +425,56 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"))
     },
 
+    // CUSUM changepoint detection (Page 1954): per series, normalize to
+    // z-units and fold S := max(0, S + (z − k)) with slack k=0.5σ,
+    // counting excursions past h=4σ — the classic drift detector (a
+    // sustained mean shift accumulates where the EWMA/z-score family
+    // sees only points). THE DETERMINISM TRICK: mean and σ are derived
+    // from EXACT integer cent sums (Σc, Σc², n — the 2-decimal source
+    // data makes them lossless int64), so both engines normalize from
+    // bit-identical doubles and the max(0,·) fold — whose nonlinearity
+    // would amplify any last-bit avg() summation-order drift into
+    // different alarm counts — stays bit-identical term by term. The
+    // int64 bound: n·Σc² and (Σc)² cap series length at ~1e7 points of
+    // this magnitude — beyond that, promote the sums to DECIMAL.
+    // One shuffle (user_id) shared by the moment agg, the join-back and
+    // the SeriesFold; O(1) fold state (S, alarm count) per series.
+    "q_anomaly_cusum" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+      val m = e.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1L)
+      val norm = e.join(m, Seq("user_id"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (((col("c").cast("double") / 100.0
+            - col("sc").cast("double") / (lit(100.0) * col("n")))
+            / sqrt((col("n") * col("sc2") - col("sc") * col("sc"))
+              .cast("double")
+              / (lit(10000.0) * col("n").cast("double")
+                * (col("n") - 1L).cast("double"))))
+            - 0.5).as("zk"))
+      graft.operators.SeriesFold.fold(
+        norm, "user_id", Seq("ts", "event_id"), "zk",
+        Seq("cusum_raw", "alarms_raw"),
+        seed = x => {
+          val s0 = math.max(0.0, x)
+          Array(s0, if (s0 > 4.0) 1.0 else 0.0)
+        },
+        step = (acc, x) => {
+          val s1 = math.max(0.0, acc(0) + x)
+          Array(s1, acc(1) + (if (s1 > 4.0) 1.0 else 0.0))
+        })
+        .select(col("user_id"), col("n_points"),
+          r6(col("cusum_raw")).as("cusum_final"),
+          col("alarms_raw").cast("long").as("n_alarms"))
+        .orderBy(col("user_id"))
+    },
+
     // ROBUST outlier detection: per-user median + MAD (median absolute
     // deviation), modified z-score 0.6745*(v-med)/MAD, |z| > 3.5
     // (Iglewicz-Hoaglin). Complements q_stat_anomaly's rolling mean/sd —
@@ -876,6 +926,40 @@ object TimeseriesQueries extends QuerySet {
         |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
         |  (max(us) - min(us)) // greatest(count(*) - 1, 1) AS avg_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exact-integer moment derivation + list_reduce fold, op order
+    // identical to the Spark SeriesFold (see the query's scaladoc); the
+    // neutral [0,0] prepend makes DuckDB's seed-from-first-element
+    // semantics equal the Spark seed
+    "q_anomaly_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS sc,
+        |         CAST(sum(c*c) AS BIGINT) AS sc2, count(*) AS n
+        |  FROM e GROUP BY user_id HAVING count(*) > 1),
+        |norm AS (
+        |  SELECT e.user_id, e.ts, e.event_id,
+        |    ((CAST(e.c AS DOUBLE)/100.0 - CAST(m.sc AS DOUBLE)/(100.0*m.n))
+        |     / sqrt(CAST(m.n*m.sc2 - m.sc*m.sc AS DOUBLE)
+        |            / (10000.0*CAST(m.n AS DOUBLE)*CAST(m.n-1 AS DOUBLE))))
+        |    - 0.5 AS zk
+        |  FROM e JOIN m USING (user_id)),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+        |        list_transform(list(zk ORDER BY ts, event_id),
+        |          v -> [v, 0.0::DOUBLE])),
+        |      (acc, p) -> [
+        |        greatest(0.0::DOUBLE, acc[1] + p[1]),
+        |        acc[2] + (CASE WHEN greatest(0.0::DOUBLE, acc[1] + p[1])
+        |                       > 4.0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+        |      ]) AS st
+        |  FROM norm GROUP BY user_id)
+        |SELECT user_id, n_points, round(st[1], 6) AS cusum_final,
+        |       CAST(st[2] AS BIGINT) AS n_alarms
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH e AS (
