@@ -51,7 +51,11 @@ object ScaleBench {
     // grows the batch K× along with the corpus — the factor reads as
     // "batch and corpus both ×K", an upper bound on the fixed-size-batch
     // serving shape.
-    "q_dedup_keep_best", "q_dedup_cross", "q_source_cap")
+    "q_dedup_keep_best", "q_dedup_cross", "q_source_cap",
+    // round-8 addition: one profiling scan per table (documents AND
+    // events) — n-way exact distinct plans as Expand(×cols); output is
+    // catalog-sized whatever K, so the factor reads the Expand cost
+    "q_profile_columns")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -68,7 +72,12 @@ object ScaleBench {
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto",
     "q_dedup_semdedup", "q_dedup_semdedup@sqrtk",
-    "q_embed_project", "pca_project")
+    "q_embed_project", "pca_project",
+    // round-8: multi-table LSH — the oracle-pinned 8-bit 2-table form
+    // and the operator default (auto bits per table); the expected cost
+    // is ~2× the matching single-table row (the recall/cost trade), NOT
+    // super-linear growth once @auto holds occupancy flat
+    "q_dedup_embedding_mt", "q_dedup_embedding_mt@auto")
 
   /** The text-analysis scoring family: map-side expressions + one agg
     * each, vocab/LM/idf sides broadcast (plan-asserted in
@@ -87,7 +96,16 @@ object ScaleBench {
     * COUNT (constant length); orders/lineitem get disjoint key ranges. */
   val sqlHeavy: Seq[String] = Seq(
     "q13_asof_join", "q13b_asof_interval", "q16b_cube", "q18_percentile",
-    "q18b_percentile_sorted", "q21_frames", "q_sessionize", "q_funnel")
+    "q18b_percentile_sorted", "q21_frames", "q_sessionize", "q_funnel",
+    // round-8: linear gap fill (grid generator + one fused 4-function
+    // window) and MAD outliers (two exact-percentile aggs + two joins,
+    // all on the user_id partitioning) — series count grows K×,
+    // per-series work constant
+    "q_gapfill_linear", "q_anomaly_mad",
+    // round-8 second pass: winsorize (percentile band + clipped rollup),
+    // spread/elapsed (lag window + agg), Welford and CUSUM SeriesFolds
+    "q_winsorize", "q_spread_elapsed", "q_welford_moments",
+    "q_anomaly_cusum")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -117,6 +135,8 @@ object ScaleBench {
         ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)),
       "q_dedup_semdedup@sqrtk" ->
         ((s, d) => queries.DedupQueries.semDedupScaled(s, d)),
+      "q_dedup_embedding_mt@auto" ->
+        ((s, d) => queries.DedupQueries.embeddingDedupPairsMultiTable(s, d)),
       // full PCA pipeline: the one-pass moments aggregate + driver
       // eigensolve run INSIDE the timed call (they are the cost), then
       // the map-only 64→16 projection over the whole corpus
@@ -325,14 +345,18 @@ object ScaleBench {
     // and an events-only run (the sqlHeavy family) must not pay for the
     // K× per-word documents transform it never reads
     val eventsSql = Set("q13_asof_join", "q13b_asof_interval", "q21_frames",
-      "q_sessionize", "q_funnel")
+      "q_sessionize", "q_funnel", "q_gapfill_linear", "q_anomaly_mad",
+      "q_winsorize", "q_spread_elapsed", "q_welford_moments",
+      "q_anomaly_cusum")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
       (heavy.contains(q) && !eventsHeavy.contains(q)) ||
         textHeavy.contains(q))
+    // q_profile_columns scans BOTH documents and events
     val needEvents = selected.exists(eventsHeavy.contains) ||
-      selected.exists(eventsSql.contains)
+      selected.exists(eventsSql.contains) ||
+      selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile",
       "q18b_percentile_sorted").contains)
     val needEmb = selected.exists(simHeavy.contains)

@@ -371,35 +371,53 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
-    // WINSORIZATION: per-event-type clipping at the exact [p05, p95]
-    // band — the standard robust preprocessing step before training on
-    // heavy-tailed metrics. Same percentile-agg + join-back shape as
-    // q_anomaly_mad (one grouping key end to end); the clipped MEAN goes
-    // through micro-quantized int64 sums so summation order cannot flip
-    // a digit between engines (the avgMicro discipline).
+    // WINSORIZATION: per-event-type clipping at the [p05, p95] band —
+    // the standard robust preprocessing step before training on
+    // heavy-tailed metrics. The band uses the DISCRETE ceil-rank
+    // percentile computed in exact integer cents via the q18b
+    // count-compress recipe (codegen'd (type,cents) count + one window
+    // over the distinct values): the first cut used interpolated
+    // percentile() and PASSED at sf0.01/sf0.1 but FAILED on the 10×
+    // replica — Spark and DuckDB interpolate with different fp op order,
+    // and the replica's heavy value ties at the boundary turned a
+    // last-bit bound difference into different clip counts. Every
+    // comparison here is int64, bit-exact at any scale; the clipped mean
+    // rides micro-quantized cent sums (the avgMicro discipline,
+    // non-negative values).
     "q_winsorize" -> { (s, dir) =>
       val e = t(s, dir, "events")
-        .select(col("event_type"), col("value"))
         .filter(col("value").isNotNull)
-      val bounds = e.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.05D)").as("lo"),
-          expr("percentile(value, 0.95D)").as("hi"))
-      val clamped = e.join(bounds, Seq("event_type"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val cc = e.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wg = Window.partitionBy(col("event_type"))
+      val ranked = cc.select(col("event_type"), col("c"),
+        sum(col("cnt")).over(w).as("cum"),
+        sum(col("cnt")).over(wg).as("n"))
+      val bounds = ranked.groupBy(col("event_type"))
+        .agg(
+          // ceil(p*n) as (p_num*n + 99) div 100 — pure int64
+          min(when(col("cum") >= intDiv(col("n") * 5 + 99, lit(100)),
+            col("c"))).as("lo_c"),
+          min(when(col("cum") >= intDiv(col("n") * 95 + 99, lit(100)),
+            col("c"))).as("hi_c"))
+      e.join(bounds, Seq("event_type"))
         .withColumn("cv",
-          when(col("value") < col("lo"), col("lo"))
-            .when(col("value") > col("hi"), col("hi"))
-            .otherwise(col("value")))
-      clamped.groupBy(col("event_type"))
+          when(col("c") < col("lo_c"), col("lo_c"))
+            .when(col("c") > col("hi_c"), col("hi_c"))
+            .otherwise(col("c")))
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+          sum(when(col("c") < col("lo_c"), 1L).otherwise(0L))
             .as("n_clip_lo"),
-          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+          sum(when(col("c") > col("hi_c"), 1L).otherwise(0L))
             .as("n_clip_hi"),
-          r6(min(col("lo"))).as("p05"),
-          r6(min(col("hi"))).as("p95"),
-          // non-negative values (half-up int rounding; intDiv and
-          // DuckDB's // agree only off negatives — the avgMicro note)
-          intDiv(sum(micro(col("cv"))) + intDiv(count(lit(1)), lit(2)),
+          (min(col("lo_c")).cast("double") / 100.0).as("p05"),
+          (min(col("hi_c")).cast("double") / 100.0).as("p95"),
+          intDiv(sum(col("cv")) * 10000 + intDiv(count(lit(1)), lit(2)),
             count(lit(1))).as("mean_clip_micro"))
         .orderBy(col("event_type"))
     },
@@ -893,27 +911,41 @@ object TimeseriesQueries extends QuerySet {
         |  AND abs(CAST(floor((value - m) / sd * 1000000.0 + 0.5) AS BIGINT)) >= 2000000
         |ORDER BY event_id""".stripMargin,
 
+    // discrete ceil-rank percentile in exact integer cents (count-
+    // compress + cumulative window) — every comparison int64, so the
+    // 10×-replica tie shapes that broke interpolated percentile order
+    // cannot flip a clip count
     "q_winsorize" ->
       """WITH e AS (
-        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |cc AS (
+        |  SELECT event_type, c, count(*) AS cnt FROM e GROUP BY event_type, c),
+        |ranked AS (
+        |  SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM cc),
         |b AS (
         |  SELECT event_type,
-        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
-        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
-        |  FROM e GROUP BY event_type),
-        |c AS (
-        |  SELECT e.event_type, e.value, b.lo, b.hi,
-        |    CASE WHEN e.value < b.lo THEN b.lo
-        |         WHEN e.value > b.hi THEN b.hi
-        |         ELSE e.value END AS cv
+        |    min(CASE WHEN cum >= (n*5 + 99) // 100 THEN c END) AS lo_c,
+        |    min(CASE WHEN cum >= (n*95 + 99) // 100 THEN c END) AS hi_c
+        |  FROM ranked GROUP BY event_type),
+        |cl AS (
+        |  SELECT e.event_type, e.c, b.lo_c, b.hi_c,
+        |    CASE WHEN e.c < b.lo_c THEN b.lo_c
+        |         WHEN e.c > b.hi_c THEN b.hi_c
+        |         ELSE e.c END AS cv
         |  FROM e JOIN b USING (event_type))
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
-        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-        |  round(min(lo), 6) AS p05, round(min(hi), 6) AS p95,
-        |  CAST((sum(CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT))
-        |    + count(*) // 2) // count(*) AS BIGINT) AS mean_clip_micro
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  CAST(sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(min(lo_c) AS DOUBLE) / 100.0 AS p05,
+        |  CAST(min(hi_c) AS DOUBLE) / 100.0 AS p95,
+        |  CAST((sum(cv) * 10000 + count(*) // 2) // count(*) AS BIGINT)
+        |    AS mean_clip_micro
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_spread_elapsed" ->
       """WITH g AS (
