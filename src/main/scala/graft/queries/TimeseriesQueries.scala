@@ -286,6 +286,33 @@ object TimeseriesQueries extends QuerySet {
     // var_run is the SAMPLE variance, pinned 0.0 at n=1 on both engines.
     "q_welford_moments" -> { (s, dir) => welfordMoments(s, dir) },
 
+    // HOLT-WINTERS BACKTEST: walk-forward one-step-ahead evaluation of
+    // the q_holt_winters smoother — at each point (after the seed) the
+    // PREVIOUS state forecasts l+b, the absolute error accumulates, and
+    // the state then updates on the actual. MAE per series is the number
+    // that picks alpha/beta before a forecast ships; the fold is the
+    // same O(1)-state SeriesFold with two extra accumulator doubles
+    // (sequential sum → identical fp order on both engines).
+    "q_hw_backtest" -> { (s, dir) =>
+      graft.operators.SeriesFold.fold(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", Seq("ts", "event_id"), "value",
+        Seq("level_raw", "trend_raw", "abs_err_raw", "n_err_raw"),
+        seed = v => Array(v, 0.0d, 0.0d, 0.0d),
+        step = (acc, x) => {
+          val e = math.abs(x - (acc(0) + acc(1)))
+          val l1 = 0.5d * x + 0.5d * (acc(0) + acc(1))
+          Array(l1, 0.3d * (l1 - acc(0)) + 0.7d * acc(1),
+            acc(2) + e, acc(3) + 1.0d)
+        })
+        .select(col("user_id"), col("n_points"),
+          r6(col("level_raw")).as("level"),
+          r6(col("trend_raw")).as("trend"),
+          r6(when(col("n_err_raw") > 0.0, col("abs_err_raw")
+            / col("n_err_raw")).otherwise(lit(0.0d))).as("mae"))
+        .orderBy(col("user_id"))
+    },
+
     // MODE (InfluxDB's most-frequent-value aggregate): per series, the
     // event type that occurs most often, ties broken lexicographically —
     // one count aggregate + one tiny per-series window, both shuffles on
@@ -823,6 +850,30 @@ object TimeseriesQueries extends QuerySet {
         |SELECT user_id, n_points, round(st[1], 6) AS level,
         |       round(st[2], 6) AS trend,
         |       round(st[1] + st[2], 6) AS forecast_next
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // the q_holt_winters fold widened with [abs_err, n_err] accumulator
+    // slots; the forecast error reads the PREVIOUS state before the
+    // level/trend update, exactly like the Spark step
+    "q_hw_backtest" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_transform(list(value ORDER BY ts, event_id),
+        |      v -> [v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]) AS pts
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_points,
+        |    list_reduce(pts, (acc, x) -> [
+        |      0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+        |      0.3::DOUBLE * ((0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1]
+        |        + acc[2])) - acc[1]) + 0.7::DOUBLE * acc[2],
+        |      acc[3] + abs(x[1] - (acc[1] + acc[2])),
+        |      acc[4] + 1.0::DOUBLE]) AS st
+        |  FROM s)
+        |SELECT user_id, n_points, round(st[1], 6) AS level,
+        |       round(st[2], 6) AS trend,
+        |       round(CASE WHEN st[4] > 0.0 THEN st[3] / st[4]
+        |                  ELSE 0.0::DOUBLE END, 6) AS mae
         |FROM f ORDER BY user_id""".stripMargin,
 
     // Welford fold with [n, mean, M2] list state; every operand
