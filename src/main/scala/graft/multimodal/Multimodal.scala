@@ -172,6 +172,84 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- perceptual image hash
+
+  /** REAL perceptual hash (dHash, 64 bits): scale to 9×8 grayscale and set
+    * bit (y·8+x) when luminance(x,y) > luminance(x+1,y). Robust to
+    * re-encoding, resizing and small edits (the gradient STRUCTURE
+    * survives them), unlike the byte-level sha/simhash family, which a
+    * single re-encode scrambles completely — this is the image analog of
+    * the text near-dup hashes. Deterministic: fixed-size nearest-neighbor
+    * scale, integer luminance. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val s = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = s.createGraphics()
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val rgb = s.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (doc_id, phash) per decodable image — mapPartitions like
+    * [[extractFeatures]] (codec init once per partition); rows whose
+    * payload no reader claims are dropped (they have no perceptual
+    * content to hash). */
+  def imageHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        if (m.format.startsWith("image/"))
+          decodeImage(m.content).map(img => (m.doc_id, dHash(img)))
+        else None
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join — the SimHash
+    * prefix-block recipe applied to the perceptual hash: the 64-bit
+    * dHash splits into 4 disjoint 16-bit bands, and any pair within
+    * Hamming distance ≤ 3 differs in at most 3 bands, so BY PIGEONHOLE
+    * at least one band matches exactly → candidates come from 4 band
+    * equi-joins (one shuffle on (band, key), never all-pairs), then the
+    * exact `bit_count(xor)` filter verifies. Scale shape: candidate
+    * volume is bounded by band-bucket occupancy (2^16 buckets per band),
+    * and the verify is a codegen'd integer op. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only to Hamming 3; got $maxHamming")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key",
+        expr("(phash >> (band * 16)) & 65535"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("phash").as("ha"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("phash").as("hb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** STUB resize: a real implementation re-encodes pixels; the stub keeps
     * the contract — output payload is a deterministic function of (input,
     * target dims) with byte length proportional to the target area. */

@@ -179,4 +179,55 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sampleFramesAvi(truncated, 3)
     }
   }
+
+  /** PNG of a gray pattern drawn per pixel by `g(x, y)` ∈ [0, 255]. */
+  private def patternPng(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = g(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual dHash: deterministic, edit-tolerant, and the banded " +
+      "Hamming join finds exactly the near-dup pair") {
+    import spark.implicits._
+    def vstripes(x: Int, y: Int) = if ((x / 4) % 2 == 0) 230 else 20
+    def hstripes(x: Int, y: Int) = if ((y / 4) % 2 == 0) 230 else 20
+    val a = patternPng(64, 32)(vstripes)
+    // one edited pixel — a re-save/touch-up, perceptually the same image
+    val a1 = patternPng(64, 32)((x, y) =>
+      if (x == 10 && y == 10) 255 - vstripes(x, y) else vstripes(x, y))
+    val b = patternPng(64, 32)(hstripes)
+    def hash(bytes: Array[Byte]): Long =
+      Multimodal.dHash(Multimodal.decodeImage(bytes).get)
+    // deterministic
+    assert(hash(a) == hash(a))
+    // the single-pixel edit moves at most a couple of downsampled cells
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(a1)) <= 3)
+    // vertical vs horizontal stripes: structurally different images
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(b)) > 3)
+    // RESIZE robustness — the property byte-level hashes cannot have:
+    // the same pattern at half resolution hashes within the near-dup band
+    val aSmall = patternPng(32, 16)((x, y) => vstripes(x * 2, y * 2))
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(aSmall)) <= 3)
+
+    val items = Seq(
+      MediaItem(1L, a, "image/png", a.length.toLong),
+      MediaItem(2L, a1, "image/png", a1.length.toLong),
+      MediaItem(3L, b, "image/png", b.length.toLong),
+      // undecodable payload must be dropped, not crash the hash pass
+      MediaItem(4L, Array.fill[Byte](32)(7), "image/png", 32L)).toDS()
+    val hashes = Multimodal.imageHashes(items)
+    assert(hashes.count() == 3) // doc 4 dropped
+    val pairs = Multimodal.imageNearDups(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      pairs.mkString(", "))
+    assert(pairs.head._3 <= 3)
+  }
 }
