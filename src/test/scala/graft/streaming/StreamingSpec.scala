@@ -632,6 +632,101 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st21: streaming CUSUM monitor — fixed reference params, one " +
+      "double of state, alarms reproduce the hand-derived fold") {
+    // reference mu=10, sigma=2, slack 0.5, threshold 2.0 (small h so the
+    // fixture alarms): z_i = (x-10)/2 - 0.5
+    // u1: x=12 -> S=max(0,0+0.5)=0.5; x=16 -> S=max(0,0.5+2.5)=3.0 ALARM;
+    //     x=6 -> z=-2.5, S=max(0,3.0-2.5)=0.5 recovering
+    // u2: x=8 -> S=max(0,-1.5)=0 — never alarms
+    import graft.streaming.StreamingCusum
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val q = StreamingCusum
+      .monitor(in.toDF().toDF("user_id", "ts", "event_id", "value"),
+        mu = 10.0, sigma = 2.0, threshold = 2.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st21").start()
+    try {
+      in.addData((1L, ts(0), 10L, 12.0), (2L, ts(0), 20L, 8.0))
+      q.processAllAvailable()
+      // S carries the micro-batch boundary: the alarm fires on batch 2
+      in.addData((1L, ts(1), 11L, 16.0), (1L, ts(2), 12L, 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st21").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val want = Map(
+      10L -> (0.5, false), 11L -> (3.0, true), 12L -> (0.5, false),
+      20L -> (0.0, false))
+    assert(got.keySet == want.keySet, s"got $got")
+    want.foreach { case (id, (s, a)) =>
+      assert(math.abs(got(id)._1 - s) < 1e-9 && got(id)._2 == a,
+        s"event $id: got ${got(id)}, want ($s,$a)")
+    }
+  }
+
+  test("st21b: streaming CUSUM == batch SeriesFold with the same fixed " +
+      "reference over the real events history") {
+    import graft.streaming.StreamingCusum
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+    // reference near the corpus mean/sd (avg≈50, sd≈48) with a low bar so
+    // the fixture's high-value runs actually alarm (vacuity-checked below)
+    val (mu, sigma, slack, h) = (50.0, 50.0, 0.3, 1.0)
+    // batch twin: the identical recurrence on the SeriesFold — final S
+    // and total alarm count per series
+    val batch = graft.operators.SeriesFold.fold(
+      events, "user_id", Seq("ts", "event_id"), "value",
+      Seq("s_raw", "alarms_raw"),
+      seed = v => {
+        val s0 = math.max(0.0, (v - mu) / sigma - slack)
+        Array(s0, if (s0 > h) 1.0 else 0.0)
+      },
+      step = (acc, x) => {
+        val s1 = math.max(0.0, acc(0) + ((x - mu) / sigma - slack))
+        Array(s1, acc(1) + (if (s1 > h) 1.0 else 0.0))
+      })
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getDouble(2), r.getDouble(3).toLong)).toMap
+    val rows = events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingCusum
+      .monitor(in.toDF().toDF("user_id", "ts", "event_id", "value"),
+        mu, sigma, slack, h)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st21b").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st21b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3)))
+    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+    val streamByKey = streamed.toMap
+    val alarmCounts = streamed.groupBy(_._1._1)
+      .map { case (u, xs) => u -> xs.count(_._2._2) }
+    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
+    batch.foreach { case (u, (sFinal, nAlarms)) =>
+      // identical fold order and ops → exact equality of the raw double
+      assert(streamByKey((u, lastEvent(u)))._1 == sFinal,
+        s"user $u final S: batch $sFinal vs stream " +
+          s"${streamByKey((u, lastEvent(u)))._1}")
+      assert(alarmCounts.getOrElse(u, 0) == nAlarms.toInt,
+        s"user $u alarms: batch $nAlarms vs stream ${alarmCounts.get(u)}")
+    }
+    // the reference params are chosen so the fixture actually alarms
+    assert(alarmCounts.values.sum > 0, "vacuous fixture: no alarms fired")
+  }
+
   test("st14: stateful fault tolerance — EWMA state survives a " +
       "kill-and-restart from a RocksDB checkpoint") {
     import graft.streaming.StreamingEwma
