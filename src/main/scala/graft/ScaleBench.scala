@@ -55,7 +55,10 @@ object ScaleBench {
     // round-8 addition: one profiling scan per table (documents AND
     // events) — n-way exact distinct plans as Expand(×cols); output is
     // catalog-sized whatever K, so the factor reads the Expand cost
-    "q_profile_columns")
+    "q_profile_columns",
+    // round-8: the composite cleaning pipeline as one plan — the
+    // end-to-end number (blocklist + quality + dedup + decontaminate)
+    "q_pipeline_clean")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
