@@ -101,6 +101,58 @@ object IngestBench {
       return
     }
 
+    if (mode == "phash") {
+      // perceptual-hash throughput: N synthetic PNGs (generated once,
+      // cached) through the REAL decode+dHash mapPartitions pass, then
+      // the banded Hamming self-join over the resulting hashes. Each
+      // even image is a structurally distinct stripe pattern (frequency
+      // pair keyed by the image id — adjacent-column comparisons see
+      // different structures, not a shifted copy); each odd image is a
+      // one-pixel edit of its predecessor → ~N/2 honest near-dup pairs.
+      val nImg = sys.env.getOrElse("SPARK_GRAFT_PHASH_IMAGES", "20000").toInt
+      val items = spark.range(nImg).map { i =>
+        val base = (i - (i % 2)).toInt // odd i edits pattern of i-1
+        val (fx, fy) = (base % 97 + 1, (base / 97) % 89 + 1)
+        val img = new java.awt.image.BufferedImage(
+          48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 48) {
+            val v = (x * fx + y * fy) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        if (i % 2 == 1) // the edit: one pixel keyed by i
+          img.setRGB((i % 48).toInt, (i % 32).toInt, 0xffffff)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.multimodal.MediaItem(i, bos.toByteArray, "image/png",
+          bos.size().toLong)
+      }
+      items.cache(); items.count() // generation outside the timed section
+      def once(): (Double, Double, Long) = {
+        val t0 = System.nanoTime()
+        val hashes = graft.multimodal.Multimodal.imageHashes(items)
+        hashes.cache()
+        assert(hashes.count() == nImg)
+        val tHash = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairs = graft.multimodal.Multimodal.imageNearDups(hashes).count()
+        val tJoin = (System.nanoTime() - t1) / 1e9
+        hashes.unpersist()
+        (tHash, tJoin, pairs)
+      }
+      once() // warm
+      val runs = (1 to 3).map(_ => once())
+      val (th, tj, pairs) = runs.sortBy(_._1).apply(1)
+      println(f"""{"metric":"phash","images":$nImg,"hash_sec":$th%.3f,"images_per_sec":${(nImg / th).toLong},"join_sec":$tj%.3f,"near_dup_pairs":$pairs}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val parsed = graft.ingest.IngestPipeline.parseLines(spark, lines)
     if (mode == "parse") parsed.write.format("noop").mode("overwrite").save()
