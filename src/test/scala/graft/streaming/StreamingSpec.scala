@@ -727,6 +727,48 @@ class StreamingSpec extends SparkSpec {
     assert(alarmCounts.values.sum > 0, "vacuous fixture: no alarms fired")
   }
 
+  test("st22: deadman alert — event-time state timeout fires when a " +
+      "series goes silent past the watermark, and re-arms on resume") {
+    import graft.streaming.StreamingDeadman
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val q = StreamingDeadman
+      .alerts(in.toDF().toDF("user_id", "ts", "event_id", "value"),
+        silenceMs = 30000L, watermarkDelay = "5 seconds")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("st22").start()
+    try {
+      // both series alive at t=0; u2 keeps reporting, u1 goes silent
+      in.addData((1L, ts(0), 10L, 1.0), (2L, ts(0), 20L, 1.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(20), 21L, 1.0))
+      q.processAllAvailable()
+      // u2's t=120 event advances the watermark to 115s — far past u1's
+      // 30s deadline (armed at 30s) → u1 alerts; u2's own deadline (150s)
+      // is still ahead → no u2 alert
+      in.addData((2L, ts(120), 22L, 1.0))
+      q.processAllAvailable()
+      val first = spark.table("st22").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(first.toSeq == Seq((1L, "2024-01-01 00:00:00.0", 1L)),
+        first.mkString(", "))
+      // u1 resumes → re-arms; going silent AGAIN alerts a second episode
+      // with the new last_seen and a fresh point count
+      in.addData((1L, ts(130), 11L, 2.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(300), 23L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("st22").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(all.count(_._1 == 1L) == 2, all.mkString(", "))
+      assert(all.exists(a =>
+        a._1 == 1L && a._2 == "2024-01-01 00:02:10.0" && a._3 == 1L),
+        all.mkString(", "))
+      // the continuously-reporting series never alerted
+      assert(!all.exists(_._1 == 2L), all.mkString(", "))
+    } finally q.stop()
+  }
+
   test("st14: stateful fault tolerance — EWMA state survives a " +
       "kill-and-restart from a RocksDB checkpoint") {
     import graft.streaming.StreamingEwma
