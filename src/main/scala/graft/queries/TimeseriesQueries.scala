@@ -545,6 +545,144 @@ object TimeseriesQueries extends QuerySet {
             .as("rz_micro"))
         .filter(abs(col("rz_micro")) > 3500000L)
         .orderBy(col("event_id"))
+    },
+
+    // Counter-reset-aware rate (the Prometheus increase()/rate() recipe,
+    // the one TSDB primitive the family still lacked): per series ordered
+    // by time, a step's contribution is v−prev when monotone and v itself
+    // after a reset (the counter restarted from 0 — the standard
+    // extrapolation-free lower bound). All step math is exact int64 cents
+    // (2-decimal source), so sums are order-independent; only the final
+    // one-per-series rate division is fp, with a fixed op order both
+    // engines share. ONE user_id shuffle feeds the lag window and the
+    // rollup; per-series agg state is 4 longs.
+    "q_rate_counter" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .withColumn("inc",
+          when(col("prev").isNull, 0L)
+            .when(col("cents") < col("prev"), col("cents"))
+            .otherwise(col("cents") - col("prev")))
+        .withColumn("is_reset",
+          when(col("prev").isNotNull && col("cents") < col("prev"), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("is_reset")).as("n_resets"),
+          sum(col("inc")).as("increase_cents"),
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+        .filter(col("n_points") >= 2L && col("t1") > col("t0"))
+        .select(col("user_id"), col("n_points"), col("n_resets"),
+          col("increase_cents"),
+          micro((col("increase_cents").cast("double") / 100.0)
+            / ((col("t1") - col("t0")).cast("double") / 1000000.0))
+            .as("rate_micro"))
+        .orderBy(col("user_id"))
+    },
+
+    // Rolling EXACT median over the trailing 11 points per series — the
+    // robust twin of q_stat_anomaly's rolling mean. Exactness trick: the
+    // window is collected as int64 cents and the lower median is an
+    // ARRAY ELEMENT of the sorted window (no interpolation — the
+    // q_winsorize 10×-replica catch showed interpolated percentiles
+    // diverge between engines at value-tie mass), so every compared byte
+    // is integer. Scale shape: one user_id shuffle, window state is
+    // ≤11 longs per row group — constant, not series-length-bound.
+    "q_moving_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("win", collect_list(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          size(col("win")).cast("long").as("n_win"),
+          element_at(array_sort(col("win")),
+            ((size(col("win")) + 1) / 2).cast("int")).as("med_cents"))
+        .orderBy(col("event_id"))
+    },
+
+    // Per-series autocorrelation at lags 1..3 — the seasonality /
+    // persistence diagnostic (flat ACF ⇒ white noise; slow decay ⇒
+    // trending series worth a Holt-Winters pass). Pearson corr of
+    // (v_t, v_{t+k}) from SIX exact int64 cent sums per lag, all
+    // accumulated in ONE agg pass over ONE user_id shuffle; fp appears
+    // only in the final per-series formula with a fixed op order (the
+    // int sums are < 2^53 for series up to ~5×10^4 points at this value
+    // magnitude — past that, promote to DECIMAL like q_anomaly_cusum's
+    // scaladoc prescribes).
+    "q_autocorr" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val lagged = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("x"))
+        .withColumn("y1", lead(col("x"), 1).over(w))
+        .withColumn("y2", lead(col("x"), 2).over(w))
+        .withColumn("y3", lead(col("x"), 3).over(w))
+      def sums(k: Int): Seq[org.apache.spark.sql.Column] = {
+        val y = col(s"y$k")
+        val m = y.isNotNull
+        Seq(count(y).as(s"n$k"),
+          sum(when(m, col("x"))).as(s"sx$k"),
+          sum(y).as(s"sy$k"),
+          sum(when(m, col("x") * col("x"))).as(s"sxx$k"),
+          sum(y * y).as(s"syy$k"),
+          sum(col("x") * y).as(s"sxy$k"))
+      }
+      def ac(k: Int): org.apache.spark.sql.Column = {
+        val (n, sx, sy, sxx, syy, sxy) =
+          (col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+            col(s"sxx$k"), col(s"syy$k"), col(s"sxy$k"))
+        micro((n * sxy - sx * sy).cast("double")
+          / sqrt((n * sxx - sx * sx).cast("double")
+            * (n * syy - sy * sy).cast("double")))
+      }
+      lagged.groupBy(col("user_id"))
+        .agg(sums(1).head, (sums(1).tail ++ sums(2) ++ sums(3)): _*)
+        .filter(col("n3") >= 3L &&
+          col("n1") * col("sxx1") - col("sx1") * col("sx1") > 0L &&
+          col("n1") * col("syy1") - col("sy1") * col("sy1") > 0L &&
+          col("n2") * col("sxx2") - col("sx2") * col("sx2") > 0L &&
+          col("n2") * col("syy2") - col("sy2") * col("sy2") > 0L &&
+          col("n3") * col("sxx3") - col("sx3") * col("sx3") > 0L &&
+          col("n3") * col("syy3") - col("sy3") * col("sy3") > 0L)
+        .select(col("user_id"), col("n1").as("n_pairs"),
+          ac(1).as("ac1_micro"), ac(2).as("ac2_micro"),
+          ac(3).as("ac3_micro"))
+        .orderBy(col("user_id"))
+    },
+
+    // Hour-of-day seasonal profile per event type (the STL-lite seasonal
+    // component): exact integer mean (avgMicro discipline) + population
+    // σ from the same int64 cent sums, one hash agg over a catalog-sized
+    // (type × 24) output — the profile a deseasonalizer joins back
+    // (broadcast: 120 rows at any corpus size).
+    "q_seasonal_profile" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hh"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("hh"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"),
+          sum(col("cents") * col("cents")).as("scc"))
+        .select(col("event_type"), col("hh"), col("n"),
+          intDiv(col("sc") * 10000 + intDiv(col("n"), lit(2)), col("n"))
+            .as("mean_micro"),
+          micro(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+            .cast("double")) / col("n").cast("double") / lit(100.0))
+            .as("std_micro"))
+        .orderBy(col("event_type"), col("hh"))
     }
   )
 
@@ -1062,6 +1200,118 @@ object TimeseriesQueries extends QuerySet {
         |  WHERE mad.mad > 0)
         |SELECT event_id, user_id, value, rz_micro
         |FROM sc WHERE abs(rz_micro) > 3500000
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // exact int64 cent steps; the only fp op is the final per-series
+    // division with the same fixed order as the Spark micro() form
+    "q_rate_counter" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lag(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL THEN 0
+        |         WHEN cents < prev THEN cents
+        |         ELSE cents - prev END AS inc,
+        |    CASE WHEN prev IS NOT NULL AND cents < prev
+        |         THEN 1 ELSE 0 END AS is_reset
+        |  FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(is_reset) AS BIGINT) AS n_resets,
+        |  CAST(sum(inc) AS BIGINT) AS increase_cents,
+        |  CAST(floor((CAST(sum(inc) AS DOUBLE) / 100.0)
+        |    / (CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)
+        |       / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS rate_micro
+        |FROM s GROUP BY user_id
+        |HAVING count(*) >= 2 AND max(epoch_us(ts)) > min(epoch_us(ts))
+        |ORDER BY user_id""".stripMargin,
+
+    // lower median as a sorted-window ARRAY ELEMENT (1-based on both
+    // engines), never interpolation — all-integer comparison
+    "q_moving_median" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    list(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, user_id, cents,
+        |  CAST(len(win) AS BIGINT) AS n_win,
+        |  list_sort(win)[CAST((len(win) + 1) // 2 AS BIGINT)] AS med_cents
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    // six exact int64 sums per lag; fp only in the final fixed-order
+    // per-series formula (same floor(x*1e6+0.5) canon as micro())
+    "q_autocorr" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+        |    lead(CAST(round(value * 100) AS BIGINT), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y1,
+        |    lead(CAST(round(value * 100) AS BIGINT), 2)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y2,
+        |    lead(CAST(round(value * 100) AS BIGINT), 3)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y3
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(count(y1) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+        |    CAST(sum(y1) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN y1 IS NOT NULL THEN x*x END) AS BIGINT) AS sxx1,
+        |    CAST(sum(y1*y1) AS BIGINT) AS syy1,
+        |    CAST(sum(x*y1) AS BIGINT) AS sxy1,
+        |    CAST(count(y2) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN y2 IS NOT NULL THEN x END) AS BIGINT) AS sx2,
+        |    CAST(sum(y2) AS BIGINT) AS sy2,
+        |    CAST(sum(CASE WHEN y2 IS NOT NULL THEN x*x END) AS BIGINT) AS sxx2,
+        |    CAST(sum(y2*y2) AS BIGINT) AS syy2,
+        |    CAST(sum(x*y2) AS BIGINT) AS sxy2,
+        |    CAST(count(y3) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN y3 IS NOT NULL THEN x END) AS BIGINT) AS sx3,
+        |    CAST(sum(y3) AS BIGINT) AS sy3,
+        |    CAST(sum(CASE WHEN y3 IS NOT NULL THEN x*x END) AS BIGINT) AS sxx3,
+        |    CAST(sum(y3*y3) AS BIGINT) AS syy3,
+        |    CAST(sum(x*y3) AS BIGINT) AS sxy3
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n1 AS n_pairs,
+        |  CAST(floor(CAST(n1*sxy1 - sx1*sy1 AS DOUBLE)
+        |    / sqrt(CAST(n1*sxx1 - sx1*sx1 AS DOUBLE)
+        |           * CAST(n1*syy1 - sy1*sy1 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ac1_micro,
+        |  CAST(floor(CAST(n2*sxy2 - sx2*sy2 AS DOUBLE)
+        |    / sqrt(CAST(n2*sxx2 - sx2*sx2 AS DOUBLE)
+        |           * CAST(n2*syy2 - sy2*sy2 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ac2_micro,
+        |  CAST(floor(CAST(n3*sxy3 - sx3*sy3 AS DOUBLE)
+        |    / sqrt(CAST(n3*sxx3 - sx3*sx3 AS DOUBLE)
+        |           * CAST(n3*syy3 - sy3*sy3 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ac3_micro
+        |FROM a
+        |WHERE n3 >= 3
+        |  AND n1*sxx1 - sx1*sx1 > 0 AND n1*syy1 - sy1*sy1 > 0
+        |  AND n2*sxx2 - sx2*sx2 > 0 AND n2*syy2 - sy2*sy2 > 0
+        |  AND n3*sxx3 - sx3*sx3 > 0 AND n3*syy3 - sy3*sy3 > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // avgMicro mean + population sigma from the same exact cent sums
+    "q_seasonal_profile" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(sum(cents*cents) AS BIGINT) AS scc
+        |  FROM d GROUP BY event_type, hh)
+        |SELECT event_type, hh, n,
+        |  (sc * 10000 + n // 2) // n AS mean_micro,
+        |  CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
+        |FROM g ORDER BY event_type, hh""".stripMargin
   )
 }

@@ -900,4 +900,79 @@ class StreamingSpec extends SparkSpec {
     val dot = pOn.indices.map(i => pOn(i) * pBat(i)).sum
     assert(math.abs(dot) > 0.999999, s"axis dot=$dot")
   }
+
+  test("st23: streaming counter rate — hand-computed reset fixture, " +
+      "all-integer state across a micro-batch boundary") {
+    // u1: cents 500 -> seed (inc 0); 800 -> +300; 200 -> RESET, +200
+    //     (elapsed 2 s, inc 5.00 -> rate 2.5/s = 2_500_000 micro)
+    // u2: 100 -> seed; 100 -> +0 (flat counter, rate 0, no reset)
+    import graft.streaming.StreamingRate
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val q = StreamingRate
+      .rate(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st23").start()
+    try {
+      in.addData((1L, ts(0), 10L, 5.0), (1L, ts(1), 11L, 8.0),
+        (2L, ts(0), 20L, 1.0))
+      q.processAllAvailable()
+      // (last, inc, resets, t0) cross the boundary; the reset lands here
+      in.addData((1L, ts(2), 12L, 2.0), (2L, ts(1), 21L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st23").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    val want = Map(
+      10L -> (1L, 0L, 0L, None),
+      11L -> (2L, 0L, 300L, Some(3000000L)),
+      12L -> (3L, 1L, 500L, Some(2500000L)),
+      20L -> (1L, 0L, 0L, None),
+      21L -> (2L, 0L, 0L, Some(0L)))
+    assert(got == want, s"got $got")
+  }
+
+  test("st23b: streaming counter rate == batch q_rate_counter over the " +
+      "real events history — integer state makes the fixpoint EXACT") {
+    import graft.streaming.StreamingRate
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_rate_counter")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_resets"),
+          r.getAs[Long]("increase_cents"), r.getAs[Long]("rate_micro")))
+      .toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingRate
+      .rate(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st23b").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("st23b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+    // batch HAVING drops nothing at this sf (every series has ≥2 points
+    // over >0 elapsed) — vacuity check, then EXACT integer equality
+    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
+    batch.foreach { case (u, (n, res, inc, rate)) =>
+      val (sn, sres, sinc, srate) = stream((u, lastEvent(u)))
+      assert((sn, sres, sinc, srate) == ((n, res, inc, rate)),
+        s"user $u: batch ($n,$res,$inc,$rate) vs stream " +
+          s"($sn,$sres,$sinc,$srate)")
+    }
+  }
 }
