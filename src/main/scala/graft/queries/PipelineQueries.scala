@@ -265,6 +265,29 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("lang"))
     },
 
+    // RAG-style overlapping chunking: fixed 64-token windows at stride 48
+    // (16-token overlap), generated by a per-document sequence explode —
+    // map-only, ZERO shuffle at any corpus size (the generator fans out
+    // ~n_tok/stride rows per document; no self-join, no window function).
+    // chunk_fp (md5 of the window text) is the chunk-level dedup /
+    // retrieval key downstream stages join on.
+    "q_chunk_windows" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          size(col("w")).cast("long").as("n_tok"),
+          explode(expr("sequence(1L, greatest(cast(size(w) as long), 1L), 48L)"))
+            .as("st"))
+        .select(col("doc_id"),
+          ((col("st") - 1L) / lit(48L)).cast("long").as("chunk_idx"),
+          col("st").as("tok_start"),
+          size(slice(col("w"), col("st").cast("int"), lit(64))).cast("long")
+            .as("n_tokens"),
+          md5(array_join(slice(col("w"), col("st").cast("int"), lit(64)), " "))
+            .as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Class rebalancing: cap each label at its 30 lowest vec_ids (window
     // top-k per class — deterministic downsampling for skewed labels).
     "q_rebalance" -> { (s, dir) =>
@@ -629,6 +652,21 @@ object PipelineQueries extends QuerySet {
          |  CAST(coalesce(sum(CASE WHEN stage = 'kept' THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM st GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w,
+        |    unnest(generate_series(1, greatest(CAST(len(w) AS BIGINT), 1), 48))
+        |      AS st
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS tok_start,
+        |  CAST(len(w[st:least(st + 63, n_tok)]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[st:least(st + 63, n_tok)], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_rebalance" ->
       """WITH r AS (

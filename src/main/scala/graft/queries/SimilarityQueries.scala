@@ -126,6 +126,44 @@ object SimilarityQueries extends QuerySet {
             s"(sqrt(${intDot("pp", "pp")}) * sqrt(${intDot("qp", "qp")}))"))
             .as("cos_proj"))
         .orderBy(col("vec_id"))
+    },
+
+    // Q34f: int8 SCALAR-quantized ANN (SQ8) — the memory tier between
+    // full-precision (4 bytes/dim) and PQ (0.5 byte/dim): per-vector
+    // scale = max|v|/127, code_i = round(v_i/scale) ∈ [−127,127], so a
+    // 64-dim float32 vector becomes 64 bytes + one float — 4× less scan
+    // bandwidth with far better fidelity than PQ's 16-way codebooks.
+    // Serving shape (same as q34e): ADC-score the whole corpus over the
+    // CODES ONLY (the int dot is exact int64; the scale/norm correction
+    // is 3 fp ops in a fixed order), shortlist top-50, exact-rerank with
+    // true cosine, report top-10 — full-precision vectors are touched
+    // for 50 rows, not the corpus. Unlike PQ there is NO trained model:
+    // the quantizer is closed-form per vector, so any executor encodes
+    // any shard independently (map-only encode, zero shuffle) and the
+    // DuckDB oracle re-derives the whole pipeline as static SQL.
+    "q34f_sq8_ann" -> { (s, dir) =>
+      val enc = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            / 127.0).as("scale"),
+          graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+        .withColumn("code", expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT))"))
+      val q = enc.filter(col("vec_id") === 0)
+        .select(col("code").as("qc"), col("scale").as("qs"),
+          col("nrm").as("qn"), col("embedding").as("qe"))
+      val adc = enc.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qe"),
+          micro(expr("aggregate(zip_with(code, qc, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").cast("double")
+            * col("scale") * col("qs") / (col("nrm") * col("qn")))
+            .as("sq_cos_micro"))
+      adc.orderBy(col("sq_cos_micro").desc, col("vec_id")).limit(50)
+        .select(col("vec_id"), col("sq_cos_micro"),
+          r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
     }
   )
 
@@ -317,7 +355,44 @@ object SimilarityQueries extends QuerySet {
          |SELECT e.vec_id, $cosSql AS cos_sim
          |FROM embeddings e JOIN shortlist USING (vec_id), q
          |WHERE e.vec_id <> 0
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // closed-form per-vector quantizer re-derived as static SQL: int64
+    // code dot (exact), 3 fixed-order fp ops for the scale/norm
+    // correction, shortlist, exact-cosine rerank — same pipeline shape
+    // as the Spark plan, term for term
+    "q34f_sq8_ann" ->
+      """WITH enc AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      / 127.0 AS scale,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, embedding, scale, nrm,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS code
+        |  FROM enc),
+        |q AS (SELECT code AS qc, scale AS qs, nrm AS qn, embedding AS qe
+        |      FROM codes WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT c.vec_id, c.embedding, q.qe,
+        |    CAST(floor(
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> c.code[i] * q.qc[i])) AS DOUBLE)
+        |      * c.scale * q.qs / (c.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS sq_cos_micro
+        |  FROM codes c, q WHERE c.vec_id <> 0),
+        |short AS (SELECT * FROM adc
+        |          ORDER BY sq_cos_micro DESC, vec_id LIMIT 50)
+        |SELECT vec_id, sq_cos_micro,
+        |  round(list_sum(list_transform(list_zip(embedding, qe),
+        |          p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))), 6)
+        |    AS cos_sim
+        |FROM short ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 
   private def ivfSql(probes: Int): String =
