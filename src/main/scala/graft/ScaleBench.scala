@@ -75,12 +75,17 @@ object ScaleBench {
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto",
     "q_dedup_semdedup", "q_dedup_semdedup@sqrtk",
+    "q_dedup_semdedup@joinassign",
     "q_embed_project", "pca_project",
     // round-8: multi-table LSH — the oracle-pinned 8-bit 2-table form
     // and the operator default (auto bits per table); the expected cost
     // is ~2× the matching single-table row (the recall/cost trade), NOT
     // super-linear growth once @auto holds occupancy flat
-    "q_dedup_embedding_mt", "q_dedup_embedding_mt@auto")
+    "q_dedup_embedding_mt", "q_dedup_embedding_mt@auto",
+    // round-8 third pass: SQ8 ADC is a map-only scan over codes + a
+    // top-50 partial — expected ≈linear absolute cost, flat vs the
+    // brute-force q34_cosine_topk row it tiers under
+    "q34f_sq8_ann")
 
   /** The text-analysis scoring family: map-side expressions + one agg
     * each, vocab/LM/idf sides broadcast (plan-asserted in
@@ -89,7 +94,10 @@ object ScaleBench {
   val textHeavy: Seq[String] = Seq(
     "q_text_tfidf", "q_text_perplexity", "q_text_langid",
     "q_text_quality", "q_text_fingerprint", "q_text_tokens",
-    "q_text_classifier", "q_text_lm_bigram")
+    "q_text_classifier", "q_text_lm_bigram",
+    // round-8 third pass: map-only generator fan-out (~n_tok/48 rows per
+    // document, no shuffle) — the factor reads pure scan+hash cost
+    "q_chunk_windows")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -108,7 +116,12 @@ object ScaleBench {
     // round-8 second pass: winsorize (percentile band + clipped rollup),
     // spread/elapsed (lag window + agg), Welford and CUSUM SeriesFolds
     "q_winsorize", "q_spread_elapsed", "q_welford_moments",
-    "q_anomaly_cusum")
+    "q_anomaly_cusum",
+    // round-8 third pass: counter rate (lag window + int rollup), rolling
+    // median (collect_list(11) window), ACF (3 lead windows + 18-sum agg),
+    // seasonal profile (one hash agg, catalog-sized output) — series
+    // count grows K×, per-series work constant
+    "q_rate_counter", "q_moving_median", "q_autocorr", "q_seasonal_profile")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -138,6 +151,13 @@ object ScaleBench {
         ((s, d) => queries.TimeseriesQueries.holtWintersArrayFold(s, d)),
       "q_dedup_semdedup@sqrtk" ->
         ((s, d) => queries.DedupQueries.semDedupScaled(s, d)),
+      // the large-k assignment handover forced on (AnnIndex.assignJoin):
+      // same sqrt-k centroids, argmax via broadcast-table join instead
+      // of k expression literals — measured next to @sqrtk to price the
+      // handover the auto threshold (k > 384) picks
+      "q_dedup_semdedup@joinassign" ->
+        ((s, d) => queries.DedupQueries.semDedupScaled(s, d,
+          assignVia = Some("join"))),
       "q_dedup_embedding_mt@auto" ->
         ((s, d) => queries.DedupQueries.embeddingDedupPairsMultiTable(s, d)),
       // full PCA pipeline: the one-pass moments aggregate + driver
@@ -350,7 +370,8 @@ object ScaleBench {
     val eventsSql = Set("q13_asof_join", "q13b_asof_interval", "q21_frames",
       "q_sessionize", "q_funnel", "q_gapfill_linear", "q_anomaly_mad",
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
-      "q_anomaly_cusum")
+      "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
+      "q_autocorr", "q_seasonal_profile")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

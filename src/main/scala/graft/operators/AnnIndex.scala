@@ -56,6 +56,45 @@ object AnnIndex {
     array_max(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*)).getField("id")
   }
 
+  /** Nearest-centroid id via a BROADCAST JOIN against a centroid TABLE —
+    * the large-K handover from [[assignExpr]] (SCALE.md §9.6 named it):
+    * the literal argmax embeds all K·d centroid coefficients in the
+    * expression tree — map-only and ideal up to a few hundred centroids,
+    * but the plan (and its codegen) grows linearly in K, and at K≈1000+,
+    * d=64 it carries ~64k literals. This form keeps centroids as DATA
+    * (K rows, broadcast), fans out K scored rows per vector, and takes
+    * the per-vector argmax as max(struct(ip, cid)) — the same O(n·K·d)
+    * dot cost, bounded codegen, and the shuffle carries corpus-sized
+    * (key, best-so-far) PARTIALS, never the corpus×K fan-out (hash-agg
+    * partials collapse per map task). Tie-break matches assignExpr
+    * (higher cid wins at equal ip — struct comparison is lexicographic),
+    * and the score is the same VecOps.dot, so the two paths agree bit
+    * for bit (AnnRecallSpec pins the equality on a trained quantizer).
+    * Non-key columns ride along via first(): every fan-out row of a key
+    * carries identical copies, so the pick is value-deterministic. */
+  def assignJoin(corpus: DataFrame, cents: Array[Array[Double]],
+      embCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = corpus.sparkSession
+    val schema = StructType(Seq(
+      StructField("__cid", IntegerType, nullable = false),
+      StructField("__cvec", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq) }.toSeq
+    val centsDF = s.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val others = corpus.columns.filterNot(_ == keyCol).toSeq
+    corpus.crossJoin(broadcast(centsDF))
+      .withColumn("__ip", dot(col(embCol), col("__cvec")))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("__ip"), col("__cid"))).getField("__cid")
+        .as("cid"),
+        others.map(c => first(col(c)).as(c)): _*)
+  }
+
   /** Spherical k-means coarse quantizer. Deterministic hash-spread init
     * (no global sort), `iters` Lloyd rounds, centroids re-normalized each
     * round. Returns the surviving centroids (an emptied cluster drops out,

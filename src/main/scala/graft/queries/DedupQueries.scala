@@ -699,23 +699,34 @@ object DedupQueries extends QuerySet {
     * scales k ≈ O(√N) to keep occupancy flat: here k = ceil(√N) spherical
     * k-means centroids (AnnIndex.train, 2 Lloyd rounds — linear map-side
     * passes, timed INLINE so the measurement carries the full training
-    * cost), clamped to [16, 256] because assignment is an argmax over k
-    * expression literals (map-only; past ~1k centroids an IVF index's
-    * partitioned assignment is the right surface — operators.AnnIndex).
-    * Not oracle-checkable (centroids depend on corpus content); measured
-    * next to the pinned form in SCALE.md §9.6. */
-  def semDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    * cost), k clamped to [16, 4096]. ASSIGNMENT HANDS OVER at large k
+    * (the SCALE.md §9.6 named next step, closed in round 8): up to 384
+    * centroids the argmax-over-k-literals expression (map-only, zero
+    * shuffle) is the right plan; past that the plan/codegen grows
+    * linearly in k and [[graft.operators.AnnIndex.assignJoin]] takes
+    * over — centroids as a broadcast TABLE, per-vector argmax as a
+    * partial-aggregated max(struct), bit-identical cid per vector
+    * (AnnRecallSpec pins literal == join on a trained quantizer).
+    * `assignVia` forces a path for measurement (ScaleBench's
+    * `@joinassign` row). Not oracle-checkable (centroids depend on
+    * corpus content); measured next to the pinned form in SCALE.md §9.6. */
+  def semDedupScaled(s: SparkSession, dir: String,
+      assignVia: Option[String] = None): DataFrame = {
     import graft.functions.VecOps
     import graft.operators.AnnIndex
     val emb = t(s, dir, "embeddings").unionByName(plantedEmbeddings(s))
       .select(col("vec_id"), col("embedding"),
         VecOps.vec_norm(col("embedding")).as("nrm"))
-    val k = math.min(256,
+    val k = math.min(4096,
       math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val cents = AnnIndex.train(emb, k, iters = 2)
-    val assigned = emb
-      .withColumn("cid", AnnIndex.assignExpr(cents, col("embedding")))
-      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val via = assignVia.getOrElse(
+      if (cents.length > 384) "join" else "literal")
+    val assigned = (via match {
+      case "join" => AnnIndex.assignJoin(emb, cents, "embedding", "vec_id")
+      case _ => emb.withColumn("cid",
+        AnnIndex.assignExpr(cents, col("embedding")))
+    }).select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     semDedupPairs(assigned)
   }
 

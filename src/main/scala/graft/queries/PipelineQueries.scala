@@ -288,6 +288,32 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // EXACT-QUOTA stratified sampling: every source keeps exactly
+    // ceil(n/10) documents — the complement of q_sample_mix's Bernoulli
+    // draw (whose per-stratum count is only binomially close to the
+    // target; audits and ablations want the quota exact). The draw order
+    // is md5(doc_id) — stateless and engine-independent, so the SAME
+    // documents are selected on any cluster/rerun — and the rank is one
+    // window per source partition (the q22 top-k shape; per-partition
+    // state is a counter, the quota is computed from the same window's
+    // count, no second pass). Output is the per-source audit.
+    "q_stratified_sample" -> { (s, dir) =>
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wAll = Window.partitionBy(col("source"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .withColumn("keep", col("rk") <= intDiv(col("n_src") + 9L, lit(10L)))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars"))).as("kept_chars"),
+          max(when(col("keep"), col("doc_id"))).as("max_kept_id"))
+        .orderBy(col("source"))
+    },
+
     // Class rebalancing: cap each label at its 30 lowest vec_ids (window
     // top-k per class — deterministic downsampling for skewed labels).
     "q_rebalance" -> { (s, dir) =>
@@ -652,6 +678,23 @@ object PipelineQueries extends QuerySet {
          |  CAST(coalesce(sum(CASE WHEN stage = 'kept' THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM st GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // same md5 draw order; quota ceil(n/10) in pure integer math
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM documents)
+        |SELECT source, max(n_src) AS n_docs,
+        |  CAST(count(CASE WHEN rk <= (n_src + 9) // 10 THEN 1 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk <= (n_src + 9) // 10 THEN n_chars END)
+        |    AS BIGINT) AS kept_chars,
+        |  CAST(max(CASE WHEN rk <= (n_src + 9) // 10 THEN doc_id END)
+        |    AS BIGINT) AS max_kept_id
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH d AS (

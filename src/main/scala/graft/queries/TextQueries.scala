@@ -466,6 +466,32 @@ object TextQueries extends QuerySet {
           intDiv(col("sum_logp_micro") * -1 + intDiv(col("n_big"), lit(2)),
             col("n_big")).as("avg_neg_logp_micro"))
         .orderBy(col("doc_id"))
+    },
+
+    // Token-distribution ENTROPY per document — the Shannon quality
+    // signal (low entropy = repetitive/templated text; the Gopher-rule
+    // complement to q_text_repetition's explicit n-gram ratios):
+    // H = ln n − (Σ c·ln c)/n over the doc's token counts. Determinism
+    // via the q_text_perplexity recipe: each c·ln c term is micro-
+    // quantized FIRST (one log per distinct token — bit-identical on
+    // both engines), so the per-doc sum and the final average are pure
+    // int64 — no fp fold order anywhere. One explode + two hash aggs,
+    // both partial-aggregated; no window, no join.
+    "q_text_entropy" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(micro(col("c").cast("double") * log(col("c").cast("double"))))
+            .as("sum_clnc_micro"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          (micro(log(col("n").cast("double")))
+            - intDiv(col("sum_clnc_micro") + intDiv(col("n"), lit(2)),
+              col("n"))).as("entropy_micro"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -722,6 +748,26 @@ object TextQueries extends QuerySet {
         |  CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
         |  CAST((-sum(logp_micro) + count(*) // 2) // count(*) AS BIGINT)
         |    AS avg_neg_logp_micro
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-term micro quantization BEFORE the sum (perplexity recipe):
+    // the only fp per term is one c*ln(c), bit-identical on both engines
+    "q_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_clnc_micro
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n, n_distinct,
+        |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - (sum_clnc_micro + n // 2) // n AS entropy_micro
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

@@ -683,6 +683,39 @@ object TimeseriesQueries extends QuerySet {
             .cast("double")) / col("n").cast("double") / lit(100.0))
             .as("std_micro"))
         .orderBy(col("event_type"), col("hh"))
+    },
+
+    // Seasonally-adjusted anomalies — the JOIN-BACK half of
+    // q_seasonal_profile: each event scores against ITS (type, hour)
+    // cell's mean/σ and the >3σ residuals surface. Every comparison is
+    // integer (cents·10⁴ vs micro-units — the σ is the only fp-derived
+    // quantity and it is already canonicalized to an int), so the
+    // anomaly SET is bit-stable across engines; the profile side is
+    // catalog-sized (type × 24 rows) at any corpus size → broadcast,
+    // making the whole detector one map-only pass after the profile agg.
+    "q_deseasonalize" -> { (s, dir) =>
+      val d = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).cast("long").as("hh"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val p = d.groupBy(col("event_type"), col("hh"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(col("cents") * col("cents")).as("scc"))
+        .select(col("event_type"), col("hh"),
+          intDiv(col("sc") * 10000 + intDiv(col("n"), lit(2)), col("n"))
+            .as("mean_micro"),
+          micro(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+            .cast("double")) / col("n").cast("double") / lit(100.0))
+            .as("std_micro"))
+      d.join(broadcast(p), Seq("event_type", "hh"))
+        .select(col("event_id"), col("event_type"), col("hh"),
+          (col("cents") * 10000 - col("mean_micro")).as("resid_micro"),
+          col("std_micro"))
+        .filter(abs(col("resid_micro")) > lit(3L) * col("std_micro"))
+        .select(col("event_id"), col("event_type"), col("hh"),
+          col("resid_micro"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -1312,6 +1345,30 @@ object TimeseriesQueries extends QuerySet {
         |  (sc * 10000 + n // 2) // n AS mean_micro,
         |  CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
         |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
-        |FROM g ORDER BY event_type, hh""".stripMargin
+        |FROM g ORDER BY event_type, hh""".stripMargin,
+
+    // all-integer residual-vs-3sigma comparison (sigma canonicalized to
+    // micro first), so the anomaly set cannot drift between engines
+    "q_deseasonalize" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hh,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(sum(cents*cents) AS BIGINT) AS scc
+        |  FROM d GROUP BY event_type, hh),
+        |p AS (
+        |  SELECT event_type, hh,
+        |    (sc * 10000 + n // 2) // n AS mean_micro,
+        |    CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
+        |  FROM g)
+        |SELECT d.event_id, d.event_type, d.hh,
+        |  d.cents * 10000 - p.mean_micro AS resid_micro
+        |FROM d JOIN p USING (event_type, hh)
+        |WHERE abs(d.cents * 10000 - p.mean_micro) > 3 * p.std_micro
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_bigram_pmi", // 1-row broadcast corpus total
     "q_text_tfidf", // 1-row broadcast document count into the idf table
     "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
-    "q_embed_project") // 1-row broadcast query vector (q34 pattern)
+    "q_embed_project", // 1-row broadcast query vector (q34 pattern)
+    "q34f_sq8_ann") // 1-row broadcast query codes + scale/norm (q34 pattern)
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -121,5 +122,30 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.contains("BroadcastExchange"),
         s"$name: no broadcast exchange in plan:\n$plan")
     }
+  }
+
+  test("q_chunk_windows is map-only: no shuffle exchange at any corpus " +
+      "size (the generator fan-out never joins or aggregates)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_chunk_windows")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only allowed exchange is the final ORDER BY's range partition
+    // (presentation order, oracle-comparison artifact); a hash/shuffle
+    // exchange before it would mean the chunker stopped being map-only
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"q_chunk_windows plans non-range exchanges ($exchanges):\n" +
+        plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(1500))
+  }
+
+  test("q_deseasonalize joins the catalog-sized profile back as a " +
+      "broadcast (map-only detector after the profile agg)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_deseasonalize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile join-back is not broadcast:\n${plan.take(3000)}")
   }
 }

@@ -61,4 +61,27 @@ class AnnRecallSpec extends SparkSpec {
       f"probes=2 recall $r2%.3f below 1.5x the 2/$clusters random baseline")
     assert(rAll == 1.0, f"probing all lists must be exact, got $rAll%.3f")
   }
+
+  test("assignJoin == assignExpr: the large-k broadcast-table assignment " +
+      "picks the bit-identical centroid for every vector") {
+    // same trained quantizer through both argmax paths: the k-literal
+    // expression (small-k default) and the broadcast-join handover the
+    // auto threshold flips to past k=384 — same VecOps.dot scoring, same
+    // higher-cid tie-break, so cids must agree EXACTLY, not approximately
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = AnnIndex.train(e, k = 24, iters = 2)
+    val viaExpr = e.withColumn("cid",
+        AnnIndex.assignExpr(cents, col("embedding")))
+      .select(col("vec_id"), col("cid"))
+    val viaJoin = AnnIndex.assignJoin(e, cents, "embedding", "vec_id")
+      .select(col("vec_id"), col("cid"))
+    assert(viaExpr.count() == viaJoin.count())
+    val diff = viaExpr.except(viaJoin).count()
+    assert(diff == 0, s"$diff vectors assigned differently")
+    // the join path must also carry the non-key columns through intact
+    val joined = AnnIndex.assignJoin(e, cents, "embedding", "vec_id")
+    assert(joined.columns.toSet == Set("vec_id", "cid", "embedding"))
+  }
 }
