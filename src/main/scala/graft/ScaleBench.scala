@@ -97,7 +97,10 @@ object ScaleBench {
     "q_text_classifier", "q_text_lm_bigram",
     // round-8 third pass: map-only generator fan-out (~n_tok/48 rows per
     // document, no shuffle) — the factor reads pure scan+hash cost
-    "q_chunk_windows")
+    "q_chunk_windows",
+    // entropy: one explode + two partial-agged hash aggs; stratified
+    // sample: one source-partition window + rollup
+    "q_text_entropy", "q_stratified_sample")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -121,7 +124,10 @@ object ScaleBench {
     // median (collect_list(11) window), ACF (3 lead windows + 18-sum agg),
     // seasonal profile (one hash agg, catalog-sized output) — series
     // count grows K×, per-series work constant
-    "q_rate_counter", "q_moving_median", "q_autocorr", "q_seasonal_profile")
+    "q_rate_counter", "q_moving_median", "q_autocorr", "q_seasonal_profile",
+    // deseasonalize = profile agg + broadcast join-back (map-only after
+    // the catalog-sized profile)
+    "q_deseasonalize")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -371,7 +377,7 @@ object ScaleBench {
       "q_sessionize", "q_funnel", "q_gapfill_linear", "q_anomaly_mad",
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
-      "q_autocorr", "q_seasonal_profile")
+      "q_autocorr", "q_seasonal_profile", "q_deseasonalize")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

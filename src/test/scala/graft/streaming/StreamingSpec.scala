@@ -901,6 +901,53 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(dot) > 0.999999, s"axis dot=$dot")
   }
 
+  test("st24: streaming seasonal profile — the aggregation state store " +
+      "holds the catalog-sized (type, hour) integer sums; online == batch " +
+      "q_seasonal_profile exactly") {
+    // same recipe as st19 (PCA moments): NO custom state logic — a
+    // continuous groupBy over integer cent sums IS the mergeable profile
+    // (one row per (type, hour) cell regardless of row count), and the
+    // batch query's exact mean/σ derivation reads identically off it
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_seasonal_profile")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("timestamp"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val agg = in.toDF().toDF("event_type", "ts", "value")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hh"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("scc"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("st24").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // state is CELL-sized: #rows == #occupied (type, hour) cells
+    val cells = spark.table("st24").collect()
+    assert(cells.length == batch.size, s"${cells.length} vs ${batch.size}")
+    // the batch query's exact integer mean/σ derivation over live state
+    val online = spark.table("st24")
+      .select(col("event_type"), col("hh"), col("n"),
+        expr("(sc * 10000 + n div 2) div n").as("mean_micro"),
+        floor(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+          .cast("double")) / col("n").cast("double") / lit(100.0)
+          * 1000000.0 + 0.5).cast("long").as("std_micro"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(online == batch, "online profile != batch q_seasonal_profile")
+  }
+
   test("st23: streaming counter rate — hand-computed reset fixture, " +
       "all-integer state across a micro-batch boundary") {
     // u1: cents 500 -> seed (inc 0); 800 -> +300; 200 -> RESET, +200
