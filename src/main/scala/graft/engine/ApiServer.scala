@@ -20,6 +20,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *
   * Superset operational surface (the reference has none): `/retention`,
   * `/tags`, `/fields` (SHOW FIELD KEYS analog with value types),
+  * `/cardinality` (SHOW CARDINALITY analog: series / field-key /
+  * per-tag-key distinct counts),
   * `/quantiles/<series>` (percentiles over any day range from the
   * mergeable histogram rollup — no raw scan),
   * `DELETE /series/<name>`, `GET /jobs` + `DELETE /jobs/<id>`
@@ -474,6 +476,24 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
             }
             respond(ex, 200, s"""{"fields":${jsonArray(body)}}""")
           }
+        }
+      }
+    })
+
+    // GET /cardinality — SHOW CARDINALITY analog: series count, field-
+    // key count, and per-tag-key distinct value counts in one catalog-
+    // sized response (the runaway-tag-cardinality operational alarm)
+    http.createContext("/cardinality", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (ex.getRequestURI.getRawPath != "/cardinality")
+          respond(ex, 404, """{"error":"not found"}""")
+        else {
+          val body = engine.cardinality().map { case (kind, key, n) =>
+            s"""{"kind":${quote(kind)},"key":${quote(key)},"n":$n}"""
+          }
+          respond(ex, 200, s"""{"cardinality":${jsonArray(body)}}""")
         }
       }
     })

@@ -589,6 +589,30 @@ class Engine(val spark: SparkSession, warehouse: String)
       .sortBy(_._1).toSeq
   }
 
+  /** InfluxDB `SHOW ... CARDINALITY` analog, all kinds in one result:
+    * series count, distinct field names, and per-tag-key distinct value
+    * counts. EXACT where the answer is catalog-sized by construction
+    * (series and field names — bounded by schema, not data) and exact
+    * per-tag-key counts via the same index/scan `tagMeta` path the
+    * SHOW TAG surfaces use: the distinct shuffle carries (tag_k, tag_v)
+    * pairs — tag-cardinality-sized, never row-sized. InfluxDB grew
+    * these commands precisely because runaway tag cardinality is THE
+    * operational failure mode of a TSDB; the counts here are the
+    * number an operator alerts on. Catalog-sized result (one row per
+    * kind/key). */
+  def cardinality(): Seq[(String, String, Long)] = {
+    val series = ("series", "", listSeries().length.toLong)
+    val fields = ("field_key", "", fieldKeys().length.toLong)
+    val tagRows =
+      if (!exists) Seq.empty
+      else tagMeta().groupBy(col("tag_k"))
+        .agg(countDistinct(col("tag_v")).as("n"))
+        .collect()
+        .map(r => ("tag_values", r.getString(0), r.getLong(1)))
+        .sortBy(_._2).toSeq
+    (series +: fields +: tagRows).toSeq
+  }
+
   /** Per-field column profile of one series (optionally day-bounded):
     * row count, per-type non-null counts, approximate distinct count,
     * numeric min/max over the typed-value union, and the first/last

@@ -335,6 +335,29 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /cardinality reports series / field-key / per-tag-key " +
+      "distinct counts (SHOW CARDINALITY analog)") {
+    val engine = new Engine(spark, tmpDir("graft-api-cardinality"))
+    engine.ingestLines(Seq(
+      "cpu,host=h1,dc=east usage=0.5 1700000000000000000",
+      "cpu,host=h2,dc=east usage=0.7 1700000001000000000",
+      "disk,host=h1 free=0.9,inodes=12i 1700000002000000000"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c, b) = call(s"$base/cardinality")
+      assert(c == 200, b)
+      // 2 series; 3 field keys (usage, free, inodes); host has 2 values,
+      // dc has 1 — the runaway-tag alarm numbers, exact
+      assert(b.contains("""{"kind":"series","key":"","n":2}"""), b)
+      assert(b.contains("""{"kind":"field_key","key":"","n":3}"""), b)
+      assert(b.contains("""{"kind":"tag_values","key":"dc","n":1}"""), b)
+      assert(b.contains("""{"kind":"tag_values","key":"host","n":2}"""), b)
+      val (c404, _) = call(s"$base/cardinality/extra")
+      assert(c404 == 404)
+    } finally api.stop()
+  }
+
   test("GET /profile serves the per-field column profile with day-range " +
       "pruning and fail-closed validation") {
     val engine = new Engine(spark, tmpDir("graft-api-profile"))
