@@ -127,7 +127,10 @@ object ScaleBench {
     "q_rate_counter", "q_moving_median", "q_autocorr", "q_seasonal_profile",
     // deseasonalize = profile agg + broadcast join-back (map-only after
     // the catalog-sized profile)
-    "q_deseasonalize")
+    "q_deseasonalize",
+    // LTTB-lite = ranking window + two joins against the rows/30 bucket
+    // stats, all on the user_id partitioning
+    "q_downsample_lttb")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -377,7 +380,8 @@ object ScaleBench {
       "q_sessionize", "q_funnel", "q_gapfill_linear", "q_anomaly_mad",
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
-      "q_autocorr", "q_seasonal_profile", "q_deseasonalize")
+      "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
+      "q_downsample_lttb")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

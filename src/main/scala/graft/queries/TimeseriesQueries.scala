@@ -716,6 +716,60 @@ object TimeseriesQueries extends QuerySet {
         .select(col("event_id"), col("event_type"), col("hh"),
           col("resid_micro"))
         .orderBy(col("event_id"))
+    },
+
+    // LTTB-lite visualization downsampling (largest-triangle-three-
+    // buckets, Steinarsson 2013) — THE standard TSDB chart decimator:
+    // per series, 30-point buckets each keep the one point maximizing
+    // the triangle area against the NEIGHBOR BUCKET AVERAGES (the
+    // parallel variant: true LTTB anchors on the previously SELECTED
+    // point — a sequential dependency; the bucket-average anchor is the
+    // documented trade that makes every bucket independent, i.e. one
+    // window + two co-partitioned joins instead of a series-ordered
+    // fold). First/last points always kept (the LTTB contract).
+    // Determinism end to end: times in µs offsets and values in cents
+    // make the 2×area cross product EXACT int64 (neighbor-anchor gaps
+    // bound the products at ~1e16 ≪ 2^63), ties break on event_id.
+    // ONE user_id hash partitioning serves the ranking window, the
+    // bucket-stats agg and both joins; the stats side is rows/30.
+    "q_downsample_lttb" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val b = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_pts", count(lit(1)).over(wAll))
+        .withColumn("bk", intDiv(col("rn") - 1L, lit(30L)))
+        .withColumn("bk_max", intDiv(col("n_pts") - 1L, lit(30L)))
+      val stats = b.groupBy(col("user_id"), col("bk"))
+        .agg(intDiv(sum(col("t_us")), count(lit(1))).as("at_us"),
+          intDiv(sum(col("cents")), count(lit(1))).as("ac"))
+      val p = stats.select(col("user_id"), (col("bk") + 1L).as("bk"),
+        col("at_us").as("p_at"), col("ac").as("p_ac"))
+      val nx = stats.select(col("user_id"), (col("bk") - 1L).as("bk"),
+        col("at_us").as("n_at"), col("ac").as("n_ac"))
+      val area2 = abs((col("t_us") - col("p_at")) * (col("n_ac") - col("p_ac"))
+        - (col("n_at") - col("p_at")) * (col("cents") - col("p_ac")))
+      val wSel = Window.partitionBy(col("user_id"), col("bk"))
+        .orderBy(col("area2").desc, col("event_id"))
+      val mid = b.filter(col("bk") > 0L && col("bk") < col("bk_max"))
+        .join(p, Seq("user_id", "bk"))
+        .join(nx, Seq("user_id", "bk"))
+        .withColumn("area2", area2)
+        .withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("bk"), col("event_id"),
+          col("t_us"), col("cents"), col("area2"))
+      val edges = b.filter(col("rn") === 1L || col("rn") === col("n_pts"))
+        .select(col("user_id"), col("bk"), col("event_id"),
+          col("t_us"), col("cents"), lit(0L).as("area2"))
+      mid.unionByName(edges)
+        .orderBy(col("user_id"), col("bk"), col("event_id"))
     }
   )
 
@@ -1369,6 +1423,46 @@ object TimeseriesQueries extends QuerySet {
         |  d.cents * 10000 - p.mean_micro AS resid_micro
         |FROM d JOIN p USING (event_type, hh)
         |WHERE abs(d.cents * 10000 - p.mean_micro) > 3 * p.std_micro
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // exact int64 cross products (µs × cents), floor-average anchors,
+    // event_id tiebreak — every selected point identical across engines
+    "q_downsample_lttb" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_pts
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT *, CAST((rn - 1) // 30 AS BIGINT) AS bk,
+        |    CAST((n_pts - 1) // 30 AS BIGINT) AS bk_max
+        |  FROM d),
+        |stats AS (
+        |  SELECT user_id, bk,
+        |    CAST(sum(t_us) // count(*) AS BIGINT) AS at_us,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS ac
+        |  FROM b GROUP BY user_id, bk),
+        |mid AS (
+        |  SELECT b.user_id, b.bk, b.event_id, b.t_us, b.cents,
+        |    abs((b.t_us - p.at_us) * (nx.ac - p.ac)
+        |        - (nx.at_us - p.at_us) * (b.cents - p.ac)) AS area2,
+        |    row_number() OVER (PARTITION BY b.user_id, b.bk
+        |      ORDER BY abs((b.t_us - p.at_us) * (nx.ac - p.ac)
+        |        - (nx.at_us - p.at_us) * (b.cents - p.ac)) DESC,
+        |        b.event_id) AS rk
+        |  FROM b
+        |  JOIN stats p ON p.user_id = b.user_id AND p.bk = b.bk - 1
+        |  JOIN stats nx ON nx.user_id = b.user_id AND nx.bk = b.bk + 1
+        |  WHERE b.bk > 0 AND b.bk < b.bk_max),
+        |sel AS (
+        |  SELECT user_id, bk, event_id, t_us, cents, area2
+        |  FROM mid WHERE rk = 1
+        |  UNION ALL
+        |  SELECT user_id, bk, event_id, t_us, cents, CAST(0 AS BIGINT)
+        |  FROM b WHERE rn = 1 OR rn = n_pts)
+        |SELECT user_id, bk, event_id, t_us, cents, area2
+        |FROM sel ORDER BY user_id, bk, event_id""".stripMargin
   )
 }
