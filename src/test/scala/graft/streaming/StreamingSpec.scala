@@ -948,6 +948,43 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "online profile != batch q_seasonal_profile")
   }
 
+  test("st25: streaming rolling median == batch q_moving_median over " +
+      "the real events history — ring-of-11 state, EXACT equality") {
+    import graft.streaming.StreamingMovingMedian
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_moving_median")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("cents"), r.getAs[Long]("n_win"),
+          r.getAs[Long]("med_cents"))).toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingMovingMedian
+      .median(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st25").start()
+    try {
+      // the ring state crosses a micro-batch boundary mid-window
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("st25").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(batch.nonEmpty && stream.keySet == batch.keySet)
+    val diffs = batch.collect {
+      case (id, want) if stream(id) != want => (id, want, stream(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
+
   test("st23: streaming counter rate — hand-computed reset fixture, " +
       "all-integer state across a micro-batch boundary") {
     // u1: cents 500 -> seed (inc 0); 800 -> +300; 200 -> RESET, +200
