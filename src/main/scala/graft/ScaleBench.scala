@@ -130,7 +130,11 @@ object ScaleBench {
     "q_deseasonalize",
     // LTTB-lite = ranking window + two joins against the rows/30 bucket
     // stats, all on the user_id partitioning
-    "q_downsample_lttb")
+    "q_downsample_lttb",
+    // concurrency = sessionize + distributed prefix sum (per-day windows
+    // + catalog-sized offset join) — the factor reads the session agg,
+    // never a global-window serialization
+    "q_concurrency")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -381,7 +385,7 @@ object ScaleBench {
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
-      "q_downsample_lttb")
+      "q_downsample_lttb", "q_concurrency")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

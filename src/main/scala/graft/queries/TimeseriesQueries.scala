@@ -770,6 +770,58 @@ object TimeseriesQueries extends QuerySet {
           col("t_us"), col("cents"), lit(0L).as("area2"))
       mid.unionByName(edges)
         .orderBy(col("user_id"), col("bk"), col("event_id"))
+    },
+
+    // Concurrent-session sweep line — "how many sessions were open at
+    // once, per hour" (the ops/capacity question every TSDB gets):
+    // sessionized intervals become ±1 edge events and concurrency is
+    // their running sum. THE SCALE SHAPE IS THE POINT: the naive form
+    // is one GLOBAL ordered window (a single-partition serialization —
+    // exactly what dies first on a cluster); this plan is the standard
+    // DISTRIBUTED PREFIX SUM instead — per-DAY running sums (parallel
+    // across day partitions) plus a catalog-sized cumulative day-offset
+    // join, algebraically identical to the global window at any data
+    // size. All integer end to end (µs edges, ±1 deltas, total ordering
+    // (t, delta, user, session) with ends before starts at equal t —
+    // touching sessions never double-count).
+    "q_concurrency" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wU.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val iv = t(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wU))
+        .withColumn("new_s",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val sweep = iv.select(col("t0").as("t_us"), lit(1L).as("delta"),
+          col("user_id"), col("session_id"))
+        .unionByName(iv.select((col("t1") + 1L).as("t_us"),
+          lit(-1L).as("delta"), col("user_id"), col("session_id")))
+        .withColumn("day", intDiv(col("t_us"), lit(86400000000L)))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("t_us"), col("delta"), col("user_id"),
+          col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = sweep.withColumn("day_run", sum(col("delta")).over(wDay))
+      val wOff = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sweep.groupBy(col("day"))
+        .agg(sum(col("delta")).as("day_total"))
+        .select(col("day"),
+          coalesce(sum(col("day_total")).over(wOff), lit(0L)).as("off"))
+      run.join(broadcast(offs), Seq("day"))
+        .select(intDiv(col("t_us"), lit(3600000000L)).as("hour_bucket"),
+          (col("day_run") + col("off")).as("conc"))
+        .groupBy(col("hour_bucket"))
+        .agg(max(col("conc")).as("max_concurrent"),
+          count(lit(1)).as("n_edges"))
+        .orderBy(col("hour_bucket"))
     }
   )
 
@@ -1463,6 +1515,53 @@ object TimeseriesQueries extends QuerySet {
         |  SELECT user_id, bk, event_id, t_us, cents, CAST(0 AS BIGINT)
         |  FROM b WHERE rn = 1 OR rn = n_pts)
         |SELECT user_id, bk, event_id, t_us, cents, area2
-        |FROM sel ORDER BY user_id, bk, event_id""".stripMargin
+        |FROM sel ORDER BY user_id, bk, event_id""".stripMargin,
+
+    // the same distributed prefix-sum decomposition (per-day running
+    // sums + cumulative day offsets), all-integer — identical to a
+    // global ordered window by the prefix-sum identity
+    "q_concurrency" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d),
+        |iv AS (
+        |  SELECT user_id, session_id,
+        |    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |  FROM s GROUP BY user_id, session_id),
+        |sweep AS (
+        |  SELECT t0 AS t_us, CAST(1 AS BIGINT) AS delta,
+        |         user_id, session_id FROM iv
+        |  UNION ALL
+        |  SELECT t1 + 1, CAST(-1 AS BIGINT), user_id, session_id FROM iv),
+        |wd AS (
+        |  SELECT *, CAST(t_us // 86400000000 AS BIGINT) AS day FROM sweep),
+        |run AS (
+        |  SELECT t_us, day,
+        |    sum(delta) OVER (PARTITION BY day
+        |      ORDER BY t_us, delta, user_id, session_id
+        |      ROWS UNBOUNDED PRECEDING) AS day_run
+        |  FROM wd),
+        |offs AS (
+        |  SELECT day,
+        |    CAST(coalesce(sum(day_total) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM (SELECT day, sum(delta) AS day_total FROM wd GROUP BY day)),
+        |conc AS (
+        |  SELECT r.t_us, r.day_run + o.off AS conc
+        |  FROM run r JOIN offs o USING (day))
+        |SELECT CAST(t_us // 3600000000 AS BIGINT) AS hour_bucket,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
