@@ -134,7 +134,11 @@ object ScaleBench {
     // concurrency = sessionize + distributed prefix sum (per-day windows
     // + catalog-sized offset join) — the factor reads the session agg,
     // never a global-window serialization
-    "q_concurrency")
+    "q_concurrency",
+    // state runs = two windows on one user_id partitioning + hash agg;
+    // snapshot diff = aggregate-first keyed full-outer (key-cardinality
+    // join sides, never raw fact rows)
+    "q_state_runs", "q_snapshot_diff")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -385,7 +389,7 @@ object ScaleBench {
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
-      "q_downsample_lttb", "q_concurrency")
+      "q_downsample_lttb", "q_concurrency", "q_state_runs")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
@@ -395,7 +399,7 @@ object ScaleBench {
     val needEvents = selected.exists(eventsHeavy.contains) ||
       selected.exists(eventsSql.contains) ||
       selected.contains("q_profile_columns")
-    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile",
+    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff",
       "q18b_percentile_sorted").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)

@@ -160,6 +160,41 @@ object CoreQueries extends QuerySet {
       val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
       a.except(b).orderBy(col("o_custkey"))
+    },
+
+    // Keyed SNAPSHOT DIFF — the data-engineering audit between two
+    // versions of a derived table (here: per-customer order state at
+    // two overlapping date windows): one keyed full-outer join emits
+    // added / removed / changed rows with integer deltas, unchanged
+    // rows dropped. At scale both sides aggregate FIRST (the diff joins
+    // key-cardinality rows, never raw fact rows) and the join keys are
+    // co-partitioned by the same groupBy hash — one shuffle per side,
+    // one join, no row-level comparison fan-out. Exact integer cents
+    // make "changed" bit-stable across engines.
+    "q_snapshot_diff" -> { (s, dir) =>
+      def snap(from: String, until: String) =
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val a = snap("1995-01-01", "1997-01-01")
+        .select(col("k"), col("n").as("na"), col("cents").as("ca"))
+      val b = snap("1996-01-01", "1998-01-01")
+        .select(col("k"), col("n").as("nb"), col("cents").as("cb"))
+      a.join(b, Seq("k"), "full_outer")
+        .filter(!(col("na").isNotNull && col("nb").isNotNull &&
+          col("na") === col("nb") && col("ca") === col("cb")))
+        .select(col("k").as("custkey"),
+          when(col("na").isNull, "added")
+            .when(col("nb").isNull, "removed")
+            .otherwise("changed").as("diff_kind"),
+          (coalesce(col("nb"), lit(0L)) - coalesce(col("na"), lit(0L)))
+            .as("n_delta"),
+          (coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L)))
+            .as("cents_delta"))
+        .orderBy(col("custkey"))
     }
   )
 
@@ -249,6 +284,31 @@ object CoreQueries extends QuerySet {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // aggregate-first keyed diff; exact integer cents pin "changed"
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS custkey,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS diff_kind,
+        |  coalesce(b.n, 0) - coalesce(a.n, 0) AS n_delta,
+        |  coalesce(b.cents, 0) - coalesce(a.cents, 0) AS cents_delta
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE NOT (a.k IS NOT NULL AND b.k IS NOT NULL
+        |           AND a.n = b.n AND a.cents = b.cents)
+        |ORDER BY custkey""".stripMargin
   )
 }

@@ -822,6 +822,33 @@ object TimeseriesQueries extends QuerySet {
         .agg(max(col("conc")).as("max_concurrent"),
           count(lit(1)).as("n_edges"))
         .orderBy(col("hour_bucket"))
+    },
+
+    // State-run compression (gaps-and-islands): consecutive same-type
+    // events per series collapse to runs with length and elapsed time —
+    // the InfluxDB ELAPSED/state-duration analog and the classic
+    // islands formulation: grp = rn_series − rn_(series,state) is
+    // constant exactly within a run, so runs fall out of ONE extra
+    // window over the same user_id partitioning plus a hash agg. Runs
+    // ≥3 surface (the "stuck state" alert shape). All integer.
+    "q_state_runs" -> { (s, dir) =>
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("grp",
+          (row_number().over(wAll) - row_number().over(wTyp)).cast("long"))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"),
+          min(unix_micros(col("ts"))).as("t_start_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("elapsed_us"),
+          min(col("event_id")).as("first_event_id"))
+        .filter(col("run_len") >= 3L)
+        .select(col("user_id"), col("event_type"), col("run_len"),
+          col("t_start_us"), col("elapsed_us"), col("first_event_id"))
+        .orderBy(col("user_id"), col("t_start_us"), col("event_type"))
     }
   )
 
@@ -1562,6 +1589,25 @@ object TimeseriesQueries extends QuerySet {
         |SELECT CAST(t_us // 3600000000 AS BIGINT) AS hour_bucket,
         |  CAST(max(conc) AS BIGINT) AS max_concurrent,
         |  CAST(count(*) AS BIGINT) AS n_edges
-        |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the rn-difference islands trick, identical on both engines
+    "q_state_runs" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rnt
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS run_len,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+        |    AS elapsed_us,
+        |  CAST(min(event_id) AS BIGINT) AS first_event_id
+        |FROM d GROUP BY user_id, event_type, rn - rnt
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, t_start_us, event_type""".stripMargin
   )
 }
