@@ -138,7 +138,10 @@ object ScaleBench {
     // state runs = two windows on one user_id partitioning + hash agg;
     // snapshot diff = aggregate-first keyed full-outer (key-cardinality
     // join sides, never raw fact rows)
-    "q_state_runs", "q_snapshot_diff")
+    "q_state_runs", "q_snapshot_diff",
+    // cross-corr = aggregate-first (type,hour) sums, pair join carries
+    // series-x-hours rows never raw events
+    "q_cross_corr")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -389,7 +392,8 @@ object ScaleBench {
       "q_winsorize", "q_spread_elapsed", "q_welford_moments",
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
-      "q_downsample_lttb", "q_concurrency", "q_state_runs")
+      "q_downsample_lttb", "q_concurrency", "q_state_runs",
+      "q_cross_corr")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

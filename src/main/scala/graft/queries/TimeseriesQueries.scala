@@ -849,6 +849,51 @@ object TimeseriesQueries extends QuerySet {
         .select(col("user_id"), col("event_type"), col("run_len"),
           col("t_start_us"), col("elapsed_us"), col("first_event_id"))
         .orderBy(col("user_id"), col("t_start_us"), col("event_type"))
+    },
+
+    // Cross-series correlation MATRIX — pairwise Pearson between the
+    // hourly rollups of every event-type pair (the multi-series
+    // analytics a one-table-per-series engine structurally cannot run —
+    // SURVEY Q-F). Shape: rows collapse to (type, hour) EXACT integer
+    // MEANS first (the aggregate-first discipline: the pair join carries
+    // series×hours rows, never raw events), one hour-keyed self-join
+    // with type_a < type_b, then the q_autocorr six-sum integer recipe
+    // per pair — fp only in the final 10-row formula. The hourly series
+    // is the floor-MEAN, not the sum, deliberately: means are bounded
+    // by the VALUE RANGE at any corpus size, so the six int64 moment
+    // sums can never overflow however many series roll into an hour —
+    // the sum form measured an ANSI long-overflow at 30× replicas (the
+    // per-hour sum grows with corpus; its square crosses 2^63), caught
+    // by ScaleBench before it shipped.
+    "q_cross_corr" -> { (s, dir) =>
+      val h = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          intDiv(unix_micros(col("ts")), lit(3600000000L)).as("hb"))
+        .agg(intDiv(sum(round(col("value") * 100).cast("long")),
+          count(lit(1))).as("cents"))
+      val a = h.select(col("event_type").as("type_a"), col("hb"),
+        col("cents").as("x"))
+      val b = h.select(col("event_type").as("type_b"), col("hb"),
+        col("cents").as("y"))
+      a.join(b, Seq("hb")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 3L &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0L)
+        .select(col("type_a"), col("type_b"), col("n"),
+          micro((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("corr_micro"))
+        .orderBy(col("type_a"), col("type_b"))
     }
   )
 
@@ -1608,6 +1653,34 @@ object TimeseriesQueries extends QuerySet {
         |  CAST(min(event_id) AS BIGINT) AS first_event_id
         |FROM d GROUP BY user_id, event_type, rn - rnt
         |HAVING count(*) >= 3
-        |ORDER BY user_id, t_start_us, event_type""".stripMargin
+        |ORDER BY user_id, t_start_us, event_type""".stripMargin,
+
+    // aggregate-first pair join over exact hourly floor-mean cents
+    // (bounded by value range at any corpus size — overflow-proof);
+    // the q_autocorr six-sum recipe per type pair
+    "q_cross_corr" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) // count(*)
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.cents AS x, b.cents AS y
+        |  FROM h a JOIN h b ON a.hb = b.hb AND a.event_type < b.event_type),
+        |g AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n*syy - sy*sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+        |FROM g WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }
