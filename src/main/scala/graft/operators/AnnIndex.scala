@@ -99,6 +99,25 @@ object AnnIndex {
     * (no global sort), `iters` Lloyd rounds, centroids re-normalized each
     * round. Returns the surviving centroids (an emptied cluster drops out,
     * so the result may have fewer than `k` rows). */
+  /** Above this centroid count the literal argmax hands over to
+    * [[assignJoin]] — in TRAINING rounds as well as final assignment
+    * (review catch: raising semDedupScaled's k clamp without switching
+    * the Lloyd rounds would re-embed k·d literals per round, the exact
+    * plan/codegen blowup the old 256 clamp existed to avoid). */
+  val JoinAssignThreshold = 384
+
+  /** (cluster id, embedding) by whichever argmax path fits k — the one
+    * dispatch both training rounds and callers share. */
+  private def assignedPairs(e: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    if (cents.length > JoinAssignThreshold)
+      assignJoin(e.select(col("vec_id"), col("embedding")), cents,
+        "embedding", "vec_id")
+        .select(col("cid").as("list"), col("embedding"))
+    else
+      e.select(assignExpr(cents, col("embedding")).as("list"),
+        col("embedding"))
+
   def train(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     val n = e.count()
     require(n >= k, s"need at least $k vectors, got $n")
@@ -112,9 +131,8 @@ object AnnIndex {
       .collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
     (1 to iters).foreach { _ =>
-      val means = e
-        .select(assignExpr(cents, col("embedding")).as("list"),
-          col("embedding"), nrm(col("embedding")).as("d"))
+      val means = assignedPairs(e, cents)
+        .withColumn("d", nrm(col("embedding")))
         .select(col("list"),
           posexplode(transform(col("embedding"),
             v => v.cast("double") / col("d"))))

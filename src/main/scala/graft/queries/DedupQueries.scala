@@ -721,7 +721,8 @@ object DedupQueries extends QuerySet {
       math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val cents = AnnIndex.train(emb, k, iters = 2)
     val via = assignVia.getOrElse(
-      if (cents.length > 384) "join" else "literal")
+      if (cents.length > AnnIndex.JoinAssignThreshold) "join"
+      else "literal")
     val assigned = (via match {
       case "join" => AnnIndex.assignJoin(emb, cents, "embedding", "vec_id")
       case _ => emb.withColumn("cid",

@@ -147,6 +147,10 @@ object SimilarityQueries extends QuerySet {
           (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
             / 127.0).as("scale"),
           graft.functions.VecOps.vec_norm(col("embedding")).as("nrm"))
+        // an all-zero vector has scale 0 → 0/0 codes whose NaN/NULL
+        // handling differs between engines; it also has no direction,
+        // so cosine search excludes it deterministically on both sides
+        .filter(col("scale") > 0.0)
         .withColumn("code", expr("transform(embedding, x -> " +
           "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT))"))
       val q = enc.filter(col("vec_id") === 0)
@@ -373,7 +377,7 @@ object SimilarityQueries extends QuerySet {
         |  SELECT vec_id, embedding, scale, nrm,
         |    list_transform(embedding, x ->
         |      CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS code
-        |  FROM enc),
+        |  FROM enc WHERE scale > 0),
         |q AS (SELECT code AS qc, scale AS qs, nrm AS qn, embedding AS qe
         |      FROM codes WHERE vec_id = 0),
         |adc AS (

@@ -647,8 +647,9 @@ object TimeseriesQueries extends QuerySet {
           / sqrt((n * sxx - sx * sx).cast("double")
             * (n * syy - sy * sy).cast("double")))
       }
+      val s1 = sums(1)
       lagged.groupBy(col("user_id"))
-        .agg(sums(1).head, (sums(1).tail ++ sums(2) ++ sums(3)): _*)
+        .agg(s1.head, (s1.tail ++ sums(2) ++ sums(3)): _*)
         .filter(col("n3") >= 3L &&
           col("n1") * col("sxx1") - col("sx1") * col("sx1") > 0L &&
           col("n1") * col("syy1") - col("sy1") * col("sy1") > 0L &&
@@ -668,20 +669,9 @@ object TimeseriesQueries extends QuerySet {
     // (type × 24) output — the profile a deseasonalizer joins back
     // (broadcast: 120 rows at any corpus size).
     "q_seasonal_profile" -> { (s, dir) =>
-      t(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), hour(col("ts")).cast("long").as("hh"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .groupBy(col("event_type"), col("hh"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("cents")).as("sc"),
-          sum(col("cents") * col("cents")).as("scc"))
+      seasonalProfile(s, dir)
         .select(col("event_type"), col("hh"), col("n"),
-          intDiv(col("sc") * 10000 + intDiv(col("n"), lit(2)), col("n"))
-            .as("mean_micro"),
-          micro(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
-            .cast("double")) / col("n").cast("double") / lit(100.0))
-            .as("std_micro"))
+          col("mean_micro"), col("std_micro"))
         .orderBy(col("event_type"), col("hh"))
     },
 
@@ -694,20 +684,10 @@ object TimeseriesQueries extends QuerySet {
     // catalog-sized (type × 24 rows) at any corpus size → broadcast,
     // making the whole detector one map-only pass after the profile agg.
     "q_deseasonalize" -> { (s, dir) =>
-      val d = t(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          hour(col("ts")).cast("long").as("hh"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val p = d.groupBy(col("event_type"), col("hh"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
-          sum(col("cents") * col("cents")).as("scc"))
-        .select(col("event_type"), col("hh"),
-          intDiv(col("sc") * 10000 + intDiv(col("n"), lit(2)), col("n"))
-            .as("mean_micro"),
-          micro(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
-            .cast("double")) / col("n").cast("double") / lit(100.0))
-            .as("std_micro"))
+      val d = hourlyCents(s, dir)
+      val p = seasonalProfile(s, dir)
+        .select(col("event_type"), col("hh"), col("mean_micro"),
+          col("std_micro"))
       d.join(broadcast(p), Seq("event_type", "hh"))
         .select(col("event_id"), col("event_type"), col("hh"),
           (col("cents") * 10000 - col("mean_micro")).as("resid_micro"),
@@ -819,16 +799,39 @@ object TimeseriesQueries extends QuerySet {
       val run = sweep.withColumn("part_run", sum(col("delta")).over(wPart))
       val wOff = Window.orderBy(col("hb"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = sweep.groupBy(col("hb"))
-        .agg(sum(col("delta")).as("hb_total"))
-        .select(col("hb"),
-          coalesce(sum(col("hb_total")).over(wOff), lit(0L)).as("off"))
-      run.join(broadcast(offs), Seq("hb"))
-        .select(col("hb").as("hour_bucket"),
-          (col("part_run") + col("off")).as("conc"))
-        .groupBy(col("hour_bucket"))
-        .agg(max(col("conc")).as("max_concurrent"),
-          count(lit(1)).as("n_edges"))
+      val totals = sweep.groupBy(col("hb"))
+        .agg(sum(col("delta")).as("hb_total"),
+          count(lit(1)).as("hb_edges"))
+      val offs = totals.select(col("hb"),
+        coalesce(sum(col("hb_total")).over(wOff), lit(0L)).as("off"))
+      // concurrency is piecewise-constant, changing only at edges — so
+      // an hour's true max is max(level CARRIED INTO the hour, levels
+      // after each edge within it), and hours with no edges at all
+      // still carry a level (review catch: the edge-rows-only rollup
+      // omitted empty hours entirely and ignored the carried level
+      // where an hour's first edge was a −1). The hour GRID and both
+      // cumulative windows are catalog-sized (hours in the span) at
+      // any corpus size.
+      val emax = run.join(broadcast(offs), Seq("hb"))
+        .groupBy(col("hb").as("hour_bucket"))
+        .agg(max(col("part_run") + col("off")).as("edge_max"))
+      val grid = sweep.agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+        .select(explode(expr("sequence(h0, h1)")).as("hour_bucket"))
+      grid
+        .join(broadcast(totals.withColumnRenamed("hb", "hour_bucket")),
+          Seq("hour_bucket"), "left")
+        .withColumn("end_level",
+          sum(coalesce(col("hb_total"), lit(0L)))
+            .over(Window.orderBy(col("hour_bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("carry_in",
+          col("end_level") - coalesce(col("hb_total"), lit(0L)))
+        .join(broadcast(emax), Seq("hour_bucket"), "left")
+        .select(col("hour_bucket"),
+          greatest(col("carry_in"),
+            coalesce(col("edge_max"), col("carry_in")))
+            .as("max_concurrent"),
+          coalesce(col("hb_edges"), lit(0L)).as("n_edges"))
         .orderBy(col("hour_bucket"))
     },
 
@@ -904,6 +907,34 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("type_a"), col("type_b"))
     }
   )
+
+  /** (event_id, event_type, hh, cents) — the event-level base both
+    * seasonal queries read (one definition; review catch: the profile
+    * derivation existed twice and was one sigma-canon edit from
+    * divergence). */
+  private def hourlyCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hh"),
+        round(col("value") * 100).cast("long").as("cents"))
+
+  /** The (type × hour) seasonal profile: avgMicro-exact mean +
+    * population σ from the same int64 cent sums — THE profile
+    * definition q_seasonal_profile publishes and q_deseasonalize
+    * scores against (the SQL twin is [[seasonalProfileSql]]). */
+  private def seasonalProfile(s: SparkSession, dir: String): DataFrame =
+    hourlyCents(s, dir)
+      .groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("scc"))
+      .select(col("event_type"), col("hh"), col("n"),
+        intDiv(col("sc") * 10000 + intDiv(col("n"), lit(2)), col("n"))
+          .as("mean_micro"),
+        micro(sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+          .cast("double")) / col("n").cast("double") / lit(100.0))
+          .as("std_micro"))
 
   /** Constant-memory q_ewma_recurrence: one streaming fold per series
     * (operators.SeriesFold), state = a single double. Bit-identical to
@@ -1008,6 +1039,27 @@ object TimeseriesQueries extends QuerySet {
         r6(element_at(col("st"), 1) + element_at(col("st"), 2))
           .as("forecast_next"))
       .orderBy(col("user_id"))
+
+  /** The shared seasonal-profile CTE chain (d: event-level cents, g:
+    * six int sums per cell, p: the avgMicro mean + sigma canon) — ONE
+    * SQL twin of [[seasonalProfile]], interpolated into both oracle
+    * entries so the cross-engine profile definition cannot fork. */
+  private val seasonalProfileSql: String =
+    """d AS (
+      |  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hh,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc,
+      |    CAST(sum(cents*cents) AS BIGINT) AS scc
+      |  FROM d GROUP BY event_type, hh),
+      |p AS (
+      |  SELECT event_type, hh, n,
+      |    (sc * 10000 + n // 2) // n AS mean_micro,
+      |    CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
+      |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_pivot" ->
@@ -1518,39 +1570,14 @@ object TimeseriesQueries extends QuerySet {
 
     // avgMicro mean + population sigma from the same exact cent sums
     "q_seasonal_profile" ->
-      """WITH d AS (
-        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |g AS (
-        |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS sc,
-        |    CAST(sum(cents*cents) AS BIGINT) AS scc
-        |  FROM d GROUP BY event_type, hh)
-        |SELECT event_type, hh, n,
-        |  (sc * 10000 + n // 2) // n AS mean_micro,
-        |  CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
-        |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
-        |FROM g ORDER BY event_type, hh""".stripMargin,
+      s"""WITH $seasonalProfileSql
+        |SELECT event_type, hh, n, mean_micro, std_micro
+        |FROM p ORDER BY event_type, hh""".stripMargin,
 
     // all-integer residual-vs-3sigma comparison (sigma canonicalized to
     // micro first), so the anomaly set cannot drift between engines
     "q_deseasonalize" ->
-      """WITH d AS (
-        |  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hh,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |g AS (
-        |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS sc,
-        |    CAST(sum(cents*cents) AS BIGINT) AS scc
-        |  FROM d GROUP BY event_type, hh),
-        |p AS (
-        |  SELECT event_type, hh,
-        |    (sc * 10000 + n // 2) // n AS mean_micro,
-        |    CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
-        |      / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
-        |  FROM g)
+      s"""WITH $seasonalProfileSql
         |SELECT d.event_id, d.event_type, d.hh,
         |  d.cents * 10000 - p.mean_micro AS resid_micro
         |FROM d JOIN p USING (event_type, hh)
@@ -1597,9 +1624,9 @@ object TimeseriesQueries extends QuerySet {
         |SELECT user_id, bk, event_id, t_us, cents, area2
         |FROM sel ORDER BY user_id, bk, event_id""".stripMargin,
 
-    // the same distributed prefix-sum decomposition (per-day running
-    // sums + cumulative day offsets), all-integer — identical to a
-    // global ordered window by the prefix-sum identity
+    // the same distributed prefix-sum decomposition (per-hour running
+    // sums + cumulative offsets) extended with the hour GRID so empty
+    // hours report their carried level too
     "q_concurrency" ->
       """WITH d AS (
         |  SELECT user_id, ts, event_id,
@@ -1619,30 +1646,47 @@ object TimeseriesQueries extends QuerySet {
         |  FROM s GROUP BY user_id, session_id),
         |sweep AS (
         |  SELECT t0 AS t_us, CAST(1 AS BIGINT) AS delta,
-        |         user_id, session_id FROM iv
+        |         user_id, session_id,
+        |         CAST(t0 // 3600000000 AS BIGINT) AS hb FROM iv
         |  UNION ALL
-        |  SELECT t1 + 1, CAST(-1 AS BIGINT), user_id, session_id FROM iv),
-        |wd AS (
-        |  SELECT *, CAST(t_us // 86400000000 AS BIGINT) AS day FROM sweep),
+        |  SELECT t1 + 1, CAST(-1 AS BIGINT), user_id, session_id,
+        |         CAST((t1 + 1) // 3600000000 AS BIGINT) FROM iv),
         |run AS (
-        |  SELECT t_us, day,
-        |    sum(delta) OVER (PARTITION BY day
+        |  SELECT t_us, hb,
+        |    sum(delta) OVER (PARTITION BY hb
         |      ORDER BY t_us, delta, user_id, session_id
-        |      ROWS UNBOUNDED PRECEDING) AS day_run
-        |  FROM wd),
+        |      ROWS UNBOUNDED PRECEDING) AS part_run
+        |  FROM sweep),
+        |totals AS (
+        |  SELECT hb, CAST(sum(delta) AS BIGINT) AS hb_total,
+        |    CAST(count(*) AS BIGINT) AS hb_edges
+        |  FROM sweep GROUP BY hb),
         |offs AS (
-        |  SELECT day,
-        |    CAST(coalesce(sum(day_total) OVER (ORDER BY day
+        |  SELECT hb,
+        |    CAST(coalesce(sum(hb_total) OVER (ORDER BY hb
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS BIGINT) AS off
-        |  FROM (SELECT day, sum(delta) AS day_total FROM wd GROUP BY day)),
-        |conc AS (
-        |  SELECT r.t_us, r.day_run + o.off AS conc
-        |  FROM run r JOIN offs o USING (day))
-        |SELECT CAST(t_us // 3600000000 AS BIGINT) AS hour_bucket,
-        |  CAST(max(conc) AS BIGINT) AS max_concurrent,
-        |  CAST(count(*) AS BIGINT) AS n_edges
-        |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM totals),
+        |emax AS (
+        |  SELECT r.hb AS hour_bucket,
+        |    CAST(max(r.part_run + o.off) AS BIGINT) AS edge_max
+        |  FROM run r JOIN offs o USING (hb) GROUP BY r.hb),
+        |grid AS (
+        |  SELECT unnest(generate_series(min(hb), max(hb))) AS hour_bucket
+        |  FROM sweep),
+        |lev AS (
+        |  SELECT g.hour_bucket,
+        |    CAST(coalesce(t.hb_edges, 0) AS BIGINT) AS n_edges,
+        |    CAST(sum(coalesce(t.hb_total, 0)) OVER (ORDER BY g.hour_bucket
+        |      ROWS UNBOUNDED PRECEDING) - coalesce(t.hb_total, 0)
+        |      AS BIGINT) AS carry_in
+        |  FROM grid g LEFT JOIN totals t ON t.hb = g.hour_bucket)
+        |SELECT l.hour_bucket,
+        |  greatest(l.carry_in, coalesce(e.edge_max, l.carry_in))
+        |    AS max_concurrent,
+        |  l.n_edges
+        |FROM lev l LEFT JOIN emax e USING (hour_bucket)
+        |ORDER BY hour_bucket""".stripMargin,
 
     // the rn-difference islands trick, identical on both engines
     "q_state_runs" ->

@@ -23,4 +23,15 @@ object SeriesPoint {
     */
   def orderKey(p: Point): (Long, Int, Long) =
     (Math.floorDiv(p.ts.getTime, 1000L), p.ts.getNanos, p.event_id)
+
+  /** HALF_UP cents for the (always-positive) event values — the ONE
+    * streaming-side copy of the batch `round(value*100)` Catalyst
+    * semantics (identical on positives), shared by every integer-state
+    * smoother for the same reason orderKey is shared: two copies of a
+    * canon are one precision fix away from divergence. */
+  def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+
+  /** Epoch microseconds with the same overflow-free split as orderKey. */
+  def epochUs(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 }

@@ -20,10 +20,6 @@ object StreamingMovingMedian {
   case class MedianPoint(user_id: Long, event_id: Long, cents: Long,
       n_win: Long, med_cents: Long)
 
-  /** HALF_UP cents for the (always-positive) event values — identical to
-    * the batch `round(value*100)` Catalyst semantics on positives. */
-  private def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
-
   /** `events` must carry user_id, ts, event_id, value; emits the rolling
     * window size and lower median after every input row. */
   def median(events: DataFrame, window: Int = 11): Dataset[MedianPoint] = {
@@ -40,7 +36,7 @@ object StreamingMovingMedian {
           val ordered = rows.toSeq.sortBy(SeriesPoint.orderKey)
           var win = state.getOption.getOrElse(Nil) // newest first
           val out = ordered.map { p =>
-            val c = cents(p.value)
+            val c = SeriesPoint.cents(p.value)
             win = (c :: win).take(window)
             val sorted = win.sorted
             MedianPoint(uid, p.event_id, c, win.length.toLong,

@@ -27,13 +27,6 @@ object StreamingRate {
   /** (last_cents, inc_cents, resets, t0_us, t1_us, n). */
   private type St = (Long, Long, Long, Long, Long, Long)
 
-  /** HALF_UP cents for the (always-positive) event values — identical to
-    * the batch `round(value*100)` Catalyst semantics on positives. */
-  private def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
-
-  private def epochUs(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
   /** `events` must carry user_id, ts, event_id, value; emits the running
     * (n_points, n_resets, increase_cents, rate) after every input row.
     * rate_micro is None until the series spans >0 elapsed time with ≥2
@@ -54,8 +47,8 @@ object StreamingRate {
           var cur = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
           val out = ordered.map { p =>
             val (last, inc0, res0, t00, t10, n0) = cur
-            val c = cents(p.value)
-            val us = epochUs(p.ts)
+            val c = SeriesPoint.cents(p.value)
+            val us = SeriesPoint.epochUs(p.ts)
             val (inc, res) =
               if (n0 == 0L) (0L, 0L)
               else if (c < last) (inc0 + c, res0 + 1L)
