@@ -948,6 +948,54 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "online profile != batch q_seasonal_profile")
   }
 
+  test("st26: streaming state runs emit on transition — closed runs == " +
+      "batch q_state_runs minus each series' still-open final run") {
+    import graft.streaming.StreamingStateRuns
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_state_runs")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event_id")) ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("run_len"),
+          r.getAs[Long]("t_start_us"), r.getAs[Long]("elapsed_us"))).toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("event_type"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingStateRuns
+      .runs(in.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st26").start()
+    try {
+      // a run crosses the micro-batch boundary mid-flight
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st26").collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the batch side includes each series' final (still-open) run; the
+    // stream cannot know it ended — identify the TRUE trailing run from
+    // the raw ordered rows (the batch output alone cannot: a <3-point
+    // final run is filtered there), drop it, and require the remainder
+    // to match EXACTLY
+    val lastRunFirstId: Map[Long, Long] = rows.groupBy(_._1).map {
+      case (u, rs) => // rs keeps the global (ts, event_id) order
+        val lastType = rs.last._4
+        val trailing = rs.reverse.takeWhile(_._4 == lastType)
+        u -> trailing.last._3
+    }
+    val closedBatch = batch.filter { case ((u, fid), _) =>
+      lastRunFirstId(u) != fid }
+    assert(closedBatch.nonEmpty)
+    assert(streamed == closedBatch,
+      s"closed-run sets differ: stream ${streamed.size} vs batch " +
+        s"${closedBatch.size}")
+  }
+
   test("st25: streaming rolling median == batch q_moving_median over " +
       "the real events history — ring-of-11 state, EXACT equality") {
     import graft.streaming.StreamingMovingMedian
