@@ -58,7 +58,11 @@ object ScaleBench {
     "q_profile_columns",
     // round-8: the composite cleaning pipeline as one plan — the
     // end-to-end number (blocklist + quality + dedup + decontaminate)
-    "q_pipeline_clean")
+    "q_pipeline_clean",
+    // round-8: CDC chunk dedup — generator fan-out + doc-partition
+    // prefix window + two hash aggs; cross-doc shuffle carries chunk
+    // fingerprints only
+    "q_dedup_cdc")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (SURVEY.md §2.4 i,
@@ -638,7 +639,49 @@ object DedupQueries extends QuerySet {
     // the aggregate and the probe join on the same key, so the
     // exchange is reused; span merge + reassembly are per-document
     // windows bounded by document length.
-    "q_dedup_substring" -> { (s, dir) => substringDedup(s, dir) }
+    "q_dedup_substring" -> { (s, dir) => substringDedup(s, dir) },
+
+    // CONTENT-DEFINED CHUNKING dedup (the storage-dedup classic, FastCDC
+    // family): chunk boundaries fall where a rolling 3-word hash hits
+    // 0 mod 8, so boundaries depend on CONTENT ONLY — an insertion or
+    // deletion shifts every fixed-grid chunk (q_dedup_chunks' layout)
+    // but re-synchronizes CDC chunks after one boundary, which is the
+    // whole point of the method. The hash is a char-code polynomial in
+    // exact integer math (mod 1000003), engine-identical; duplicated
+    // chunks (same fp in ≥2 docs, ≥2 words) surface with doc and
+    // occurrence counts. Scale shape: per-doc generator fan-out + one
+    // doc-partition prefix window + two hash aggs — the cross-doc
+    // shuffle carries chunk FINGERPRINTS, never text.
+    "q_dedup_cdc" -> { (s, dir) =>
+      val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(1, greatest(size(ws), 1))")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          element_at(col("ws"), col("pos")).as("word"),
+          expr("aggregate(transform(split(array_join(" +
+            "slice(ws, greatest(pos - 2, 1), " +
+            "pos - greatest(pos - 2, 1) + 1), ' '), ''), " +
+            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
+            "(a, c) -> (a * 131 + c) % 1000003)").as("h3"))
+        .withColumn("chunk_id",
+          coalesce(sum(when(col("h3") % 8 === 0, 1L).otherwise(0L))
+            .over(wPre), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            s0 => s0.getField("word")), " ")).as("chunk_fp"),
+          count(lit(1)).as("chunk_len"))
+        .groupBy(col("chunk_fp"))
+        .agg(max(col("chunk_len")).as("chunk_len"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2L && col("chunk_len") >= 2L)
+        .orderBy(col("n_docs").desc, col("chunk_fp"))
+        .limit(1000)
+    }
   )
 
   /** The q_dedup_semdedup plan — public so operator callers and
@@ -1268,6 +1311,39 @@ object DedupQueries extends QuerySet {
         |  coalesce(ck.cleaned_md5, md5('')) AS cleaned_md5
         |FROM d LEFT JOIN st ON st.doc_id = d.doc_id
         |LEFT JOIN ck ON ck.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the same exact-integer 3-word rolling hash, boundary rule, and
+    // ordered chunk reassembly
+    "q_dedup_cdc" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (
+        |  SELECT doc_id, ws[i] AS word, i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        array_to_string(ws[greatest(i-2, 1):i], ' '), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 1000003) AS h3
+        |  FROM d0,
+        |    LATERAL unnest(generate_series(1, greatest(len(ws), 1))) AS t(i)),
+        |b AS (
+        |  SELECT doc_id, word, pos,
+        |    CAST(coalesce(sum(CASE WHEN h3 % 8 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS chunk_id
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, chunk_id,
+        |    md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp,
+        |    CAST(count(*) AS BIGINT) AS chunk_len
+        |  FROM b GROUP BY doc_id, chunk_id)
+        |SELECT chunk_fp, CAST(max(chunk_len) AS BIGINT) AS chunk_len,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY chunk_fp
+        |HAVING count(DISTINCT doc_id) >= 2 AND max(chunk_len) >= 2
+        |ORDER BY n_docs DESC, chunk_fp LIMIT 1000""".stripMargin
   )
 }
