@@ -905,6 +905,37 @@ object TimeseriesQueries extends QuerySet {
               * (col("n") * col("syy") - col("sy") * col("sy"))
                 .cast("double"))).as("corr_micro"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // SRE MULTI-WINDOW error-budget burn rate (the Google SRE workbook
+    // alert): burn = error_rate / budget (20% here) over a short (1 h)
+    // AND a long (6 h) window, alerting only when BOTH exceed 1 — the
+    // short window gives fast detection, the long one suppresses blips.
+    // Shape: the raw corpus collapses to an HOURLY rollup first (one
+    // hash agg, map-side partials), so the trailing-window pass runs
+    // over a CATALOG-SIZED frame (hours in the span) where the single
+    // global ordering is a deliberate non-cost — the q_concurrency
+    // measurement showed exactly this: offset/grid windows over
+    // hour-count rows are noise next to the corpus-sized agg below
+    // them. All-integer half-up rates (burn in micro).
+    "q_burn_rate" -> { (s, dir) =>
+      val w6 = Window.orderBy(col("hb")).rowsBetween(-5, Window.currentRow)
+      def burn(err: org.apache.spark.sql.Column,
+          tot: org.apache.spark.sql.Column) =
+        intDiv(err * 5000000L + intDiv(tot, lit(2)), tot)
+      t(s, dir, "events")
+        .groupBy(intDiv(unix_micros(col("ts")), lit(3600000000L)).as("hb"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+        .withColumn("t6", sum(col("n_total")).over(w6))
+        .withColumn("e6", sum(col("n_err")).over(w6))
+        .select(col("hb"), col("n_total"), col("n_err"),
+          burn(col("n_err"), col("n_total")).as("burn1_micro"),
+          burn(col("e6"), col("t6")).as("burn6_micro"))
+        .filter(col("burn1_micro") > 1000000L &&
+          col("burn6_micro") > 1000000L)
+        .orderBy(col("hb"))
     }
   )
 
@@ -1733,6 +1764,30 @@ object TimeseriesQueries extends QuerySet {
         |           * CAST(n*syy - sy*sy AS DOUBLE))
         |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
         |FROM g WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // hourly rollup first; catalog-sized trailing windows; the same
+    // half-up integer burn arithmetic
+    "q_burn_rate" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hb, n_total, n_err,
+        |    CAST(sum(n_total) OVER (ORDER BY hb
+        |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS t6,
+        |    CAST(sum(n_err) OVER (ORDER BY hb
+        |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6
+        |  FROM h)
+        |SELECT hb, n_total, n_err,
+        |  (n_err * 5000000 + n_total // 2) // n_total AS burn1_micro,
+        |  (e6 * 5000000 + t6 // 2) // t6 AS burn6_micro
+        |FROM w
+        |WHERE (n_err * 5000000 + n_total // 2) // n_total > 1000000
+        |  AND (e6 * 5000000 + t6 // 2) // t6 > 1000000
+        |ORDER BY hb""".stripMargin
   )
 }
