@@ -141,8 +141,9 @@ object ScaleBench {
     "q_concurrency",
     // state runs = two windows on one user_id partitioning + hash agg;
     // snapshot diff = aggregate-first keyed full-outer (key-cardinality
-    // join sides, never raw fact rows)
-    "q_state_runs", "q_snapshot_diff",
+    // join sides, never raw fact rows); burn rate = hourly rollup +
+    // catalog-sized trailing windows
+    "q_state_runs", "q_snapshot_diff", "q_burn_rate",
     // cross-corr = aggregate-first (type,hour) sums, pair join carries
     // series-x-hours rows never raw events
     "q_cross_corr")
@@ -397,7 +398,7 @@ object ScaleBench {
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
       "q_downsample_lttb", "q_concurrency", "q_state_runs",
-      "q_cross_corr")
+      "q_cross_corr", "q_burn_rate")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
