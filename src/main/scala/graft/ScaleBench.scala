@@ -144,6 +144,8 @@ object ScaleBench {
     // join sides, never raw fact rows); burn rate = hourly rollup +
     // catalog-sized trailing windows
     "q_state_runs", "q_snapshot_diff", "q_burn_rate",
+    // the TPC-H Q5 star: two fact shuffles + broadcast dims at any SF
+    "q_tpch_local_supplier",
     // cross-corr = aggregate-first (type,hour) sums, pair join carries
     // series-x-hours rows never raw events
     "q_cross_corr")
@@ -286,6 +288,27 @@ object ScaleBench {
     }.reduce(_.unionAll(_))
     liN.repartition(64).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
+
+    // customer rides the same o_custkey shift so fact⋈customer joins
+    // stay total on the replica (the Q5-shape star would otherwise miss
+    // every r>0 probe); nationkey is UNSHIFTED — nations/regions/
+    // suppliers are the fixed catalog-sized dims, the honest 100 TB
+    // shape (facts and customers grow, the catalog does not)
+    val cust = Tables.load(spark, base, "customer")
+    val custN = (0 until k).map { r =>
+      cust.select(
+        (col("c_custkey") + lit(r.toLong * 1000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    }.reduce(_.unionAll(_))
+    custN.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+
+    // the fixed catalog dims copy through at 1× so star joins resolve
+    // against the replica dir alone
+    Seq("supplier", "nation", "region").foreach { d =>
+      Tables.load(spark, base, d).coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/$d.parquet")
+    }
   }
 
   /** Long-series replica: K copies of events COLLAPSED INTO ONE SERIES
@@ -408,7 +431,7 @@ object ScaleBench {
     val needEvents = selected.exists(eventsHeavy.contains) ||
       selected.exists(eventsSql.contains) ||
       selected.contains("q_profile_columns")
-    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff",
+    val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
       "q18b_percentile_sorted").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
@@ -436,8 +459,12 @@ object ScaleBench {
         else System.err.println(s"[scale] reusing events at $dir")
       }
       if (needTpch) {
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
-          build("orders+lineitem", buildTpchReplica(spark, base, dir, kk))
+        // customer.parquet is the round-8 addition to this group —
+        // rebuild dirs written before it exists
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists() ||
+            !new java.io.File(s"$dir/customer.parquet").exists())
+          build("orders+lineitem+customer",
+            buildTpchReplica(spark, base, dir, kk))
         else System.err.println(s"[scale] reusing orders+lineitem at $dir")
       }
       if (needEmb) {

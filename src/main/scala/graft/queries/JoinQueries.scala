@@ -166,6 +166,37 @@ object JoinQueries extends QuerySet {
         .select(col("event_id"), ntz(col("ts")).as("ts"),
           ntz(col("click_ts")).as("click_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // The TPC-H Q5 SHAPE — local-supplier revenue per (region, nation,
+    // year): a 6-table star join where the interesting predicate is the
+    // non-key equality s_nationkey = c_nationkey riding the supplier
+    // join. Scale plan: the two FACT tables (lineitem ⋈ orders) meet on
+    // one orderkey shuffle, customer joins on custkey, and every DIM
+    // side (supplier, nation, region — catalog-sized at any SF)
+    // broadcasts, so the plan has exactly the two fact shuffles however
+    // large the corpus. Revenue is per-item round(price·(1−disc)·100)
+    // — one fp multiply per row with identical op order, then exact
+    // int64 cent sums.
+    "q_tpch_local_supplier" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("region"), col("nation"), col("yr"))
     }
   )
 
@@ -287,6 +318,23 @@ object JoinQueries extends QuerySet {
         |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |          AND c.ts <= p.ts) AS click_ts
         |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // same star join; per-item fp multiply then exact int64 cent sums
+    "q_tpch_local_supplier" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }
