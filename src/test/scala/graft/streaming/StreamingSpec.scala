@@ -948,6 +948,55 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "online profile != batch q_seasonal_profile")
   }
 
+  test("st27: streaming burn rate — the aggregation state store holds " +
+      "hourly error/total counts; online == batch q_burn_rate exactly") {
+    // st24's recipe on the alerting op: a continuous hourly groupBy IS
+    // the mergeable rollup, and the batch query's trailing-window burn
+    // derivation reads identically off the live state
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_burn_rate")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("hb") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_err"),
+          r.getAs[Long]("burn1_micro"), r.getAs[Long]("burn6_micro")))
+      .toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .select(col("ts").cast("timestamp"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "event_type")
+      .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+        col("event_type"))
+      .groupBy(col("hb"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("st27").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch burn derivation over live state (same intDiv/window math)
+    val w6 = org.apache.spark.sql.expressions.Window.orderBy(col("hb"))
+      .rowsBetween(-5, org.apache.spark.sql.expressions.Window.currentRow)
+    val online = spark.table("st27")
+      .withColumn("t6", sum(col("n_total")).over(w6))
+      .withColumn("e6", sum(col("n_err")).over(w6))
+      .select(col("hb"), col("n_total"), col("n_err"),
+        expr("(n_err * 5000000 + n_total div 2) div n_total")
+          .as("burn1_micro"),
+        expr("(e6 * 5000000 + t6 div 2) div t6").as("burn6_micro"))
+      .filter(col("burn1_micro") > 1000000L &&
+        col("burn6_micro") > 1000000L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(batch.nonEmpty && online == batch,
+      s"online ${online.size} vs batch ${batch.size}")
+  }
+
   test("st26: streaming state runs emit on transition — closed runs == " +
       "batch q_state_runs minus each series' still-open final run") {
     import graft.streaming.StreamingStateRuns
