@@ -27,4 +27,14 @@ object Fixtures {
     * both engines read the STORED norm, so the assignment denominator is
     * the same value by construction, not by matched re-derivation. */
   def semdedupCentroids: String = s"$dir/semdedup_centroids.parquet"
+
+  /** Principal components for q_pca_project (written once by
+    * [[graft.tools.MakeFixtures]], committed): one row per component m
+    * with the eigenvector as DOUBLE[], its eigenvalue, and the scalar
+    * centering term `center = Σ_i u_i·mean_i` precomputed at save time
+    * with the same sequential Scala sum [[graft.operators.Pca]].project
+    * subtracts — both engines SUBTRACT THE STORED VALUE, so the only
+    * cross-engine arithmetic in the query is the dot product (the
+    * vec_dot / list_sum canon q34 already certifies). */
+  def pcaComponents: String = s"$dir/pca_components.parquet"
 }

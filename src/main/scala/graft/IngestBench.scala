@@ -73,6 +73,94 @@ object IngestBench {
       return
     }
 
+    if (mode == "state") {
+      // SCALE.md §10 evidence: the flatMapGroupsWithState family's
+      // throughput AND state-store footprint, measured at two key
+      // cardinalities (the batch family has §9 factors; the streaming
+      // ops had fixpoint proofs but no measured state table). Per op ×
+      // key count: K series × P points of globally-ordered synthetic
+      // events through the real operator into a noop sink in 5 micro-
+      // batches; rows/s from wall time, state rows from the query's own
+      // StateOperatorProgress (numRowsTotal — what RocksDB would hold).
+      // The claim under test: state rows == series count (O(1)/series,
+      // row-count-independent) and rows/s roughly flat in K.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import java.sql.Timestamp
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val baseKeys = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "2000").toInt
+      val pts = sys.env.getOrElse("SPARK_GRAFT_STATE_POINTS", "40").toInt
+      val t0us = 1700000000000000L
+      def numRows(k: Int): Seq[(Long, Timestamp, Long, Double)] =
+        (0 until pts).flatMap { p =>
+          (0 until k).map { s =>
+            // per-series sawtooth: monotone within a tooth, one counter
+            // reset every 8 points (exercises rate's reset branch)
+            val v = 1.0 + (p % 8) * 0.25 + (s % 7) * 0.01
+            (s.toLong, new Timestamp((t0us + p * 1000000L) / 1000L),
+              (p.toLong * k + s), v)
+          }
+        } // point-major: all series advance together, globally ordered
+      def typedRows(k: Int): Seq[(Long, Timestamp, Long, String)] =
+        (0 until pts).flatMap { p =>
+          (0 until k).map { s =>
+            // runs of 4 per type, phase-shifted per series
+            val ty = "t" + (((p / 4) + s) % 3)
+            (s.toLong, new Timestamp((t0us + p * 1000000L) / 1000L),
+              (p.toLong * k + s), ty)
+          }
+        }
+      def drive[T](op: String, k: Int, in: MemoryStream[T],
+          out: org.apache.spark.sql.DataFrame, rows: Seq[T]): String = {
+        val q = out.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory(s"graft-state-$op").toString)
+          .start()
+        val n = rows.length
+        val chunk = (n + 4) / 5
+        val t0 = System.nanoTime()
+        try {
+          rows.grouped(chunk).foreach { c =>
+            in.addData(c: _*)
+            q.processAllAvailable()
+          }
+        } finally ()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        q.stop()
+        f""""$op@$k":{"keys":$k,"rows":$n,"sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong},"state_rows":$stateRows}"""
+      }
+      def measure(op: String, k: Int): String =
+        if (op == "state_runs") {
+          val in = MemoryStream[(Long, Timestamp, Long, String)]
+          drive(op, k, in, graft.streaming.StreamingStateRuns.runs(
+            in.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+            .toDF(), typedRows(k))
+        } else {
+          val in = MemoryStream[(Long, Timestamp, Long, Double)]
+          val df = in.toDF().toDF("user_id", "ts", "event_id", "value")
+          val ds = op match {
+            case "ewma" => graft.streaming.StreamingEwma.smooth(df).toDF()
+            case "holt_winters" =>
+              graft.streaming.StreamingHoltWinters.smooth(df).toDF()
+            case "welford" =>
+              graft.streaming.StreamingWelford.moments(df).toDF()
+            case "cusum" => graft.streaming.StreamingCusum
+              .monitor(df, mu = 1.8, sigma = 0.6).toDF()
+            case "rate" => graft.streaming.StreamingRate.rate(df).toDF()
+          }
+          drive(op, k, in, ds, numRows(k))
+        }
+      val ops = Seq("ewma", "holt_winters", "welford", "cusum", "rate",
+        "state_runs")
+      val parts = ops.flatMap { op =>
+        Seq(measure(op, baseKeys), measure(op, baseKeys * 10))
+      }
+      println(s"""{"metric":"stream_state","points_per_series":$pts,${parts.mkString(",")}}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "topk") {
       // streaming heavy hitters: one Misra-Gries merge per micro-batch
       // is the entire stateful cost (SURVEY st17) — measure the merge

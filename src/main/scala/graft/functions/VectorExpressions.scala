@@ -111,6 +111,58 @@ object VecOps {
     acc
   }
 
+  /** JL sign projection (q_embed_project's matrix) as one tight JIT'd
+    * loop: output coordinate j is Σ_i floor(v[i] · sgn(j,i) · 1e6 + 0.5)
+    * over 1-based i, with sgn = ±1 from the parity of
+    * h(k) = (k²·48271 + k·2654435761 + 7) mod 1000003, k = j·n + i
+    * (n = input dimension; 64 on the fixture, matching the oracle's
+    * hardcoded j*64+i). Multiplying by ±1 is exact in fp, so the term
+    * equals the SQL's `floor(v * sign * 1e6 + 0.5)` bit for bit; the
+    * ascending-i integer fold is the engine-independent canon. k ≤
+    * out·n+n keeps k²·48271 far inside int64 for any realistic shape. */
+  def projectSigned(v: ArrayData, isFloat: Boolean, out: Int): ArrayData = {
+    val n = v.numElements()
+    val res = new Array[Long](out)
+    var j = 0
+    while (j < out) {
+      var acc = 0L
+      var i = 1
+      while (i <= n) {
+        if (v.isNullAt(i - 1)) throw new IllegalArgumentException(
+          s"vec_project: null element at position ${i - 1}")
+        val x = elem(v, isFloat, i - 1)
+        val k = j.toLong * n + i
+        val h = (k * k * 48271L + k * 2654435761L + 7L) % 1000003L
+        val s = 1L - 2L * (h % 2L)
+        acc += math.floor(x * s * 1000000.0 + 0.5).toLong
+        i += 1
+      }
+      res(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  /** Dot product of two ARRAY<BIGINT> columns accumulated in DOUBLE —
+    * the exact arithmetic of the SQL form it replaces
+    * (`aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE) * CAST(y AS
+    * DOUBLE)), 0.0D, +)`): each int64 term is cast to double BEFORE the
+    * product, sequential left-to-right accumulation from 0.0. */
+  def dotLong(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"vec_dot_long: dimension mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"vec_dot_long: null element at position $i")
+      acc += a.getLong(i).toDouble * b.getLong(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   private[functions] def checkVec(name: String, e: Expression): Option[String] =
     e.dataType match {
       case ArrayType(FloatType | DoubleType, _) => None
@@ -131,6 +183,10 @@ object VecOps {
     ColumnBridge.column(VecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def pq_adc(codes: Column, table: Column): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(table)))
+  def vec_project(a: Column, outDims: Int): Column =
+    ColumnBridge.column(VecProject(ColumnBridge.expression(a), outDims))
+  def vec_dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** SQL surface: `SELECT vec_cosine(embedding, qe) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -173,6 +229,52 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VecOps$$.MODULE$$.adc($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
+/** [[VecOps.projectSigned]] as a native expression: ARRAY<FLOAT|DOUBLE>
+  * → ARRAY<BIGINT> of `outDims` micro-quantized JL sign projections.
+  * Replaces q_embed_project's 16×64-term `transform(aggregate(...))`
+  * HigherOrderFunction tower (CodegenFallback: ~1024 interpreted lambda
+  * evaluations + intermediate arrays PER ROW) with one JIT'd loop that
+  * stays inside the surrounding WholeStageCodegen span. */
+case class VecProject(child: Expression, outDims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_project"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (outDims <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: outDims must be > 0")
+    else VecOps.checkVec(prettyName, child)
+      .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def nullSafeEval(a: Any): Any =
+    VecOps.projectSigned(a.asInstanceOf[ArrayData], VecOps.isFloat(child), outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps$$.MODULE$$.projectSigned(" +
+        s"$a, ${VecOps.isFloat(child)}, $outDims);")
+  override protected def withNewChildInternal(newChild: Expression): VecProject =
+    copy(child = newChild)
+}
+
+/** [[VecOps.dotLong]] as a native expression: dot of two ARRAY<BIGINT>
+  * accumulated in double — the projected-space cosine companion of
+  * [[VecProject]], same codegen rationale. */
+case class VecDotL(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_long"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps$$.MODULE$$.dotLong($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotL =
     copy(left = l, right = r)
 }
 

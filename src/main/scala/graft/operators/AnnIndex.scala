@@ -71,7 +71,14 @@ object AnnIndex {
     * and the score is the same VecOps.dot, so the two paths agree bit
     * for bit (AnnRecallSpec pins the equality on a trained quantizer).
     * Non-key columns ride along via first(): every fan-out row of a key
-    * carries identical copies, so the pick is value-deterministic. */
+    * carries identical copies, so the pick is value-deterministic.
+    *
+    * PRECONDITION: `keyCol` must be UNIQUE in `corpus` (vec_id is, on
+    * every caller path). With duplicate keys the groupBy would collapse
+    * the copies to one arbitrary row — first() is value-deterministic
+    * only because all fan-out rows of a unique key are identical. A
+    * caller deduplicates (or synthesizes a unique key) before assigning,
+    * exactly as it would before any per-item argmax. */
   def assignJoin(corpus: DataFrame, cents: Array[Array[Double]],
       embCol: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.Row

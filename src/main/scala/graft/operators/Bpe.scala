@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** One learned merge: `left`+`right` fuse into one symbol at `rank`. */
-  case class Merge(rank: Int, left: String, right: String)
+  /** One learned merge: `left`+`right` fuse into one symbol at `rank`;
+    * `cnt` is the weighted pair count that won the argmax (recorded so
+    * invariant gates — q_bpe_invariants' monotonicity check — audit the
+    * table without replaying training). */
+  case class Merge(rank: Int, left: String, right: String, cnt: Long)
 
   /** Greedy left-to-right single-pair application (the BPE primitive):
     * every non-overlapping (l, r) adjacency fuses, leftmost first. */
@@ -81,7 +84,7 @@ object Bpe {
         .limit(1).collect()
       top.headOption match {
         case Some(Row(l: String, r: String, c: Long)) if c >= minCount =>
-          merges += Merge(round, l, r)
+          merges += Merge(round, l, r, c)
           val mergeUdf = udf((syms: Seq[String]) =>
             applyMerge(syms.toIndexedSeq, l, r))
           val prev = hist

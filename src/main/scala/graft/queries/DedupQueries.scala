@@ -48,7 +48,7 @@ object DedupQueries extends QuerySet {
     * is bit-identical across engines), and each pair differs only in
     * element 64 by +0.25 → cosine ≈ 0.9992 while every natural sf
     * pair stays below 0.43. */
-  private def plantedEmbeddings(s: SparkSession): DataFrame =
+  private[graft] def plantedEmbeddings(s: SparkSession): DataFrame =
     s.range(1, 5).select(
       (col("id") + 900000L).as("vec_id"),
       expr("""transform(sequence(1, 64), i -> CAST(

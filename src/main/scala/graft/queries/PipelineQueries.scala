@@ -348,6 +348,11 @@ object PipelineQueries extends QuerySet {
       import s.implicits._
       val block = Seq("src3", "src7", "src13").toDF("bsource")
       val docs = t(s, dir, "documents")
+        // hash ONCE in the shared projection (round-8 VERDICT #3): both
+        // the keepers agg and the join-back key reuse this column, so a
+        // 100 TB scan branch pays one text-hash pass — not one per
+        // consumer expression
+        .withColumn("h", md5(col("text")))
         .withColumn("w",
           expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
         .withColumn("quality",
@@ -357,7 +362,7 @@ object PipelineQueries extends QuerySet {
         .withColumn("blocked", col("bsource").isNotNull)
       val keepers = docs
         .filter(!col("is_bench") && !col("blocked") && col("quality") >= 0)
-        .groupBy(md5(col("text")).as("h"))
+        .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_id"))
       // word-5-gram shingles, the q_decontaminate construction
       val sh = t(s, dir, "documents")
@@ -374,7 +379,7 @@ object PipelineQueries extends QuerySet {
         .select(col("doc_id")).distinct()
         .withColumn("contam", lit(true))
       docs
-        .join(keepers, md5(col("text")) === col("h"), "left")
+        .join(keepers, Seq("h"), "left")
         .join(contam, Seq("doc_id"), "left")
         .withColumn("stage",
           when(col("is_bench"), lit("bench"))

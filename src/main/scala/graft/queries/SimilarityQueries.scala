@@ -112,20 +112,54 @@ object SimilarityQueries extends QuerySet {
     // independent); cos_exact vs cos_proj on every row exposes the
     // preservation the JL bound promises (the ~1/sqrt(16) distortion is
     // visibly there — within-query observability, not a separate eval).
+    // Projection + projected-space dot run as the native codegen'd
+    // vec_project / vec_dot_long expressions (functions/
+    // VectorExpressions.scala) — same integer matrix and fold order as
+    // the previous 16×64-term HigherOrderFunction formulation (the
+    // round-8 perf-weak flag: ~1024 interpreted lambda evaluations per
+    // row), so the oracle SQL below is unchanged.
     "q_embed_project" -> { (s, dir) =>
+      import graft.functions.VecOps.{vec_dot_long, vec_project}
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), projArrExpr.as("qp"))
+        .select(col("embedding").as("qe"),
+          vec_project(col("embedding"), 16).as("qp"))
       e.filter(col("vec_id") =!= 0)
-        .withColumn("pp", projArrExpr)
+        .withColumn("pp", vec_project(col("embedding"), 16))
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           array_join(col("pp").cast("array<string>"), ",").as("proj_micro"),
           r6(cosine(col("embedding"), col("qe"))).as("cos_exact"),
-          r6(expr(s"${intDot("pp", "qp")} / " +
-            s"(sqrt(${intDot("pp", "pp")}) * sqrt(${intDot("qp", "qp")}))"))
+          r6(vec_dot_long(col("pp"), col("qp")) /
+            (sqrt(vec_dot_long(col("pp"), col("pp"))) *
+              sqrt(vec_dot_long(col("qp"), col("qp")))))
             .as("cos_proj"))
         .orderBy(col("vec_id"))
+    },
+
+    // PCA projection against PINNED components (the PQ-codebook pattern:
+    // the model is trained once by tools.MakeFixtures on the sf0.01
+    // corpus — operators/Pca.scala's one-pass moments + deterministic
+    // sign-normalized power iteration — committed as parquet, so the
+    // DuckDB oracle re-derives the projection as static SQL and PCA's
+    // MATH gets the rows+schema+hash gate, not just PcaSpec's
+    // closed-form fixtures). Centering uses the STORED scalar
+    // Σ u_i·mean_i, so the only cross-engine arithmetic is the dot
+    // product (the vec_dot / list_sum canon). Scale shape: the
+    // component table is model-sized (k rows) and broadcast; the
+    // projection is map-only over the corpus — the same
+    // stacks-onto-any-scan-for-free property Pca.project documents,
+    // here in long (vec_id, m) form so k never widens the schema.
+    "q_pca_project" -> { (s, dir) =>
+      import graft.functions.VecOps
+      val comps = s.read.parquet(graft.Fixtures.pcaComponents)
+        .select(col("m"), col("component"), col("center"))
+      t(s, dir, "embeddings")
+        .crossJoin(broadcast(comps))
+        .select(col("vec_id"), col("m"),
+          micro(VecOps.vec_dot(col("embedding"), col("component"))
+            - col("center")).as("pc_micro"))
+        .orderBy(col("vec_id"), col("m"))
     },
 
     // Q34f: int8 SCALAR-quantized ANN (SQ8) — the memory tier between
@@ -170,27 +204,6 @@ object SimilarityQueries extends QuerySet {
         .limit(10)
     }
   )
-
-  /** The 16 projected coordinates as ARRAY<BIGINT> micro-units:
-    * coordinate j is Σ_i floor(sgn(i,j) · e[i] · 1e6 + 0.5) with
-    * sgn = ±1 from the parity of h(k) = (k²·48271 + k·2654435761 + 7)
-    * mod 1000003, k = j·64 + i. The QUADRATIC term breaks the lattice
-    * correlation a linear congruential cell hash leaves between columns
-    * (measured: see the q_embed_project comment). Ascending-i fold,
-    * per-term quantization → pure int64, engine-independent. */
-  private val projArrExpr: Column = expr(
-    "transform(sequence(0, 15), j -> CAST(aggregate(sequence(1, 64), " +
-    "CAST(0 AS BIGINT), (a, i) -> a + CAST(floor(" +
-    "CAST(element_at(embedding, i) AS DOUBLE) * " +
-    "(1 - 2 * (((CAST(j * 64 + i AS BIGINT) * CAST(j * 64 + i AS BIGINT) " +
-    "* 48271 + CAST(j * 64 + i AS BIGINT) * 2654435761 + 7) " +
-    "% 1000003) % 2)) " +
-    "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT))")
-
-  /** Double dot product of two ARRAY<BIGINT> columns (Spark SQL expr). */
-  private def intDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * " +
-    s"CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
   /** The q34c plan with a parameterized sign-LSH bucket width — public so
     * operator callers and ScaleBench get the self-scaling default
@@ -286,6 +299,19 @@ object SimilarityQueries extends QuerySet {
          |    AS cos_proj
          |FROM pr e, q WHERE e.vec_id <> 0
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the projection re-derived from the pinned component fixture; the
+    // stored center is subtracted verbatim (never re-derived), so the
+    // only live arithmetic is the list_sum dot — the cosSql canon
+    "q_pca_project" ->
+      s"""WITH c AS (SELECT m, component, center
+         |           FROM read_parquet('${graft.Fixtures.pcaComponents}'))
+         |SELECT e.vec_id, c.m,
+         |  CAST(floor((list_sum(list_transform(list_zip(e.embedding, c.component),
+         |        p -> p[1]::DOUBLE * p[2]::DOUBLE)) - c.center)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS pc_micro
+         |FROM embeddings e, c
+         |ORDER BY e.vec_id, c.m""".stripMargin,
 
     "q34c_knn_join" ->
       """WITH e AS (

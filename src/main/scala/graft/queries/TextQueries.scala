@@ -492,6 +492,86 @@ object TextQueries extends QuerySet {
             - intDiv(col("sum_clnc_micro") + intDiv(col("n"), lit(2)),
               col("n"))).as("entropy_micro"))
         .orderBy(col("doc_id"))
+    },
+
+    // Distributed BPE training under the oracle gate (round-8 VERDICT
+    // #6): training is an iterative driver-coordinated loop no static
+    // SQL can replay, so it gets the driver-certified-boolean pattern
+    // (q_approx_sketches' shape) — structural invariants of the LEARNED
+    // merge table, each pinned TRUE by the oracle, so a regression in
+    // merge ordering, tie-breaking, count accounting, vocabulary
+    // construction, or encoding flips a boolean and fails the driver's
+    // hash gate, not just BpeSpec. The invariants:
+    //  - counts_monotone: the winning pair count never increases with
+    //    rank (a new pair's weight is bounded by the count of the merge
+    //    that created its symbol — the classic BPE argmax property; a
+    //    broken argmax or stale histogram breaks it immediately);
+    //  - tiebreak_round0_crosscheck: round 0's (count DESC, l, r)
+    //    argmax recomputed through an INDEPENDENT formulation
+    //    (posexplode pairs, not the transform lambda) equals merge 0 —
+    //    tie-break or pair-derivation drift shows up here;
+    //  - compound_symbols_derivable (+ has_compound_merges to prove the
+    //    check is not vacuous): every multi-char symbol referenced by a
+    //    merge is the concatenation of an EARLIER merge — the
+    //    merge-table prefix property encodeWord's rank replay relies on;
+    //  - encode_fixpoint_topwords: re-encoding the 20 most frequent
+    //    corpus words with the learned table reconstructs each word and
+    //    compresses it (the train==encode fixpoint on real data);
+    //  - ranks_dense / min_count_respected: table bookkeeping.
+    // Scale: training reads the corpus once (vocabulary-sized histogram
+    // thereafter — operators/Bpe.scala); the cross-check is one more
+    // histogram aggregate; the output is 7 rows whatever the corpus.
+    "q_bpe_invariants" -> { (s, dir) =>
+      import graft.operators.Bpe
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 24)
+      val hist = Bpe.wordHistogram(docs, "text").cache()
+      // independent round-0 argmax: posexplode adjacency instead of the
+      // training loop's transform+try_element_at lambda
+      val top0 = hist
+        .select(col("cnt"), col("syms"), posexplode(col("syms")))
+        .toDF("cnt", "syms", "i", "l")
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"), element_at(col("syms"), col("i") + 2).as("r"),
+          col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+        .collect().head
+      val topWords = docs
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w")).limit(20)
+        .collect().map(_.getString(0)).toSeq
+      hist.unpersist()
+      val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+      val concats = merges.map(m => m.left + m.right).toSet
+      def derivable(sym: String, rank: Int): Boolean =
+        sym.length == 1 || merges.take(rank)
+          .exists(e => e.left + e.right == sym)
+      val checks: Seq[(String, Boolean)] = Seq(
+        "counts_monotone" ->
+          merges.sliding(2).forall(w =>
+            w.length < 2 || w(0).cnt >= w(1).cnt),
+        "tiebreak_round0_crosscheck" ->
+          (merges.nonEmpty &&
+            (top0.getString(0), top0.getString(1), top0.getLong(2)) ==
+              ((merges.head.left, merges.head.right, merges.head.cnt))),
+        "has_compound_merges" ->
+          merges.exists(m => m.left.length > 1 || m.right.length > 1),
+        "compound_symbols_derivable" ->
+          merges.forall(m =>
+            derivable(m.left, m.rank) && derivable(m.right, m.rank)),
+        "encode_fixpoint_topwords" ->
+          topWords.forall { w =>
+            val toks = Bpe.encodeWord(w, ranks)
+            toks.mkString("") == w && toks.length <= w.length &&
+              toks.forall(t => t.length == 1 || concats.contains(t))
+          },
+        "ranks_dense" -> (merges.map(_.rank) == (0 until merges.length)),
+        "min_count_respected" -> merges.forall(_.cnt >= 2L))
+      checks.toDF("invariant", "holds").orderBy(col("invariant"))
     }
   )
 
@@ -525,6 +605,22 @@ object TextQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    // the driver-certified-boolean gate: the oracle pins every learned-
+    // merge-table invariant TRUE; a Spark-side regression emits false →
+    // hash mismatch → the driver's gate fails (q_approx_sketches
+    // pattern — the booleans ARE the data under test)
+    "q_bpe_invariants" ->
+      """SELECT * FROM (VALUES
+        |  ('compound_symbols_derivable', TRUE),
+        |  ('counts_monotone', TRUE),
+        |  ('encode_fixpoint_topwords', TRUE),
+        |  ('has_compound_merges', TRUE),
+        |  ('min_count_respected', TRUE),
+        |  ('ranks_dense', TRUE),
+        |  ('tiebreak_round0_crosscheck', TRUE))
+        |  AS t(invariant, holds)
+        |ORDER BY invariant""".stripMargin,
+
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,

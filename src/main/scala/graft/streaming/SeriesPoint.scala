@@ -24,12 +24,19 @@ object SeriesPoint {
   def orderKey(p: Point): (Long, Int, Long) =
     (Math.floorDiv(p.ts.getTime, 1000L), p.ts.getNanos, p.event_id)
 
-  /** HALF_UP cents for the (always-positive) event values — the ONE
-    * streaming-side copy of the batch `round(value*100)` Catalyst
-    * semantics (identical on positives), shared by every integer-state
-    * smoother for the same reason orderKey is shared: two copies of a
-    * canon are one precision fix away from divergence. */
-  def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+  /** HALF_UP cents — the ONE streaming-side copy of the batch
+    * `round(value*100)` Catalyst semantics (HALF_UP = away from zero),
+    * shared by every integer-state smoother for the same reason orderKey
+    * is shared: two copies of a canon are one precision fix away from
+    * divergence. Sign-correct (round-8 review): a plain
+    * `floor(v*100+0.5)` agrees with Catalyst only on non-negative v —
+    * −12.5 cents would round to −12 streaming vs −13 batch, silently
+    * breaking every streaming fixpoint the day a source carries negative
+    * values; mirroring through |v| restores away-from-zero for both
+    * signs. */
+  def cents(v: Double): Long =
+    if (v >= 0) math.floor(v * 100.0 + 0.5).toLong
+    else -math.floor(-v * 100.0 + 0.5).toLong
 
   /** Epoch microseconds with the same overflow-free split as orderKey. */
   def epochUs(ts: java.sql.Timestamp): Long =

@@ -12,6 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * O(series). All values are integer cents and the median is a sorted-
   * array ELEMENT (the batch form's no-interpolation rule), so the
   * backfill==online fixpoint is EXACT integer equality (st25).
+  *
+  * ORDERING PRECONDITION: rows are folded in [[SeriesPoint.orderKey]]
+  * order within each micro-batch only — a row arriving a micro-batch
+  * AFTER a later row of its series enters the ring out of order and
+  * silently shifts every subsequent median. The st25 fixpoint holds only
+  * under globally-ordered per-series ingestion (the engine gateway's
+  * monotone event_ids); see [[StreamingRate]] for the shared contract
+  * and the buffering recipe for reordering sources.
   */
 object StreamingMovingMedian {
 

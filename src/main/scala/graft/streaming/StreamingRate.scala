@@ -16,6 +16,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * from the same integers in the same fixed order as the batch form's
   * micro() canon. One shuffle on the series key; RocksDB-ready O(1)
   * state per series, same as st13/st16.
+  *
+  * ORDERING PRECONDITION (shared with st13/st16/st25/st26, the price of
+  * O(1) state): rows are folded in [[SeriesPoint.orderKey]] order WITHIN
+  * each micro-batch, but a row arriving in a LATER micro-batch than a
+  * successor of its series is folded against already-advanced state
+  * (last/t0 here) — the fixpoint holds only when ingestion is globally
+  * ordered per series (true of the engine's own gateway path, which
+  * assigns monotone event_ids at arrival). A source that can reorder
+  * across batch boundaries needs a caller-side
+  * `withWatermark + window` buffer stage in front, or the deadman-style
+  * explicit-lateness handling of [[StreamingDeadman]] — O(1)-state folds
+  * cannot retroactively reorder what they already consumed.
   */
 object StreamingRate {
 

@@ -13,6 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream reports a run exactly when it closes — so the fixpoint
   * (st26) is: streamed closed runs == batch runs minus each series'
   * final run, with EXACT integer equality throughout.
+  *
+  * ORDERING PRECONDITION: rows are folded in orderKey order within each
+  * micro-batch only — a row arriving a micro-batch after a later row of
+  * its series would split or extend the wrong run. The st26 fixpoint
+  * holds only under globally-ordered per-series ingestion (the engine
+  * gateway's monotone event_ids); see [[StreamingRate]] for the shared
+  * contract and the buffering recipe for reordering sources.
   */
 object StreamingStateRuns {
 

@@ -17,6 +17,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_text_tfidf", // 1-row broadcast document count into the idf table
     "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
+    "q_pca_project", // k-row broadcast pinned-component table (model-sized)
     "q34f_sq8_ann") // 1-row broadcast query codes + scale/norm (q34 pattern)
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
@@ -30,6 +31,33 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unbounded join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("JL projection runs as the native vec_project expression, not an " +
+      "interpreted HigherOrderFunction tower (round-8 perf-weak flag)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_embed_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vec_project") && plan.contains("vec_dot_long"),
+      s"native projection expressions missing from plan:\n${plan.take(3000)}")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted lambda (HigherOrderFunction CodegenFallback) in " +
+        s"plan:\n${plan.take(3000)}")
+  }
+
+  test("q_pipeline_clean hashes text once per scan branch (shared h " +
+      "projection feeds both the keepers agg and the join-back key)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_pipeline_clean")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val projMd5 = lines.count(l => l.contains("Project") && l.contains("md5("))
+    assert(projMd5 == 2,
+      s"expected exactly 2 md5-bearing Projects (one per documents scan " +
+        s"branch), got $projMd5:\n${plan.take(4000)}")
+    assert(!lines.exists(l => l.contains("Join") && l.contains("md5(")),
+      s"md5 recomputed inside a join condition (the 100 TB double-hash " +
+        s"shape):\n${plan.take(4000)}")
   }
 
   test("dedup pipeline reuses the distinct-shingle exchange (no 4x scan)") {

@@ -17,7 +17,7 @@ class BpeSpec extends SparkSpec {
     // After merging (a,b), only (a,c)=1 remains — below minCount → stop.
     val docs = Seq("ab ab ac", "ab").toDF("text")
     val m = Bpe.train(docs, "text", numMerges = 10)
-    assert(m == Seq(Bpe.Merge(0, "a", "b")))
+    assert(m == Seq(Bpe.Merge(0, "a", "b", 3)))
   }
 
   test("argmax ties break lexicographically — deterministic merge table") {

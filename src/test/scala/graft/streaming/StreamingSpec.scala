@@ -1156,4 +1156,74 @@ class StreamingSpec extends SparkSpec {
           s"($sn,$sres,$sinc,$srate)")
     }
   }
+
+  test("st28: streaming SemDeDup — broadcast-table assignment + " +
+      "flag-vs-history == the batch q_dedup_semdedup result across " +
+      "micro-batch boundaries") {
+    import graft.streaming.StreamingSemDedup
+    val dir = "/root/testdata/sf0.01"
+    val cents = spark.read.parquet(graft.Fixtures.semdedupCentroids)
+    val corpus = graft.Tables.load(spark, dir, "embeddings")
+      .unionByName(graft.queries.DedupQueries.plantedEmbeddings(spark))
+      .select(col("vec_id"), col("embedding"))
+    // batch truth: cids from the same corpus, dup rows from the oracle-
+    // checked query itself
+    val batchCids = StreamingSemDedup.assignCosine(corpus, cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchDups = graft.queries.DedupQueries.semDedup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // ascending-id arrival (the documented ordering precondition: every
+    // smaller-id partner precedes its dup), batch boundaries splitting
+    // both planted pairs' arrival from their partners
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    // last cut isolates planted pair 1 across the boundary (900001
+    // arrives a batch before 900002 — a history hit) while pair 2 lands
+    // in one batch (an in-batch hit): both flag paths exercised
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length - 3)
+    val batches = (Seq(0) ++ cuts :+ rows.length).sliding(2).toSeq
+      .map { case Seq(a, b) => rows.slice(a, b) }
+    val streamedCids =
+      scala.collection.mutable.Map.empty[Long, Int]
+    val streamedDups =
+      scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    var history = StreamingSemDedup.assignCosine(corpus.limit(0), cents)
+      .cache()
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val assigned = StreamingSemDedup.assignCosine(b, cents)
+          .localCheckpoint()
+        StreamingSemDedup.flagAgainst(assigned, history).collect()
+          .foreach(r => streamedDups +=
+            ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+        assigned.select(col("vec_id"), col("cid")).collect()
+          .foreach(r => streamedCids(r.getLong(0)) = r.getInt(1))
+        history = history.unionByName(assigned).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { rs =>
+        in.addData(rs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // streamed cids == batch cids (assignment is stateless per row; the
+    // broadcast-table path must not depend on batch placement)
+    assert(streamedCids.toMap == batchCids,
+      s"cid drift on ${streamedCids.toMap.count {
+        case (k, v) => batchCids.get(k) != Some(v) }} vectors")
+    // streamed dup flags == the oracle-checked batch rows, including the
+    // planted pairs whose partners arrived in EARLIER micro-batches
+    assert(streamedDups.toSet == batchDups,
+      s"dup-flag drift: stream-only ${(streamedDups.toSet -- batchDups)
+        .take(3)}, batch-only ${(batchDups -- streamedDups).take(3)}")
+    assert(batchDups.exists(_._1 >= 900001L),
+      "vacuity: planted pairs must appear in the flagged set")
+  }
 }
