@@ -104,7 +104,10 @@ object ScaleBench {
     "q_chunk_windows",
     // entropy: one explode + two partial-agged hash aggs; stratified
     // sample: one source-partition window + rollup
-    "q_text_entropy", "q_stratified_sample")
+    "q_text_entropy", "q_stratified_sample",
+    // round-9: concat-and-chop packing — blocked prefix-sum windows, the
+    // factor reads tokenize + two block-bounded window passes
+    "q_pack_chop")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -129,6 +132,10 @@ object ScaleBench {
     // seasonal profile (one hash agg, catalog-sized output) — series
     // count grows K×, per-series work constant
     "q_rate_counter", "q_moving_median", "q_autocorr", "q_seasonal_profile",
+    // round-9: OLS trend (five int sums in one agg over the series key)
+    // and Theil-Sen (per-series O(L²) pair self-join, L bounded by the
+    // data model — series count grows, pair count per series does not)
+    "q_predict_linear", "q_theil_sen",
     // deseasonalize = profile agg + broadcast join-back (map-only after
     // the catalog-sized profile)
     "q_deseasonalize",

@@ -454,6 +454,53 @@ object PipelineQueries extends QuerySet {
           Seq("event_id" -> "long", "ts" -> "ts", "user_id" -> "long",
             "event_type" -> "str", "value" -> "double")))
         .orderBy(col("tbl"), col("col"))
+    },
+
+    // CONCATENATE-AND-CHOP packing — the OTHER training-sequence layout,
+    // next to q_pack_sequences' next-fit: there a document never splits
+    // (bins carry wasted tail space), here the per-source token stream is
+    // chopped into fixed 256-token sequences and documents STRADDLE
+    // boundaries (the GPT-style dense layout — zero padding, but
+    // cross-document attention unless the trainer masks). Each doc's
+    // sequence is prev_cum/B where prev_cum counts the tokens before it;
+    // reported per (source, seq): docs starting there, their token mass,
+    // and the straddle count (the cross-doc-attention exposure number).
+    // Where next-fit is inherently sequential per unit (mapPartitions),
+    // chop depends on the cumulative sum ONLY — so it distributes as a
+    // DISTRIBUTED PREFIX SUM (the q_concurrency identity): within-block
+    // windows on (source, doc_id-block) partitions + block totals +
+    // catalog-sized cumulative offsets — never one window partition per
+    // source (source cardinality ~20 would cap parallelism at 100 TB
+    // exactly like the §9.4 levenshtein window did). Token counts use
+    // the established whitespace tokenizer; empty docs pack (tok = 0)
+    // but never count as straddling (guards the intDiv-vs-floor-division
+    // divergence on prev_cum − 1 at 0).
+    "q_pack_chop" -> { (s, dir) =>
+      val B = 256L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long").as("tok"))
+        .withColumn("blk", intDiv(col("doc_id"), lit(1000L)))
+      val wIn = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("doc_id"))
+      val within = d.withColumn("cum_in", sum(col("tok")).over(wIn))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = d.groupBy(col("source"), col("blk"))
+        .agg(sum(col("tok")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("source"), col("blk"), col("off"))
+      within.join(offs, Seq("source", "blk"))
+        .withColumn("prev_cum", col("off") + col("cum_in") - col("tok"))
+        .groupBy(col("source"), intDiv(col("prev_cum"), lit(B)).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          sum(when(col("tok") > 0 &&
+              intDiv(col("prev_cum") + col("tok") - 1, lit(B)) >
+                intDiv(col("prev_cum"), lit(B)), 1L).otherwise(0L))
+            .as("n_straddle"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("seq_id"))
     }
   )
 
@@ -480,6 +527,31 @@ object PipelineQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle computes the plain per-source cumulative sum — the
+    // distributed prefix-sum decomposition must be algebraically
+    // invisible
+    "q_pack_chop" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tok,
+        |    COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prev_cum
+        |  FROM d)
+        |SELECT source, CAST(prev_cum // 256 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok > 0
+        |      AND (prev_cum + tok - 1) // 256 > prev_cum // 256
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin,
+
     "q_profile_columns" -> (Seq(
       ("documents", "doc_id", "long"), ("documents", "text", "str"),
       ("documents", "lang", "str"), ("documents", "source", "str"),

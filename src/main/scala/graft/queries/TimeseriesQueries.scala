@@ -936,6 +936,79 @@ object TimeseriesQueries extends QuerySet {
         .filter(col("burn1_micro") > 1000000L &&
           col("burn6_micro") > 1000000L)
         .orderBy(col("hb"))
+    },
+
+    // PREDICT_LINEAR / DERIV (the two PromQL trend primitives): per-series
+    // ordinary-least-squares fit of value on time, reporting the slope
+    // (deriv) and the value the line reaches one hour past the series'
+    // last point (predict_linear — the "disk full in N hours" alert
+    // shape). All five regression sums (n, Σt, Σv, Σtv, Σt²) are EXACT
+    // int64 — t is epoch-second offset from the series' own first point
+    // (bounded by series span: 2.6e6 s here, so Σt² ≤ ~7e14 ≪ 2^63 —
+    // re-anchoring per series is what keeps the squares bounded at any
+    // corpus age), v is int64 cents — so the sums are order-free and
+    // engine-identical; fp enters ONLY in the final fixed-order per-series
+    // formula (the q_autocorr recipe), micro-quantized. One groupBy
+    // shuffle on the series key; the min-ts window shares the same
+    // partitioning. Series whose points are all simultaneous (den = 0)
+    // are dropped deterministically on both engines.
+    "q_predict_linear" -> { (s, dir) =>
+      val wmin = Window.partitionBy(col("user_id"))
+      val p = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("tt", intDiv(
+          unix_micros(col("ts")) - unix_micros(min(col("ts")).over(wmin)),
+          lit(1000000L)))
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+      val sums = p.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+          sum(col("cv")).as("sv"), sum(col("tt") * col("cv")).as("stv"),
+          sum(col("tt") * col("tt")).as("stt"), max(col("tt")).as("tmax"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val den = d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st"))
+      val slope = (d(col("n")) * d(col("stv")) - d(col("st")) * d(col("sv"))) / den
+      sums.filter(col("n") >= 2 && den > 0.0)
+        .select(col("user_id"), col("n"),
+          micro(slope).as("deriv_micro"),
+          micro((d(col("sv")) - slope * d(col("st"))) / d(col("n"))
+            + slope * (d(col("tmax")) + 3600.0)).as("predict_micro"))
+        .orderBy(col("user_id"))
+    },
+
+    // THEIL-SEN robust slope — the 29%-breakdown trend estimator next to
+    // q_predict_linear's OLS (which one outlier drags arbitrarily; the
+    // MAD-vs-mean relationship, now for slopes): the LOWER MEDIAN of all
+    // pairwise slopes (v_j−v_i)/(t_j−t_i), t_j > t_i. Each slope is one
+    // double division of exact int64 operands, micro-quantized PER PAIR —
+    // so the median is a sorted-int ELEMENT selection (the banned-
+    // interpolation canon) and byte-identical across engines. Scale
+    // shape: the pair fan-out is a per-series self-join — O(L²) in
+    // series LENGTH, which the data model bounds (~100 points/series;
+    // series COUNT is what grows, and the join key is the series id, so
+    // cost is linear in series count at any corpus size — the same
+    // argument as the §9.11 window family); simultaneous-point pairs
+    // (dt = 0) are excluded on both engines.
+    "q_theil_sen" -> { (s, dir) =>
+      val wmin = Window.partitionBy(col("user_id"))
+      val p = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("tt", intDiv(
+          unix_micros(col("ts")) - unix_micros(min(col("ts")).over(wmin)),
+          lit(1000000L)))
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("tt"), col("cv"))
+      val a = p.select(col("user_id"), col("tt").as("ta"), col("cv").as("ca"))
+      val b = p.select(col("user_id"), col("tt").as("tb"), col("cv").as("cb"))
+      val sl = a.join(b, Seq("user_id")).filter(col("tb") > col("ta"))
+        .select(col("user_id"),
+          micro((col("cb") - col("ca")).cast("double")
+            / (col("tb") - col("ta")).cast("double")).as("slope_micro"))
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("slope_micro"))
+      sl.withColumn("rk", row_number().over(wr))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rk") === intDiv(col("cnt") + 1, lit(2)))
+        .select(col("user_id"), col("cnt").as("n_pairs"),
+          col("slope_micro").as("ts_slope_micro"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1093,6 +1166,62 @@ object TimeseriesQueries extends QuerySet {
       |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same int sums, same fixed-order double formula, same micro floor
+    "q_predict_linear" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY user_id)))
+        |      // 1000000 AS tt,
+        |    CAST(round(value * 100) AS BIGINT) AS cv
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(tt) AS BIGINT) AS st, CAST(sum(cv) AS BIGINT) AS sv,
+        |    CAST(sum(tt * cv) AS BIGINT) AS stv,
+        |    CAST(sum(tt * tt) AS BIGINT) AS stt,
+        |    CAST(max(tt) AS BIGINT) AS tmax
+        |  FROM p GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n, sv, st, tmax,
+        |    (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+        |       - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope
+        |  FROM s
+        |  WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0)
+        |SELECT user_id, n,
+        |  CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS deriv_micro,
+        |  CAST(floor(((CAST(sv AS DOUBLE) - slope * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE)
+        |      + slope * (CAST(tmax AS DOUBLE) + 3600.0))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS predict_micro
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // per-pair micro quantization, then a sorted-int lower-median element
+    "q_theil_sen" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY user_id)))
+        |      // 1000000 AS tt,
+        |    CAST(round(value * 100) AS BIGINT) AS cv
+        |  FROM events WHERE value IS NOT NULL),
+        |sl AS (
+        |  SELECT a.user_id,
+        |    CAST(floor(CAST(b.cv - a.cv AS DOUBLE)
+        |        / CAST(b.tt - a.tt AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS slope_micro
+        |  FROM p a JOIN p b ON a.user_id = b.user_id AND b.tt > a.tt),
+        |r AS (
+        |  SELECT user_id, slope_micro,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY slope_micro)
+        |      AS rk,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cnt
+        |  FROM sl)
+        |SELECT user_id, cnt AS n_pairs, slope_micro AS ts_slope_micro
+        |FROM r WHERE rk = (cnt + 1) // 2
+        |ORDER BY user_id""".stripMargin,
+
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -1157,6 +1157,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st29: streaming OLS trend == batch q_predict_linear over the " +
+      "real events history — seven longs of state, EXACT emitted micros") {
+    import graft.streaming.StreamingOls
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_predict_linear")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("deriv_micro"),
+          r.getAs[Long]("predict_micro"))).toMap
+    val rows = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingOls
+      .fit(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st29").start()
+    try {
+      // regression state (five sums + anchor) crosses two boundaries
+      val third = rows.length / 3
+      Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third)).foreach { c =>
+        in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val lastEvent = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+    val stream = spark.table("st29").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // every batch series is determined (n>=2, den>0) at this sf —
+    // vacuity check, then EXACT equality of n + both emitted micros
+    assert(batch.nonEmpty && batch.keySet == lastEvent.keySet)
+    batch.foreach { case (u, (n, dm, pm)) =>
+      val got = stream((u, lastEvent(u)))
+      assert(got == ((n, dm, pm)),
+        s"user $u: batch ($n,$dm,$pm) vs stream $got")
+    }
+  }
+
+  test("st30: streaming chop-packing — one long of state per source, " +
+      "online sequence assignment == the batch q_pack_chop rollup") {
+    import graft.streaming.StreamingPack
+    val dir = "/root/testdata/sf0.01"
+    val batch = graft.SparkEntry.queries("q_pack_chop")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamingPack
+      .pack(in.toDF().toDF("source", "doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st30").start()
+    try {
+      // ascending-doc_id arrival; the running totals cross two boundaries
+      val third = rows.length / 3
+      Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third)).foreach { c =>
+        in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // re-aggregate the per-doc emissions into the batch query's shape
+    val streamed = spark.table("st30").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))
+      .groupBy { case (src, _, _, seq, _) => (src, seq) }
+      .map { case ((src, seq), ds) =>
+        (src, seq) -> (ds.size.toLong, ds.map(_._3).sum,
+          ds.count(_._5).toLong, ds.map(_._2).min)
+      }
+    assert(streamed.keySet == batch.keySet,
+      s"sequence-set drift: stream-only ${(streamed.keySet -- batch.keySet)
+        .take(3)}, batch-only ${(batch.keySet -- streamed.keySet).take(3)}")
+    val diffs = batch.collect {
+      case (k, want) if streamed(k) != want => (k, want, streamed(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    // vacuity: straddles exist and state crossed batch boundaries
+    assert(batch.values.exists(_._3 > 0L))
+  }
+
   test("st28: streaming SemDeDup — broadcast-table assignment + " +
       "flag-vs-history == the batch q_dedup_semdedup result across " +
       "micro-batch boundaries") {
