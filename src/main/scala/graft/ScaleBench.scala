@@ -136,6 +136,9 @@ object ScaleBench {
     // and Theil-Sen (per-series O(L²) pair self-join, L bounded by the
     // data model — series count grows, pair count per series does not)
     "q_predict_linear", "q_theil_sen",
+    // round-9: cohort rate triangle (user-week distinct + catalog-sized
+    // rollups) and the A/B readout (per-user agg → 2-row variant agg)
+    "q_cohort_rates", "q_ab_test",
     // deseasonalize = profile agg + broadcast join-back (map-only after
     // the catalog-sized profile)
     "q_deseasonalize",

@@ -1009,6 +1009,83 @@ object TimeseriesQueries extends QuerySet {
         .select(col("user_id"), col("cnt").as("n_pairs"),
           col("slope_micro").as("ts_slope_micro"))
         .orderBy(col("user_id"))
+    },
+
+    // COHORT RATE TRIANGLE — the monetization companion to
+    // q_cohort_retention (which counts active users per all-events
+    // cohort): users cohorted by the epoch-week of their FIRST purchase, each later week
+    // reporting what fraction of the cohort purchased again. All exact
+    // integer: epoch-week via intDiv on µs, retention as the half-up
+    // integer-division micro (the q_burn_rate recipe) — no fp anywhere.
+    // Scale shape: one distinct over (user, week) pairs (shuffle carries
+    // user-week keys, not events), a per-user min, and two catalog-sized
+    // aggregates — the join back to cohort sizes is cohort-cardinality
+    // (weeks), broadcast at any corpus size. Purchases (not all events)
+    // keep the measure NON-VACUOUS on this corpus: every user has
+    // some-event activity every week, purchase-week occupancy is ~91%,
+    // so the triangle carries real 92-96% rates, not a wall of 100%s.
+    "q_cohort_rates" -> { (s, dir) =>
+      val uw = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          intDiv(unix_micros(col("ts")), lit(604800000000L)).as("wk"))
+        .distinct()
+      val c = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val cs = c.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      uw.join(c, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cs), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("cohort_size"),
+          col("n_active"),
+          intDiv(col("n_active") * 1000000L +
+            intDiv(col("cohort_size"), lit(2)), col("cohort_size"))
+            .as("retention_micro"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+
+    // A/B TEST readout — experimentation analytics on the same engine:
+    // users split 50/50 by the stateless multiplicative hash (the
+    // q_train_split discipline: any engine/cluster/rerun assigns the
+    // same variant), metric = total purchase value per user, compared by
+    // a Welch z-score. The sums feeding the statistic are EXACT int64
+    // (per-user cent totals, their squares bounded far under 2^63 by the
+    // value range); fp enters only in the one fixed-order final formula,
+    // micro-quantized (the q_predict_linear recipe). Scale shape: one
+    // per-user aggregate (map-side partials), one 2-row variant
+    // aggregate, one 1-row pivot — nothing after the first shuffle is
+    // bigger than the variant count. The z here is honestly
+    // insignificant (|z| < 1.96 — the split is random, as it should be);
+    // the gate pins the ARITHMETIC, and a planted effect would surface
+    // through the same plan.
+    "q_ab_test" -> { (s, dir) =>
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+      val u = p.groupBy(col("user_id")).agg(sum(col("cv")).as("tot"))
+        .withColumn("variant",
+          pmod(pmod(col("user_id"), lit(1000003L)) * 2654435761L, lit(2L)))
+      val g = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"),
+          sum(col("tot") * col("tot")).as("ss"))
+      def pick(v: Int, c: String) =
+        max(when(col("variant") === v, col(c)))
+      val w = g.agg(
+        pick(0, "n").as("n0"), pick(1, "n").as("n1"),
+        pick(0, "s").as("s0"), pick(1, "s").as("s1"),
+        pick(0, "ss").as("ss0"), pick(1, "ss").as("ss1"))
+      def d(c: String) = col(c).cast("double")
+      val m0 = d("s0") / d("n0")
+      val m1 = d("s1") / d("n1")
+      val z = (m1 - m0) / sqrt(
+        (d("ss0") / d("n0") - m0 * m0) / d("n0") +
+          (d("ss1") / d("n1") - m1 * m1) / d("n1"))
+      w.select(col("n0"), col("n1"),
+        floor(m0 * 10000.0 + 0.5).cast("long").as("mean0_micro"),
+        floor(m1 * 10000.0 + 0.5).cast("long").as("mean1_micro"),
+        floor(z * 1000000.0 + 0.5).cast("long").as("z_micro"))
     }
   )
 
@@ -1166,6 +1243,70 @@ object TimeseriesQueries extends QuerySet {
       |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // all-integer retention triangle (half-up integer division)
+    "q_cohort_rates" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+        |cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM c GROUP BY cohort_wk),
+        |act AS (
+        |  SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN c USING (user_id)
+        |  GROUP BY c.cohort_wk, week_offset)
+        |SELECT a.cohort_wk AS cohort_wk,
+        |  CAST(a.week_offset AS BIGINT) AS week_offset,
+        |  cs.cohort_size, a.n_active,
+        |  CAST((a.n_active * 1000000 + cs.cohort_size // 2)
+        |    // cs.cohort_size AS BIGINT) AS retention_micro
+        |FROM act a JOIN cs USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // exact int sums; the one fp formula mirrored term for term
+    "q_ab_test" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cv
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |u AS (
+        |  SELECT user_id, ((user_id % 1000003) * 2654435761) % 2 AS variant,
+        |         CAST(sum(cv) AS BIGINT) AS tot
+        |  FROM p GROUP BY user_id),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(tot) AS BIGINT) AS s,
+        |         CAST(sum(tot * tot) AS BIGINT) AS ss
+        |  FROM u GROUP BY variant),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 0 THEN s END) AS s0,
+        |    max(CASE WHEN variant = 1 THEN s END) AS s1,
+        |    max(CASE WHEN variant = 0 THEN ss END) AS ss0,
+        |    max(CASE WHEN variant = 1 THEN ss END) AS ss1
+        |  FROM g)
+        |SELECT n0, n1,
+        |  CAST(floor(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 10000.0
+        |    + 0.5) AS BIGINT) AS mean0_micro,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 10000.0
+        |    + 0.5) AS BIGINT) AS mean1_micro,
+        |  CAST(floor(
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |        - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |          * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |        / CAST(n0 AS DOUBLE)
+        |      + (CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |        / CAST(n1 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        |FROM w""".stripMargin,
+
     // same int sums, same fixed-order double formula, same micro floor
     "q_predict_linear" ->
       """WITH p AS (
