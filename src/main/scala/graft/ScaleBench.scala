@@ -139,6 +139,9 @@ object ScaleBench {
     // round-9: cohort rate triangle (user-week distinct + catalog-sized
     // rollups) and the A/B readout (per-user agg → 2-row variant agg)
     "q_cohort_rates", "q_ab_test",
+    // round-9: the three InfluxQL per-point transforms in one fused
+    // Window node (plan-verified) over one series-key exchange
+    "q_series_transforms",
     // deseasonalize = profile agg + broadcast join-back (map-only after
     // the catalog-sized profile)
     "q_deseasonalize",

@@ -1086,6 +1086,33 @@ object TimeseriesQueries extends QuerySet {
         floor(m0 * 10000.0 + 0.5).cast("long").as("mean0_micro"),
         floor(m1 * 10000.0 + 0.5).cast("long").as("mean1_micro"),
         floor(z * 1000000.0 + 0.5).cast("long").as("z_micro"))
+    },
+
+    // DIFFERENCE + CUMULATIVE_SUM + MOVING_AVERAGE — the three remaining
+    // InfluxQL per-point transformations, in ONE window pass: all three
+    // frames (lag, running, trailing-7) share the (user_id)/(ts,
+    // event_id) window spec, so Catalyst fuses them into a single Window
+    // node over one hash exchange (the q_gapfill_linear fuse). All
+    // integer: deltas and running sums in exact cents, the trailing-7
+    // mean as the half-up integer-division micro (the seasonal-profile
+    // mean recipe) — no fp anywhere, byte-identical across engines.
+    "q_series_transforms" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w7 = w.rowsBetween(-6, Window.currentRow)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("diff_cents",
+          col("cents") - lag(col("cents"), 1).over(w))
+        .withColumn("cum_cents", sum(col("cents")).over(wc))
+        .withColumn("s7", sum(col("cents")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("diff_cents"), col("cum_cents"),
+          intDiv(col("s7") * 10000L + intDiv(col("n7"), lit(2)),
+            col("n7")).as("ma7_micro"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 
@@ -1243,6 +1270,31 @@ object TimeseriesQueries extends QuerySet {
       |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // one window spec, three frames, all integer
+    "q_series_transforms" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, event_id, cents,
+        |  CAST(cents - lag(cents, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |    AS diff_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents,
+        |  CAST((CAST(sum(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) * 10000
+        |    + CAST(count(*) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) // 2)
+        |    // CAST(count(*) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS BIGINT) AS ma7_micro
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+
     // all-integer retention triangle (half-up integer division)
     "q_cohort_rates" ->
       """WITH uw AS (
