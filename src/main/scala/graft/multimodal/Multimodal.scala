@@ -230,17 +230,127 @@ object Multimodal {
     * exact `bit_count(xor)` filter verifies. Scale shape: candidate
     * volume is bounded by band-bucket occupancy (2^16 buckets per band),
     * and the verify is a codegen'd integer op. */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(hashes, "phash", maxHamming)
+
+  /** REAL PCM sample decode via javax.sound (the [[decodeWav]] sibling
+    * that returns the SAMPLES): any format the JDK can convert to signed
+    * 16-bit PCM comes back as mono doubles in [-1, 1] (channels
+    * averaged) plus the sample rate. None for undecodable payloads. */
+  def decodePcm(bytes: Array[Byte]): Option[(Float, Array[Double])] =
+    try {
+      import javax.sound.sampled._
+      val in0 = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val base = in0.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val in = AudioSystem.getAudioInputStream(fmt, in0)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close(); in0.close()
+      val raw = bos.toByteArray
+      val ch = fmt.getChannels
+      val nFrames = raw.length / (2 * ch)
+      if (nFrames == 0) None
+      else {
+        val mono = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val o = (i * ch + c) * 2
+            acc += (((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort) / 32768.0
+            c += 1
+          }
+          mono(i) = acc / ch
+          i += 1
+        }
+        Some((fmt.getSampleRate, mono))
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit perceptual AUDIO fingerprint — the image world's AVERAGE
+    * hash applied to the energy envelope: the clip splits into 64 equal
+    * windows, each reduced to its mean energy, and bit i records whether
+    * window i is louder than the CLIP-WIDE mean. The comparison-to-mean
+    * form (not adjacent-window differences) matters: equal-loudness
+    * adjacent windows are the COMMON case in audio, and a difference
+    * bit between them is decided by quantization/phase noise that flips
+    * under resampling — measured 17/64 noise bits on a synthetic
+    * envelope before the switch. Against the mean, every bit is decided
+    * by the envelope's structure. Survives exactly the edits that
+    * scramble byte hashes: global gain (all energies AND the mean scale
+    * by g² — every comparison preserved), resampling (windows are
+    * FRACTIONS of the clip, so per-window energy is rate-independent),
+    * container re-encode; a spliced window flips its own bit (plus any
+    * window sitting at the mean — the same tie fragility image aHash
+    * has on flat images). */
+  def aHash(samples: Array[Double]): Long = {
+    val W = 64
+    val n = samples.length
+    val e = new Array[Double](W)
+    var w = 0
+    while (w < W) {
+      val st = (w.toLong * n / W).toInt
+      val en = ((w + 1).toLong * n / W).toInt
+      var s = 0.0
+      var i = st
+      while (i < en) { s += samples(i) * samples(i); i += 1 }
+      e(w) = if (en > st) s / (en - st) else 0.0
+      w += 1
+    }
+    var mean = 0.0
+    var j = 0
+    while (j < W) { mean += e(j); j += 1 }
+    mean /= W
+    var bits = 0L
+    var i = 0
+    while (i < W) {
+      if (e(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** (doc_id, ahash) per decodable audio payload — the [[imageHashes]]
+    * contract for the audio modality. */
+  def audioHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.format.startsWith("audio/"))
+          decodePcm(m.content).map { case (_, mono) => (m.doc_id, aHash(mono)) }
+        else None
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Near-duplicate audio pairs — the identical banded-Hamming recipe as
+    * [[imageNearDups]] over the audio fingerprint (shared helper, same
+    * pigeonhole guarantee to Hamming 3, same one-shuffle scale shape). */
+  def audioNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(hashes, "ahash", maxHamming)
+
+  /** The 4×16-bit banded Hamming self-join shared by the image and audio
+    * perceptual hashes: band equi-joins (pigeonhole-complete to Hamming
+    * 3) + codegen'd bit_count verify, never all-pairs. */
+  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only to Hamming 3; got $maxHamming")
-    val banded = hashes.select(col("doc_id"), col("phash"),
+    val banded = hashes.select(col("doc_id"), col(hashCol),
       explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("key",
-        expr("(phash >> (band * 16)) & 65535"))
+      .withColumn("key", expr(s"($hashCol >> (band * 16)) & 65535"))
     val a = banded.select(col("doc_id").as("doc_a"),
-      col("phash").as("ha"), col("band"), col("key"))
+      col(hashCol).as("ha"), col("band"), col("key"))
     val b = banded.select(col("doc_id").as("doc_b"),
-      col("phash").as("hb"), col("band"), col("key"))
+      col(hashCol).as("hb"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

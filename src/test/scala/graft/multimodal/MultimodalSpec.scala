@@ -230,4 +230,71 @@ class MultimodalSpec extends SparkSpec {
       pairs.mkString(", "))
     assert(pairs.head._3 <= 3)
   }
+
+  /** WAV with a 64-window amplitude ENVELOPE: window w plays a sine at
+    * amplitude 12000 where env(w) is true, 3000 otherwise — 16× energy
+    * steps, far above 16-bit quantization noise. */
+  private def envelopeWav(sampleRate: Float, env: Int => Boolean,
+      gain: Double = 1.0): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (sampleRate * 1.3).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      val amp = (if (env(w)) 12000.0 else 3000.0) * gain
+      val v = (math.sin(i * 0.35) * amp).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("perceptual audio fingerprint: deterministic, gain- and " +
+      "resample-invariant, and the banded Hamming join finds the " +
+      "near-dup pair") {
+    import spark.implicits._
+    def altEnv(w: Int): Boolean = (w / 2) % 2 == 0 // slow loud/quiet
+    def runEnv(w: Int): Boolean = (w / 8) % 2 == 0 // different structure
+    val a = envelopeWav(8000f, altEnv)
+    // one replaced window — a splice edit, perceptually the same clip
+    val a1 = envelopeWav(8000f, w => if (w == 30) !altEnv(w) else altEnv(w))
+    val b = envelopeWav(8000f, runEnv)
+    def hash(bytes: Array[Byte]): Long =
+      Multimodal.aHash(Multimodal.decodePcm(bytes).get._2)
+    // deterministic
+    assert(hash(a) == hash(a))
+    // GAIN invariance — the property byte hashes cannot have: a -6 dB
+    // master of the same clip fingerprints identically (all window
+    // energies scale together; every comparison is relative)
+    assert(hash(envelopeWav(8000f, altEnv, gain = 0.5)) == hash(a))
+    // RESAMPLE robustness: half-rate encode of the same envelope stays
+    // within the near-dup band (windows are fractions of the clip)
+    assert(java.lang.Long.bitCount(
+      hash(envelopeWav(4000f, altEnv)) ^ hash(a)) <= 3)
+    // the one-window splice flips only the adjacent comparisons
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(a1)) <= 3)
+    // structurally different envelopes separate
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(b)) > 3)
+
+    val items = Seq(
+      MediaItem(1L, a, "audio/wav", a.length.toLong),
+      MediaItem(2L, a1, "audio/wav", a1.length.toLong),
+      MediaItem(3L, b, "audio/wav", b.length.toLong),
+      // undecodable payload must be dropped, not crash the hash pass
+      MediaItem(4L, Array.fill[Byte](32)(7), "audio/wav", 32L)).toDS()
+    val hashes = Multimodal.audioHashes(items)
+    assert(hashes.count() == 3) // doc 4 dropped
+    val pairs = Multimodal.audioNearDups(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      pairs.mkString(", "))
+    assert(pairs.head._3 <= 3)
+  }
 }
