@@ -476,6 +476,58 @@ object Multimodal {
     }
   }
 
+  /** (doc_id, frame_no, phash) per decodable sampled video frame — the
+    * video member of the perceptual-hash family: n evenly-spaced frames
+    * through the real AVI walk ([[sampleFramesAvi]]), each dHash'd like
+    * a still image. Undecodable frame payloads drop (stub byte windows
+    * of non-AVI payloads decode to None), never crash the pass. */
+  def videoFrameHashes(items: Dataset[MediaItem], n: Int = 3): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap { m =>
+      if (m.format.startsWith("video/"))
+        sampleFramesAvi(m.content, n).getOrElse(Seq.empty).flatMap {
+          case (f, _, payload) =>
+            decodeImage(payload).map(img => (m.doc_id, f, dHash(img)))
+        }
+      else Seq.empty
+    }.toDF("doc_id", "frame_no", "phash")
+  }
+
+  /** Near-duplicate VIDEO pairs by frame-level perceptual matching — the
+    * method real video dedup uses (a re-encode/watermark/trim survives
+    * frame hashing where container bytes scramble): sampled frames pair
+    * up through the same banded-Hamming join as stills, restricted to
+    * the SAME frame position (temporal alignment — evenly-spaced
+    * sampling makes position a time-normalized key, so a trimmed copy
+    * still aligns approximately), and two videos are near-dups when at
+    * least `minFrames` of their sampled positions match. Scale shape:
+    * everything rides the (band, key) shuffle of the frame-hash join
+    * (never all-pairs), then one video-pair-sized aggregate. */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 3,
+      minFrames: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only to Hamming 3; got $maxHamming")
+    val banded = frameHashes.select(col("doc_id"), col("frame_no"),
+      col("phash"), explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("(phash >> (band * 16)) & 65535"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("frame_no"),
+      col("phash").as("ha"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("frame_no"),
+      col("phash").as("hb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key", "frame_no"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("frame_no"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matching_frames"),
+        max(col("hamming")).as("max_hamming"))
+      .filter(col("n_matching_frames") >= minFrames)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Oracle-checkable projection of the pipeline (byte stats are exactly
     * recomputable from the text in SQL on both engines). */
   def featureFrame(spark: SparkSession, documents: DataFrame): DataFrame = {

@@ -297,4 +297,45 @@ class MultimodalSpec extends SparkSpec {
       pairs.mkString(", "))
     assert(pairs.head._3 <= 3)
   }
+
+  test("video near-dup: frame-level perceptual matching finds the " +
+      "one-frame-edited copy, separates different footage") {
+    import spark.implicits._
+    def vstripes(x: Int, y: Int) = if ((x / 4) % 2 == 0) 230 else 20
+    def hstripes(x: Int, y: Int) = if ((y / 4) % 2 == 0) 230 else 20
+    // patterned JPEG frames (flat-color frames would all dHash to 0)
+    def frame(g: (Int, Int) => Int, tweak: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 64) {
+        val v = if (tweak && x == 10 && y == 10) 255 - g(x, y) else g(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // video A: 5 frames alternating stripe phase; A': same but the middle
+    // frame carries a one-pixel edit (a re-encode/watermark); B: the
+    // transposed footage
+    def reel(g: (Int, Int) => Int, tweakMid: Boolean): Seq[Array[Byte]] =
+      (0 until 5).map(i => frame(g, tweak = tweakMid && i == 2))
+    val aviA = mjpegAvi(reel(vstripes, tweakMid = false))
+    val aviA1 = mjpegAvi(reel(vstripes, tweakMid = true))
+    val aviB = mjpegAvi(reel(hstripes, tweakMid = false))
+    val items = Seq(
+      MediaItem(1L, aviA, "video/avi", aviA.length.toLong),
+      MediaItem(2L, aviA1, "video/avi", aviA1.length.toLong),
+      MediaItem(3L, aviB, "video/avi", aviB.length.toLong),
+      // non-AVI payload under video/*: stub byte windows decode to no
+      // frames — dropped, not crashed
+      MediaItem(4L, Array.fill[Byte](64)(9), "video/mp4", 64L)).toDS()
+    val fh = Multimodal.videoFrameHashes(items, n = 3)
+    assert(fh.count() == 9) // 3 videos × 3 frames; doc 4 dropped
+    val pairs = Multimodal.videoNearDups(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      pairs.mkString(", "))
+    assert(pairs.head._3 == 3L) // all three sampled positions match
+  }
 }
