@@ -148,11 +148,14 @@ object IngestBench {
             case "cusum" => graft.streaming.StreamingCusum
               .monitor(df, mu = 1.8, sigma = 0.6).toDF()
             case "rate" => graft.streaming.StreamingRate.rate(df).toDF()
+            case "ols" => graft.streaming.StreamingOls.fit(df).toDF()
           }
           drive(op, k, in, ds, numRows(k))
         }
-      val ops = Seq("ewma", "holt_winters", "welford", "cusum", "rate",
-        "state_runs")
+      val all = Seq("ewma", "holt_winters", "welford", "cusum", "rate",
+        "state_runs", "ols")
+      val ops = sys.env.get("SPARK_GRAFT_STATE_OPS")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(all)
       val parts = ops.flatMap { op =>
         Seq(measure(op, baseKeys), measure(op, baseKeys * 10))
       }

@@ -813,6 +813,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st14b: OLS regression state survives a kill-and-restart from a " +
+      "RocksDB checkpoint (hand-derived post-restart fit)") {
+    import graft.streaming.StreamingOls
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp, Long, Double)]
+      def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      val ckpt = tmpDir("graft-st14b-ckpt")
+      val out = tmpDir("graft-st14b-out")
+      def start() = StreamingOls.fit(
+        in.toDF().toDF("user_id", "ts", "event_id", "value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      val q1 = start()
+      // u1 on the exact line v = 1.00 + 0.10·t (cents 100 + 10·t_s)
+      in.addData((1L, ts(0), 10L, 1.0), (1L, ts(10), 11L, 2.0))
+      q1.processAllAvailable()
+      q1.stop() // kill: five sums + anchor live only in the checkpoint
+      in.addData((1L, ts(20), 12L, 3.0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(3)) -1L else r.getAs[Long]("deriv_micro"),
+            if (r.isNullAt(4)) -1L else r.getAs[Long]("predict_micro")))
+        .toMap
+      // event 12's exact fit REQUIRES the restored (n=2, Σt=10, Σv=300,
+      // Σtv=2000, Σt²=100, t0): slope = 10 cents/s → deriv 10,000,000;
+      // predict(+3600 s past t=20) = 100 + 10·3620 = 36,300 cents.
+      // A reseeded query would emit None (n = 1) at event 12.
+      assert(got(12L) == ((10000000L, 36300000000L)),
+        s"state did not survive the restart: $got")
+      assert(got(10L) == ((-1L, -1L))) // undetermined at n = 1
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("st18: streaming quantile histogram — the state store IS the " +
       "mergeable summary; online quantiles match the batch bins") {
     import graft.operators.LogHistogram
