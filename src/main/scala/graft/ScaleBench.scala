@@ -107,7 +107,11 @@ object ScaleBench {
     "q_text_entropy", "q_stratified_sample",
     // round-9: concat-and-chop packing — blocked prefix-sum windows, the
     // factor reads tokenize + two block-bounded window passes
-    "q_pack_chop")
+    "q_pack_chop",
+    // round-9: token-budget mixing (catalog rollup + broadcast-back +
+    // map-only draw) and quality-weighted sampling (classifier scoring
+    // + one rollup — the q_text_classifier compute shape)
+    "q_token_budget_mix", "q_sample_quality")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

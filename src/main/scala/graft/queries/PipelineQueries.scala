@@ -501,6 +501,78 @@ object PipelineQueries extends QuerySet {
             .as("n_straddle"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"), col("seq_id"))
+    },
+
+    // TOKEN-BUDGET data mixing — the static mixing step of an LLM data
+    // recipe (each source gets an equal share of a 50%-of-corpus token
+    // budget; oversized sources are downsampled to their share, small
+    // sources keep everything): keep fraction per source is an exact
+    // integer micro (budget·1e6 // tokens, capped at 1e6) and the draw
+    // is the stateless multiplicative doc_id hash against that
+    // threshold — reproducible on any engine/cluster/rerun, and unlike
+    // q_sample_mix's per-DOC Bernoulli this budgets TOKENS, which is
+    // the unit trainers actually provision. Scale shape: one per-source
+    // token rollup (catalog-sized), a 1-row global budget broadcast
+    // back, and a map-only keep decision — the audit rollup is the only
+    // second pass.
+    "q_token_budget_mix" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long").as("tok"))
+        .withColumn("h",
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L,
+            lit(1000000L)))
+      val totals = d.groupBy(col("source"))
+        .agg(sum(col("tok")).as("tokens_total"),
+          count(lit(1)).as("n_docs"))
+      val global = totals.agg(
+        intDiv(sum(col("tokens_total")), lit(2)).as("b_total"),
+        count(lit(1)).as("n_src"))
+      val fracs = totals.crossJoin(broadcast(global))
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          least(lit(1000000L),
+            intDiv(intDiv(col("b_total"), col("n_src")) * 1000000L,
+              col("tokens_total"))).as("keep_frac_micro"))
+      d.join(broadcast(fracs), Seq("source"))
+        .groupBy(col("source"), col("n_docs"), col("tokens_total"),
+          col("keep_frac_micro"))
+        .agg(
+          sum(when(col("h") < col("keep_frac_micro"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("h") < col("keep_frac_micro"), col("tok"))
+            .otherwise(0L)).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
+    // QUALITY-WEIGHTED sampling — the curation move after classifier
+    // scoring: upsample what the quality gate likes (90% keep above the
+    // decision boundary) and keep a calibrated slice of the rest (20% —
+    // discarding low-quality text entirely is measurably worse than
+    // keeping a slice, per the quality-filtering literature), with the
+    // same stateless hash draw. The score is THE q_text_classifier
+    // expression (one shared definition); per-(source, bucket) audit
+    // counts are the output. Map-only scoring + one rollup — zero extra
+    // shuffles over the scan at any corpus size.
+    "q_sample_quality" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("w",
+          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+        .withColumn("score",
+          expr(TextQueries.classifierScoreFromTokens("w")))
+        .withColumn("bucket",
+          when(col("score") >= 0, lit("high")).otherwise(lit("low")))
+        .withColumn("quota",
+          when(col("score") >= 0, lit(90L)).otherwise(lit(20L)))
+        .withColumn("h",
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L)))
+        .withColumn("kept", col("h") < col("quota"))
+      d.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), size(col("w")).cast("long"))
+            .otherwise(0L)).as("tokens_kept"))
+        .orderBy(col("source"), col("bucket"))
     }
   )
 
@@ -527,6 +599,67 @@ object PipelineQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS BIGINT) AS tok,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000 AS h
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(tok) AS BIGINT) AS tokens_total,
+        |             CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM d GROUP BY source),
+        |g AS (SELECT CAST(sum(tokens_total) // 2 AS BIGINT) AS b_total,
+        |             CAST(count(*) AS BIGINT) AS n_src FROM t),
+        |f AS (
+        |  SELECT t.source, t.n_docs, t.tokens_total,
+        |    CAST(least(1000000,
+        |      (g.b_total // g.n_src) * 1000000 // t.tokens_total)
+        |      AS BIGINT) AS keep_frac_micro
+        |  FROM t, g)
+        |SELECT f.source, f.n_docs, f.tokens_total, f.keep_frac_micro,
+        |  CAST(sum(CASE WHEN d.h < f.keep_frac_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN d.h < f.keep_frac_micro THEN d.tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept
+        |FROM d JOIN f USING (source)
+        |GROUP BY f.source, f.n_docs, f.tokens_total, f.keep_frac_micro
+        |ORDER BY f.source""".stripMargin,
+
+    "q_sample_quality" -> {
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
+      s"""WITH w0 AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split(text, ' '),
+         |                     tk -> length(tk) > 0) AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, w,
+         |         list_transform(range(1, len(w)),
+         |                        i -> w[i] || '_' || w[i + 1]) AS bg
+         |  FROM w0),
+         |sc AS (
+         |  SELECT doc_id, source, w,
+         |    COALESCE(CAST(list_sum(list_transform(w,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |    + COALESCE(CAST(list_sum(list_transform(bg,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS score
+         |  FROM b),
+         |k AS (
+         |  SELECT doc_id, source, w,
+         |    CASE WHEN score >= 0 THEN 'high' ELSE 'low' END AS bucket,
+         |    ((doc_id % 1000003) * 2654435761) % 100
+         |      < CASE WHEN score >= 0 THEN 90 ELSE 20 END AS kept
+         |  FROM sc)
+         |SELECT source, bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN len(w) ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM k GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin
+    },
+
     // the oracle computes the plain per-source cumulative sum — the
     // distributed prefix-sum decomposition must be algebraically
     // invisible
@@ -692,11 +825,7 @@ object PipelineQueries extends QuerySet {
         |FROM pack ORDER BY source, doc_id""".stripMargin,
 
     "q_pipeline_clean" -> {
-      def wgtSql(v: String): String =
-        s"(((list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"range(1, length($v) + 1)), " +
-        s"(h, i) -> (h * 31 + ascii(substr($v, CAST(i AS INT), 1))) " +
-        s"% 1000003) % 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
       s"""WITH w0 AS (
          |  SELECT doc_id, text, source, n_chars,
          |         list_filter(string_split(text, ' '),

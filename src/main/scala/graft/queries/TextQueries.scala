@@ -575,6 +575,16 @@ object TextQueries extends QuerySet {
     }
   )
 
+  /** DuckDB mirror of [[wgtExpr]] — the ONE duck-side copy of the
+    * classifier token weight, shared by the q_text_classifier,
+    * q_pipeline_clean and q_sample_quality oracles (two copies of a
+    * canon are one precision fix away from divergence). */
+  private[queries] def wgtSqlDuck(v: String): String =
+    s"(((list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"range(1, length($v) + 1)), " +
+    s"(h, i) -> (h * 31 + ascii(substr($v, CAST(i AS INT), 1))) " +
+    s"% 1000003) % 4096) * 2654435761) % 1000003) % 2001 - 1000"
+
   /** Integer weight of one classifier token (q_text_classifier's exact
     * formula): bucket = charfold(v) % 4096, then an integer scramble of
     * the bucket id into [-1000, 1000] — shared with the composite
@@ -773,11 +783,7 @@ object TextQueries extends QuerySet {
     // prepended — DuckDB's reduce takes the first element as the
     // accumulator), same scramble, same sums
     "q_text_classifier" -> {
-      def wgtSql(v: String): String =
-        s"(((list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"range(1, length($v) + 1)), " +
-        s"(h, i) -> (h * 31 + ascii(substr($v, CAST(i AS INT), 1))) " +
-        s"% 1000003) % 4096) * 2654435761) % 1000003) % 2001 - 1000"
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
       s"""WITH d AS (
          |  SELECT doc_id,
          |         list_filter(string_split(text, ' '),
