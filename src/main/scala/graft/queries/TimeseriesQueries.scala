@@ -997,7 +997,14 @@ object TimeseriesQueries extends QuerySet {
         .select(col("user_id"), col("tt"), col("cv"))
       val a = p.select(col("user_id"), col("tt").as("ta"), col("cv").as("ca"))
       val b = p.select(col("user_id"), col("tt").as("tb"), col("cv").as("cb"))
-      val sl = a.join(b, Seq("user_id")).filter(col("tb") > col("ta"))
+      // force the sort-merge self-join: under the broadcast threshold the
+      // planner builds a hashed relation of the WHOLE events side and
+      // probes the quadratic fan-out through it — measured 5.3 s at sf0.1
+      // vs 3.3 s on the 10× REPLICA, where AQE picks SMJ (both sides
+      // share the user_id partitioning, and the downstream median window
+      // reuses it). The merge hint makes the fixture plan THE scale plan.
+      val sl = a.join(b.hint("merge"), Seq("user_id"))
+        .filter(col("tb") > col("ta"))
         .select(col("user_id"),
           micro((col("cb") - col("ca")).cast("double")
             / (col("tb") - col("ta")).cast("double")).as("slope_micro"))
