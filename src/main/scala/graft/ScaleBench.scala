@@ -75,7 +75,8 @@ object ScaleBench {
     * default through the k-NN join. */
   val simHeavy: Seq[String] = Seq(
     "q34_cosine_topk", "q34b_ann_ivf", "q34c_knn_join",
-    "q34c_knn_join@auto", "q34d_ann_multiprobe", "q34e_pq_ann",
+    "q34c_knn_join@auto", "q_knn_classifier", "q34d_ann_multiprobe",
+    "q34e_pq_ann",
     "q_decontaminate_semantic", "q_dedup_embedding",
     "q_dedup_embedding@12bit", "q_dedup_embedding@auto",
     "q_dedup_semdedup", "q_dedup_semdedup@sqrtk",
@@ -111,7 +112,10 @@ object ScaleBench {
     // round-9: token-budget mixing (catalog rollup + broadcast-back +
     // map-only draw) and quality-weighted sampling (classifier scoring
     // + one rollup — the q_text_classifier compute shape)
-    "q_token_budget_mix", "q_sample_quality")
+    "q_token_budget_mix", "q_sample_quality",
+    // round-9: shard manifest — one hash rollup, checksum bounded by
+    // shard size
+    "q_shard_manifest")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

@@ -573,6 +573,31 @@ object PipelineQueries extends QuerySet {
           sum(when(col("kept"), size(col("w")).cast("long"))
             .otherwise(0L)).as("tokens_kept"))
         .orderBy(col("source"), col("bucket"))
+    },
+
+    // SHARD MANIFEST — the reproducibility artifact a training run ships
+    // next to its exported shards (q_export_shards' layout): per shard,
+    // the doc and token counts plus an order-independent md5 over the
+    // shard's SORTED doc ids — two exports of the same corpus produce
+    // byte-identical manifests, and a single lost/duplicated doc flips
+    // the checksum. Scale note: the ids_md5 concatenates the shard's
+    // ids, so the manifest pass is bounded by shard size — at 100 TB a
+    // manifest would roll up per shard FILE (the writer's natural unit)
+    // and md5 the file digests; the per-shard form here is the same
+    // algebra one level up.
+    "q_shard_manifest" -> { (s, dir) =>
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L,
+        lit(1000000007L))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long").as("tok"),
+          pmod(h, lit(16L)).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          md5(array_join(array_sort(collect_list(col("doc_id")))
+            .cast("array<string>"), ",")).as("ids_md5"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -599,6 +624,21 @@ object PipelineQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS BIGINT) AS tok,
+        |    (((doc_id % 1000003) * 2654435761) % 1000000007) % 16 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_transform(list_sort(list(doc_id)),
+        |    x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+        |FROM d GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
     "q_token_budget_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -162,6 +162,31 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("vec_id"), col("m"))
     },
 
+    // k-NN CLASSIFIER serving — the label-assignment op on top of the
+    // q34c batch k-NN join: every label-0 query vector takes the
+    // MAJORITY label of its top-3 bucket neighbors (ties break to the
+    // smaller label via the max-struct trick — deterministic on both
+    // engines), with the winner's best cosine as the confidence
+    // surface. Composes the existing bucketed join (no new shuffle
+    // shape: the vote is one neighbor-sized aggregate + a per-query
+    // argmax; the label side is model-sized → broadcast).
+    "q_knn_classifier" -> { (s, dir) =>
+      val nn = knnJoin(s, dir, bits = Some(8))
+      val lbl = t(s, dir, "embeddings")
+        .select(col("vec_id").as("c_id"), col("label"))
+      nn.join(broadcast(lbl), Seq("c_id"))
+        .groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("votes"), max(col("cos_sim")).as("best_cos"))
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"),
+          col("best_cos"))).as("w"))
+        .select(col("q_id"),
+          (-col("w.nl")).as("pred_label"),
+          col("w.votes").as("votes"),
+          col("w.best_cos").as("best_cos"))
+        .orderBy(col("q_id"))
+    },
+
     // Q34f: int8 SCALAR-quantized ANN (SQ8) — the memory tier between
     // full-precision (4 bytes/dim) and PQ (0.5 byte/dim): per-vector
     // scale = max|v|/127, code_i = round(v_i/scale) ∈ [−127,127], so a
@@ -262,6 +287,33 @@ object SimilarityQueries extends QuerySet {
       .limit(10)
   }
 
+  /** The ONE duck-side copy of the 8-bit-bucket k-NN candidate/rank CTE
+    * chain (shared by q34c_knn_join and q_knn_classifier). */
+  private val knnCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding, label,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+      |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |         * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+      |  FROM e q JOIN e c ON q.bucket = c.bucket
+      |  WHERE q.label = 0 AND c.label <> 0),
+      |ranked AS (
+      |  SELECT q_id, c_id, cos_sim,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+      |  FROM pairs)""".stripMargin
+
   private val cosSql =
     """round(list_sum(list_transform(list_zip(e.embedding, q.qe),
       |        p -> p[1]::DOUBLE * p[2]::DOUBLE))
@@ -314,31 +366,27 @@ object SimilarityQueries extends QuerySet {
          |ORDER BY e.vec_id, c.m""".stripMargin,
 
     "q34c_knn_join" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding, label,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-        |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-        |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-        |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-        |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |         * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
-        |  FROM e q JOIN e c ON q.bucket = c.bucket
-        |  WHERE q.label = 0 AND c.label <> 0),
-        |ranked AS (
-        |  SELECT q_id, c_id, cos_sim,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
-        |  FROM pairs)
+      s"""$knnCtes
         |SELECT q_id, rk, c_id, cos_sim FROM ranked WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin,
+
+    // the q34c neighbor set → per-(query, label) votes → (votes DESC,
+    // label ASC) winner — the same tie rule the Spark max-struct encodes
+    "q_knn_classifier" ->
+      s"""$knnCtes,
+        |nn AS (SELECT q_id, c_id, cos_sim FROM ranked WHERE rk <= 3),
+        |v AS (
+        |  SELECT nn.q_id, e.label, CAST(count(*) AS BIGINT) AS votes,
+        |         max(nn.cos_sim) AS best_cos
+        |  FROM nn JOIN e ON e.vec_id = nn.c_id
+        |  GROUP BY nn.q_id, e.label),
+        |w AS (
+        |  SELECT q_id, label, votes, best_cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY votes DESC, label ASC) AS wr
+        |  FROM v)
+        |SELECT q_id, CAST(label AS INT) AS pred_label, votes, best_cos
+        |FROM w WHERE wr = 1 ORDER BY q_id""".stripMargin,
 
     "q34b_ann_ivf" -> ivfSql(1),
     "q34d_ann_multiprobe" -> ivfSql(2),
