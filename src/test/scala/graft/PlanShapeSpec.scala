@@ -18,6 +18,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
     "q_pca_project", // k-row broadcast pinned-component table (model-sized)
+    "q_token_budget_mix", // 1-row broadcast global budget into the catalog-sized fractions
     "q34f_sq8_ann") // 1-row broadcast query codes + scale/norm (q34 pattern)
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
