@@ -118,16 +118,18 @@ object IngestBench {
         val n = rows.length
         val chunk = (n + 4) / 5
         val t0 = System.nanoTime()
-        try {
-          rows.grouped(chunk).foreach { c =>
-            in.addData(c: _*)
-            q.processAllAvailable()
-          }
-        } finally ()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val stateRows = Option(q.lastProgress).toSeq
-          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
-        q.stop()
+        // stop in finally: a mid-measure failure must not leave the query
+        // running against the shared session and skew later ops' readings
+        val (sec, stateRows) =
+          try {
+            rows.grouped(chunk).foreach { c =>
+              in.addData(c: _*)
+              q.processAllAvailable()
+            }
+            ((System.nanoTime() - t0) / 1e9,
+              Option(q.lastProgress).toSeq
+                .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum)
+          } finally q.stop()
         f""""$op@$k":{"keys":$k,"rows":$n,"sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong},"state_rows":$stateRows}"""
       }
       def measure(op: String, k: Int): String =
@@ -156,6 +158,11 @@ object IngestBench {
         "state_runs", "ols")
       val ops = sys.env.get("SPARK_GRAFT_STATE_OPS")
         .map(_.split(",").map(_.trim).toSeq).getOrElse(all)
+      // fail loudly BEFORE measuring: a typo'd name would otherwise
+      // MatchError after the valid ops' work is already done and lost
+      val unknown = ops.toSet -- all.toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_STATE_OPS names unknown " +
+        s"ops: ${unknown.mkString(", ")}; choose from: ${all.mkString(", ")}")
       val parts = ops.flatMap { op =>
         Seq(measure(op, baseKeys), measure(op, baseKeys * 10))
       }

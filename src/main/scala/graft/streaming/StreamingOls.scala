@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * prediction after every point.
   *
   * ALL state is the five exact int64 regression sums plus the series'
-  * time anchor (n, Σt, Σv, Σtv, Σt², t0_µs, t_last — seven longs): sums
+  * time anchor (n, Σt, Σv, Σtv, Σt², t0_µs — six longs): sums
   * of products of bounded ints are order-free and engine-exact, so the
   * backfill==online fixpoint is EXACT on the integer state; fp enters
   * only in the emit-time formula, computed from the same integers in
@@ -20,10 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * ORDERING PRECONDITION (the [[StreamingRate]] family contract): t is
   * anchored at the series' FIRST ARRIVAL, which equals the batch form's
-  * min(ts) only under globally-ordered per-series ingestion (the
-  * engine gateway's monotone-id path); t_last likewise assumes arrivals
-  * don't regress. See StreamingRate's scaladoc for the shared contract
-  * and the buffering recipe for reordering sources.
+  * min(ts) only under globally-ordered per-series ingestion (the engine
+  * gateway's monotone-id path), and the last-emitted prediction anchors
+  * on the current point's t being the series maximum — the same
+  * contract. See StreamingRate's scaladoc for the shared terms and the
+  * buffering recipe for reordering sources.
   */
 object StreamingOls {
 
@@ -32,17 +33,21 @@ object StreamingOls {
   case class OlsPoint(user_id: Long, event_id: Long, n: Long,
       deriv_micro: Option[Long], predict_micro: Option[Long])
 
-  /** (n, st, sv, stv, stt, t0_us, t_last). */
-  private type St = (Long, Long, Long, Long, Long, Long, Long)
+  /** (n, st, sv, stv, stt, t0_us). */
+  private type St = (Long, Long, Long, Long, Long, Long)
 
   /** `events` must carry user_id, ts, event_id, value; emits the running
     * fit after every input row — None until the fit is determined
     * (n ≥ 2 over >0 elapsed time, the batch HAVING mirror), so the LAST
-    * emitted row per series equals the batch row exactly. */
+    * emitted row per series equals the batch row exactly. NULL-value
+    * rows are dropped HERE, mirroring the batch twin's
+    * `value IS NOT NULL` — without the filter a null would kill the
+    * typed stream (non-nullable Double decode), not skip the row. */
   def fit(events: DataFrame): Dataset[OlsPoint] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .filter(col("value").isNotNull)
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[Point]
@@ -51,9 +56,9 @@ object StreamingOls {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Point], state: GroupState[St]) =>
           val ordered = rows.toSeq.sortBy(SeriesPoint.orderKey)
-          var cur = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          var cur = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
           val out = ordered.map { p =>
-            val (n0, st0, sv0, stv0, stt0, t00, _) = cur
+            val (n0, st0, sv0, stv0, stt0, t00) = cur
             val us = SeriesPoint.epochUs(p.ts)
             val t0 = if (n0 == 0L) us else t00
             // non-negative under ordered arrival → floorDiv == the batch
@@ -67,7 +72,7 @@ object StreamingOls {
             val sv = sv0 + cv
             val stv = stv0 + tt * cv
             val stt = stt0 + tt * tt
-            cur = (n, st, sv, stv, stt, t0, tt)
+            cur = (n, st, sv, stv, stt, t0)
             val den = n.toDouble * stt.toDouble - st.toDouble * st.toDouble
             val (dm, pm) =
               if (n >= 2L && den > 0.0) {

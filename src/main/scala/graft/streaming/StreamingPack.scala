@@ -30,8 +30,11 @@ object StreamingPack {
   case class PackedDoc(source: String, doc_id: Long, tok: Long,
       seq_id: Long, off_in_seq: Long, straddle: Boolean)
 
-  /** `docs` must carry source, doc_id, text. Emits each doc's sequence
-    * assignment under budget-token chop packing per source. */
+  /** `docs` must carry source, doc_id, text — text NON-NULL (the typed
+    * decode's primitive tok slot dies on a null-text token count; the
+    * corpus schema and the batch twin both carry text as required).
+    * Emits each doc's sequence assignment under budget-token chop
+    * packing per source. */
   def pack(docs: DataFrame, budget: Long = 256L): Dataset[PackedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -28,6 +28,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `withWatermark + window` buffer stage in front, or the deadman-style
   * explicit-lateness handling of [[StreamingDeadman]] — O(1)-state folds
   * cannot retroactively reorder what they already consumed.
+  *
+  * The shared contract also requires NULL-value rows filtered upstream
+  * (the batch twins' `value IS NOT NULL`): the typed `.as[Point]` decode
+  * has a primitive Double slot, so a null kills the query instead of
+  * skipping the row ([[StreamingOls]] filters internally; the engine
+  * gateway never emits null field values).
   */
 object StreamingRate {
 

@@ -1203,7 +1203,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("st29: streaming OLS trend == batch q_predict_linear over the " +
-      "real events history — seven longs of state, EXACT emitted micros") {
+      "real events history — six longs of state, EXACT emitted micros") {
     import graft.streaming.StreamingOls
     val dir = "/root/testdata/sf0.001"
     val batch = graft.SparkEntry.queries("q_predict_linear")(spark, dir)
