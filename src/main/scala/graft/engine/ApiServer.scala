@@ -582,6 +582,46 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // GET /trend/<series>?name=<field>[&from=<day>&to=<day>] — linear
+    // trend serving (Engine.trend, the q_predict_linear math): OLS slope
+    // in micro-cents/s and the one-hour-ahead prediction; day bounds
+    // optional, malformed ones fail closed like /quantiles; an
+    // undetermined fit (n < 2 or simultaneous points) reports
+    // determined:false rather than erroring (D4 posture).
+    http.createContext("/trend/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/trend/"))
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else if (!p.contains("name"))
+          respond(ex, 400, """{"error":"name parameter required"}""")
+        else if (p.get("from").exists(!_.matches(day)) ||
+            p.get("to").exists(!_.matches(day)))
+          respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
+        else {
+          val (n, fit) = engine.trend(series, p("name"),
+            p.get("from"), p.get("to"))
+          val body = fit match {
+            case Some((deriv, predict)) =>
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""n":$n,"determined":true,"deriv_micro":$deriv,""" +
+                s""""predict_1h_micro":$predict}"""
+            case None =>
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""n":$n,"determined":false}"""
+          }
+          respond(ex, 200, body)
+        }
+      }
+    })
+
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {

@@ -450,6 +450,55 @@ class Engine(val spark: SparkSession, warehouse: String)
         .groupBy(col("bin")).agg(sum(col("cnt")).as("w")),
       qs)
 
+  /** Linear trend of one field of one series over an optional inclusive
+    * day range — the serving form of q_predict_linear (PromQL's
+    * deriv/predict_linear): OLS slope in micro-cents/second and the
+    * value the line reaches one hour past the range's last point, from
+    * the same exact-int64 sums and the same fixed-order final formula as
+    * the oracle-gated query (time re-anchored at the range's first point
+    * keeps Σt² bounded at any retention age). Two passes over the
+    * statically-pruned (series, day) partitions: one min(time) to anchor,
+    * one five-sum aggregate — both driver-sized answers. Returns
+    * (n, Some(deriv_micro, predict_micro)); None when the fit is
+    * undetermined (n < 2 or all points simultaneous). */
+  def trend(series: String, name: String, fromDay: Option[String],
+      toDay: Option[String]): (Long, Option[(Long, Long)]) = {
+    if (!exists) return (0L, None)
+    val b0 = table().filter(col("series") === series &&
+      col("name") === name && col("value").isNotNull)
+    val b1 = fromDay.map(f => b0.filter(col("day") >= f)).getOrElse(b0)
+    val pts = toDay.map(t => b1.filter(col("day") <= t)).getOrElse(b1)
+      .select(unix_micros(col("time")).as("us"),
+        round(col("value") * 100).cast("long").as("cv"))
+    pts.cache()
+    try {
+      val m = pts.agg(min(col("us"))).head()
+      if (m.isNullAt(0)) (0L, None)
+      else {
+        val anchor = m.getLong(0)
+        val r = pts
+          .withColumn("tt", expr(s"(us - ${anchor}L) div 1000000"))
+          .agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+            sum(col("cv")).as("sv"), sum(col("tt") * col("cv")).as("stv"),
+            sum(col("tt") * col("tt")).as("stt"), max(col("tt")).as("tmax"))
+          .head()
+        val (n, st, sv, stv, stt, tmax) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        val den = n.toDouble * stt.toDouble - st.toDouble * st.toDouble
+        if (n < 2 || den <= 0.0) (n, None)
+        else {
+          val slope = (n.toDouble * stv.toDouble -
+            st.toDouble * sv.toDouble) / den
+          val deriv = math.floor(slope * 1000000.0 + 0.5).toLong
+          val predict = math.floor(
+            ((sv.toDouble - slope * st.toDouble) / n.toDouble
+              + slope * (tmax.toDouble + 3600.0)) * 1000000.0 + 0.5).toLong
+          (n, Some((deriv, predict)))
+        }
+      }
+    } finally pts.unpersist()
+  }
+
   // ------------------------------------------------------------ tag index
 
   private def tagIndexPath = s"$warehouse/tag_index"

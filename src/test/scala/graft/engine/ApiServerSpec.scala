@@ -393,6 +393,43 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /trend serves the OLS fit with hand-derived values and " +
+      "fail-closed validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-trend"))
+    // v = 1.00 + 0.10/s on the dot: cents 100, 200, 300 at 10 s steps
+    val base = 1700000000000000000L
+    engine.ingestLines(Seq(
+      s"trend,host=a v=1.0 $base",
+      s"trend,host=a v=2.0 ${base + 10000000000L}",
+      s"trend,host=a v=3.0 ${base + 20000000000L}",
+      // a second field with two SIMULTANEOUS points: den = 0 → undetermined
+      s"trend,host=a flat=5.0 $base",
+      s"trend,host=b flat=6.0 $base"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(s"$url/trend/trend?name=v")
+      assert(c1 == 200, b1)
+      // slope 10 cents/s → 10,000,000 micro; predict(+3600 s past t=20)
+      // = 100 + 10·3620 = 36,300 cents → 36,300,000,000 micro
+      assert(b1.contains("\"n\":3") && b1.contains("\"determined\":true") &&
+        b1.contains("\"deriv_micro\":10000000") &&
+        b1.contains("\"predict_1h_micro\":36300000000"), b1)
+      // simultaneous points: fit undetermined, not an error
+      val (c2, b2) = call(s"$url/trend/trend?name=flat")
+      assert(c2 == 200 && b2.contains("\"determined\":false"), s"$c2 $b2")
+      // day bounds prune (empty range → n=0 undetermined)
+      val (c3, b3) = call(
+        s"$url/trend/trend?name=v&from=1999-01-01&to=1999-01-02")
+      assert(c3 == 200 && b3.contains("\"n\":0") &&
+        b3.contains("\"determined\":false"), s"$c3 $b3")
+      // validation fails closed
+      assert(call(s"$url/trend/trend?name=v&from=14-11-2023")._1 == 400)
+      assert(call(s"$url/trend/trend")._1 == 400)
+      assert(call(s"$url/trend/nope?name=v")._1 == 404)
+    } finally api.stop()
+  }
+
   test("GET /quantiles serves percentiles from the histogram rollup " +
       "with fail-closed parameter validation") {
     val engine = new Engine(spark, tmpDir("graft-api-quant"))
