@@ -353,10 +353,12 @@ object PipelineQueries extends QuerySet {
         // 100 TB scan branch pays one text-hash pass — not one per
         // consumer expression
         .withColumn("h", md5(col("text")))
-        .withColumn("w",
-          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+        // native one-pass classifier scoring (graft.functions.TextOps) —
+        // same integer canon as q_text_classifier, no interpreted lambdas
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
         .withColumn("quality",
-          expr(TextQueries.classifierScoreFromTokens("w")))
+          col("cs").getItem(1) + col("cs").getItem(2))
         .withColumn("is_bench", col("doc_id") % 20 === 0)
         .join(broadcast(block), col("source") === col("bsource"), "left")
         .withColumn("blocked", col("bsource").isNotNull)
@@ -556,10 +558,13 @@ object PipelineQueries extends QuerySet {
     // shuffles over the scan at any corpus size.
     "q_sample_quality" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-        .withColumn("w",
-          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+        // native one-pass classifier scoring (graft.functions.TextOps) —
+        // token count rides along in cs[0], so the lambda-built token
+        // array disappears from this plan entirely
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
         .withColumn("score",
-          expr(TextQueries.classifierScoreFromTokens("w")))
+          col("cs").getItem(1) + col("cs").getItem(2))
         .withColumn("bucket",
           when(col("score") >= 0, lit("high")).otherwise(lit("low")))
         .withColumn("quota",
@@ -570,7 +575,7 @@ object PipelineQueries extends QuerySet {
       d.groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), size(col("w")).cast("long"))
+          sum(when(col("kept"), col("cs").getItem(0))
             .otherwise(0L)).as("tokens_kept"))
         .orderBy(col("source"), col("bucket"))
     },

@@ -378,29 +378,25 @@ object TextQueries extends QuerySet {
     // plan shape. Weights here are a fixed integer mix of the bucket id
     // (exact on any engine), so scores hash-match bit-for-bit.
     "q_text_classifier" -> { (s, dir) =>
-      def wgt(v: String): String = TextQueries.wgtExpr(v)
+      // ONE native codegen'd pass over the raw text (tokens + unigram +
+      // bigram sums together) — replaces the 4-HigherOrderFunction tower
+      // that interpreted ~2·n_tok lambdas and materialized every bigram
+      // string per document (round-9 BENCH: 2.2 s, #2 hot spot). Bit-
+      // identical arithmetic: graft.functions.TextOps scaladoc.
       t(s, dir, "documents")
-        .withColumn("w",
-          expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
-        // DuckDB's range(1, n) is already empty at n<=1; Spark's
-        // sequence(1, 0) would count DOWN, hence the explicit guard
-        .withColumn("bg", expr(
-          "CASE WHEN size(w) > 1 THEN transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), '_', element_at(w, i + 1))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END"))
-        .withColumn("uni_score", expr(
-          s"aggregate(transform(w, tk -> ${wgt("tk")}), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn("bi_score", expr(
-          s"aggregate(transform(bg, tk -> ${wgt("tk")}), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .select(col("doc_id"),
-          size(col("w")).as("n_tok"),
-          (size(col("w")) + size(col("bg"))).as("n_feat"),
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
+        .withColumn("n_tok", col("cs").getItem(0).cast("int"))
+        .withColumn("uni_score", col("cs").getItem(1))
+        .withColumn("bi_score", col("cs").getItem(2))
+        // n_feat = n_tok + n_bigrams; bigrams only exist past 1 token
+        .withColumn("n_feat",
+          (col("n_tok") + greatest(col("n_tok") - 1, lit(0))).cast("int"))
+        .select(col("doc_id"), col("n_tok"), col("n_feat"),
           col("uni_score"), col("bi_score"),
           (col("uni_score") + col("bi_score")).as("score"),
           micro((col("uni_score") + col("bi_score")).cast("double") /
-            (size(col("w")) + size(col("bg"))).cast("double"))
+            col("n_feat").cast("double"))
             .as("avg_w_micro"),
           when(col("uni_score") + col("bi_score") >= 0, "keep")
             .otherwise("drop").as("label"))
@@ -588,8 +584,11 @@ object TextQueries extends QuerySet {
   /** Integer weight of one classifier token (q_text_classifier's exact
     * formula): bucket = charfold(v) % 4096, then an integer scramble of
     * the bucket id into [-1000, 1000] — shared with the composite
-    * cleaning pipeline (q_pipeline_clean). */
-  private[queries] def wgtExpr(v: String): String =
+    * cleaning pipeline (q_pipeline_clean). Since round 10 the hot path
+    * runs graft.functions.TextOps.classifierScores (native, one-pass);
+    * this HOF form is retained as the pinned canon TextExpressionsSpec
+    * verifies the native expression against. */
+  private[graft] def wgtExpr(v: String): String =
     s"(((aggregate(sequence(1, length($v)), CAST(0 AS BIGINT), " +
     s"(h, i) -> (h * 31 + ascii(substring($v, i, 1))) % 1000003) " +
     s"% 4096) * 2654435761) % 1000003) % 2001 - 1000"
@@ -600,7 +599,7 @@ object TextQueries extends QuerySet {
     * Bigram STRINGS materialize in an inner transform before weighting:
     * wgtExpr's own lambda binds `i` for char positions, so an outer
     * index lambda feeding it directly would be variable-captured. */
-  private[queries] def classifierScoreFromTokens(wCol: String): String =
+  private[graft] def classifierScoreFromTokens(wCol: String): String =
     s"(aggregate(transform($wCol, tk -> ${wgtExpr("tk")}), " +
     s"CAST(0 AS BIGINT), (a, x) -> a + x) + " +
     s"CASE WHEN size($wCol) > 1 THEN " +

@@ -46,6 +46,27 @@ class PlanShapeSpec extends SparkSpec {
         s"plan:\n${plan.take(3000)}")
   }
 
+  test("classifier scoring runs as the native classifier_scores " +
+      "expression, not the interpreted filter/transform/aggregate tower " +
+      "(round-9 BENCH hot spots #1/#2)") {
+    val dir = "/root/testdata/sf0.001"
+    // q_text_classifier must be fully lambda-free; the two reusers keep
+    // lambdas elsewhere in their plans, so assert only on the expression
+    val plan = SparkEntry.queries("q_text_classifier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("classifier_scores"),
+      s"native classifier_scores missing from plan:\n${plan.take(3000)}")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted lambda (HigherOrderFunction CodegenFallback) in " +
+        s"plan:\n${plan.take(3000)}")
+    Seq("q_pipeline_clean", "q_sample_quality").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("classifier_scores"),
+        s"$name lost the native classifier expression:\n${p.take(3000)}")
+    }
+  }
+
   test("q_pipeline_clean hashes text once per scan branch (shared h " +
       "projection feeds both the keepers agg and the join-back key)") {
     val dir = "/root/testdata/sf0.001"
