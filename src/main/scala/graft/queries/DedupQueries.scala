@@ -681,6 +681,62 @@ object DedupQueries extends QuerySet {
         .filter(col("n_docs") >= 2L && col("chunk_len") >= 2L)
         .orderBy(col("n_docs").desc, col("chunk_fp"))
         .limit(1000)
+    },
+
+    // EXACT set-similarity self-join with PREFIX FILTERING (the
+    // PPJoin/AllPairs family, Xiao et al. WWW'08 / Chaudhuri et al.
+    // ICDE'06 — public algorithms): every document pair whose word-5-gram
+    // shingle sets have Jaccard >= 0.6, with NO probabilistic recall loss
+    // (the exact counterpart of q_dedup_minhash_lsh's approximate band
+    // join). The trick: order each set by GLOBAL shingle frequency
+    // (rarest first) and index only the first n - ceil(0.6*n) + 1
+    // elements — if J(a,b) >= tau the prefixes provably intersect, so the
+    // inverted-index join touches rare tokens only. On the token domain
+    // of this corpus the naive inverted index is 448M candidate pairs at
+    // sf0.1; the prefix cut + the tau*|a| <= |b| length filter is what
+    // makes the exact join feasible, HERE and at 100 TB. Thresholds are
+    // exact rationals (tau = 3/5 → x*5 >= y*3), never floats.
+    // Scale shape: shingle-hash df agg (map-combinable) → per-doc sort
+    // window → prefix equi-join on the RARE hashes → verify join on
+    // (doc, hash). Shuffles carry 8-byte xxhash64 shingle hashes, never
+    // shingle text. The global order tie-breaks on the hash — the prefix
+    // lemma holds for ANY fixed total order, so Spark's (df, hash) order
+    // and the oracle's (df, text) order generate different candidate
+    // supersets but the SAME verified result.
+    "q_dedup_prefix_join" -> { (s, dir) =>
+      val sets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
+          "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
+      val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
+        explode(col("sset")).as("tk"))
+      val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val pref = tok.join(dfreq, "tk")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
+        .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("tk"), col("doc_id"), col("n"))
+      val cand = pref.toDF("tk", "doc_a", "na")
+        .join(pref.toDF("tk", "doc_b", "nb"), "tk")
+        .filter(col("doc_a") < col("doc_b") &&
+          col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .distinct()
+      cand
+        .join(tok.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
+          Seq("doc_b", "tk"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).cast("long").as("uni"),
+          micro(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+            .as("jacc_micro"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -1344,6 +1400,49 @@ object DedupQueries extends QuerySet {
         |  CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY chunk_fp
         |HAVING count(DISTINCT doc_id) >= 2 AND max(chunk_len) >= 2
-        |ORDER BY n_docs DESC, chunk_fp LIMIT 1000""".stripMargin
+        |ORDER BY n_docs DESC, chunk_fp LIMIT 1000""".stripMargin,
+
+    // same prefix-filtering construction over shingle TEXT (the oracle
+    // needs no hash compaction); tie-break order differs from Spark's
+    // (df, hash) but the prefix lemma makes the verified result identical
+    "q_dedup_prefix_join" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+4], ' ')
+        |                        FOR i IN range(1, greatest(len(w)-4, 1) + 1)]) AS s
+        |  FROM d),
+        |tok AS (SELECT doc_id, unnest(s) AS tk FROM g),
+        |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+        |ord AS (
+        |  SELECT t.doc_id, t.tk,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |                            ORDER BY f.df, t.tk) AS pos,
+        |         count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM tok t JOIN df f USING (tk)),
+        |pref AS (SELECT doc_id, tk, n FROM ord
+        |         WHERE pos <= n - ((3*n + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                  a.n AS na, b.n AS nb
+        |  FROM pref a JOIN pref b USING (tk)
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3),
+        |ins AS (
+        |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tok x ON x.doc_id = c.doc_a
+        |  JOIN tok y ON y.doc_id = c.doc_b AND y.tk = x.tk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(na + nb - inter AS BIGINT) AS uni,
+        |  CAST(floor(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS jacc_micro
+        |FROM ins WHERE inter * 5 >= (na + nb - inter) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

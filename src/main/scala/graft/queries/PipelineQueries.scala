@@ -547,6 +547,48 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("source"))
     },
 
+    // LABELER AGREEMENT (Cohen's kappa) — the label-noise audit a
+    // weak-supervision pipeline runs before trusting any single labeler
+    // (Snorkel-style agreement analysis, public statistics): compare the
+    // classifier gate (labeler A = hashing-trick score >= 0, the
+    // q_text_classifier canon via the native expression) against an
+    // independent length rule (labeler B = n_chars >= 300) per source.
+    // Exact integer confusion counts (n11/n10/n01/n00) feed ONE
+    // fixed-order double formula per group — observed agreement po,
+    // chance agreement pe from the marginals, kappa = (po-pe)/(1-pe) —
+    // each micro-floored, so results hash bit-identically cross-engine.
+    // Scale shape: map-only labeling (both labelers are per-row
+    // expressions, zero lookup state) + one catalog-sized rollup; at
+    // 100 TB this is a single pass over the scan, the cheapest audit
+    // there is.
+    "q_label_kappa" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
+        .withColumn("a",
+          col("cs").getItem(1) + col("cs").getItem(2) >= 0)
+        .withColumn("b", col("n_chars") >= 300)
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .withColumn("po", dbl(col("n11") + col("n00")) / dbl(col("n")))
+        .withColumn("pa", dbl(col("n11") + col("n10")) / dbl(col("n")))
+        .withColumn("pb", dbl(col("n11") + col("n01")) / dbl(col("n")))
+        .withColumn("pe", col("pa") * col("pb") +
+          (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
+        .select(col("source"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          micro(col("po")).as("po_micro"),
+          micro(col("pe")).as("pe_micro"),
+          micro((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+            .as("kappa_micro"))
+        .orderBy(col("source"))
+    },
+
     // QUALITY-WEIGHTED sampling — the curation move after classifier
     // scoring: upsample what the quality gate likes (90% keep above the
     // decision boundary) and keep a calibrated slice of the rest (20% —
@@ -703,6 +745,51 @@ object PipelineQueries extends QuerySet {
          |    AS tokens_kept
          |FROM k GROUP BY source, bucket
          |ORDER BY source, bucket""".stripMargin
+    },
+
+    // same classifier canon; exact confusion counts, then the one
+    // fixed-order kappa formula per group, each stage micro-floored
+    "q_label_kappa" -> {
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
+      s"""WITH w0 AS (
+         |  SELECT doc_id, source, n_chars,
+         |         list_filter(string_split(text, ' '),
+         |                     tk -> length(tk) > 0) AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, n_chars, w,
+         |         list_transform(range(1, len(w)),
+         |                        i -> w[i] || '_' || w[i + 1]) AS bg
+         |  FROM w0),
+         |sc AS (
+         |  SELECT doc_id, source, n_chars,
+         |    COALESCE(CAST(list_sum(list_transform(w,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |    + COALESCE(CAST(list_sum(list_transform(bg,
+         |      tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS score
+         |  FROM b),
+         |lab AS (
+         |  SELECT source, score >= 0 AS a, n_chars >= 300 AS b FROM sc),
+         |cm AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM lab GROUP BY source),
+         |p AS (
+         |  SELECT *,
+         |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS pa,
+         |    CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS pb
+         |  FROM cm),
+         |e AS (SELECT *, pa * pb + (1.0 - pa) * (1.0 - pb) AS pe FROM p)
+         |SELECT source, n, n11, n10, n01, n00,
+         |  CAST(floor(po * 1000000.0 + 0.5) AS BIGINT) AS po_micro,
+         |  CAST(floor(pe * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+         |  CAST(floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) AS BIGINT)
+         |    AS kappa_micro
+         |FROM e ORDER BY source""".stripMargin
     },
 
     // the oracle computes the plain per-source cumulative sum — the

@@ -364,6 +364,100 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // CORPUS N-GRAM DIVERSITY (the dataset-card repetitiveness readout —
+    // the corpus-level complement of q_text_repetition's per-document
+    // scores): per source, CROSS-document trigram statistics — total vs
+    // distinct occurrences (type-token ratio), hapax share (trigrams seen
+    // once — high = diverse, low = templated), and the occurrence share
+    // of the source's top-20 trigrams (boilerplate concentration, the
+    // self-BLEU-shaped signal). Scale shape: trigram counts are ONE
+    // map-combinable hash agg; the shuffle carries xxhash64 trigram
+    // hashes, never trigram text — valid because no output column names
+    // a trigram, and the top-20 SUM is tie-invariant (rank-20 ties have
+    // equal counts), so the hash-order tie-break cannot change any
+    // output value. Per-source rollup is catalog-sized.
+    "q_ngram_diversity" -> { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(col("source"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+          "i -> xxhash64(array_join(slice(w, i, 3), ' ')))")).as("g3"))
+        .groupBy(col("source"), col("g3"))
+        .agg(count(lit(1)).as("cnt"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("cnt").desc, col("g3"))))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n3_total"),
+          count(lit(1)).as("n3_distinct"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n3_hapax"),
+          micro(count(lit(1)).cast("double") /
+            sum(col("cnt")).cast("double")).as("ttr_micro"),
+          micro(sum(when(col("rn") <= 20, col("cnt")).otherwise(0L))
+            .cast("double") / sum(col("cnt")).cast("double"))
+            .as("top20_share_micro"),
+          micro(sum(when(col("cnt") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("hapax_share_micro"))
+        .orderBy(col("source"))
+    },
+
+    // BM25 RETRIEVAL (Robertson/Spärck Jones probabilistic ranking, the
+    // Lucene/Elasticsearch default — public formula): score a fixed set
+    // of keyword queries against the whole corpus and return the top-5
+    // documents per query. Lucene-form idf
+    // ln((N - df + 0.5)/(df + 0.5) + 1), k1 = 1.2, b = 0.75, length
+    // normalization dl/avgdl computed as dl*N/sum_dl so every input stays
+    // an exact integer until the one fixed-order double formula per
+    // (term, doc); each term's contribution is micro-floored THEN summed
+    // as BIGINT, so cross-engine float drift cannot accumulate.
+    // Scale shape: the query table and its df counts are MODEL-sized →
+    // broadcast; tf rows semi-join against the broadcast terms (map-side
+    // prune of the corpus-sized tf table); the only corpus shuffles are
+    // the tf/dl aggs any index build pays. Top-k is a per-query window
+    // over the hit set, not a global sort.
+    "q_text_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val qt = Seq((1, "hash"), (1, "join"), (2, "dup"), (2, "scan"),
+        (3, "stream"), (3, "window"), (3, "agg")).toDF("query_id", "term")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+      val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = d.select(col("doc_id"), explode(col("w")).as("tk"))
+        .groupBy(col("doc_id"), col("tk"))
+        .agg(count(lit(1)).as("tf"))
+      // tf pruned to query terms FIRST; df of a term == its row count here
+      val tfq = tf.join(broadcast(qt.select(col("term")).distinct()),
+        col("tk") === col("term")).drop("term")
+      val dfx = tfq.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+          + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
+      val tfc = (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl").cast("double") * col("n_docs").cast("double")) /
+            col("sum_dl").cast("double"))))
+      val w5 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      tfq
+        .join(broadcast(qt), col("tk") === col("term"))
+        .join(broadcast(dfx.withColumnRenamed("tk", "dtk")),
+          col("tk") === col("dtk"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
+        .withColumn("c_micro", micro(idf * tfc))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("c_micro")).as("score_micro"))
+        .withColumn("rnk", row_number().over(w5).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          col("n_terms_hit"), col("score_micro"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // HASHING-TRICK linear classifier — the fastText-shaped quality
     // filter modern pipelines gate documents with (classifier-based
     // filtering à la GPT-3/LLaMA web-quality models): every word unigram
@@ -777,6 +871,78 @@ object TextQueries extends QuerySet {
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
         |       idf_micro, CAST(score AS BIGINT) AS score
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // trigram strings here vs xxhash64 on the Spark side — equivalent
+    // because outputs are count aggregates only and the top-20 sum is
+    // tie-invariant
+    "q_ngram_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT source,
+        |        unnest([array_to_string(w[i:i+2], ' ')
+        |                FOR i IN range(1, len(w) - 2 + 1)]) AS g3
+        |      FROM d WHERE len(w) >= 3),
+        |c AS (SELECT source, g3, count(*) AS cnt FROM g GROUP BY source, g3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY cnt DESC, g3) AS rn FROM c)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n3_total,
+        |  CAST(count(*) AS BIGINT) AS n3_distinct,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n3_hapax,
+        |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ttr_micro,
+        |  CAST(floor(CAST(sum(CASE WHEN rn <= 20 THEN cnt ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS top20_share_micro,
+        |  CAST(floor(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS hapax_share_micro
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical fixed-order double formula; per-term micro floors summed
+    // as BIGINT so float drift cannot accumulate across terms
+    "q_text_bm25" ->
+      """WITH qt AS (
+        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'dup'),(2,'scan'),
+        |                        (3,'stream'),(3,'window'),(3,'agg'))
+        |    AS t(query_id, term)),
+        |d AS (SELECT doc_id, list_filter(string_split(text,' '),
+        |        t -> length(t) > 0) AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |corp AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+        |df AS (SELECT tk, count(*) AS df FROM tf
+        |       WHERE tk IN (SELECT term FROM qt) GROUP BY tk),
+        |hits AS (
+        |  SELECT q.query_id, f.doc_id, q.term, f.tf, x.df, l.dl,
+        |         c.n_docs, c.sum_dl
+        |  FROM qt q JOIN tf f ON f.tk = q.term JOIN df x ON x.tk = q.term
+        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN corp c),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |         / CAST(sum_dl AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM hits),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |         CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |       FROM contrib GROUP BY query_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS rnk FROM sc)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit,
+        |       score_micro
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // identical integer arithmetic: char-fold hash via list_reduce (seed
     // prepended — DuckDB's reduce takes the first element as the

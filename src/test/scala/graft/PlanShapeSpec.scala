@@ -15,6 +15,7 @@ class PlanShapeSpec extends SparkSpec {
     "q34e_pq_ann", // 1-row broadcast query vector over the 50-row shortlist
     "q_bigram_pmi", // 1-row broadcast corpus total
     "q_text_tfidf", // 1-row broadcast document count into the idf table
+    "q_text_bm25", // 1-row broadcast corpus totals (N, sum_dl) into the hit set
     "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
     "q_pca_project", // k-row broadcast pinned-component table (model-sized)
