@@ -64,11 +64,29 @@ object Bpe {
     * pair cannot compress anything). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
-    var hist = wordHistogram(docs, textCol).cache()
-    hist.count() // materialize before the loop
+    val raw = wordHistogram(docs, textCol).cache()
+    val nWords = raw.count() // materialize before the loop
+    // the histogram is vocabulary-bounded, but it comes out of the
+    // corpus agg at CORPUS parallelism — dozens of near-empty partitions
+    // whose fixed task cost is then paid EVERY merge round (the round-10
+    // BENCH read: 24 rounds x 32-partition shuffles = 5.9 s on a 31-row
+    // histogram). Re-pack it to histogram-sized parallelism once
+    // (~1M rows/partition) so each round's pair-count agg and merge
+    // application run a handful of tasks; at a 100 TB corpus the
+    // vocabulary is ~10^6-10^7 rows, so this stays a few partitions.
+    val parts = math.max(1, math.ceil(nWords / 1e6).toInt)
+    var hist = raw.coalesce(parts).cache()
+    hist.count()
+    raw.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var done = false
     var round = 0
+    // the parent histogram stays cached for ONE extra round: the next
+    // round's pair-count job materializes the child's cache (it reads
+    // through it), after which the parent can go — this halves the jobs
+    // per round vs an explicit count() materialization (round-10 BENCH:
+    // 24 rounds were 2 jobs each, ~90 ms fixed cost per job)
+    var retired: Option[DataFrame] = None
     while (!done && round < numMerges) {
       // adjacent symbol pairs per histogram row, weighted by word count:
       // a codegen'd lambda over the syms array (try_element_at is
@@ -82,6 +100,10 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(desc("c"), asc("l"), asc("r"))
         .limit(1).collect()
+      // this round's job has materialized hist's cache — its parent is
+      // no longer an input to anything
+      retired.foreach(_.unpersist())
+      retired = None
       top.headOption match {
         case Some(Row(l: String, r: String, c: Long)) if c >= minCount =>
           merges += Merge(round, l, r, c)
@@ -89,15 +111,20 @@ object Bpe {
             applyMerge(syms.toIndexedSeq, l, r))
           val prev = hist
           hist = hist.select(mergeUdf(col("syms")).as("syms"), col("cnt"))
-          // cut lineage every few rounds or the plan tower grows O(rounds)
-          hist = (if ((round + 1) % 8 == 0) hist.localCheckpoint()
-                  else hist).cache()
-          hist.count()
-          prev.unpersist()
+          // cut lineage every few rounds or the plan tower grows
+          // O(rounds); localCheckpoint is eager, so prev retires now
+          if ((round + 1) % 8 == 0) {
+            hist = hist.localCheckpoint().cache()
+            prev.unpersist()
+          } else {
+            hist = hist.cache()
+            retired = Some(prev)
+          }
           round += 1
         case _ => done = true
       }
     }
+    retired.foreach(_.unpersist())
     hist.unpersist()
     merges.toSeq
   }
