@@ -62,7 +62,12 @@ object ScaleBench {
     // round-8: CDC chunk dedup — generator fan-out + doc-partition
     // prefix window + two hash aggs; cross-doc shuffle carries chunk
     // fingerprints only
-    "q_dedup_cdc")
+    "q_dedup_cdc",
+    // round-10: exact prefix-filtered set-similarity join — candidates
+    // are bounded by Σ df² over PREFIX (rare) shingle hashes, so the
+    // factor reads the candidate growth the prefix cut allows; replicas
+    // share zero shingles, so true pairs grow exactly K×
+    "q_dedup_prefix_join")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -115,7 +120,12 @@ object ScaleBench {
     "q_token_budget_mix", "q_sample_quality",
     // round-9: shard manifest — one hash rollup, checksum bounded by
     // shard size
-    "q_shard_manifest")
+    "q_shard_manifest",
+    // round-10: BM25 (tf/dl aggs + broadcast query&df sides), trigram
+    // diversity (one hash agg over xxhash64 trigrams + per-source
+    // window), kappa agreement (map-only labeling + catalog rollup) —
+    // all expected ≈linear scan-bound factors
+    "q_text_bm25", "q_ngram_diversity", "q_label_kappa")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

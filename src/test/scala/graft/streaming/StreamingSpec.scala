@@ -1360,4 +1360,50 @@ class StreamingSpec extends SparkSpec {
     assert(batchDups.exists(_._1 >= 900001L),
       "vacuity: planted pairs must appear in the flagged set")
   }
+
+  test("st31: streaming labeler agreement — four longs of state per " +
+      "source, online confusion matrix equals the batch q_label_kappa " +
+      "across a micro-batch boundary") {
+    import graft.streaming.StreamingKappa
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // two micro-batches, split mid-corpus so most sources straddle the
+    // boundary and the state genuinely carries
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingKappa
+      .agreement(in.toDF().toDF("doc_id", "source", "text", "n_chars"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st31").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // final readout per source = the row with the largest n
+    val online = spark.table("st31").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("q_label_kappa")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(online.keySet == batch.keySet,
+      s"source drift: ${online.keySet} vs ${batch.keySet}")
+    batch.foreach { case (s, want) =>
+      assert(online(s) == want, s"source $s: online ${online(s)} != " +
+        s"batch $want")
+    }
+    // vacuity: the boundary split must actually exercise carried state
+    assert(b1.map(_._2).toSet.intersect(b2.map(_._2).toSet).nonEmpty,
+      "no source straddles the micro-batch boundary")
+  }
 }
