@@ -724,6 +724,13 @@ object DedupQueries extends QuerySet {
           col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
         .distinct()
+      // the verify probes read tok directly: at fixture scale AQE
+      // broadcasts the probe sides (cheap re-scan), at 100 TB a real run
+      // would persist the tokenized-set table once and every consumer —
+      // df agg, prefix, both probes — reads that materialization instead
+      // of re-shingling (measured: forcing the probes through the
+      // windowed subtree for ReusedExchange doubled fixture latency and
+      // the reuse never materialized under AQE)
       cand
         .join(tok.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
         .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
