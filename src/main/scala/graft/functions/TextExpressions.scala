@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,16 +87,73 @@ object TextOps {
     new GenericArrayData(Array(nTok, uni, bi))
   }
 
+  /** One-pass per-document repetition statistics (the q_text_repetition
+    * canon, map-only): over the RAW space-split tokens (empties kept —
+    * the query's documented tokenization), bigram/trigram occurrence and
+    * distinct counts plus the top bigram by (count DESC, gram ASC).
+    * Gram construction mirrors the SQL form exactly, including the
+    * short-document pseudo-grams: a 1-token document's "bigram" and
+    * "trigram" are the token itself, a 2-token document's "trigram" is
+    * the pair — `slice(w, i, k)` just runs out of tokens.
+    *
+    * Returns STRUCT(n2, n2d, n3, n3d, top_bigram, top_cnt). Per-row
+    * hash maps are bounded by document length; the operator becomes a
+    * single map stage over the scan instead of a gram-string groupBy +
+    * doc-partition window (two shuffles of gram text at any corpus
+    * size).
+    */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val n2 = math.max(n - 1, 1)
+    val n3 = math.max(n - 2, 1)
+    val big = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n2) {
+      val g = if (n == 1) toks(0) else toks(i) + " " + toks(i + 1)
+      big.merge(g, 1L, _ + _)
+      i += 1
+    }
+    val tri = new java.util.HashSet[String]()
+    i = 0
+    while (i < n3) {
+      val last = math.min(i + 2, n - 1)
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j <= last) { sb.append(' ').append(toks(j)); j += 1 }
+      tri.add(sb.toString)
+      i += 1
+    }
+    var topG: String = null
+    var topC = 0L
+    val it = big.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > topC ||
+        (e.getValue == topC && (topG == null || e.getKey.compareTo(topG) < 0))) {
+        topG = e.getKey
+        topC = e.getValue
+      }
+    }
+    new GenericInternalRow(Array[Any](n2.toLong, big.size.toLong,
+      n3.toLong, tri.size.toLong, UTF8String.fromString(topG), topC))
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column-side constructor. */
+  /** Column-side constructors. */
   def classifier_scores(text: Column): Column =
     ColumnBridge.column(ClassifierScores(ColumnBridge.expression(text)))
+  def repetition_stats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
   /** SQL surface: `SELECT classifier_scores(text) ...`. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "classifier_scores", es => ClassifierScores(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats", es => RepetitionStats(es.head), "built-in")
+  }
 }
 
 /** [[TextOps.classifierScores]] as a native expression:
@@ -113,5 +172,30 @@ case class ClassifierScores(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.TextOps$$.MODULE$$.classifierScores($t);")
   override protected def withNewChildInternal(newChild: Expression): ClassifierScores =
+    copy(child = newChild)
+}
+
+/** [[TextOps.repetitionStats]] as a native expression:
+  * STRING → STRUCT(n2, n2d, n3, n3d, top_bigram, top_cnt). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("n2d", LongType, nullable = false),
+    StructField("n3", LongType, nullable = false),
+    StructField("n3d", LongType, nullable = false),
+    StructField("top_bigram", StringType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.simpleString}")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextOps.repetitionStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextOps$$.MODULE$$.repetitionStats($t);")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }

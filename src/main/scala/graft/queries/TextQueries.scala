@@ -244,40 +244,26 @@ object TextQueries extends QuerySet {
     // window pass — two shuffles total, both map-side combined, no
     // interpreted higher-order lambdas in the hot path.
     "q_text_repetition" -> { (s, dir) =>
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("w"),
-          explode(expr("sequence(1, greatest(size(w) - 1, 1))")).as("i"))
-        .select(col("doc_id"), explode(array(
-          struct(lit(2).as("k"),
-            array_join(slice(col("w"), col("i"), lit(2)), " ").as("g")),
-          struct(lit(3).as("k"),
-            when(col("i") <= expr("greatest(size(w) - 2, 1)"),
-              array_join(slice(col("w"), col("i"), lit(3)), " ")).as("g"))))
-          .as("kg"))
-        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
-        .filter(col("g").isNotNull)
-      val counts = grams.groupBy(col("doc_id"), col("k"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val ranked = counts
-        .withColumn("n2", sum(when(col("k") === 2, col("cnt"))).over(byDoc))
-        .withColumn("n2d", sum(when(col("k") === 2, 1L)).over(byDoc))
-        .withColumn("n3", sum(when(col("k") === 3, col("cnt"))).over(byDoc))
-        .withColumn("n3d", sum(when(col("k") === 3, 1L)).over(byDoc))
-        .withColumn("rn", row_number().over(
-          byDoc.orderBy(col("k").asc, col("cnt").desc, col("g").asc)))
-        .filter(col("rn") === 1)
-      ranked.select(col("doc_id"),
-        col("n2").as("n_bigrams"),
-        micro((col("n2") - col("n2d")).cast("double") /
-          col("n2").cast("double")).as("dup_bigram_micro"),
-        micro((col("n3") - col("n3d")).cast("double") /
-          col("n3").cast("double")).as("dup_trigram_micro"),
-        col("g").as("top_bigram"),
-        col("cnt").as("top_bigram_cnt"),
-        micro(col("cnt").cast("double") / col("n2").cast("double"))
-          .as("top_bigram_frac_micro"))
+      // per-document statistic → per-document compute: ONE native
+      // codegen'd pass (graft.functions.TextOps.repetitionStats) per
+      // row, map-only at any corpus size — replaces a gram-string
+      // groupBy + doc-partition window (two shuffles carrying gram TEXT;
+      // round-9 BENCH 1.0-1.2 s). Same gram construction (raw split,
+      // short-document pseudo-grams), same (count DESC, gram ASC)
+      // tie-break, bit-identical outputs.
+      t(s, dir, "documents")
+        .withColumn("r",
+          graft.functions.TextOps.repetition_stats(col("text")))
+        .select(col("doc_id"),
+          col("r.n2").as("n_bigrams"),
+          micro((col("r.n2") - col("r.n2d")).cast("double") /
+            col("r.n2").cast("double")).as("dup_bigram_micro"),
+          micro((col("r.n3") - col("r.n3d")).cast("double") /
+            col("r.n3").cast("double")).as("dup_trigram_micro"),
+          col("r.top_bigram").as("top_bigram"),
+          col("r.top_cnt").as("top_bigram_cnt"),
+          micro(col("r.top_cnt").cast("double") /
+            col("r.n2").cast("double")).as("top_bigram_frac_micro"))
         .orderBy(col("doc_id"))
     },
 
