@@ -67,7 +67,11 @@ object ScaleBench {
     // are bounded by Σ df² over PREFIX (rare) shingle hashes, so the
     // factor reads the candidate growth the prefix cut allows; replicas
     // share zero shingles, so true pairs grow exactly K×
-    "q_dedup_prefix_join")
+    "q_dedup_prefix_join",
+    // round-10: the asymmetric containment variant — probe side carries
+    // the FULL token relation, so the factor also reads the larger
+    // candidate surface the directional bound pays for
+    "q_dedup_containment")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -179,7 +183,10 @@ object ScaleBench {
     "q_tpch_local_supplier",
     // cross-corr = aggregate-first (type,hour) sums, pair join carries
     // series-x-hours rows never raw events
-    "q_cross_corr")
+    "q_cross_corr",
+    // round-10: changes/resets — one lag window + catalog rollup on the
+    // series key, the q_spread_elapsed shape
+    "q_changes_resets")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -452,7 +459,7 @@ object ScaleBench {
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
       "q_downsample_lttb", "q_concurrency", "q_state_runs",
-      "q_cross_corr", "q_burn_rate")
+      "q_cross_corr", "q_burn_rate", "q_changes_resets")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

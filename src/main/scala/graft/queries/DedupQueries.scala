@@ -744,6 +744,54 @@ object DedupQueries extends QuerySet {
             (col("na") + col("nb") - col("inter")).cast("double"))
             .as("jacc_micro"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // CONTAINMENT join — the ASYMMETRIC member of the exact-similarity
+    // family (excerpt / partial-copy detection): ordered pairs where
+    // ≥ 4/5 of doc_src's shingle set lies inside doc_in. Jaccard misses
+    // exactly this case (a short quote inside a long document has tiny
+    // J but full containment), which is why dedup pipelines run both.
+    // Same machinery as q_dedup_prefix_join with the containment prefix:
+    // |a∩b| ≥ ⌈0.8·na⌉ forces the first na−⌈0.8·na⌉+1 rarest shingles
+    // of the SOURCE to hit the container's FULL set (the probe side
+    // needs no prefix — the lemma only removes elements from the
+    // argument whose overlap count is bounded), so candidates are
+    // prefix(src) ⋈ tokens(container) on the rare hashes. Thresholds
+    // exact rationals (×5 ≥ ×4); shuffles carry xxhash64 hashes only.
+    "q_dedup_containment" -> { (s, dir) =>
+      val sets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
+          "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
+      val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
+        explode(col("sset")).as("tk"))
+      val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val pref = tok.join(dfreq, "tk")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
+        .filter(col("pos") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("tk"), col("doc_id"), col("n"))
+      val cand = pref.toDF("tk", "doc_src", "na")
+        .join(tok.toDF("doc_in", "nb", "tk"), "tk")
+        .filter(col("doc_src") =!= col("doc_in"))
+        .select(col("doc_src"), col("doc_in"), col("na"), col("nb"))
+        .distinct()
+      cand
+        .join(tok.select(col("doc_id").as("doc_src"), col("tk")),
+          Seq("doc_src"))
+        .join(tok.select(col("doc_id").as("doc_in"), col("tk")),
+          Seq("doc_in", "tk"))
+        .groupBy(col("doc_src"), col("doc_in"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 5 >= col("na") * 4)
+        .select(col("doc_src"), col("doc_in"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("inter"),
+          micro(col("inter").cast("double") / col("na").cast("double"))
+            .as("contain_micro"))
+        .orderBy(col("doc_src"), col("doc_in"))
     }
   )
 
@@ -1450,6 +1498,49 @@ object DedupQueries extends QuerySet {
         |  CAST(floor(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
         |    * 1000000.0 + 0.5) AS BIGINT) AS jacc_micro
         |FROM ins WHERE inter * 5 >= (na + nb - inter) * 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // containment prefix on the SOURCE side only, probe side full —
+    // same lemma, asymmetric bound; shingle text here vs hashes in Spark
+    "q_dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '),
+        |                     t -> length(t) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(w[i:i+4], ' ')
+        |                        FOR i IN range(1, greatest(len(w)-4, 1) + 1)]) AS s
+        |  FROM d),
+        |tok AS (SELECT doc_id, unnest(s) AS tk FROM g),
+        |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+        |ord AS (
+        |  SELECT t.doc_id, t.tk,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |                            ORDER BY f.df, t.tk) AS pos,
+        |         count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM tok t JOIN df f USING (tk)),
+        |pref AS (SELECT doc_id, tk, n FROM ord
+        |         WHERE pos <= n - ((4*n + 4) // 5) + 1),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_src, b.doc_id AS doc_in,
+        |                  a.n AS na, bn.n AS nb
+        |  FROM pref a JOIN tok b USING (tk)
+        |  JOIN sz bn ON bn.doc_id = b.doc_id
+        |  WHERE a.doc_id <> b.doc_id),
+        |ins AS (
+        |  SELECT c.doc_src, c.doc_in, c.na, c.nb, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tok x ON x.doc_id = c.doc_src
+        |  JOIN tok y ON y.doc_id = c.doc_in AND y.tk = x.tk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_src, doc_in, CAST(na AS BIGINT) AS na,
+        |  CAST(nb AS BIGINT) AS nb, CAST(inter AS BIGINT) AS inter,
+        |  CAST(floor(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS contain_micro
+        |FROM ins WHERE inter * 5 >= na * 4
+        |ORDER BY doc_src, doc_in""".stripMargin
   )
 }

@@ -186,6 +186,29 @@ object TimeseriesQueries extends QuerySet {
     // partition key — a single shuffle at any scale. Rates are quantized
     // to micro-units per second AFTER the per-row division (both engines
     // compute the identical double from identical operands).
+    // CHANGES + RESETS (the two PromQL counter-shape diagnostics this
+    // surface still lacked): per series, how many consecutive-point
+    // value changes and how many decreases (counter resets — what
+    // rate()/increase() must correct for; q_rate_counter APPLIES the
+    // correction, this reports the diagnostic itself). Pure comparisons
+    // on the stored doubles — no arithmetic, so cross-engine exact by
+    // construction. One lag window + one rollup on the series key;
+    // catalog-sized output.
+    "q_changes_resets" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("value") =!= col("prev_v"), 1L).otherwise(0L))
+            .as("n_changes"),
+          sum(when(col("value") < col("prev_v"), 1L).otherwise(0L))
+            .as("n_resets"))
+        .orderBy(col("user_id"))
+    },
+
     "q_derivative" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1555,6 +1578,22 @@ object TimeseriesQueries extends QuerySet {
         |        END, 6) AS filled_linear,
         |  (avg_v IS NOT NULL) AS is_observed
         |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // pure double comparisons on stored values — no arithmetic anywhere
+    "q_changes_resets" ->
+      """WITH p AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_v
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN value <> prev_v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changes,
+        |  CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_resets
+        |FROM p WHERE prev_v IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_derivative" ->
       """WITH d AS (
