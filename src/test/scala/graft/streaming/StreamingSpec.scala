@@ -1406,4 +1406,48 @@ class StreamingSpec extends SparkSpec {
     assert(b1.map(_._2).toSet.intersect(b2.map(_._2).toSet).nonEmpty,
       "no source straddles the micro-batch boundary")
   }
+
+  test("st32: streaming changes/resets — last value + three longs of " +
+      "state per series, online counters equal the batch " +
+      "q_changes_resets across a micro-batch boundary") {
+    import graft.streaming.{SeriesPoint, StreamingChanges}
+    val dir = "/root/testdata/sf0.001"
+    // arrival respects per-series event order (the gateway's monotone
+    // contract the batch twin's lag window assumes): split on the GLOBAL
+    // (ts, event_id) order so every series' points arrive in sequence
+    val evts = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => SeriesPoint.orderKey(
+        SeriesPoint.Point(t._1, t._2, t._3, t._4)))
+    val (b1, b2) = evts.splitAt(evts.length / 2)
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingChanges
+      .counters(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st32").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val online = spark.table("st32").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("q_changes_resets")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch omits 1-point series (no pairs); online emits them with 0s
+    batch.foreach { case (u, want) =>
+      assert(online(u) == want,
+        s"series $u: online ${online(u)} != batch $want")
+    }
+    assert(batch.nonEmpty && b1.map(_._1).toSet
+      .intersect(b2.map(_._1).toSet).nonEmpty,
+      "no series straddles the micro-batch boundary")
+  }
 }
