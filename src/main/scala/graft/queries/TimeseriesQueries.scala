@@ -186,6 +186,44 @@ object TimeseriesQueries extends QuerySet {
     // partition key — a single shuffle at any scale. Rates are quantized
     // to micro-units per second AFTER the per-row division (both engines
     // compute the identical double from identical operands).
+    // RSI + CMO momentum readout (Wilder's Relative Strength Index and
+    // the Chande Momentum Oscillator, the two classic gain/loss-ratio
+    // indicators — public formulas; InfluxQL ships the same family as
+    // technical-analysis functions): per series, split consecutive-point
+    // deltas into gain and loss sums in EXACT int64 cents, then
+    //   RSI = 100·Σgain/(Σgain+Σloss), CMO = 100·(Σgain−Σloss)/(Σgain+Σloss)
+    // — pure rationals of integers, computed as half-up INTEGER division
+    // (abs-then-sign for CMO so DuckDB's flooring // and Spark's
+    // truncating div agree on negatives); NO floating point anywhere in
+    // this operator. Constant series (denominator 0) report NULL.
+    // One lag window + one rollup on the series key; catalog-sized.
+    "q_tech_indicators" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("d", col("c") - col("prev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") > 0, col("d")).otherwise(0L)).as("sum_gain"),
+          sum(when(col("d") < 0, -col("d")).otherwise(0L)).as("sum_loss"))
+        .withColumn("den", col("sum_gain") + col("sum_loss"))
+      g.select(col("user_id"), col("n_pairs"), col("sum_gain"),
+          col("sum_loss"),
+          when(col("den") > 0, intDiv(
+            col("sum_gain") * 100000000L + intDiv(col("den"), lit(2L)),
+            col("den"))).as("rsi_micro"),
+          when(col("den") > 0,
+            when(col("sum_gain") >= col("sum_loss"), lit(1L))
+              .otherwise(lit(-1L)) *
+            intDiv(abs(col("sum_gain") - col("sum_loss")) * 100000000L +
+              intDiv(col("den"), lit(2L)), col("den"))).as("cmo_micro"))
+        .orderBy(col("user_id"))
+    },
+
     // CHANGES + RESETS (the two PromQL counter-shape diagnostics this
     // surface still lacked): per series, how many consecutive-point
     // value changes and how many decreases (counter resets — what
@@ -1578,6 +1616,35 @@ object TimeseriesQueries extends QuerySet {
         |        END, 6) AS filled_linear,
         |  (avg_v IS NOT NULL) AS is_observed
         |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // all-integer: cents deltas, gain/loss sums, half-up integer
+    // division through abs-then-sign so // (floor) matches div (trunc)
+    "q_tech_indicators" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    lag(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |d AS (SELECT user_id, c - prev AS d FROM p WHERE prev IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+        |      AS sum_gain,
+        |    CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT)
+        |      AS sum_loss
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_pairs, sum_gain, sum_loss,
+        |  CASE WHEN sum_gain + sum_loss > 0 THEN
+        |    CAST((sum_gain * 100000000 + (sum_gain + sum_loss) // 2)
+        |      // (sum_gain + sum_loss) AS BIGINT) END AS rsi_micro,
+        |  CASE WHEN sum_gain + sum_loss > 0 THEN
+        |    CAST((CASE WHEN sum_gain >= sum_loss THEN 1 ELSE -1 END) *
+        |      ((abs(sum_gain - sum_loss) * 100000000
+        |        + (sum_gain + sum_loss) // 2)
+        |       // (sum_gain + sum_loss)) AS BIGINT) END AS cmo_micro
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // pure double comparisons on stored values — no arithmetic anywhere
     "q_changes_resets" ->
