@@ -132,12 +132,25 @@ object IngestBench {
           } finally q.stop()
         f""""$op@$k":{"keys":$k,"rows":$n,"sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong},"state_rows":$stateRows}"""
       }
+      // K sources × P docs for the kappa monitor (text drives the real
+      // classifier expression; n_chars alternates around the rule cut)
+      def docRows(k: Int): Seq[(String, String, Long)] =
+        (0 until pts).flatMap { p =>
+          (0 until k).map { s =>
+            (s"src$s", s"tok${p % 5} word${s % 3} tok${(p + s) % 7}",
+              (200L + (p * 37 + s) % 200))
+          }
+        }
       def measure(op: String, k: Int): String =
         if (op == "state_runs") {
           val in = MemoryStream[(Long, Timestamp, Long, String)]
           drive(op, k, in, graft.streaming.StreamingStateRuns.runs(
             in.toDF().toDF("user_id", "ts", "event_id", "event_type"))
             .toDF(), typedRows(k))
+        } else if (op == "kappa") {
+          val in = MemoryStream[(String, String, Long)]
+          drive(op, k, in, graft.streaming.StreamingKappa.agreement(
+            in.toDF().toDF("source", "text", "n_chars")).toDF(), docRows(k))
         } else {
           val in = MemoryStream[(Long, Timestamp, Long, Double)]
           val df = in.toDF().toDF("user_id", "ts", "event_id", "value")
@@ -151,11 +164,13 @@ object IngestBench {
               .monitor(df, mu = 1.8, sigma = 0.6).toDF()
             case "rate" => graft.streaming.StreamingRate.rate(df).toDF()
             case "ols" => graft.streaming.StreamingOls.fit(df).toDF()
+            case "changes" =>
+              graft.streaming.StreamingChanges.counters(df).toDF()
           }
           drive(op, k, in, ds, numRows(k))
         }
       val all = Seq("ewma", "holt_winters", "welford", "cusum", "rate",
-        "state_runs", "ols")
+        "state_runs", "ols", "changes", "kappa")
       val ops = sys.env.get("SPARK_GRAFT_STATE_OPS")
         .map(_.split(",").map(_.trim).toSeq).getOrElse(all)
       // fail loudly BEFORE measuring: a typo'd name would otherwise
