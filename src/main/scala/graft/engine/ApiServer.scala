@@ -582,6 +582,44 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // GET /overlap/<seriesA>/<seriesB>?from=<day>&to=<day> — sketch
+    // set-algebra serving (Engine.approxOverlap): approximate tag-set
+    // overlap between two series by inclusion-exclusion over the HLL
+    // rollup — "which hosts report BOTH metrics", answered with no raw
+    // scan. Catalog-sized answer → plain respond.
+    http.createContext("/overlap/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val segs = ex.getRequestURI.getRawPath.stripPrefix("/overlap/")
+          .split("/").toSeq.map(decodeSegment).filter(_.nonEmpty)
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (segs.length != 2)
+          respond(ex, 400, """{"error":"two series names required"}""")
+        else if (!engine.seriesExists(segs(0)))
+          respond(ex, 404,
+            s"""{"error":${quote(s"unknown series ${segs(0)}")}}""")
+        else if (!engine.seriesExists(segs(1)))
+          respond(ex, 404,
+            s"""{"error":${quote(s"unknown series ${segs(1)}")}}""")
+        else if (!p.get("from").exists(_.matches(day)) ||
+            !p.get("to").exists(_.matches(day)))
+          respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
+        else {
+          val r = engine.approxOverlap(segs(0), segs(1), p("from"),
+            p("to")).head()
+          respond(ex, 200,
+            s"""{"series_a":${quote(segs(0))},""" +
+              s""""series_b":${quote(segs(1))},""" +
+              s""""tagsets_a":${r.getLong(0)},""" +
+              s""""tagsets_b":${r.getLong(1)},""" +
+              s""""tagsets_union":${r.getLong(2)},""" +
+              s""""approx_overlap":${r.getLong(3)}}""")
+        }
+      }
+    })
+
     // GET /trend/<series>?name=<field>[&from=<day>&to=<day>] — linear
     // trend serving (Engine.trend, the q_predict_linear math): OLS slope
     // in micro-cents/s and the one-hour-ahead prediction; day bounds

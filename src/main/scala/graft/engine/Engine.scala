@@ -387,6 +387,37 @@ class Engine(val spark: SparkSession, warehouse: String)
         hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
           .as("approx_distinct_tagsets"))
 
+  /** Approximate tag-set OVERLAP between two series over an inclusive
+    * day range — the "which hosts report BOTH metrics" question,
+    * answered ENTIRELY from the sketch rollup by inclusion-exclusion:
+    * |A∩B| ≈ |A| + |B| − |A∪B|. HLL has no intersection operator —
+    * I-E over the union sketch is the standard estimator, and its
+    * absolute error is bounded by the UNION's estimate error (grows
+    * when the overlap is a small fraction of a large union — the
+    * documented trade a caller accepts for a no-raw-scan answer).
+    * The pair algebra is one aggregate over the two series' rollup
+    * rows; `greatest(..., 0)` clamps the estimator's possible small
+    * negative. */
+  def approxOverlap(seriesA: String, seriesB: String, fromDay: String,
+      toDay: String): DataFrame = {
+    val rows = sketchTable()
+      .filter((col("series") === seriesA || col("series") === seriesB) &&
+        col("day") >= fromDay && col("day") <= toDay)
+    rows
+      .agg(
+        hll_sketch_estimate(hll_union_agg(
+          when(col("series") === seriesA, col("tagset_sketch"))))
+          .as("tagsets_a"),
+        hll_sketch_estimate(hll_union_agg(
+          when(col("series") === seriesB, col("tagset_sketch"))))
+          .as("tagsets_b"),
+        hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
+          .as("tagsets_union"))
+      .select(col("tagsets_a"), col("tagsets_b"), col("tagsets_union"),
+        greatest(col("tagsets_a") + col("tagsets_b") -
+          col("tagsets_union"), lit(0L)).as("approx_overlap"))
+  }
+
   // ----------------------------------------- quantile histogram rollup
 
   private def histPath = s"$warehouse/hist_daily"

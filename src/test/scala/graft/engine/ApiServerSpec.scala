@@ -430,6 +430,38 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /overlap serves sketch set-algebra between two series with " +
+      "fail-closed validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-overlap"))
+    // hosts a,b,c on cpu; b,c,d on mem → overlap 2 of union 4
+    engine.ingestLines(Seq(
+      "cpu,host=a v=1 1700000000000000000",
+      "cpu,host=b v=2 1700000001000000000",
+      "cpu,host=c v=3 1700000002000000000",
+      "mem,host=b v=4 1700000003000000000",
+      "mem,host=c v=5 1700000004000000000",
+      "mem,host=d v=6 1700000005000000000"))
+    engine.sketchRollup()
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(
+        s"$url/overlap/cpu/mem?from=2023-11-14&to=2023-11-14")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"tagsets_a\":3") &&
+        b1.contains("\"tagsets_b\":3") &&
+        b1.contains("\"tagsets_union\":4") &&
+        b1.contains("\"approx_overlap\":2"), b1)
+      // validation fails closed: bad day, missing series, bad method
+      assert(call(
+        s"$url/overlap/cpu/mem?from=14-11-2023&to=2023-11-14")._1 == 400)
+      assert(call(
+        s"$url/overlap/cpu/nope?from=2023-11-14&to=2023-11-14")._1 == 404)
+      assert(call(s"$url/overlap/cpu?from=2023-11-14&to=2023-11-14")
+        ._1 == 400)
+    } finally api.stop()
+  }
+
   test("GET /quantiles serves percentiles from the histogram rollup " +
       "with fail-closed parameter validation") {
     val engine = new Engine(spark, tmpDir("graft-api-quant"))

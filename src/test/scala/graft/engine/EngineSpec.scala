@@ -424,6 +424,34 @@ class EngineSpec extends SparkSpec {
     assert(t.getLong(2) == 1, s"tag-order sensitivity: ${t.getLong(2)}")
   }
 
+  test("approxOverlap answers sketch set-algebra from the rollup only " +
+      "(inclusion-exclusion, no raw scan)") {
+    val e = new Engine(spark, tmpDir("graft-overlap"))
+    // hosts a,b,c report cpu; hosts b,c,d report mem → overlap {b,c}
+    e.ingestLines(Seq(
+      "cpu,host=a v=1 1700000000000000000",
+      "cpu,host=b v=2 1700000001000000000",
+      "cpu,host=c v=3 1700000002000000000",
+      "mem,host=b v=4 1700000003000000000",
+      "mem,host=c v=5 1700000004000000000",
+      "mem,host=d v=6 1700000005000000000"))
+    e.sketchRollup()
+    val r = e.approxOverlap("cpu", "mem", "2023-11-14", "2023-11-14").head()
+    // HLL is exact at this cardinality (sparse mode): 3, 3, 4, 2
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, s"per-series: $r")
+    assert(r.getLong(2) == 4, s"union: $r")
+    assert(r.getLong(3) == 2, s"overlap: $r")
+    // rollup-only: raw measurement files never enter the plan
+    val scans = e.approxOverlap("cpu", "mem", "2023-11-14", "2023-11-14")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("sketch_daily") && !scans.contains("measurements"))
+    // disjoint series clamp to zero overlap (the greatest(...,0) guard)
+    e.ingestLines(Seq("iso,host=z v=1 1700000000000000000"))
+    e.sketchRollup()
+    val z = e.approxOverlap("cpu", "iso", "2023-11-14", "2023-11-14").head()
+    assert(z.getLong(3) == 0, s"disjoint overlap: $z")
+  }
+
   test("side tables answer SELECTs on the SQL surface (quarantine, " +
       "sketch_daily, tag_index)") {
     val e = new Engine(spark, tmpDir("graft-side"))
