@@ -189,7 +189,10 @@ object ScaleBench {
     "q_changes_resets",
     // round-10: RSI/CMO gain-loss readout — same lag+rollup shape, all
     // integer arithmetic
-    "q_tech_indicators")
+    "q_tech_indicators",
+    // round-10: PromQL vector binops as ONE conditional hash agg on the
+    // hour bucket (the oracle runs the textbook four-join form)
+    "q_vector_binop")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -462,7 +465,7 @@ object ScaleBench {
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
       "q_downsample_lttb", "q_concurrency", "q_state_runs",
-      "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators")
+      "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators", "q_vector_binop")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

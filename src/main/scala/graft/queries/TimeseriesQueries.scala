@@ -186,6 +186,41 @@ object TimeseriesQueries extends QuerySet {
     // partition key — a single shuffle at any scale. Rates are quantized
     // to micro-units per second AFTER the per-row division (both engines
     // compute the identical double from identical operands).
+    // VECTOR BINARY OPS (PromQL's `a op b` with on(hour) matching — the
+    // Grafana "ratio of two series" panel): hourly count vectors for
+    // four event types combined as sum, difference, conversion ratio
+    // (purchase/view) and error rate (error/(error+click)), half-up
+    // integer micros. PromQL inner-matching drops timestamps missing on
+    // either side; here that is a FILTER on the conditional agg (an
+    // absent (hour,type) is count 0, and every matched h-row has ≥ 1),
+    // so the whole operator is ONE hash aggregate on the hour bucket —
+    // no join at all, where the naive translation runs four self-joins.
+    // All operands positive → DuckDB's flooring // and Spark's
+    // truncating div agree without the abs-then-sign dance.
+    "q_vector_binop" -> { (s, dir) =>
+      def n(ty: String) =
+        sum(when(col("event_type") === ty, 1L).otherwise(0L))
+      val h = t(s, dir, "events")
+        .filter(col("event_type")
+          .isin("purchase", "view", "error", "click"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(n("purchase").as("n_purchase"), n("view").as("n_view"),
+          n("error").as("n_error"), n("click").as("n_click"))
+        .filter(col("n_purchase") > 0 && col("n_view") > 0 &&
+          col("n_error") > 0 && col("n_click") > 0)
+      h.select(ntz(col("hour")).as("hour"),
+          col("n_purchase"), col("n_view"), col("n_error"), col("n_click"),
+          (col("n_purchase") + col("n_view")).as("both_count"),
+          (col("n_click") - col("n_error")).as("click_minus_error"),
+          intDiv(col("n_purchase") * 1000000L +
+            intDiv(col("n_view"), lit(2L)), col("n_view"))
+            .as("conv_ratio_micro"),
+          intDiv(col("n_error") * 1000000L +
+            intDiv(col("n_error") + col("n_click"), lit(2L)),
+            col("n_error") + col("n_click")).as("err_rate_micro"))
+        .orderBy(col("hour"))
+    },
+
     // RSI + CMO momentum readout (Wilder's Relative Strength Index and
     // the Chande Momentum Oscillator, the two classic gain/loss-ratio
     // indicators — public formulas; InfluxQL ships the same family as
@@ -1616,6 +1651,34 @@ object TimeseriesQueries extends QuerySet {
         |        END, 6) AS filled_linear,
         |  (avg_v IS NOT NULL) AS is_observed
         |FROM w ORDER BY user_id, hour""".stripMargin,
+
+    // the oracle keeps the textbook four-join PromQL form — the Spark
+    // side's single conditional aggregate must be algebraically
+    // invisible against it
+    "q_vector_binop" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n
+        |  FROM events
+        |  WHERE event_type IN ('purchase','view','error','click')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT hour, n AS n_purchase FROM h WHERE event_type = 'purchase'),
+        |v AS (SELECT hour, n AS n_view FROM h WHERE event_type = 'view'),
+        |e AS (SELECT hour, n AS n_error FROM h WHERE event_type = 'error'),
+        |c AS (SELECT hour, n AS n_click FROM h WHERE event_type = 'click')
+        |SELECT CAST(p.hour AS TIMESTAMP) AS hour,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_error AS BIGINT) AS n_error,
+        |  CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_purchase + n_view AS BIGINT) AS both_count,
+        |  CAST(n_click - n_error AS BIGINT) AS click_minus_error,
+        |  CAST((n_purchase * 1000000 + n_view // 2) // n_view AS BIGINT)
+        |    AS conv_ratio_micro,
+        |  CAST((n_error * 1000000 + (n_error + n_click) // 2)
+        |    // (n_error + n_click) AS BIGINT) AS err_rate_micro
+        |FROM p JOIN v USING (hour) JOIN e USING (hour) JOIN c USING (hour)
+        |ORDER BY hour""".stripMargin,
 
     // all-integer: cents deltas, gain/loss sums, half-up integer
     // division through abs-then-sign so // (floor) matches div (trunc)
