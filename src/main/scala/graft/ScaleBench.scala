@@ -71,7 +71,10 @@ object ScaleBench {
     // round-10: the asymmetric containment variant — probe side carries
     // the FULL token relation, so the factor also reads the larger
     // candidate surface the directional bound pays for
-    "q_dedup_containment")
+    "q_dedup_containment",
+    // round-10: LSH recall scoring — both pair sets' constructions plus
+    // a pair-keyed join; the factor reads truth+candidate growth
+    "q_dedup_lsh_recall")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is

@@ -204,6 +204,53 @@ object DedupQueries extends QuerySet {
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
   }
 
+  /** The exact prefix-filtered Jaccard self-join (q_dedup_prefix_join's
+    * body, shared with the LSH recall evaluator): pairs with word-5-gram
+    * shingle-set Jaccard ≥ 3/5 as (doc_a, doc_b, inter, uni,
+    * jacc_micro). See the query's comment for the algorithm and the
+    * measured plan choices. */
+  private def prefixJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
+        "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
+    val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
+      explode(col("sset")).as("tk"))
+    val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfreq, "tk")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
+      .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("tk"), col("doc_id"), col("n"))
+    val cand = pref.toDF("tk", "doc_a", "na")
+      .join(pref.toDF("tk", "doc_b", "nb"), "tk")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    // the verify probes read tok directly: at fixture scale AQE
+    // broadcasts the probe sides (cheap re-scan), at 100 TB a real run
+    // would persist the tokenized-set table once and every consumer —
+    // df agg, prefix, both probes — reads that materialization instead
+    // of re-shingling (measured: forcing the probes through the
+    // windowed subtree for ReusedExchange doubled fixture latency and
+    // the reuse never materialized under AQE)
+    cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
+        Seq("doc_b", "tk"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("uni"),
+        micro(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jacc_micro"))
+  }
+
   /** 60-bit portable SimHash over word tokens (15 md5 hex digits x 4 bits).
     *
     * Single-pass shape: one row per token (md5 computed once), then 60
@@ -704,46 +751,35 @@ object DedupQueries extends QuerySet {
     // and the oracle's (df, text) order generate different candidate
     // supersets but the SAME verified result.
     "q_dedup_prefix_join" -> { (s, dir) =>
-      val sets = t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
-          "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
-      val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
-        explode(col("sset")).as("tk"))
-      val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
-      val pref = tok.join(dfreq, "tk")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
-        .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-        .select(col("tk"), col("doc_id"), col("n"))
-      val cand = pref.toDF("tk", "doc_a", "na")
-        .join(pref.toDF("tk", "doc_b", "nb"), "tk")
-        .filter(col("doc_a") < col("doc_b") &&
-          col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
-        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .distinct()
-      // the verify probes read tok directly: at fixture scale AQE
-      // broadcasts the probe sides (cheap re-scan), at 100 TB a real run
-      // would persist the tokenized-set table once and every consumer —
-      // df agg, prefix, both probes — reads that materialization instead
-      // of re-shingling (measured: forcing the probes through the
-      // windowed subtree for ReusedExchange doubled fixture latency and
-      // the reuse never materialized under AQE)
-      cand
-        .join(tok.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
-          Seq("doc_b", "tk"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na") + col("nb") - col("inter")).cast("long").as("uni"),
-          micro(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double"))
-            .as("jacc_micro"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      prefixJoinPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // LSH RECALL EVALUATION — the meta-operator the exact join unlocks:
+    // with q_dedup_prefix_join as ground truth (every pair with J ≥
+    // 0.6, no recall loss), the MinHash band join's candidate set can
+    // be SCORED instead of trusted — per Jaccard decile, how many true
+    // pairs did the 3-band×2-hash scheme surface? This is the LSH
+    // S-curve measured on the corpus itself (recall rises with J), the
+    // number a pipeline owner needs before choosing bands/rows — and
+    // exactly the audit a 100 TB run samples a shard to produce.
+    // Plan shape: both pair sets are the already-measured constructions;
+    // the scoring join is pair-keyed (catalog-sized sides), the rollup
+    // is 4 rows.
+    "q_dedup_lsh_recall" -> { (s, dir) =>
+      val truth = prefixJoinPairs(s, dir)
+      val cand = candidates(s, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+      truth
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("band",
+          least(intDiv(col("jacc_micro"), lit(100000L)), lit(9L)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("band"), col("n_truth"), col("n_hit"),
+          intDiv(col("n_hit") * 1000000L + intDiv(col("n_truth"), lit(2L)),
+            col("n_truth")).as("recall_micro"))
+        .orderBy(col("band"))
     },
 
     // CONTAINMENT join — the ASYMMETRIC member of the exact-similarity
@@ -1499,6 +1535,60 @@ object DedupQueries extends QuerySet {
         |    * 1000000.0 + 0.5) AS BIGINT) AS jacc_micro
         |FROM ins WHERE inter * 5 >= (na + nb - inter) * 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the sigSql band-join candidates scored against the prefix-join
+    // truth chain (p-prefixed CTEs to avoid name clashes with sig/cand)
+    "q_dedup_lsh_recall" ->
+      s"""WITH $sigSql,
+         |pd AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '),
+         |                     t -> length(t) > 0) AS w
+         |  FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(w[i:i+4], ' ')
+         |                        FOR i IN range(1, greatest(len(w)-4, 1) + 1)]) AS s
+         |  FROM pd),
+         |ptok AS (SELECT doc_id, unnest(s) AS tk FROM pg),
+         |pdf AS (SELECT tk, count(*) AS df FROM ptok GROUP BY tk),
+         |pord AS (
+         |  SELECT t.doc_id, t.tk,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY f.df, t.tk) AS pos,
+         |         count(*) OVER (PARTITION BY t.doc_id) AS n
+         |  FROM ptok t JOIN pdf f USING (tk)),
+         |ppref AS (SELECT doc_id, tk, n FROM pord
+         |          WHERE pos <= n - ((3*n + 4) // 5) + 1),
+         |pcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                  a.n AS na, b.n AS nb
+         |  FROM ppref a JOIN ppref b USING (tk)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3),
+         |pins AS (
+         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+         |  FROM pcand c
+         |  JOIN ptok x ON x.doc_id = c.doc_a
+         |  JOIN ptok y ON y.doc_id = c.doc_b AND y.tk = x.tk
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(floor(CAST(inter AS DOUBLE)
+         |      / CAST(na + nb - inter AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS jacc_micro
+         |  FROM pins WHERE inter * 5 >= (na + nb - inter) * 3),
+         |scored AS (
+         |  SELECT least(t.jacc_micro // 100000, 9) AS band,
+         |         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST((sum(hit) * 1000000 + count(*) // 2) // count(*) AS BIGINT)
+         |    AS recall_micro
+         |FROM scored GROUP BY band ORDER BY band""".stripMargin,
 
     // containment prefix on the SOURCE side only, probe side full —
     // same lemma, asymmetric bound; shingle text here vs hashes in Spark
