@@ -1450,4 +1450,46 @@ class StreamingSpec extends SparkSpec {
       .intersect(b2.map(_._1).toSet).nonEmpty,
       "no series straddles the micro-batch boundary")
   }
+
+  test("st33: streaming RSI/CMO — last cents value + three longs of " +
+      "state per series, online readout equals the batch " +
+      "q_tech_indicators across a micro-batch boundary") {
+    import graft.streaming.{SeriesPoint, StreamingTech}
+    val dir = "/root/testdata/sf0.001"
+    val evts = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => SeriesPoint.orderKey(
+        SeriesPoint.Point(t._1, t._2, t._3, t._4)))
+    val (b1, b2) = evts.splitAt(evts.length / 2)
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingTech
+      .indicators(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st33").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val online = spark.table("st33").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        optLong(r, 4), optLong(r, 5))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("q_tech_indicators")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        optLong(r, 4), optLong(r, 5))).toMap
+    batch.foreach { case (u, want) =>
+      assert(online(u) == want,
+        s"series $u: online ${online(u)} != batch $want")
+    }
+    assert(batch.exists(_._2._4.isDefined),
+      "vacuity: at least one series must have a determined RSI")
+  }
 }
