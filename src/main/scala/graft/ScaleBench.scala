@@ -132,7 +132,11 @@ object ScaleBench {
     // diversity (one hash agg over xxhash64 trigrams + per-source
     // window), kappa agreement (map-only labeling + catalog rollup) —
     // all expected ≈linear scan-bound factors
-    "q_text_bm25", "q_ngram_diversity", "q_label_kappa")
+    "q_text_bm25", "q_ngram_diversity", "q_label_kappa",
+    // round-10 second wave: Gopher rules (ONE native gopher_stats map
+    // stage, scan-bound) and the inverted index (explode → two
+    // map-side-combinable hash aggs, posting heads bounded at 32)
+    "q_text_gopher", "q_inverted_index")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -195,7 +199,17 @@ object ScaleBench {
     "q_tech_indicators",
     // round-10: PromQL vector binops as ONE conditional hash agg on the
     // hour bucket (the oracle runs the textbook four-join form)
-    "q_vector_binop")
+    "q_vector_binop",
+    // round-10: Kalman filter — the q_welford_moments SeriesFold shape
+    // (series count grows K×, two doubles of state per series)
+    "q_kalman_smooth",
+    // round-10: PageRank — the factor reads the distributed edge build
+    // (two fact shuffles aggregated to ≤625 edges); the 5-step power
+    // iteration is driver-side model-sized work, constant in K
+    "q_pagerank",
+    // round-10: contiguous-trigram sequence mining — one fused 2-lead
+    // Window on the shared user_id partitioning + one ≤|types|³-key agg
+    "q_event_sequences")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE

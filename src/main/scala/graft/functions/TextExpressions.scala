@@ -139,6 +139,35 @@ object TextOps {
       n3.toLong, tri.size.toLong, UTF8String.fromString(topG), topC))
   }
 
+  /** Gopher/MassiveText rule inputs (q_text_gopher, map-only): one pass
+    * over the space-split fields (empties kept, like the SQL split),
+    * counting words, code-point word lengths, stopword hits (the
+    * MassiveText "stop word" presence rule's word list) and short
+    * (≤3 code points) words. The micro-unit ratios and the pass/fail
+    * flag stay in the DataFrame layer — this expression only removes
+    * the per-word lambda tower from the hot path.
+    * Returns STRUCT(n_words, sum_wlen, stop_hits, short_words). */
+  def gopherStats(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    var nWords = 0L
+    var sumW = 0L
+    var stop = 0L
+    var short = 0L
+    var i = 0
+    while (i < toks.length) {
+      val tk = toks(i)
+      val wl = tk.codePointCount(0, tk.length).toLong
+      nWords += 1L
+      sumW += wl
+      if (wl <= 3L) short += 1L
+      // the MassiveText stop-word list (Rae et al. 2021, app. A1.1)
+      if (tk == "the" || tk == "a" || tk == "of" || tk == "to" ||
+        tk == "and" || tk == "in") stop += 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, sumW, stop, short))
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column-side constructors. */
@@ -146,6 +175,8 @@ object TextOps {
     ColumnBridge.column(ClassifierScores(ColumnBridge.expression(text)))
   def repetition_stats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+  def gopher_stats(text: Column): Column =
+    ColumnBridge.column(GopherStats(ColumnBridge.expression(text)))
 
   /** SQL surface: `SELECT classifier_scores(text) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -153,6 +184,8 @@ object TextOps {
       "classifier_scores", es => ClassifierScores(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats", es => RepetitionStats(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gopher_stats", es => GopherStats(es.head), "built-in")
   }
 }
 
@@ -197,5 +230,28 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.TextOps$$.MODULE$$.repetitionStats($t);")
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** [[TextOps.gopherStats]] as a native expression:
+  * STRING → STRUCT(n_words, sum_wlen, stop_hits, short_words). */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_wlen", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("short_words", LongType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.simpleString}")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextOps.gopherStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextOps$$.MODULE$$.gopherStats($t);")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }

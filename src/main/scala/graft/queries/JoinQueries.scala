@@ -197,6 +197,57 @@ object JoinQueries extends QuerySet {
           sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
             * 100).cast("long")).as("revenue_cents"))
         .orderBy(col("region"), col("nation"), col("yr"))
+    },
+
+    // PAGERANK over the trade graph: nodes = nations, edge A→B weighted
+    // by how many lineitems a customer in A bought from a supplier in B
+    // — "which nation's suppliers does the network rely on". Two-phase
+    // split that matches the data shape at any SF: (1) the EDGE BUILD is
+    // the distributed heavy part — the same two fact shuffles + broadcast
+    // dims as q_tpch_local_supplier, aggregated down to ≤N² edge rows;
+    // (2) the POWER ITERATION runs on the collected edge list — ≤625
+    // rows, model-sized by the node domain (the PCA/centroid collect
+    // policy), so five iterations cost five map-scans of a driver array
+    // instead of five cluster jobs re-reading the fact tables (an
+    // uncached DataFrame loop would recompute the edge agg per
+    // iteration). For graphs whose NODE set scales with the data (users,
+    // documents) the distributed-iteration pattern is
+    // operators/ConnectedComponents — this is deliberately the other
+    // tier. All-integer arithmetic (rank in micro-units, d=85/100,
+    // floor divisions) makes the 5-step fixpoint bit-identical to the
+    // DuckDB oracle's unrolled CTEs; dangling nations (no out-edges,
+    // impossible here but handled) simply leak their mass — documented,
+    // deterministic, and identical on both engines.
+    "q_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .collect() // ≤ nations² rows — model-sized, collect policy
+        .map(r => (r.getAs[Int]("src"), r.getAs[Int]("dst"),
+          r.getAs[Long]("w")))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey"))
+        .collect().map(_.getInt(0)) // catalog-sized
+      val ow = edges.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(_._3).sum }
+      var rank: Map[Int, Long] = nodes.map(_ -> 40000L).toMap
+      for (_ <- 1 to 5) {
+        val contrib = collection.mutable.Map.empty[Int, Long]
+          .withDefaultValue(0L)
+        edges.foreach { case (src, dst, w) =>
+          contrib(dst) += rank(src) * w / ow(src) // all positive: / == floor
+        }
+        rank = nodes.map(n => n -> (6000L + 85L * contrib(n) / 100L)).toMap
+      }
+      rank.toSeq.toDF("node", "rank_micro")
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("node"))
+        .select(col("n_name").as("nation"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("nation"))
     }
   )
 
@@ -335,6 +386,62 @@ object JoinQueries extends QuerySet {
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |JOIN region r ON r.r_regionkey = n.n_regionkey
         |GROUP BY 1, 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the 5-step integer power iteration unrolled as chained CTEs —
+    // DuckDB's // floors like the Scala Long division (all positive)
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, w,
+        |    CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS ow
+        |  FROM edges),
+        |r0 AS (SELECT n_nationkey AS node, CAST(40000 AS BIGINT) AS rank
+        |       FROM nation),
+        |r1 AS (
+        |  SELECT n.n_nationkey AS node,
+        |    CAST(6000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank
+        |  FROM nation n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(r.rank * e.w // e.ow) AS BIGINT) AS contrib
+        |    FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst) c
+        |    ON c.dst = n.n_nationkey),
+        |r2 AS (
+        |  SELECT n.n_nationkey AS node,
+        |    CAST(6000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank
+        |  FROM nation n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(r.rank * e.w // e.ow) AS BIGINT) AS contrib
+        |    FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst) c
+        |    ON c.dst = n.n_nationkey),
+        |r3 AS (
+        |  SELECT n.n_nationkey AS node,
+        |    CAST(6000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank
+        |  FROM nation n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(r.rank * e.w // e.ow) AS BIGINT) AS contrib
+        |    FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst) c
+        |    ON c.dst = n.n_nationkey),
+        |r4 AS (
+        |  SELECT n.n_nationkey AS node,
+        |    CAST(6000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank
+        |  FROM nation n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(r.rank * e.w // e.ow) AS BIGINT) AS contrib
+        |    FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst) c
+        |    ON c.dst = n.n_nationkey),
+        |r5 AS (
+        |  SELECT n.n_nationkey AS node,
+        |    CAST(6000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS rank
+        |  FROM nation n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(r.rank * e.w // e.ow) AS BIGINT) AS contrib
+        |    FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst) c
+        |    ON c.dst = n.n_nationkey)
+        |SELECT n.n_name AS nation, r.rank AS rank_micro
+        |FROM r5 r JOIN nation n ON n.n_nationkey = r.node
+        |ORDER BY rank_micro DESC, nation""".stripMargin
   )
 }

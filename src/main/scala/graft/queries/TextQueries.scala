@@ -648,6 +648,68 @@ object TextQueries extends QuerySet {
         "ranks_dense" -> (merges.map(_.rank) == (0 until merges.length)),
         "min_count_respected" -> merges.forall(_.cnt >= 2L))
       checks.toDF("invariant", "holds").orderBy(col("invariant"))
+    },
+
+    // GOPHER-RULE QUALITY FILTER (the MassiveText heuristics, Rae et
+    // al. 2021 §A1.1 — the published rule set the ad-hoc
+    // q_text_quality blend approximates): per document, word count in
+    // [50, 100k], mean word length in [3, 10], ≥2 stop-word hits. The
+    // per-word pass (counts, code-point lengths, stopword/short-word
+    // hits) is ONE native gopher_stats expression — map-only over the
+    // scan, no HigherOrderFunction, no shuffle (the
+    // classifier_scores/repetition_stats tier); the micro-unit ratios
+    // and the boolean verdict are ordinary codegen'd arithmetic on its
+    // struct. At 100 TB this stacks onto any document scan for free and
+    // feeds the same keep/drop joins as q_filter_blocklist.
+    "q_text_gopher" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextOps.gopher_stats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.sum_wlen").as("sum_wlen"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.short_words").as("short_words"))
+        .withColumn("mean_wlen_micro",
+          intDiv(col("sum_wlen") * lit(1000000L) +
+            intDiv(col("n_words"), lit(2L)), col("n_words")))
+        .withColumn("short_frac_micro",
+          intDiv(col("short_words") * lit(1000000L) +
+            intDiv(col("n_words"), lit(2L)), col("n_words")))
+        .withColumn("passes_gopher",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_wlen_micro").between(3000000L, 10000000L) &&
+            col("stop_hits") >= 2L)
+        .orderBy(col("doc_id"))
+    },
+
+    // INVERTED INDEX (posting lists): the retrieval-side artifact the
+    // BM25/tf-idf queries presuppose — term → document frequency, total
+    // term frequency, and the head of the doc_id-ordered posting list
+    // ("page 0", 32 entries — a real index pages postings; df/total_tf
+    // stay exact over ALL postings). Terms are word BIGRAMS (the corpus'
+    // 31-word unigram vocabulary is degenerate — bigrams give a 916-term
+    // domain; the q_bigram_pmi construction). Shape at 100 TB: explode →
+    // one hash agg on (term, doc) with map-side combine → one agg on
+    // term; posting heads are bounded arrays (32 entries), so no group
+    // materializes an unbounded list — the full-postings variant would
+    // shard pages by (term, doc_id range) instead.
+    "q_inverted_index" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+            "i -> concat(w[i-1], ' ', w[i]))")).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          array_join(slice(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+            1, 32), ",").as("postings_head"))
+        .orderBy(col("df").desc, col("term"))
     }
   )
 
@@ -1021,6 +1083,52 @@ object TextQueries extends QuerySet {
         |SELECT doc_id, n, n_distinct,
         |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
         |    - (sum_clnc_micro + n // 2) // n AS entropy_micro
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the per-word pass as DuckDB list aggregates; half-up integer
+    // micro ratios mirror the Spark intDiv arithmetic exactly
+    "q_text_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x)))
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(ws,
+        |      x -> x IN ('the','a','of','to','and','in')))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(len(list_filter(ws, x -> length(x) <= 3))
+        |      AS BIGINT) AS short_words
+        |  FROM w)
+        |SELECT doc_id, n_words, sum_wlen, stop_hits, short_words,
+        |  CAST((sum_wlen * 1000000 + n_words // 2) // n_words
+        |    AS BIGINT) AS mean_wlen_micro,
+        |  CAST((short_words * 1000000 + n_words // 2) // n_words
+        |    AS BIGINT) AS short_frac_micro,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND (sum_wlen * 1000000 + n_words // 2) // n_words
+        |      BETWEEN 3000000 AND 10000000
+        |    AND stop_hits >= 2) AS passes_gopher
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    // posting heads: list(... ORDER BY doc_id) is already numerically
+    // ordered, then sliced — no lexical string sort anywhere
+    "q_inverted_index" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS term
+        |  FROM w),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  array_to_string(
+        |    (list(doc_id || ':' || tf ORDER BY doc_id))[1:32], ',')
+        |    AS postings_head
+        |FROM tf GROUP BY term
+        |ORDER BY df DESC, term""".stripMargin
   )
 }

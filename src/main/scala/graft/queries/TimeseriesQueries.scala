@@ -382,6 +382,64 @@ object TimeseriesQueries extends QuerySet {
     // var_run is the SAMPLE variance, pinned 0.0 at n=1 on both engines.
     "q_welford_moments" -> { (s, dir) => welfordMoments(s, dir) },
 
+    // 1-D KALMAN FILTER (random-walk model): the adaptive-gain smoother
+    // the EWMA family approximates — per series, state (x̂, P) with
+    //   P⁻ = P + Q;  K = P⁻/(P⁻+R);  x̂' = x̂ + K·(z − x̂);  P' = (1−K)·P⁻
+    // (Q=0.04, R=1.0, seeded x̂=z₁ P=1 — the standard scalar filter,
+    // e.g. Welch & Bishop's introduction). Unlike q_ewma_recurrence's
+    // fixed α, the gain K starts near 1 (trust early observations) and
+    // converges to the steady-state Riccati value; p_final converging to
+    // the same 0.180998 for every long series is the filter working, not
+    // a bug. Same O(1)-state SeriesFold discipline as the EWMA/HW rows:
+    // one shuffle on the series key, two doubles of state, arbitrarily
+    // long series cannot OOM. In the Scala step K is computed once and
+    // reused; the DuckDB list_reduce oracle inlines the same expression
+    // twice — identical IEEE-754 value both ways (the q_holt_winters l'
+    // precedent). Streaming twin: st34 (StreamingKalman fixpoint).
+    "q_kalman_smooth" -> { (s, dir) =>
+      graft.operators.SeriesFold.fold(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", Seq("ts", "event_id"), "value",
+        Seq("x_raw", "p_raw"),
+        seed = v => Array(v, 1.0d),
+        step = (acc, z) => {
+          val pp = acc(1) + 0.04d
+          val k = pp / (pp + 1.0d)
+          Array(acc(0) + k * (z - acc(0)), (1.0d - k) * pp)
+        })
+        .select(col("user_id"), col("n_points"),
+          r6(col("x_raw")).as("kalman_final"),
+          r6(col("p_raw")).as("p_final"))
+        .orderBy(col("user_id"))
+    },
+
+    // SEQUENTIAL PATTERNS (contiguous trigrams): which 3-step event
+    // paths do users actually take — the flat-support core of
+    // PrefixSpan-style sequence mining, restricted to contiguous
+    // subsequences so it runs as pure windows + one hash agg instead of
+    // a candidate-generation loop. Per user, order the history and take
+    // (e, lead(e,1), lead(e,2)); support = distinct users, plus raw
+    // occurrence counts; min user support 10. Shape at 100 TB: the two
+    // leads fuse into ONE Window node on the user_id partitioning every
+    // events query shares, then a map-side-combinable agg on ≤|types|³
+    // pattern keys — catalog-sized output, no second fact shuffle
+    // (count(DISTINCT user_id) expands per-pattern user pairs, bounded
+    // by users × 125 patterns).
+    "q_event_sequences" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy(concat_ws(">", col("a"), col("b"), col("c")).as("pattern"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 10L)
+        .orderBy(col("n_occurrences").desc, col("pattern"))
+    },
+
     // HOLT-WINTERS BACKTEST: walk-forward one-step-ahead evaluation of
     // the q_holt_winters smoother — at each point (after the seed) the
     // PREVIOUS state forecasts l+b, the absolute error accumulates, and
@@ -1769,6 +1827,41 @@ object TimeseriesQueries extends QuerySet {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_event_sequences" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT a || '>' || b || '>' || c AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM t WHERE c IS NOT NULL
+        |GROUP BY 1 HAVING count(DISTINCT user_id) >= 10
+        |ORDER BY n_occurrences DESC, pattern""".stripMargin,
+
+    // same list-state fold; the gain expression is inlined twice where
+    // the Scala step computes it once (bit-identical, see scaladoc)
+    "q_kalman_smooth" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_transform(list(value ORDER BY ts, event_id),
+        |      v -> [v, 1.0::DOUBLE]) AS pts
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_points,
+        |    list_reduce(pts, (acc, x) -> [
+        |      acc[1] + ((acc[2] + 0.04::DOUBLE) / (acc[2] + 0.04::DOUBLE
+        |        + 1.0::DOUBLE)) * (x[1] - acc[1]),
+        |      (1.0::DOUBLE - (acc[2] + 0.04::DOUBLE) / (acc[2]
+        |        + 0.04::DOUBLE + 1.0::DOUBLE)) * (acc[2]
+        |        + 0.04::DOUBLE)]) AS st
+        |  FROM s)
+        |SELECT user_id, n_points, round(st[1], 6) AS kalman_final,
+        |       round(st[2], 6) AS p_final
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // identical list-state fold (see the query's scaladoc for why state
     // is a list, not a struct: DuckDB 1.0 list_reduce struct aliasing)

@@ -500,6 +500,14 @@ class StreamingSpec extends SparkSpec {
       Seq("ewma_final"))
   }
 
+  test("st34: the batch Kalman twin (q_kalman_smooth) equals the " +
+      "streaming adaptive-gain fixpoint over the same history — " +
+      "backfill == online, state crossing a micro-batch boundary") {
+    assertBackfillEqualsOnline("q_kalman_smooth", "st34",
+      df => graft.streaming.StreamingKalman.smooth(df),
+      Seq("kalman_final", "p_final"))
+  }
+
   test("st15: streaming decontamination pre-filter — documents probed " +
       "against a broadcast benchmark Bloom with the native expression, " +
       "map-only and state-free") {
