@@ -77,13 +77,29 @@ object Bench {
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+    println(full)
+    // The harness that records this run keeps only the tail of stdout,
+    // which truncates the full per-query line (160+ entries ≈ 5 KB) into
+    // unparseable JSON. Persist the full line as a repo file, then end
+    // stdout with a compact line (total + the 10 heaviest queries) that
+    // always fits inside a 2000-char tail and parses on its own.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val top = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ok.length},"failed":${failed.length},"top10":$top,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
