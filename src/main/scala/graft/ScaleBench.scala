@@ -74,7 +74,12 @@ object ScaleBench {
     "q_dedup_containment",
     // round-10: LSH recall scoring — both pair sets' constructions plus
     // a pair-keyed join; the factor reads truth+candidate growth
-    "q_dedup_lsh_recall")
+    "q_dedup_lsh_recall",
+    // round-10 third wave: sorted-neighborhood blocking — one block-key
+    // shuffle + a w=3 lead window (pair count ≤ 3n by construction), so
+    // the factor should read the shingle build + sort, never a
+    // quadratic block blow-up
+    "q_dedup_snm")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -209,7 +214,20 @@ object ScaleBench {
     "q_pagerank",
     // round-10: contiguous-trigram sequence mining — one fused 2-lead
     // Window on the shared user_id partitioning + one ≤|types|³-key agg
-    "q_event_sequences")
+    "q_event_sequences",
+    // round-10 third wave: Prometheus histogram_quantile — the rollup
+    // is 5 fixed buckets per series-day (map-side combinable), the
+    // interpolation runs on that catalog×time-sized table; WoW ratio —
+    // hourly rollup + self equi-join on the rollup, never raw events
+    "q_histogram_quantile", "q_wow_ratio",
+    // round-10 third wave: skyline — the O(n²) dominance test
+    // reformulated as one sort over the SUPPLIER-sized aggregate (the
+    // facts pay one groupBy); factor reads the fact agg, the global
+    // window is catalog-sized at any K. Triangle counting — the
+    // replica keeps partkeys, so the DISTINCT edge set (and the wedge
+    // join) is constant in K and the factor isolates the K× edge-build
+    // scan + distinct shuffle, the data-sized stage at 100 TB
+    "q_skyline", "q_triangle_count")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -482,7 +500,8 @@ object ScaleBench {
       "q_anomaly_cusum", "q_rate_counter", "q_moving_median",
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
       "q_downsample_lttb", "q_concurrency", "q_state_runs",
-      "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators", "q_vector_binop")
+      "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators",
+      "q_vector_binop", "q_histogram_quantile", "q_wow_ratio")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
@@ -493,7 +512,7 @@ object ScaleBench {
       selected.exists(eventsSql.contains) ||
       selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
-      "q18b_percentile_sorted").contains)
+      "q18b_percentile_sorted", "q_skyline", "q_triangle_count").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

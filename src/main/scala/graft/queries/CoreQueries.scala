@@ -162,6 +162,25 @@ object CoreQueries extends QuerySet {
       a.except(b).orderBy(col("o_custkey"))
     },
 
+    // UNPIVOT (wide→long): the four lineitem measures stacked into
+    // (measure, val) rows via Dataset.unpivot — Catalyst's Expand node,
+    // a map-only ×4 row generator with NO shuffle — then one hash agg
+    // per (returnflag, measure) in exact cents. The inverse surface of
+    // q_pivot; at 100 TB Expand streams through whole-stage codegen and
+    // the only exchange is the catalog-sized final agg.
+    "q_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_discount").as("disc"), col("l_tax").as("tax"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc"), col("tax")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("val") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     // Keyed SNAPSHOT DIFF — the data-engineering audit between two
     // versions of a derived table (here: per-customer order state at
     // two overlapping date windows): one keyed full-outer join emits
@@ -285,6 +304,19 @@ object CoreQueries extends QuerySet {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    // DuckDB's UNPIVOT is the same wide→long stack
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, measure, val FROM (
+        |    SELECT l_returnflag, l_quantity AS qty,
+        |      l_extendedprice AS price, l_discount AS disc,
+        |      l_tax AS tax FROM lineitem)
+        |  UNPIVOT (val FOR measure IN (qty, price, disc, tax)))
+        |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(val*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin,
 
     // aggregate-first keyed diff; exact integer cents pin "changed"
     "q_snapshot_diff" ->

@@ -828,6 +828,56 @@ object DedupQueries extends QuerySet {
           micro(col("inter").cast("double") / col("na").cast("double"))
             .as("contain_micro"))
         .orderBy(col("doc_src"), col("doc_in"))
+    },
+
+    // SORTED-NEIGHBORHOOD entity-resolution blocking (Hernández &
+    // Stolfo's merge/purge): block on a cheap key (first 12 chars),
+    // sort each block by a finer key (first 48 chars), and compare each
+    // doc ONLY to its next w=3 neighbors in sort order — the third
+    // blocking discipline beside LSH banding (q_dedup_minhash_lsh) and
+    // prefix filtering (q_dedup_prefix_join), and the one legacy ER
+    // pipelines actually run. Verification is exact word-trigram
+    // Jaccard at the 3/5 rational threshold. Scale shape: ONE shuffle
+    // on the block key, a w-row lead window inside each block (pair
+    // count ≤ w·n by construction — never quadratic), and a map-side
+    // set intersection per pair; at 100 TB a skewed 12-char prefix
+    // block is bounded by the window (w neighbors regardless of block
+    // size), and the standard multi-pass-different-key variant is this
+    // same plan re-run with another sort key.
+    "q_dedup_snm" -> { (s, dir) =>
+      val wn = Window.partitionBy(col("blk")).orderBy(col("sk"),
+        col("doc_id"))
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(col("text"), 1, 12).as("blk"),
+          substring(col("text"), 1, 48).as("sk"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("blk"), col("sk"),
+          when(size(col("w")) >= 3, expr(
+            "array_distinct(transform(sequence(1, size(w) - 2), " +
+            "i -> array_join(slice(w, i, 3), ' ')))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("s"))
+      val nb = sh
+        .withColumn("d1", lead(col("doc_id"), 1).over(wn))
+        .withColumn("s1", lead(col("s"), 1).over(wn))
+        .withColumn("d2", lead(col("doc_id"), 2).over(wn))
+        .withColumn("s2", lead(col("s"), 2).over(wn))
+        .withColumn("d3", lead(col("doc_id"), 3).over(wn))
+        .withColumn("s3", lead(col("s"), 3).over(wn))
+      val pairs = Seq(("d1", "s1", 1), ("d2", "s2", 2), ("d3", "s3", 3))
+        .map { case (d, sb, k) =>
+          nb.filter(col(d).isNotNull)
+            .select(col("doc_id").as("doc_a"), col(d).as("doc_b"),
+              lit(k).as("dist"), col("s"), col(sb).as("sb"))
+        }.reduce(_ union _)
+      pairs
+        .withColumn("inter",
+          size(array_intersect(col("s"), col("sb"))).cast("long"))
+        .withColumn("uni",
+          (size(col("s")) + size(col("sb"))).cast("long") - col("inter"))
+        .select(col("doc_a"), col("doc_b"), col("dist"), col("inter"),
+          col("uni"), (col("inter") * 5 >= col("uni") * 3).as("is_match"))
+        .orderBy(col("doc_a"), col("doc_b"), col("dist"))
     }
   )
 
@@ -1631,6 +1681,40 @@ object DedupQueries extends QuerySet {
         |  CAST(floor(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)
         |    * 1000000.0 + 0.5) AS BIGINT) AS contain_micro
         |FROM ins WHERE inter * 5 >= na * 4
-        |ORDER BY doc_src, doc_in""".stripMargin
+        |ORDER BY doc_src, doc_in""".stripMargin,
+
+    // same block key, sort key, w=3 lead window, and trigram Jaccard;
+    // DuckDB's 1-indexed list ops mirror slice(w, i, 3) exactly
+    "q_dedup_snm" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, 1, 12) AS blk,
+        |    substr(text, 1, 48) AS sk,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2])) AS s
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id, s, blk,
+        |    lead(doc_id, 1) OVER w AS d1, lead(s, 1) OVER w AS s1,
+        |    lead(doc_id, 2) OVER w AS d2, lead(s, 2) OVER w AS s2,
+        |    lead(doc_id, 3) OVER w AS d3, lead(s, 3) OVER w AS s3
+        |  FROM sh WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, d1 AS doc_b, 1 AS dist, s, s1 AS sb
+        |  FROM nb WHERE d1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, d2, 2, s, s2 FROM nb WHERE d2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, d3, 3, s, s3 FROM nb WHERE d3 IS NOT NULL)
+        |SELECT doc_a, doc_b, dist,
+        |  CAST(len(list_intersect(s, sb)) AS BIGINT) AS inter,
+        |  CAST(len(s) + len(sb) - len(list_intersect(s, sb)) AS BIGINT)
+        |    AS uni,
+        |  (5 * len(list_intersect(s, sb))
+        |   >= 3 * (len(s) + len(sb) - len(list_intersect(s, sb))))
+        |    AS is_match
+        |FROM pairs ORDER BY doc_a, doc_b, dist""".stripMargin
   )
 }

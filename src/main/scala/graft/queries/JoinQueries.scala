@@ -248,6 +248,97 @@ object JoinQueries extends QuerySet {
           col("n_nationkey") === col("node"))
         .select(col("n_name").as("nation"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("nation"))
+    },
+
+    // 2-D SKYLINE (Pareto frontier): suppliers no other supplier beats
+    // on BOTH total revenue (max) and mean ship delay (min). The naive
+    // formulation is the all-pairs NOT EXISTS the oracle runs — O(n²)
+    // and a nested loop in any planner. This side runs the SINGLE-SORT
+    // skyline instead: order by (revenue DESC, delay ASC), keep a row
+    // iff (a) no strictly-higher-revenue row has delay ≤ mine (running
+    // min over a RANGE frame excluding my revenue value) and (b) no
+    // equal-revenue row has delay < mine — O(n log n), and the global
+    // sort runs on the catalog-sized per-supplier AGGREGATE, never the
+    // facts (at a supplier domain too big for one sort partition the
+    // standard move is grid-partitioned local skylines + merge; the
+    // dominance window is unchanged). Delay can be NEGATIVE (early
+    // shipments): DuckDB's INTEGER `//` truncates toward zero exactly
+    // like Catalyst's IntegralDivide (verified: -7 // 2 = -3), so the
+    // half-up mean is plain intDiv on both engines.
+    "q_skyline" -> { (s, dir) =>
+      val m = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"),
+          // NTZ parquet timestamps + UTC session: the LTZ cast keeps
+          // the wall clock, matching DuckDB's epoch_us on the naive ts
+          sum(unix_micros(col("l_shipdate").cast("timestamp")) -
+            unix_micros(col("o_orderdate").cast("timestamp"))).as("sd"),
+          count(lit(1)).as("n"))
+        .select(col("suppkey"), col("revenue_cents"),
+          intDiv(col("sd") + intDiv(col("n"), lit(2L)), col("n"))
+            .as("delay_micro"))
+      val wHi = Window.orderBy(col("revenue_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(col("revenue_cents"))
+      m.withColumn("min_hi", min(col("delay_micro")).over(wHi))
+        .withColumn("min_eq", min(col("delay_micro")).over(wEq))
+        .filter((col("min_hi").isNull || col("min_hi") > col("delay_micro"))
+          && col("min_eq") === col("delay_micro"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("suppkey"))
+        .select(col("s_name").as("supplier"), col("revenue_cents"),
+          col("delay_micro"))
+        .orderBy(col("revenue_cents").desc, col("delay_micro"),
+          col("supplier"))
+    },
+
+    // TRIANGLE COUNTING by degree-ordered orientation (the MapReduce-
+    // classic wedge algorithm): nodes = parts, edges = parts sharing an
+    // order. Orienting every edge from its lower-(degree, id) endpoint
+    // caps oriented out-degree at O(√m), so the wedge self-join —
+    // the only quadratic-risk stage — generates Σ d_out(u)² = O(m^1.5)
+    // candidates instead of the hub-explosion Σ d(u)² a naive
+    // neighbor join pays (a part in 10k orders would otherwise emit
+    // 10k² wedges). Everything is equi-joins + aggs: orderkey
+    // co-partitioned pair build, degree rollup, wedge join on the low
+    // endpoint, closing equi-join on (v1, v2) — no inequality joins
+    // reach the planner, and each triangle is found exactly once.
+    "q_triangle_count" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o"), col("p").as("b")), "o")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val deg = e.select(col("a").as("n"))
+        .union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val en = e
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      val wedges = en.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+        .join(en.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
+          "u")
+        .filter(col("dv1") < col("dv2") ||
+          (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      val tris = wedges
+        .join(en.select(col("u").as("v1"), col("v").as("v2")),
+          Seq("v1", "v2"))
+        .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+      tris.select(col("x").as("n"))
+        .union(tris.select(col("y").as("n")))
+        .union(tris.select(col("z").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+        .select(col("n").as("p_partkey"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("p_partkey"))
     }
   )
 
@@ -442,6 +533,58 @@ object JoinQueries extends QuerySet {
         |    ON c.dst = n.n_nationkey)
         |SELECT n.n_name AS nation, r.rank AS rank_micro
         |FROM r5 r JOIN nation n ON n.n_nationkey = r.node
-        |ORDER BY rank_micro DESC, nation""".stripMargin
+        |ORDER BY rank_micro DESC, nation""".stripMargin,
+
+    // INDEPENDENT dominance formulation (all-pairs NOT EXISTS) — the
+    // point is that the single-sort window skyline computes the same
+    // frontier a quadratic scan does. Integer `//` truncates toward
+    // zero exactly like the Spark side's IntegralDivide (delay is
+    // negative for early shippers; -7 // 2 = -3 on both engines).
+    "q_skyline" ->
+      """WITH m AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+        |      AS BIGINT) AS revenue_cents,
+        |    CAST((sum(epoch_us(l_shipdate) - epoch_us(o_orderdate))
+        |      + count(*) // 2) // count(*) AS BIGINT) AS delay_micro
+        |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s.s_name AS supplier, m.revenue_cents, m.delay_micro
+        |FROM m JOIN supplier s ON s.s_suppkey = m.suppkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m q
+        |  WHERE q.revenue_cents >= m.revenue_cents
+        |    AND q.delay_micro <= m.delay_micro
+        |    AND (q.revenue_cents > m.revenue_cents
+        |         OR q.delay_micro < m.delay_micro))
+        |ORDER BY revenue_cents DESC, delay_micro, supplier""".stripMargin,
+
+    // same degree-ordered orientation, spelled as joins; tuple
+    // comparisons expand to the Spark side's (deg, id) lexicographic
+    "q_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |        GROUP BY 1),
+        |en AS (
+        |  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b
+        |    END AS u,
+        |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+        |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d
+        |    END AS dv
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |tris AS (
+        |  SELECT w.u AS x, w.v1 AS y, w.v2 AS z FROM (
+        |    SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+        |    FROM en e1 JOIN en e2
+        |      ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)) w
+        |  JOIN en e3 ON e3.u = w.v1 AND e3.v = w.v2)
+        |SELECT n AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS n FROM tris UNION ALL SELECT y AS n FROM tris
+        |      UNION ALL SELECT z AS n FROM tris)
+        |GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin
   )
 }

@@ -282,6 +282,222 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"))
     },
 
+    // PROMETHEUS histogram_quantile: the estimator every PromQL
+    // deployment serves p95 dashboards from — bucket the raw values
+    // into FIXED le-bounds (25/50/100/200/+Inf) per (event_type, day),
+    // then linearly interpolate inside the first bucket whose
+    // cumulative count crosses 0.95·total. This is the SCALE path for
+    // percentiles: the data-sized stage is one map-side-combinable
+    // count per (series, day, bucket) — 5 rows per series-day however
+    // many raw points — and the interpolation runs on that tiny
+    // rollup. All-integer: rank target compared as cum·1e6 ≥
+    // 95e4·total (exact rational), result in micro-units via one
+    // half-up int64 division (numerator provably ≥ 0, so trunc ==
+    // DuckDB's floor //). NULL values fall to the +Inf bucket on both
+    // engines (NULL <= bound is not-true in WHEN/CASE), whose answer
+    // is pinned to the top finite bound — Prometheus's own +Inf rule.
+    "q_histogram_quantile" -> { (s, dir) =>
+      val bk = t(s, dir, "events")
+        .select(col("event_type"),
+          intDiv(unix_micros(col("ts")), lit(86400000000L)).as("day"),
+          when(col("value") <= 25, 0L).when(col("value") <= 50, 1L)
+            .when(col("value") <= 100, 2L).when(col("value") <= 200, 3L)
+            .otherwise(4L).as("b"))
+        .groupBy(col("event_type"), col("day"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("b"))
+      val wAll = Window.partitionBy(col("event_type"), col("day"))
+      val pick = bk
+        .withColumn("cum", sum(col("cnt")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .filter(col("cum") * 1000000L >= col("total") * 950000L)
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk") === 1)
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+      val lo = when(col("b") === 0, 0L).when(col("b") === 1, 25L)
+        .when(col("b") === 2, 50L).otherwise(100L)
+      val hi = when(col("b") === 0, 25L).when(col("b") === 1, 50L)
+        .when(col("b") === 2, 100L).otherwise(200L)
+      pick.select(col("event_type"), col("day"), col("total").as("n"),
+          when(col("b") === 4, lit(200000000L)).otherwise(
+            lo * 1000000L + intDiv(
+              (hi - lo) * (col("total") * 950000L - col("cum_prev") * 1000000L)
+                + intDiv(col("cnt"), lit(2L)),
+              col("cnt"))).as("p95_micro"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // WEEK-OVER-WEEK ratio (Grafana's `offset 7d` comparison): hourly
+    // event counts per type, each bucket paired with the bucket exactly
+    // 168 hours earlier, ratio in half-up micro-units (NULL when no
+    // prior week — the honest answer, not a gap-filled 0). The raw
+    // scan collapses to a (type × hour) rollup FIRST — map-side
+    // combinable, catalog×time-sized — and the offset pairing is a
+    // self equi-join ON THAT ROLLUP, so 100 TB pays one count shuffle
+    // and a join of two tiny aggregates (vs. joining raw events to
+    // raw events shifted a week, which shuffles the corpus twice).
+    "q_wow_ratio" -> { (s, dir) =>
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          intDiv(unix_micros(col("ts")), lit(3600000000L)).as("hb"))
+        .agg(count(lit(1)).as("cnt"))
+      val prev = h.select(col("event_type"), (col("hb") + 168L).as("hb"),
+        col("cnt").as("prev_cnt"))
+      h.join(prev, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), col("hb").as("hour_bucket"), col("cnt"),
+          col("prev_cnt"),
+          intDiv(col("cnt") * 1000000L + intDiv(col("prev_cnt"), lit(2L)),
+            col("prev_cnt")).as("wow_ratio_micro"))
+        .orderBy(col("event_type"), col("hour_bucket"))
+    },
+
+    // BOLLINGER BANDS with an ALL-INTEGER breach test: the classic
+    // mean ± 2σ band over a trailing 20-point window, but σ is never
+    // materialized — a point is outside the band iff
+    // (n·c − Σc)² > 4·(n·Σc² − (Σc)²), the band inequality multiplied
+    // through by n² so it stays in exact int64 (c ≤ ~2e4 cents, n=20 →
+    // every product < 2^63). fp never enters, so the boolean is
+    // bit-identical cross-engine — the q_tech_indicators discipline
+    // applied to a variance test. One window on the series key; 100 TB
+    // pays exactly one user_id exchange and a 20-row frame.
+    "q_bollinger" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("ss", sum(col("c") * col("c")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") === 20)
+      val dev = col("n") * col("c") - col("s")
+      val varN2 = col("n") * col("ss") - col("s") * col("s")
+      base.select(col("user_id"), col("event_id"),
+          col("c").as("value_cents"),
+          intDiv(col("s") * 10000L + intDiv(col("n"), lit(2L)), col("n"))
+            .as("mean_micro"),
+          (dev > 0 && dev * dev > lit(4L) * varN2).as("breach_hi"),
+          (dev < 0 && dev * dev > lit(4L) * varN2).as("breach_lo"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // POPULATION STABILITY INDEX (the drift metric every feature-store
+    // monitors): week-over-week PSI of the value distribution per
+    // event_type over the 5 fixed histogram buckets, Laplace-smoothed
+    // (cnt+1)/(tot+5) so empty buckets stay finite. The data-sized
+    // stage is ONE map-side-combinable (type, week, bucket) count; the
+    // dense bucket grid, the offset self-join and the PSI formula all
+    // run on that catalog×time-sized rollup. fp discipline: p and q are
+    // exact-int ratios evaluated in one fixed order, each bucket's
+    // (p−q)·ln(p/q) micro-floored BEFORE the integer sum (the BM25
+    // pattern), so the sum order cannot flip low bits cross-engine.
+    "q_drift_psi" -> { (s, dir) =>
+      val b = t(s, dir, "events")
+        .select(col("event_type"),
+          intDiv(unix_micros(col("ts")), lit(604800000000L)).as("wk"),
+          when(col("value") <= 25, 0L).when(col("value") <= 50, 1L)
+            .when(col("value") <= 100, 2L).when(col("value") <= 200, 3L)
+            .otherwise(4L).as("bk"))
+        .groupBy(col("event_type"), col("wk"), col("bk"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = b.groupBy(col("event_type"), col("wk"))
+        .agg(sum(col("cnt")).as("tot"))
+      val grid = tot
+        .select(col("event_type"), col("wk"), col("tot"),
+          explode(sequence(lit(0L), lit(4L))).as("bk"))
+        .join(b, Seq("event_type", "wk", "bk"), "left")
+        .select(col("event_type"), col("wk"), col("bk"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"), col("tot"))
+      val prev = grid.select(col("event_type"), (col("wk") + 1L).as("wk"),
+        col("bk"), col("cnt").as("qcnt"), col("tot").as("qtot"))
+      val p = (col("cnt") + 1L).cast("double") /
+        (col("tot") + 5L).cast("double")
+      val q = (col("qcnt") + 1L).cast("double") /
+        (col("qtot") + 5L).cast("double")
+      grid.join(prev, Seq("event_type", "wk", "bk"))
+        .select(col("event_type"), col("wk"),
+          floor((p - q) * log(p / q) * 1000000.0 + 0.5).cast("long")
+            .as("term"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(sum(col("term")).as("psi_micro"))
+        .orderBy(col("event_type"), col("wk"))
+    },
+
+    // MARKOV TRANSITION MATRIX over the event-type alphabet: P(next |
+    // current) per user-ordered stream, probabilities as half-up
+    // micro-units of exact counts. One lead window on the user_id
+    // partitioning + one ≤|types|²-key hash agg — the q_event_sequences
+    // shape one order lower; output is alphabet²-sized at any SF.
+    "q_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = t(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      val totW = Window.partitionBy(col("cur"))
+      c.withColumn("tot", sum(col("cnt")).over(totW))
+        .select(col("cur"), col("nxt"), col("cnt"),
+          intDiv(col("cnt") * 1000000L + intDiv(col("tot"), lit(2L)),
+            col("tot")).as("prob_micro"))
+        .orderBy(col("cur"), col("nxt"))
+    },
+
+    // MULTI-TOUCH ATTRIBUTION (first-touch vs last-touch): every
+    // purchase credited to the first and the most recent non-purchase
+    // event type preceding it in the user's stream — the two window
+    // passes marketing warehouses run nightly. first/last with
+    // ignoreNulls over an UNBOUNDED PRECEDING..1 PRECEDING frame skips
+    // the intervening purchases without a second scan; output is a
+    // (touch × touch)-sized rollup with exact cents revenue. One
+    // user_id exchange end-to-end.
+    "q_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val np = when(col("event_type") =!= "purchase", col("event_type"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          first(np, ignoreNulls = true).over(w).as("ft"),
+          last(np, ignoreNulls = true).over(w).as("lt"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ft"), lit("(none)")).as("first_touch"),
+          coalesce(col("lt"), lit("(none)")).as("last_touch"))
+        .agg(count(lit(1)).as("purchases"),
+          sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("first_touch"), col("last_touch"))
+    },
+
+    // SAX SYMBOLIZATION (Lin et al.'s Symbolic Aggregate approXimation,
+    // the iSAX-family preprocessing step): each (user, day) series is
+    // PAA-compressed to four 6-hour segment means (half-up integer
+    // cents) and quantized against fixed breakpoints into an a–d
+    // alphabet word. Two map-side-combinable hash aggs — the segment
+    // rollup then the word concat; collect order is pinned by sorting
+    // the (seg, symbol) structs, never by collect_list arrival order.
+    "q_sax" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val paa = t(s, dir, "events")
+        .select(col("user_id"),
+          intDiv(us, lit(86400000000L)).as("day"),
+          intDiv(pmod(us, lit(86400000000L)), lit(21600000000L)).as("seg"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id"), col("day"), col("seg"))
+        .agg(intDiv(sum(col("c")) + intDiv(count(lit(1)), lit(2L)),
+          count(lit(1))).as("m"))
+      paa.select(col("user_id"), col("day"), struct(col("seg"),
+          when(col("m") <= 2500, "a").when(col("m") <= 5000, "b")
+            .when(col("m") <= 10000, "c").otherwise("d").as("sym")).as("p"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(array_join(transform(array_sort(collect_list(col("p"))),
+          x => x.getField("sym")), "").as("sax_word"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     "q_derivative" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -2379,6 +2595,167 @@ object TimeseriesQueries extends QuerySet {
         |FROM w
         |WHERE (n_err * 5000000 + n_total // 2) // n_total > 1000000
         |  AND (e6 * 5000000 + t6 // 2) // t6 > 1000000
-        |ORDER BY hb""".stripMargin
+        |ORDER BY hb""".stripMargin,
+
+    // same fixed le-buckets, cumulative crossing, and half-up integer
+    // interpolation; numerator ≥ 0 so // == Spark's IntegralDivide
+    "q_histogram_quantile" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN value <= 25 THEN 0 WHEN value <= 50 THEN 1
+        |         WHEN value <= 100 THEN 2 WHEN value <= 200 THEN 3
+        |         ELSE 4 END AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pts GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT event_type, day, b, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY b)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day)
+        |      AS BIGINT) AS total
+        |  FROM bk),
+        |sel AS (
+        |  SELECT *, cum - cnt AS cum_prev,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY b) AS rk
+        |  FROM cum WHERE cum * 1000000 >= 950000 * total),
+        |pick AS (SELECT * FROM sel WHERE rk = 1),
+        |bounds AS (SELECT * FROM (VALUES (0, 0, 25), (1, 25, 50),
+        |  (2, 50, 100), (3, 100, 200)) AS t(b, lo, hi))
+        |SELECT p.event_type AS event_type, p.day AS day, p.total AS n,
+        |  CAST(CASE WHEN p.b = 4 THEN 200000000
+        |    ELSE bo.lo * 1000000
+        |      + ((bo.hi - bo.lo) * (950000 * p.total - 1000000 * p.cum_prev)
+        |         + p.cnt // 2) // p.cnt
+        |  END AS BIGINT) AS p95_micro
+        |FROM pick p LEFT JOIN bounds bo ON bo.b = p.b
+        |ORDER BY event_type, day""".stripMargin,
+
+    // hourly rollup, self-join at offset 168h, half-up micro ratio
+    "q_wow_ratio" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type AS event_type, c.hb AS hour_bucket,
+        |  c.cnt AS cnt, p.cnt AS prev_cnt,
+        |  CAST((c.cnt * 1000000 + p.cnt // 2) // p.cnt AS BIGINT)
+        |    AS wow_ratio_micro
+        |FROM h c LEFT JOIN h p
+        |  ON p.event_type = c.event_type AND p.hb = c.hb - 168
+        |ORDER BY event_type, hour_bucket""".stripMargin,
+
+    // same 20-row frame; the band test stays in int64 on both engines
+    "q_bollinger" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, c,
+        |    CAST(sum(c) OVER win AS BIGINT) AS s,
+        |    CAST(sum(c*c) OVER win AS BIGINT) AS ss,
+        |    CAST(count(*) OVER win AS BIGINT) AS n
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, c AS value_cents,
+        |  CAST((s*10000 + n//2)//n AS BIGINT) AS mean_micro,
+        |  (n*c - s) > 0 AND (n*c - s)*(n*c - s) > 4*(n*ss - s*s)
+        |    AS breach_hi,
+        |  (n*c - s) < 0 AND (n*c - s)*(n*c - s) > 4*(n*ss - s*s)
+        |    AS breach_lo
+        |FROM w WHERE n = 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // same buckets, Laplace smoothing, per-bucket micro floor BEFORE
+    // the sum (the BM25 fp discipline)
+    "q_drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts)//604800000000 AS wk,
+        |    CASE WHEN value <= 25 THEN 0 WHEN value <= 50 THEN 1
+        |         WHEN value <= 100 THEN 2 WHEN value <= 200 THEN 3
+        |         ELSE 4 END AS bk,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1,2,3),
+        |tot AS (SELECT event_type, wk, CAST(sum(cnt) AS BIGINT) AS tot
+        |        FROM b GROUP BY 1,2),
+        |grid AS (
+        |  SELECT t.event_type, t.wk, g.bk,
+        |    coalesce(b.cnt, 0) AS cnt, t.tot
+        |  FROM tot t CROSS JOIN (SELECT unnest(range(5)) AS bk) g
+        |  LEFT JOIN b ON b.event_type = t.event_type AND b.wk = t.wk
+        |    AND b.bk = g.bk),
+        |pq AS (
+        |  SELECT c.event_type, c.wk,
+        |    (CAST(c.cnt+1 AS DOUBLE))/(CAST(c.tot+5 AS DOUBLE)) AS p,
+        |    (CAST(p0.cnt+1 AS DOUBLE))/(CAST(p0.tot+5 AS DOUBLE)) AS q
+        |  FROM grid c JOIN grid p0
+        |    ON p0.event_type = c.event_type AND p0.wk = c.wk - 1
+        |      AND p0.bk = c.bk)
+        |SELECT event_type, wk,
+        |  CAST(sum(CAST(floor((p-q)*ln(p/q)*1000000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS psi_micro
+        |FROM pq GROUP BY 1,2 ORDER BY event_type, wk""".stripMargin,
+
+    // same lead pairing and half-up row-normalized probabilities
+    "q_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt FROM p
+        |      WHERE nxt IS NOT NULL GROUP BY 1,2),
+        |t AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+        |      GROUP BY 1)
+        |SELECT c.cur AS cur, c.nxt AS nxt, c.cnt AS cnt,
+        |  CAST((c.cnt*1000000 + t.tot//2)//t.tot AS BIGINT) AS prob_micro
+        |FROM c JOIN t ON t.cur = c.cur
+        |ORDER BY cur, nxt""".stripMargin,
+
+    // same IGNORE NULLS first/last over the preceding-rows frame
+    "q_attribution" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt
+        |  FROM events)
+        |SELECT coalesce(ft, '(none)') AS first_touch,
+        |  coalesce(lt, '(none)') AS last_touch,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM x WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+
+    // same 6-hour PAA segments, breakpoints, and seg-ordered concat
+    "q_sax" ->
+      """WITH seg AS (
+        |  SELECT user_id, epoch_us(ts)//86400000000 AS day,
+        |    (epoch_us(ts)%86400000000)//21600000000 AS seg,
+        |    CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |paa AS (
+        |  SELECT user_id, day, seg,
+        |    CAST((sum(c) + count(*)//2)//count(*) AS BIGINT) AS m
+        |  FROM seg GROUP BY 1,2,3),
+        |sym AS (
+        |  SELECT user_id, day, seg,
+        |    CASE WHEN m <= 2500 THEN 'a' WHEN m <= 5000 THEN 'b'
+        |         WHEN m <= 10000 THEN 'c' ELSE 'd' END AS s
+        |  FROM paa)
+        |SELECT user_id, day, string_agg(s, '' ORDER BY seg) AS sax_word
+        |FROM sym GROUP BY 1,2 ORDER BY user_id, day""".stripMargin
   )
 }
