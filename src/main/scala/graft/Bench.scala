@@ -77,15 +77,28 @@ object Bench {
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-pinned formatter: f"" uses the JVM default locale, which on
+    // comma-decimal locales would emit "value":0,123 — unparseable JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query pass separation |p1 − p2|: a clean read has spread ≈ 0;
+    // a multi-second spread marks a contention-window sample, making a
+    // contended reading machine-detectable in round-over-round diffs
+    // (the q_rate_counter / q_embed_project ambiguity of r8–r10).
+    val spread = ok.map { case (k, _) =>
+      "\"" + k + "\":" + ((p1(k), p2(k)) match {
+        case (Some(a), Some(b)) => fmt(math.abs(a - b))
+        case _ => fmt(0.0)
+      })
+    }.mkString("{", ",", "}")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val total = ok.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread$errs,"sf":"$sfDir"}"""
     println(full)
     // The harness that records this run keeps only the tail of stdout,
     // which truncates the full per-query line (160+ entries ≈ 5 KB) into

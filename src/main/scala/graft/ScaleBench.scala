@@ -227,7 +227,17 @@ object ScaleBench {
     // replica keeps partkeys, so the DISTINCT edge set (and the wedge
     // join) is constant in K and the factor isolates the K× edge-build
     // scan + distinct shuffle, the data-sized stage at 100 TB
-    "q_skyline", "q_triangle_count")
+    "q_skyline", "q_triangle_count",
+    // round-11 (the r10 VERDICT shadow set): all events-side rollup /
+    // window shapes — fixed-bin histogram (one hash agg), Markov
+    // transitions (one lead window + ≤|types|²-key agg), SAX (two
+    // map-combinable aggs), Bollinger (one 20-row frame window),
+    // attribution (one unbounded-frame window + touch² rollup), PSI
+    // drift (one (type,week,bucket) count + rollup-side join),
+    // statistical aggregates (one hash agg) — plus the lineitem-side
+    // unpivot (map-only Expand ×4 + catalog agg)
+    "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
+    "q_attribution", "q_drift_psi", "q_stat_funcs", "q_unpivot")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -501,7 +511,9 @@ object ScaleBench {
       "q_autocorr", "q_seasonal_profile", "q_deseasonalize",
       "q_downsample_lttb", "q_concurrency", "q_state_runs",
       "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators",
-      "q_vector_binop", "q_histogram_quantile", "q_wow_ratio")
+      "q_vector_binop", "q_histogram_quantile", "q_wow_ratio",
+      "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
+      "q_attribution", "q_drift_psi", "q_stat_funcs")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
@@ -512,7 +524,8 @@ object ScaleBench {
       selected.exists(eventsSql.contains) ||
       selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
-      "q18b_percentile_sorted", "q_skyline", "q_triangle_count").contains)
+      "q18b_percentile_sorted", "q_skyline", "q_triangle_count",
+      "q_unpivot").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

@@ -403,15 +403,19 @@ class Engine(val spark: SparkSession, warehouse: String)
     val rows = sketchTable()
       .filter((col("series") === seriesA || col("series") === seriesB) &&
         col("day") >= fromDay && col("day") <= toDay)
+    // hll_union_agg over zero (or all-null) rows yields a NULL sketch and
+    // hll_sketch_estimate(NULL) is NULL — an empty day range must answer
+    // "0 tagsets", not crash the caller's getLong: coalesce each estimate.
     rows
       .agg(
-        hll_sketch_estimate(hll_union_agg(
-          when(col("series") === seriesA, col("tagset_sketch"))))
+        coalesce(hll_sketch_estimate(hll_union_agg(
+          when(col("series") === seriesA, col("tagset_sketch")))), lit(0L))
           .as("tagsets_a"),
-        hll_sketch_estimate(hll_union_agg(
-          when(col("series") === seriesB, col("tagset_sketch"))))
+        coalesce(hll_sketch_estimate(hll_union_agg(
+          when(col("series") === seriesB, col("tagset_sketch")))), lit(0L))
           .as("tagsets_b"),
-        hll_sketch_estimate(hll_union_agg(col("tagset_sketch")))
+        coalesce(hll_sketch_estimate(hll_union_agg(col("tagset_sketch"))),
+          lit(0L))
           .as("tagsets_union"))
       .select(col("tagsets_a"), col("tagsets_b"), col("tagsets_union"),
         greatest(col("tagsets_a") + col("tagsets_b") -

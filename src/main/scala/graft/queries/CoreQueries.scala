@@ -305,14 +305,18 @@ object CoreQueries extends QuerySet {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
 
-    // DuckDB's UNPIVOT is the same wide→long stack
+    // DuckDB's UNPIVOT is the same wide→long stack — with INCLUDE NULLS,
+    // because Spark's Dataset.unpivot RETAINS null measure values as rows
+    // while DuckDB excludes them by default; INCLUDE NULLS makes the
+    // equivalence structural rather than resting on lineitem's measures
+    // happening to be non-null
     "q_unpivot" ->
       """WITH u AS (
         |  SELECT l_returnflag, measure, val FROM (
         |    SELECT l_returnflag, l_quantity AS qty,
         |      l_extendedprice AS price, l_discount AS disc,
         |      l_tax AS tax FROM lineitem)
-        |  UNPIVOT (val FOR measure IN (qty, price, disc, tax)))
+        |  UNPIVOT INCLUDE NULLS (val FOR measure IN (qty, price, disc, tax)))
         |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(val*100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents

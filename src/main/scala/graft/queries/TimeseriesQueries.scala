@@ -195,8 +195,9 @@ object TimeseriesQueries extends QuerySet {
     // absent (hour,type) is count 0, and every matched h-row has ≥ 1),
     // so the whole operator is ONE hash aggregate on the hour bucket —
     // no join at all, where the naive translation runs four self-joins.
-    // All operands positive → DuckDB's flooring // and Spark's
-    // truncating div agree without the abs-then-sign dance.
+    // Both engines truncate toward zero on integer division (DuckDB's
+    // // included), so positive or negative operands agree; all
+    // operands here are positive anyway.
     "q_vector_binop" -> { (s, dir) =>
       def n(ty: String) =
         sum(when(col("event_type") === ty, 1L).otherwise(0L))
@@ -227,10 +228,13 @@ object TimeseriesQueries extends QuerySet {
     // technical-analysis functions): per series, split consecutive-point
     // deltas into gain and loss sums in EXACT int64 cents, then
     //   RSI = 100·Σgain/(Σgain+Σloss), CMO = 100·(Σgain−Σloss)/(Σgain+Σloss)
-    // — pure rationals of integers, computed as half-up INTEGER division
-    // (abs-then-sign for CMO so DuckDB's flooring // and Spark's
-    // truncating div agree on negatives); NO floating point anywhere in
-    // this operator. Constant series (denominator 0) report NULL.
+    // — pure rationals of integers, computed as half-up INTEGER division.
+    // Both engines truncate toward zero on integer division (DuckDB's
+    // INTEGER // included — verified -7 // 2 = -3, same as Catalyst's
+    // IntegralDivide); the abs-then-sign form for CMO is kept for
+    // clarity of the half-up rounding, not out of necessity.
+    // NO floating point anywhere in this operator.
+    // Constant series (denominator 0) report NULL.
     // One lag window + one rollup on the series key; catalog-sized.
     "q_tech_indicators" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))

@@ -36,6 +36,10 @@ object StreamingKalman {
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_id").cast("long"), col("value").cast("double"))
+      // mirror the batch twin's `value IS NOT NULL`: Point.value is a
+      // non-nullable Double, so a null measurement would throw in the
+      // encoder instead of being skipped like backfill skips it
+      .filter(col("value").isNotNull)
       .as[Point]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Double, Double), KalmanPoint](
