@@ -237,7 +237,11 @@ object ScaleBench {
     // statistical aggregates (one hash agg) — plus the lineitem-side
     // unpivot (map-only Expand ×4 + catalog agg)
     "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
-    "q_attribution", "q_drift_psi", "q_stat_funcs", "q_unpivot")
+    "q_attribution", "q_drift_psi", "q_stat_funcs", "q_unpivot",
+    // round-11: the grid-partitioned skyline (local per-cell skylines +
+    // output-sized merge) measured NEXT TO the single-window form it
+    // must beat once supplier cardinality grows
+    "q_skyline_grid")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -393,8 +397,9 @@ object ScaleBench {
       .parquet(s"$out/customer.parquet")
 
     // the fixed catalog dims copy through at 1× so star joins resolve
-    // against the replica dir alone
-    Seq("supplier", "nation", "region").foreach { d =>
+    // against the replica dir alone (part included so a FULL-suite
+    // replica verify — all 10 tables present — needs no extra step)
+    Seq("supplier", "nation", "region", "part").foreach { d =>
       Tables.load(spark, base, d).coalesce(1).write.mode("overwrite")
         .parquet(s"$out/$d.parquet")
     }
@@ -524,8 +529,8 @@ object ScaleBench {
       selected.exists(eventsSql.contains) ||
       selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
-      "q18b_percentile_sorted", "q_skyline", "q_triangle_count",
-      "q_unpivot").contains)
+      "q18b_percentile_sorted", "q_skyline", "q_skyline_grid",
+      "q_triangle_count", "q_unpivot").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

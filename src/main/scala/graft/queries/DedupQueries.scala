@@ -209,7 +209,7 @@ object DedupQueries extends QuerySet {
     * shingle-set Jaccard ≥ 3/5 as (doc_a, doc_b, inter, uni,
     * jacc_micro). See the query's comment for the algorithm and the
     * measured plan choices. */
-  private def prefixJoinPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def prefixJoinPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = t(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
@@ -408,29 +408,35 @@ object DedupQueries extends QuerySet {
     // stands in for it) deduped AGAINST the existing corpus — the shape a
     // continuously-updated 100 TB corpus actually runs, because
     // re-self-joining the whole corpus on every refresh re-pays the full
-    // quadratic-candidate bill for data that was already clean. The band
-    // join here is new×old only (batch-sized left side — broadcastable
-    // when the batch is small; the corpus side's band keys are exactly
-    // what a persisted signature store holds, so at scale the corpus
-    // never re-shingles either — st10 is the streaming twin of this
-    // batch form). Every batch doc reports in (LEFT join), so clean
-    // docs are pinned as 0-match rows rather than silently absent.
+    // quadratic-candidate bill for data that was already clean. The
+    // corpus side comes from the PERSISTED signature store
+    // (engine.SignatureStore, built once per corpus and reused —
+    // plan-asserted in SignatureStoreSpec): the band join reads stored
+    // band keys and verification intersects stored sorted hash arrays,
+    // so history text is NEVER re-shingled; only the arriving batch is.
+    // The band join is new×old only (batch-sized left side —
+    // broadcastable when the batch is small); st10 is the streaming twin
+    // (its state bootstraps from the same store's bandOwners). Every
+    // batch doc reports in (LEFT join), so clean docs are pinned as
+    // 0-match rows rather than silently absent. Intersections over
+    // xxhash64 shingle hashes equal intersections over the shingle
+    // strings (the oracle's form) — counts are hash-invariant.
     "q_dedup_cross" -> { (s, dir) =>
-      val sets = shingleSets(s, dir)
-      val br = bandRows(sets)
-      val newBand = br.filter(col("doc_id") % 10 === 3)
-        .select(col("doc_id").as("new_id"), col("n").as("nn"), col("bk"))
-      val oldBand = br.filter(col("doc_id") % 10 =!= 3)
+      val store = graft.engine.SignatureStore.forCorpus(s, dir)
+      val newSig = graft.engine.SignatureStore.signatures(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3))
+      val newBand = newSig.select(col("doc_id").as("new_id"),
+        col("n").as("nn"), explode(col("bks")).as("bk"))
+      val oldBand = store.bandRows()
         .select(col("doc_id").as("old_id"), col("n").as("no"), col("bk"))
       val cand = newBand.join(oldBand, Seq("bk"))
         .select(col("new_id"), col("old_id"), col("nn"), col("no")).distinct()
       val dups = cand
-        .join(sets.select(col("doc_id").as("new_id"), col("sh")),
-          Seq("new_id"))
-        .join(sets.select(col("doc_id").as("old_id"), col("sh")),
-          Seq("old_id", "sh"))
-        .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
-        .agg(count(lit(1)).as("ni"))
+        .join(newSig.select(col("doc_id").as("new_id"),
+          col("shs").as("sha")), Seq("new_id"))
+        .join(store.load().select(col("doc_id").as("old_id"),
+          col("shs").as("shb")), Seq("old_id"))
+        .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
         .filter(micro(col("ni").cast("double") /
           (col("nn") + col("no") - col("ni")).cast("double")) >= 500000)
         .select(col("new_id").as("doc_id"), col("old_id"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,24 @@ import org.apache.spark.sql.functions._
   *    by user_id, no per-row subquery.
   */
 object JoinQueries extends QuerySet {
+
+  /** The per-supplier (revenue, median-ish delay) aggregate both skyline
+    * variants filter — ONE fact-side groupBy; the dominance test never
+    * touches raw lineitem rows. */
+  private def skylineMeasures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"),
+        // NTZ parquet timestamps + UTC session: the LTZ cast keeps
+        // the wall clock, matching DuckDB's epoch_us on the naive ts
+        sum(unix_micros(col("l_shipdate").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp"))).as("sd"),
+        count(lit(1)).as("n"))
+      .select(col("suppkey"), col("revenue_cents"),
+        intDiv(col("sd") + intDiv(col("n"), lit(2L)), col("n"))
+          .as("delay_micro"))
 
   val queries: Map[String, Q] = Map(
     // Q07: inner equi-join chain with an explicit broadcast of the dim.
@@ -266,23 +285,52 @@ object JoinQueries extends QuerySet {
     // like Catalyst's IntegralDivide (verified: -7 // 2 = -3), so the
     // half-up mean is plain intDiv on both engines.
     "q_skyline" -> { (s, dir) =>
-      val m = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_suppkey").as("suppkey"))
-        .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
-            * 100).cast("long")).as("revenue_cents"),
-          // NTZ parquet timestamps + UTC session: the LTZ cast keeps
-          // the wall clock, matching DuckDB's epoch_us on the naive ts
-          sum(unix_micros(col("l_shipdate").cast("timestamp")) -
-            unix_micros(col("o_orderdate").cast("timestamp"))).as("sd"),
-          count(lit(1)).as("n"))
-        .select(col("suppkey"), col("revenue_cents"),
-          intDiv(col("sd") + intDiv(col("n"), lit(2L)), col("n"))
-            .as("delay_micro"))
+      val m = skylineMeasures(s, dir)
       val wHi = Window.orderBy(col("revenue_cents").desc)
         .rangeBetween(Window.unboundedPreceding, -1)
       val wEq = Window.partitionBy(col("revenue_cents"))
       m.withColumn("min_hi", min(col("delay_micro")).over(wHi))
+        .withColumn("min_eq", min(col("delay_micro")).over(wEq))
+        .filter((col("min_hi").isNull || col("min_hi") > col("delay_micro"))
+          && col("min_eq") === col("delay_micro"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("suppkey"))
+        .select(col("s_name").as("supplier"), col("revenue_cents"),
+          col("delay_micro"))
+        .orderBy(col("revenue_cents").desc, col("delay_micro"),
+          col("supplier"))
+    },
+
+    // GRID-PARTITIONED skyline (round-10 VERDICT #7 — closes the last
+    // single-partition-sort parallelism cap): divide-and-conquer on the
+    // classic identity skyline(S) = skyline(∪ᵢ skyline(Sᵢ)) for ANY
+    // partitioning of S — dominance is transitive, so every dominated
+    // point has a dominator IN the global skyline, and every global
+    // skyline point survives its own cell's local pass. Phase 1 runs the
+    // same running-min window WITHIN each of 32 hash cells (fully
+    // parallel — the heavy sort is per-cell); phase 2 re-runs it on the
+    // union of local survivors, which is at most the sum of per-cell
+    // skyline sizes (output-sized, not input-sized) — THAT tiny set is
+    // the only single-partition work. Bit-identical to q_skyline
+    // (equal-(revenue,delay) ties all survive both phases), same oracle.
+    "q_skyline_grid" -> { (s, dir) =>
+      val m = skylineMeasures(s, dir)
+        .withColumn("cell", pmod(xxhash64(col("suppkey")), lit(32L)))
+      val wHiC = Window.partitionBy(col("cell"))
+        .orderBy(col("revenue_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEqC = Window.partitionBy(col("cell"), col("revenue_cents"))
+      val local = m
+        .withColumn("min_hi", min(col("delay_micro")).over(wHiC))
+        .withColumn("min_eq", min(col("delay_micro")).over(wEqC))
+        .filter((col("min_hi").isNull || col("min_hi") > col("delay_micro"))
+          && col("min_eq") === col("delay_micro"))
+        .select(col("suppkey"), col("revenue_cents"), col("delay_micro"))
+      val wHi = Window.orderBy(col("revenue_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(col("revenue_cents"))
+      local
+        .withColumn("min_hi", min(col("delay_micro")).over(wHi))
         .withColumn("min_eq", min(col("delay_micro")).over(wEq))
         .filter((col("min_hi").isNull || col("min_hi") > col("delay_micro"))
           && col("min_eq") === col("delay_micro"))
@@ -388,6 +436,56 @@ object JoinQueries extends QuerySet {
         .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
         .select(col("n").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))
+    },
+
+    // K-CORE DECOMPOSITION (k=80) of the part co-order graph — the
+    // "dense backbone" extraction that completes the graph family
+    // (ConnectedComponents = reachability, PageRank = centrality,
+    // triangles = local density, k-core = global density): iteratively
+    // peel nodes of degree < k until the survivors all have ≥ k
+    // neighbors among THEMSELVES (Seidman 1983). k=80 sits in the
+    // graph's critical band (min degree ~40, median ~115, and the core
+    // COLLAPSES entirely past k≈85 — all-or-nothing, the known
+    // random-graph phase transition), so peeling genuinely cascades:
+    // 6 rounds to fixpoint at sf0.01 AND sf0.1. Scale shape: the
+    // driver loop is data-ADAPTIVE (iterate while any node fell below
+    // k — one count per round), each round one degree hash agg + two
+    // anti joins on the node key, lineage severed per round by
+    // localCheckpoint (the ConnectedComponents discipline — reliable
+    // checkpoints at cluster scale); rounds are bounded by the peeling
+    // depth, not graph size. The DuckDB oracle unrolls 8 rounds —
+    // ≥ fixpoint depth, and extra rounds past the fixpoint are
+    // identity, so adaptive and unrolled agree exactly.
+    "q_kcore" -> { (s, dir) =>
+      val k = 80
+      val e0 = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .distinct()
+      var edges = e0.localCheckpoint(eager = true)
+      var done = false
+      while (!done) {
+        val deg = edges.select(col("a").as("n"))
+          .unionAll(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        // peeled set is shrinking-frontier-sized; checkpointing it keeps
+        // the anti joins off the agg lineage
+        val bad = deg.filter(col("d") < k).select(col("n"))
+          .localCheckpoint(eager = true)
+        if (bad.isEmpty) done = true
+        else edges = edges
+          .join(bad.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+      edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .select(col("node").as("p_partkey"), col("core_deg"))
+        .orderBy(col("p_partkey"))
     }
   )
 
@@ -608,6 +706,27 @@ object JoinQueries extends QuerySet {
         |         OR q.delay_micro < m.delay_micro))
         |ORDER BY revenue_cents DESC, delay_micro, supplier""".stripMargin,
 
+    // the grid variant is bit-identical by the divide-and-conquer
+    // identity — same declarative truth, same SQL
+    "q_skyline_grid" ->
+      """WITH m AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+        |      AS BIGINT) AS revenue_cents,
+        |    CAST((sum(epoch_us(l_shipdate) - epoch_us(o_orderdate))
+        |      + count(*) // 2) // count(*) AS BIGINT) AS delay_micro
+        |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s.s_name AS supplier, m.revenue_cents, m.delay_micro
+        |FROM m JOIN supplier s ON s.s_suppkey = m.suppkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m q
+        |  WHERE q.revenue_cents >= m.revenue_cents
+        |    AND q.delay_micro <= m.delay_micro
+        |    AND (q.revenue_cents > m.revenue_cents
+        |         OR q.delay_micro < m.delay_micro))
+        |ORDER BY revenue_cents DESC, delay_micro, supplier""".stripMargin,
+
     // same degree-ordered orientation, spelled as joins; tuple
     // comparisons expand to the Spark side's (deg, id) lexicographic
     "q_triangle_count" ->
@@ -634,6 +753,36 @@ object JoinQueries extends QuerySet {
         |SELECT n AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT x AS n FROM tris UNION ALL SELECT y AS n FROM tris
         |      UNION ALL SELECT z AS n FROM tris)
-        |GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin
+        |GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin,
+
+    "q_kcore" -> kcoreSql
   )
+
+  /** DuckDB k-core oracle: 8 UNROLLED peel rounds — strictly more than
+    * the measured 6-round fixpoint at both oracle SFs, and rounds past
+    * the fixpoint are identity (no node is below k, so every round
+    * filter keeps everything) — which makes the unrolled form equal to
+    * the Spark side's adaptive loop exactly. Generated, not hand-typed:
+    * one template per round. */
+  private def kcoreSql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor 3× — un-materialized, e8 expands
+    // to 3^8 copies of the base scan (measured: file-handle exhaustion)
+    val rounds = (1 to 8).map { r =>
+      s""",d$r AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) t
+         |  GROUP BY n)
+         |,e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT n FROM d$r WHERE d >= 80)
+         |    AND b IN (SELECT n FROM d$r WHERE d >= 80))""".stripMargin
+    }.mkString("\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)
+       |$rounds
+       |SELECT n AS p_partkey, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8) t
+       |GROUP BY n ORDER BY p_partkey""".stripMargin
+  }
 }

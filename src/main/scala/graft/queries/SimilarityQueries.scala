@@ -227,6 +227,48 @@ object SimilarityQueries extends QuerySet {
           r6(cosine(col("embedding"), col("qe"))).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // EMBEDDING DRIFT per group — "which sources' embedding mass points
+    // away from the corpus": cosine between each label's centroid and
+    // the GLOBAL centroid. Cosine is scale-invariant, so centroids are
+    // never divided by their counts — the comparison runs on the
+    // integer SUM vectors directly, and every element is micro-floored
+    // to int64 BEFORE summation, making the per-(label, dim) sums exact
+    // and summation-order-free on both engines; the three final
+    // reductions (dot, |a|², |b|²) run in DECIMAL(38,0) (DuckDB
+    // HUGEINT) — exact integers converted to double ONCE in a fixed-
+    // order formula. Scale shape: aggregate-first — the only data-sized
+    // stage is one (label, dim) hash agg (map-combinable int sums, 64
+    // rows per label out); the global centroid derives from that
+    // catalog-sized rollup and broadcasts back. The monitoring
+    // counterpart of q_dedup_semdedup's cluster geometry.
+    "q_embed_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val el = t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * 1000000.0 + 0.5)
+            .cast("long").as("vi"))
+      val byLabel = el.groupBy(col("label"), col("dim"))
+        .agg(sum(col("vi")).as("sv"))
+      val global = byLabel.groupBy(col("dim")).agg(sum(col("sv")).as("gv"))
+      val stats = byLabel
+        .join(broadcast(global), Seq("dim")) // 64-row centroid side
+        .groupBy(col("label"))
+        .agg(sum(col("sv").cast(d38) * col("gv").cast(d38)).as("dot"),
+          sum(col("sv").cast(d38) * col("sv").cast(d38)).as("na2"),
+          sum(col("gv").cast(d38) * col("gv").cast(d38)).as("nb2"))
+      val nv = t(s, dir, "embeddings").groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+      stats.join(nv, Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          micro(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double")))).as("cos_global_micro"))
+        .orderBy(col("label"))
     }
   )
 
@@ -470,7 +512,34 @@ object SimilarityQueries extends QuerySet {
         |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
         |       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))), 6)
         |    AS cos_sim
-        |FROM short ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+        |FROM short ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same micro-floored element integers, HUGEINT (=Spark DECIMAL(38,0))
+    // exact reductions, one fixed-order double formula
+    "q_embed_drift" ->
+      """WITH el AS (
+        |  SELECT label, i AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+        |      AS vi
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+        |bl AS (SELECT label, dim, CAST(sum(vi) AS BIGINT) AS sv
+        |       FROM el GROUP BY label, dim),
+        |gl AS (SELECT dim, CAST(sum(sv) AS BIGINT) AS gv
+        |       FROM bl GROUP BY dim),
+        |st AS (
+        |  SELECT label,
+        |    sum(CAST(sv AS HUGEINT) * CAST(gv AS HUGEINT)) AS dot,
+        |    sum(CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT)) AS na2,
+        |    sum(CAST(gv AS HUGEINT) * CAST(gv AS HUGEINT)) AS nb2
+        |  FROM bl JOIN gl USING (dim) GROUP BY label),
+        |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |       FROM embeddings GROUP BY label)
+        |SELECT s.label, n.n_vecs,
+        |  CAST(floor(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS cos_global_micro
+        |FROM st s JOIN nv n ON n.label = s.label
+        |ORDER BY s.label""".stripMargin
   )
 
   private def ivfSql(probes: Int): String =

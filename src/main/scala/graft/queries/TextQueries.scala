@@ -710,6 +710,117 @@ object TextQueries extends QuerySet {
             p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
             1, 32), ",").as("postings_head"))
         .orderBy(col("df").desc, col("term"))
+    },
+
+    // SHARDED FULL POSTINGS — the q_inverted_index "full-postings
+    // variant" shipped (round-10 VERDICT minor trade #3): EVERY posting
+    // materializes, paged 32 per (term, page) row, page assignment by
+    // doc_id rank so pages are ordered and range-addressable
+    // (first_doc/last_doc per page = the page index a term lookup
+    // seeks). Scale shape: one (term, doc) hash agg (map-combinable),
+    // one per-term rank window, one (term, page) agg whose groups are
+    // BOUNDED at 32 entries by construction — a 10^9-posting term is
+    // 3×10^7 bounded rows, never one unbounded group; the window
+    // partitions by term (the same exchange the page agg reuses).
+    "q_inverted_postings" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+            "i -> concat(w[i-1], ' ', w[i]))")).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.withColumn("pg", intDiv(
+          (row_number().over(Window.partitionBy(col("term"))
+            .orderBy(col("doc_id"))) - 1).cast("long"), lit(32L)))
+        .groupBy(col("term"), col("pg"))
+        .agg(count(lit(1)).as("n_in_page"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+            ",").as("postings"))
+        .orderBy(col("term"), col("pg"))
+    },
+
+    // RECIPROCAL RANK FUSION (Cormack/Clarke/Buettcher SIGIR'09 — the
+    // standard hybrid-retrieval merge): fuse the BM25 ranking with a
+    // query-likelihood (Jelinek-Mercer smoothed) ranking of the SAME
+    // query set and return the top-5 fused documents per query. The two
+    // scorers deliberately disagree (BM25 saturates tf and rewards rare
+    // terms; QL length-normalizes against the collection model), which
+    // is exactly when RRF earns its keep. rrf = Σ 1/(60 + rank) over
+    // the rankings that retrieved the doc in their top 20, each term
+    // micro-floored then summed as BIGINT (the BM25 fp discipline —
+    // ranks are integers, so both engines fuse bit-identically).
+    // Scale shape: ONE shared hits table (tf pruned map-side against
+    // the broadcast query terms) feeds both scorers; the rank windows
+    // and the fused top-k all partition by query_id — model-sized
+    // per-query state, corpus-sized work only in the tf/dl aggs any
+    // retrieval run pays once.
+    "q_retrieval_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val qt = Seq((1, "hash"), (1, "join"), (2, "dup"), (2, "scan"),
+        (3, "stream"), (3, "window"), (3, "agg")).toDF("query_id", "term")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+      val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = d.select(col("doc_id"), explode(col("w")).as("tk"))
+        .groupBy(col("doc_id"), col("tk"))
+        .agg(count(lit(1)).as("tf"))
+      val tfq = tf.join(broadcast(qt.select(col("term")).distinct()),
+        col("tk") === col("term")).drop("term")
+      val dfc = tfq.groupBy(col("tk"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+          + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
+      val tfc = (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl").cast("double") * col("n_docs").cast("double")) /
+            col("sum_dl").cast("double"))))
+      // Jelinek-Mercer: ln(0.9·tf/dl + 0.1·ctf/sum_dl), one fixed-order
+      // double formula per (term, doc), micro-floored before the sum
+      val ql = log((lit(0.9) * col("tf").cast("double")) /
+          col("dl").cast("double") +
+        (lit(0.1) * col("ctf").cast("double")) /
+          col("sum_dl").cast("double"))
+      val scores = tfq
+        .join(broadcast(qt), col("tk") === col("term"))
+        .join(broadcast(dfc.withColumnRenamed("tk", "dtk")),
+          col("tk") === col("dtk"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
+        .withColumn("bm_micro", micro(idf * tfc))
+        .withColumn("ql_micro", micro(ql))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("bm_micro")).as("bm25_micro"),
+          sum(col("ql_micro")).as("ql_score_micro"))
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("ql_score_micro").desc, col("doc_id"))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      scores
+        .withColumn("rank_bm25", row_number().over(wb).cast("long"))
+        .withColumn("rank_ql", row_number().over(wq).cast("long"))
+        .withColumn("rrf_micro",
+          when(col("rank_bm25") <= 20,
+            micro(lit(1.0) / (lit(60.0) + col("rank_bm25").cast("double"))))
+            .otherwise(0L) +
+          when(col("rank_ql") <= 20,
+            micro(lit(1.0) / (lit(60.0) + col("rank_ql").cast("double"))))
+            .otherwise(0L))
+        .filter(col("rrf_micro") > 0)
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          col("rrf_micro"), col("rank_bm25"), col("rank_ql"))
+        .orderBy(col("query_id"), col("rnk"))
     }
   )
 
@@ -1129,6 +1240,89 @@ object TextQueries extends QuerySet {
         |    (list(doc_id || ':' || tf ORDER BY doc_id))[1:32], ',')
         |    AS postings_head
         |FROM tf GROUP BY term
-        |ORDER BY df DESC, term""".stripMargin
+        |ORDER BY df DESC, term""".stripMargin,
+
+    "q_inverted_postings" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS term
+        |  FROM w),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT term, doc_id, tf,
+        |    (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+        |      // 32 AS pg
+        |  FROM tf)
+        |SELECT term, CAST(pg AS BIGINT) AS pg,
+        |  CAST(count(*) AS BIGINT) AS n_in_page,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  array_to_string(list(doc_id || ':' || tf ORDER BY doc_id), ',')
+        |    AS postings
+        |FROM pp GROUP BY term, pg
+        |ORDER BY term, pg""".stripMargin,
+
+    // identical shared hits table, two fixed-order double formulas, the
+    // same micro-floor-then-BIGINT-sum discipline; ranks (integers) fuse
+    "q_retrieval_rrf" ->
+      """WITH qt AS (
+        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'dup'),(2,'scan'),
+        |                        (3,'stream'),(3,'window'),(3,'agg'))
+        |    AS t(query_id, term)),
+        |d AS (SELECT doc_id, list_filter(string_split(text,' '),
+        |        t -> length(t) > 0) AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |corp AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+        |dfc AS (SELECT tk, count(*) AS df, sum(tf) AS ctf FROM tf
+        |        WHERE tk IN (SELECT term FROM qt) GROUP BY tk),
+        |hits AS (
+        |  SELECT q.query_id, f.doc_id, f.tf, x.df, x.ctf, l.dl,
+        |         c.n_docs, c.sum_dl
+        |  FROM qt q JOIN tf f ON f.tk = q.term JOIN dfc x ON x.tk = q.term
+        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN corp c),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |         / CAST(sum_dl AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS bm_micro,
+        |    CAST(floor(
+        |      ln((0.9 * CAST(tf AS DOUBLE)) / CAST(dl AS DOUBLE) +
+        |         (0.1 * CAST(ctf AS DOUBLE)) / CAST(sum_dl AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS ql_micro
+        |  FROM hits),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(sum(bm_micro) AS BIGINT) AS bm25_micro,
+        |         CAST(sum(ql_micro) AS BIGINT) AS ql_score_micro
+        |       FROM contrib GROUP BY query_id, doc_id),
+        |rk AS (SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_bm25,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY ql_score_micro DESC, doc_id) AS BIGINT) AS rank_ql
+        |       FROM sc),
+        |fu AS (SELECT query_id, doc_id, rank_bm25, rank_ql,
+        |         (CASE WHEN rank_bm25 <= 20 THEN CAST(floor(
+        |            1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE))
+        |            * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+        |         (CASE WHEN rank_ql <= 20 THEN CAST(floor(
+        |            1.0 / (60.0 + CAST(rank_ql AS DOUBLE))
+        |            * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS rrf_micro
+        |       FROM rk),
+        |fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+        |        FROM fu WHERE rrf_micro > 0)
+        |SELECT query_id, rnk, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |       rank_bm25, rank_ql
+        |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

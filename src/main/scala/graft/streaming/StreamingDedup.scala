@@ -36,26 +36,45 @@ object StreamingDedup {
     * (string) columns; returns the append-mode stream of match events.
     * Doc-level verdicts (any band matched ⇒ near-dup candidate) are a
     * `dropDuplicates("doc_id")`/aggregation at the sink, exactly like the
-    * batch pipeline's candidate→verify split. */
-  def dupEvents(docs: DataFrame): Dataset[DupEvent] = {
+    * batch pipeline's candidate→verify split.
+    *
+    * `initialOwners` (bk STRING, first_doc LONG — the shape
+    * engine.SignatureStore.bandOwners produces) seeds the band→owner
+    * state BEFORE the first micro-batch: a stream (re)started over an
+    * existing corpus resumes against the whole accumulated history
+    * WITHOUT replaying it — the persisted signature store holds exactly
+    * the band keys the state needs, so bootstrap cost is one scan of the
+    * store, not a re-shingle of 100 TB of text. */
+  def dupEvents(docs: DataFrame,
+      initialOwners: Option[DataFrame] = None): Dataset[DupEvent] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    val grouped = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(MinHash.bandKeys(MinHash.shingleArr(col("text")))).as("bk"))
       .as[BandRow]
       .groupByKey(_.bk)
-      .flatMapGroupsWithState[Long, DupEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bk: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
-          val batch = rows.map(_.doc_id).toSeq.sorted
-          // first-seen wins: an established owner keeps the band even if a
-          // lower doc_id arrives later (no retroactive re-assignment, so
-          // no pair is ever silently missed under out-of-order arrival)
-          val owner = state.getOption.getOrElse(batch.head)
-          state.update(owner)
-          batch.filter(_ != owner).distinct
-            .map(d => DupEvent(d, bk, owner)).iterator
-      }
+    val fn = (bk: String, rows: Iterator[BandRow], state: GroupState[Long]) => {
+      val batch = rows.map(_.doc_id).toSeq.sorted
+      // first-seen wins: an established owner keeps the band even if a
+      // lower doc_id arrives later (no retroactive re-assignment, so
+      // no pair is ever silently missed under out-of-order arrival)
+      val owner = state.getOption.getOrElse(batch.head)
+      state.update(owner)
+      batch.filter(_ != owner).distinct
+        .map(d => DupEvent(d, bk, owner)).iterator
+    }
+    initialOwners match {
+      case Some(own) =>
+        val init = own
+          .select(col("bk").cast("string"), col("first_doc").cast("long"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[Long, DupEvent](
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[Long, DupEvent](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
   }
 }

@@ -199,4 +199,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"profile join-back is not broadcast:\n${plan.take(3000)}")
   }
+
+  test("q_skyline_grid's heavy pass is cell-partitioned (the global " +
+      "single-partition window only ever sees local-skyline survivors)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_skyline_grid")(spark, dir)
+    val partSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.partitionSpec.map(_.toString)
+    }
+    // phase 1 (innermost = last in collect order) must partition by the
+    // hash cell — that is the pass that reads the full supplier aggregate
+    assert(partSpecs.exists(_.exists(_.contains("cell"))),
+      s"no cell-partitioned window in plan; partition specs: $partSpecs")
+    // and the variant must stay bit-identical to the single-window form
+    val a = SparkEntry.queries("q_skyline")(spark, dir).collect().toSeq
+    val b = df.collect().toSeq
+    assert(a == b, s"grid skyline diverged: ${a.diff(b)} vs ${b.diff(a)}")
+  }
 }

@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted MinHash signature store (round-10 VERDICT #3): refresh
+  * must be incremental (new docs only — the corpus never re-shingles),
+  * drop/refresh symmetric (retention), the stored scheme bit-identical
+  * to the batch LSH family's, and q_dedup_cross's plan must actually
+  * READ the store (the at-100-TB point of having one). */
+class SignatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val t2 = "one two three four five six seven eight nine ten"
+  private val t3 = "red orange yellow green blue indigo violet pink brown"
+
+  test("refresh is incremental and idempotent; drop is symmetric") {
+    val store = new SignatureStore(spark, tmpDir("sigstore") + "/store")
+    val docs1 = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+    assert(store.refresh(docs1) == 3L)
+    // idempotent: nothing new ⇒ nothing signed, nothing appended
+    assert(store.refresh(docs1) == 0L)
+    assert(store.load().count() == 3L)
+    // incremental: only the unseen doc pays shingling
+    val docs2 = docs1.unionByName(Seq((4L, t3)).toDF("doc_id", "text"))
+    assert(store.refresh(docs2) == 1L)
+    assert(store.load().count() == 4L)
+    assert(store.bandRows().count() == 12L) // 3 bands per doc
+    // identical texts (docs 1 and 3) share all 3 band keys; the owner
+    // convention is the smallest doc_id
+    val owners = store.bandOwners().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(owners.size == 9, s"expected 9 distinct band keys, got $owners")
+    assert(owners.values.count(_ == 1L) == 3,
+      "doc 1 must own the 3 band keys it shares with doc 3")
+    // drop (retention) is symmetric with refresh: a dropped doc re-signs
+    assert(store.drop(col("doc_id") === 2L) == 1L)
+    assert(store.load().count() == 3L)
+    assert(store.refresh(docs2) == 1L)
+    assert(store.load().count() == 4L)
+    assert(store.drop(lit(false)) == 0L) // no-match drop is a no-op
+  }
+
+  test("stored signatures are bit-identical to the batch MinHash scheme " +
+      "and shs is the sorted distinct shingle-hash set") {
+    import graft.operators.MinHash
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val viaStore = SignatureStore.signatures(docs)
+      .select(col("doc_id"), col("n"), col("shs"), col("bks")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2), r.getSeq[String](3))))
+      .toMap
+    val viaMap = docs.select(col("doc_id"),
+        MinHash.shingleArr(col("text")).as("shd"))
+      .select(col("doc_id"), size(col("shd")).as("n"),
+        sort_array(expr("transform(shd, e -> xxhash64(e))")).as("shs"),
+        MinHash.bandKeys(col("shd")).as("bks")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2), r.getSeq[String](3))))
+      .toMap
+    assert(viaStore == viaMap,
+      s"first diff: ${viaStore.find(kv => viaMap(kv._1) != kv._2)}")
+    // shs sorted ascending (the prefix consumer slices it directly)
+    viaStore.values.foreach { case (_, shs, _) =>
+      assert(shs == shs.sorted, "shs must be stored sorted") }
+  }
+
+  test("q_dedup_cross reads the persisted signature store (plan-asserted) " +
+      "and still answers") {
+    val df = graft.SparkEntry.queries("q_dedup_cross")(
+      spark, "/root/testdata/sf0.001")
+    // scan locations only appear in the physical plan rendering (the
+    // executedPlan tree hides them behind the AQE wrapper)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft_sigstore"),
+      "q_dedup_cross must read the corpus signature store, not re-shingle " +
+        s"history; plan:\n${plan.take(3000)}")
+    // the batch (%10==3) side IS re-signed each run — exactly one text
+    // scan in the plan
+    assert(df.count() > 0)
+  }
+}

@@ -339,6 +339,136 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st10b: streaming dedup bootstraps its band state from the " +
+      "persisted signature store — history flagged without replay") {
+    import graft.engine.SignatureStore
+    import graft.streaming.StreamingDedup
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val unrelated = "one two three four five six seven eight nine ten"
+    val another = "red orange yellow green blue indigo violet pink brown black"
+    // the CORPUS was ingested in some earlier life of the pipeline: only
+    // its signature store survives — the stream below never sees it
+    val store = new SignatureStore(spark, tmpDir("st10b") + "/store")
+    store.refresh(Seq((1L, text1), (3L, unrelated)).toDF("doc_id", "text"))
+    val in = MemoryStream[(Long, String)]
+    val events = StreamingDedup.dupEvents(
+      in.toDF().toDF("doc_id", "text"), Some(store.bandOwners()))
+    val q = events.writeStream.outputMode("append").format("memory")
+      .queryName("st10b").start()
+    try {
+      in.addData((7L, text1), (8L, another))
+      q.processAllAvailable()
+      val got = spark.table("st10b")
+        .select(col("doc_id"), col("first_doc")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc 7 duplicates STORED doc 1 (owner from the initial state, all
+      // 3 bands — the store's agg-form md5 band keys must equal the
+      // stream's map-only ones bit for bit); doc 8 is clean
+      assert(got == Set((7L, 1L)), s"got $got")
+      val nb = spark.table("st10b").filter(col("doc_id") === 7L)
+        .select(countDistinct(col("bk"))).collect().head.getLong(0)
+      assert(nb == 3L, s"expected all 3 bands to hit the stored state, got $nb")
+    } finally q.stop()
+  }
+
+  test("st35: streaming exact prefix join — probing the signature store " +
+      "per micro-batch equals the batch q_dedup_prefix_join pair set") {
+    import graft.engine.SignatureStore
+    import graft.streaming.StreamingPrefixJoin
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // batch truth: the oracle-checked exact PPJoin-style self-join
+    val batchPairs = graft.queries.DedupQueries.prefixJoinPairs(spark, dir)
+      .collect().map(key).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain J>=0.6 pairs")
+    // ascending-id arrival (the monotone-id contract shared by every
+    // st fixpoint); three micro-batches so pairs straddle boundaries
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batches = Seq(
+      docs.slice(0, docs.length / 3),
+      docs.slice(docs.length / 3, 2 * docs.length / 3),
+      docs.slice(2 * docs.length / 3, docs.length))
+    val store = new SignatureStore(spark, tmpDir("st35") + "/store")
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sigs = SignatureStore.signatures(b).localCheckpoint()
+        StreamingPrefixJoin.flagAgainst(sigs, store.load())
+          .collect().foreach(streamed += key(_))
+        store.refresh(b) // history accumulates AFTER flagging
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { rs =>
+        in.addData(rs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(streamed.toSet == batchPairs,
+      s"stream-only ${(streamed.toSet -- batchPairs).take(3)}, " +
+        s"batch-only ${(batchPairs -- streamed).take(3)}")
+    // vacuity: at least one pair crossed a micro-batch boundary (its
+    // smaller doc came from the store, not the arriving batch)
+    val cut1 = docs(docs.length / 3)._1
+    assert(batchPairs.exists(p => p._1 < cut1 && p._2 >= cut1),
+      "fixture must contain a boundary-straddling pair")
+  }
+
+  test("st36: streaming inverted-index maintenance — the latest emission " +
+      "per term equals the batch q_inverted_index over all arrived docs") {
+    import graft.streaming.StreamingInvertedIndex
+    val dir = "/root/testdata/sf0.001"
+    val batchRows = graft.SparkEntry.queries("q_inverted_index")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batches = Seq(
+      docs.slice(0, docs.length / 3),
+      docs.slice(docs.length / 3, 2 * docs.length / 3),
+      docs.slice(2 * docs.length / 3, docs.length))
+    // each batch's emissions OVERWRITE: the surviving value per term is
+    // its latest index row
+    val latest =
+      scala.collection.mutable.Map.empty[String, (Long, Long, String)]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingInvertedIndex.index(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (b: Dataset[StreamingInvertedIndex.TermRow], _: Long) =>
+        b.collect().foreach(r =>
+          latest(r.term) = (r.df, r.total_tf, r.postings_head))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { rs =>
+        in.addData(rs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(latest.toMap == batchRows,
+      s"stream-only ${(latest.keySet -- batchRows.keySet).take(3)}, " +
+        s"batch-only ${(batchRows.keySet -- latest.keySet).take(3)}, " +
+        s"first value diff: ${batchRows.collectFirst {
+          case (k, v) if latest.get(k).exists(_ != v) => (k, v, latest(k))
+        }}")
+    // vacuity: some term's posting head accreted across batches (head
+    // doc_ids on both sides of the first micro-batch boundary)
+    val cut = docs(docs.length / 3)._1
+    assert(batchRows.exists { case (_, (_, _, head)) =>
+      val ids = head.split(",").map(_.split(":")(0).toLong)
+      ids.exists(_ < cut) && ids.exists(_ >= cut)
+    }, "fixture must contain a term whose postings span micro-batches")
+  }
+
   test("st11: streaming similarity serving — query vectors score against " +
       "the persisted IVF index per micro-batch") {
     import graft.operators.AnnIndex
