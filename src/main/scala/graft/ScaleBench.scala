@@ -107,7 +107,11 @@ object ScaleBench {
     // round-8 third pass: SQ8 ADC is a map-only scan over codes + a
     // top-50 partial — expected ≈linear absolute cost, flat vs the
     // brute-force q34_cosine_topk row it tiers under
-    "q34f_sq8_ann")
+    "q34f_sq8_ann",
+    // round-11: per-label centroid drift — aggregate-first (one
+    // (label, dim) int-sum agg is the only data-sized stage), expected
+    // ≈linear scan-bound factor
+    "q_embed_drift")
 
   /** The text-analysis scoring family: map-side expressions + one agg
     * each, vocab/LM/idf sides broadcast (plan-asserted in
@@ -141,7 +145,12 @@ object ScaleBench {
     // round-10 second wave: Gopher rules (ONE native gopher_stats map
     // stage, scan-bound) and the inverted index (explode → two
     // map-side-combinable hash aggs, posting heads bounded at 32)
-    "q_text_gopher", "q_inverted_index")
+    "q_text_gopher", "q_inverted_index",
+    // round-11: sharded full postings (bounded 32-entry pages — the
+    // factor reads the same K× term-domain hash aggs as the index head,
+    // plus the per-term rank window) and RRF fusion (two scorers over
+    // ONE shared pruned hits table; broadcast query side fixed at 1×)
+    "q_inverted_postings", "q_retrieval_rrf")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -241,7 +250,12 @@ object ScaleBench {
     // round-11: the grid-partitioned skyline (local per-cell skylines +
     // output-sized merge) measured NEXT TO the single-window form it
     // must beat once supplier cardinality grows
-    "q_skyline_grid")
+    "q_skyline_grid",
+    // round-11: k-core peeling — replica keeps partkeys, so the graph
+    // (and peel depth) is constant in K and the factor reads the K×
+    // edge-build scan + distinct, the data-sized stage (the
+    // q_triangle_count construction note)
+    "q_kcore")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -530,7 +544,7 @@ object ScaleBench {
       selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
       "q18b_percentile_sorted", "q_skyline", "q_skyline_grid",
-      "q_triangle_count", "q_unpivot").contains)
+      "q_triangle_count", "q_unpivot", "q_kcore").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

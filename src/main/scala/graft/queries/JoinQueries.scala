@@ -486,6 +486,49 @@ object JoinQueries extends QuerySet {
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
         .select(col("node").as("p_partkey"), col("core_deg"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ITEM-ITEM COLLABORATIVE SIMILARITY (the recommender workhorse —
+    // Sarwar et al. WWW'01) over the supplier–part bipartite graph:
+    // each supplier is a sparse part-basket vector (quantity-weighted),
+    // similarity = cosine over shared parts, top-5 neighbors per
+    // supplier. Scale design: AGGREGATE-FIRST — the only fact-sized
+    // stage is one (supplier, part) sum; the pair join is keyed by
+    // part with fan-in bounded by suppliers-per-part (catalog-sized
+    // here; a mega-popular item at web scale gets the q_source_cap-
+    // style df cap), and dot/norm reductions run in DECIMAL(38,0)
+    // (HUGEINT in the oracle) over exact integer cents — bit-identical
+    // cross-engine, no fp summation-order hazard. Both pair orders are
+    // generated so every supplier ranks its own neighbor list.
+    "q_supplier_similarity" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
+      val norms = m.groupBy(col("sk"))
+        .agg(sum(col("q").cast(d38) * col("q").cast(d38)).as("n2"))
+      val pairs = m.select(col("sk").as("sa"), col("pk"), col("q").as("qa"))
+        .join(m.select(col("sk").as("sb"), col("pk"), col("q").as("qb")),
+          Seq("pk"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(col("qa").cast(d38) * col("qb").cast(d38)).as("dot"))
+      val w = Window.partitionBy(col("sa"))
+        .orderBy(col("cos_micro").desc, col("sb"))
+      pairs
+        .join(broadcast(norms.select(col("sk").as("sa"),
+          col("n2").as("na2"))), Seq("sa"))
+        .join(broadcast(norms.select(col("sk").as("sb"),
+          col("n2").as("nb2"))), Seq("sb"))
+        .withColumn("cos_micro", micro(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double")))))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("sa").as("suppkey"), col("rnk"),
+          col("sb").as("similar_supp"), col("cos_micro"))
+        .orderBy(col("suppkey"), col("rnk"))
     }
   )
 
@@ -755,7 +798,33 @@ object JoinQueries extends QuerySet {
         |      UNION ALL SELECT z AS n FROM tris)
         |GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin,
 
-    "q_kcore" -> kcoreSql
+    "q_kcore" -> kcoreSql,
+
+    "q_supplier_similarity" ->
+      """WITH m AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |    CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT sk, sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS n2
+        |  FROM m GROUP BY sk),
+        |pairs AS (
+        |  SELECT a.sk AS sa, b.sk AS sb,
+        |    sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS dot
+        |  FROM m a JOIN m b ON a.pk = b.pk AND a.sk <> b.sk
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.sa, p.sb,
+        |    CAST(floor(CAST(p.dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+        |  FROM pairs p JOIN norms na ON na.sk = p.sa
+        |               JOIN norms nb ON nb.sk = p.sb),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY sa
+        |    ORDER BY cos_micro DESC, sb) AS BIGINT) AS rnk FROM sc)
+        |SELECT sa AS suppkey, rnk, sb AS similar_supp, cos_micro
+        |FROM rk WHERE rnk <= 5 ORDER BY suppkey, rnk""".stripMargin
   )
 
   /** DuckDB k-core oracle: 8 UNROLLED peel rounds — strictly more than

@@ -16,6 +16,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_bigram_pmi", // 1-row broadcast corpus total
     "q_text_tfidf", // 1-row broadcast document count into the idf table
     "q_text_bm25", // 1-row broadcast corpus totals (N, sum_dl) into the hit set
+    "q_retrieval_rrf", // 1-row broadcast corpus totals (the q_text_bm25 pattern)
     "q_text_lm_bigram", // 1-row broadcast smoothing vocab size V
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
     "q_pca_project", // k-row broadcast pinned-component table (model-sized)

@@ -69,6 +69,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # replica-scale runs: an in-memory duckdb cannot spill without a
+    # temp_directory, so one heavy query OOMs the connection and every
+    # later query inherits the failure (observed at the 10x replica) —
+    # give it a spill dir and a cap below the box's RAM
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
     import os
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
