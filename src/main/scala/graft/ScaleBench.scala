@@ -150,7 +150,11 @@ object ScaleBench {
     // factor reads the same K× term-domain hash aggs as the index head,
     // plus the per-term rank window) and RRF fusion (two scorers over
     // ONE shared pruned hits table; broadcast query side fixed at 1×)
-    "q_inverted_postings", "q_retrieval_rrf")
+    "q_inverted_postings", "q_retrieval_rrf",
+    // round-11: transposition-aware edit distance — one (source) window
+    // + the native O(60²) kernel per successor pair, scan-bound like
+    // q_text_levenshtein
+    "q_text_damerau")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -255,7 +259,22 @@ object ScaleBench {
     // (and peel depth) is constant in K and the factor reads the K×
     // edge-build scan + distinct, the data-sized stage (the
     // q_triangle_count construction note)
-    "q_kcore")
+    "q_kcore",
+    // round-11 second wave: item-item similarity (aggregate-first; the
+    // pair join is keyed by part, fan-in = suppliers-per-part which the
+    // replica grows — the factor reads that fan-in), CMS build+probe
+    // (map-side ×3 expand, shuffle bounded at 3072 rows/partition →
+    // expect scan-bound ≈K×), link prediction (order-bounded pair-gen +
+    // top-20-truncated wedges — linear in node count by construction),
+    // AR(2) (one series exchange shared by lag window/tail/agg) and the
+    // classical decomposition (fact-sized cents agg, then catalog-sized
+    // windows)
+    "q_supplier_similarity", "q_cms_heavy_hitters", "q_link_predict",
+    "q_ar_forecast", "q_stl_decompose",
+    // LPA: fixed 4 rounds over the support-2 backbone; the backbone
+    // GROWS with K (more orders → more repeat pairs), so the factor
+    // reads edge-build + K× backbone rounds — the interesting one
+    "q_label_prop")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -405,7 +424,11 @@ object ScaleBench {
     val custN = (0 until k).map { r =>
       cust.select(
         (col("c_custkey") + lit(r.toLong * 1000000L)).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"))
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        // every attribute column must survive the replica — dropping
+        // c_mktsegment broke q23/q_text_redact in the r11 full-suite
+        // replica verify (the first run to read customer attributes)
+        col("c_mktsegment"))
     }.reduce(_.unionAll(_))
     custN.repartition(8).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
@@ -532,7 +555,8 @@ object ScaleBench {
       "q_cross_corr", "q_burn_rate", "q_changes_resets", "q_tech_indicators",
       "q_vector_binop", "q_histogram_quantile", "q_wow_ratio",
       "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
-      "q_attribution", "q_drift_psi", "q_stat_funcs")
+      "q_attribution", "q_drift_psi", "q_stat_funcs",
+      "q_ar_forecast", "q_stl_decompose")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>
@@ -544,7 +568,9 @@ object ScaleBench {
       selected.contains("q_profile_columns")
     val needTpch = selected.exists(Set("q16b_cube", "q18_percentile", "q_snapshot_diff", "q_tpch_local_supplier",
       "q18b_percentile_sorted", "q_skyline", "q_skyline_grid",
-      "q_triangle_count", "q_unpivot", "q_kcore").contains)
+      "q_triangle_count", "q_unpivot", "q_kcore",
+      "q_supplier_similarity", "q_cms_heavy_hitters",
+      "q_link_predict", "q_label_prop").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

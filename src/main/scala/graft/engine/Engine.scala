@@ -44,6 +44,7 @@ class Engine(val spark: SparkSession, warehouse: String)
   graft.functions.ParseLine.register(spark)
   graft.functions.ExplodeLine.register(spark)
   graft.functions.VecOps.register(spark)
+  graft.functions.EditDistanceOps.register(spark)
 
   import spark.implicits._
 

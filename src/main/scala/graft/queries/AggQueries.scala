@@ -291,6 +291,35 @@ object AggQueries extends QuerySet {
         .groupBy(col("user_id"))
         .agg(r6(wavg(col("value"), col("weight"))).as("tw_avg"))
         .orderBy(col("user_id"))
+    },
+
+    // COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005) —
+    // the third frequency sketch next to HLL (distinct) and Misra-Gries
+    // (st17 streaming top-k), and unlike q_approx_sketches this one is
+    // FULLY cross-checked, not boolean-gated: the hash family is
+    // deterministic integer arithmetic (((k·a+b) mod P) mod W,
+    // P = 2³¹−1) both engines compute bit-identically, so the sketch
+    // itself — not just a tolerance claim — hash-matches DuckDB.
+    // Estimates carry the one-sided CMS guarantee (est ≥ true;
+    // `overcount` ≥ 0 surfaces the collision error per key). Scale
+    // shape: the build is one map-side ×3 expand into a d×W=3×1024
+    // bucket space, so partial aggregation bounds the shuffle at
+    // 3072 rows/partition at ANY corpus size — the sketch is the
+    // mergeable summary (streaming twin: st37, same bucket sums per
+    // micro-batch merge). The probe side is the top-20 catalog join
+    // against a 3072-row broadcast.
+    "q_cms_heavy_hitters" -> { (s, dir) =>
+      import graft.operators.CountMin
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val sketch = CountMin.sketch(li, "l_partkey")
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("l_partkey")).limit(20)
+      CountMin.estimate(sketch, top, "l_partkey")
+        .join(broadcast(top), Seq("l_partkey"))
+        .select(col("l_partkey"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("l_partkey"))
     }
   )
 
@@ -401,6 +430,31 @@ object AggQueries extends QuerySet {
         |SELECT user_id,
         |       round(sum(value * weight) / sum(weight), 6) AS tw_avg
         |FROM weighted WHERE weight IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The sketch is recomputed for real on the oracle side — same hash
+    // family, same bucket sums, same min-over-depth estimate.
+    "q_cms_heavy_hitters" ->
+      """WITH h(d, a, b) AS (VALUES (0, 31, 7), (1, 131071, 911), (2, 8191, 271)),
+        |buckets AS (
+        |  SELECT h.d, (l_partkey * h.a + h.b) % 2147483647 % 1024 AS bucket
+        |  FROM lineitem CROSS JOIN h),
+        |sketch AS (
+        |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM buckets GROUP BY d, bucket),
+        |top AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_cnt
+        |  FROM lineitem GROUP BY l_partkey
+        |  ORDER BY true_cnt DESC, l_partkey LIMIT 20),
+        |probe AS (
+        |  SELECT t.l_partkey, t.true_cnt, h.d,
+        |         (t.l_partkey * h.a + h.b) % 2147483647 % 1024 AS bucket
+        |  FROM top t CROSS JOIN h)
+        |SELECT p.l_partkey, p.true_cnt,
+        |       min(s.c) AS cms_est,
+        |       min(s.c) - p.true_cnt AS overcount
+        |FROM probe p JOIN sketch s USING (d, bucket)
+        |GROUP BY p.l_partkey, p.true_cnt
+        |ORDER BY p.true_cnt DESC, p.l_partkey""".stripMargin
   )
 }

@@ -529,6 +529,111 @@ object JoinQueries extends QuerySet {
         .select(col("sa").as("suppkey"), col("rnk"),
           col("sb").as("similar_supp"), col("cos_micro"))
         .orderBy(col("suppkey"), col("rnk"))
+    },
+
+    // LINK PREDICTION — Resource Allocation index (Zhou/Lü/Zhang 2009,
+    // the strongest of the local similarity indices in their benchmark
+    // and EXACTLY integer here, unlike Adamic-Adar's 1/ln d whose libm
+    // last-ulp could differ across engines): for non-adjacent part
+    // pairs (u,w) in the co-order graph, score = Σ_z 1/deg(z) over
+    // common neighbors z, each contribution half-up micro-quantized as
+    // pure int64 division — no fp anywhere. Wedge enumeration is
+    // NEIGHBORHOOD-TRUNCATED: each center z enumerates pairs only among
+    // its top-20 STRONGEST ties (co-order count, part-id tiebreak), the
+    // standard production cap for Σd² wedge blowup (the DIMSUM/WTF
+    // move) — this bounds wedges at C(20,2) per node, linear in node
+    // count at any scale, while deg(z) in the score stays the TRUE
+    // degree. Scale shape: basket pair-gen is order-bounded (the
+    // q_triangle_count argument), the truncation window and the wedge
+    // self-join share the z partitioning, the degree table broadcasts,
+    // and the existing-edge anti-join is an equi-join on (u,w).
+    "q_link_predict" -> { (s, dir) =>
+      val ep = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+      // distinct edges with tie strength = number of co-orders
+      val e = ep.groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+        .localCheckpoint(eager = true)
+      val und = e.select(col("a").as("z"), col("b").as("x"), col("st"))
+        .unionAll(e.select(col("b").as("z"), col("a").as("x"), col("st")))
+      val deg = und.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      val wTop = Window.partitionBy(col("z"))
+        .orderBy(col("st").desc, col("x"))
+      val zn = und.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 20)
+        .join(broadcast(deg), Seq("z"))
+        // half-up micro of 1/d in pure int64: floor((2e6 + d) / 2d)
+        .withColumn("c", intDiv(lit(2000000L) + col("d"), col("d") * 2))
+        .select(col("z"), col("x"), col("c"))
+      val pairs = zn.select(col("z"), col("x").as("u"), col("c"))
+        .join(zn.select(col("z"), col("x").as("w")), Seq("z"))
+        .filter(col("u") < col("w"))
+        .groupBy(col("u"), col("w"))
+        .agg(sum(col("c")).as("ra_micro"), count(lit(1)).as("n_common"))
+      pairs
+        .join(e.select(col("a").as("u"), col("b").as("w")),
+          Seq("u", "w"), "left_anti")
+        .orderBy(col("ra_micro").desc, col("u"), col("w"))
+        .limit(50)
+        .select(col("u").as("part_a"), col("w").as("part_b"),
+          col("n_common"), col("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("part_a"), col("part_b"))
+    },
+
+    // COMMUNITY DETECTION — synchronous label propagation (Raghavan et
+    // al. 2007), the sixth graph-family member (CC = reachability,
+    // PageRank = centrality, triangles = local density, k-core = global
+    // density, link prediction = missing edges; LPA = mesoscale
+    // structure). Each node adopts the MODE of its neighbors' labels,
+    // ties broken by smallest label — fully deterministic, so FOUR fixed
+    // synchronous rounds are a well-defined result both engines compute
+    // exactly (asynchronous/randomized LPA trades determinism for faster
+    // convergence; the synchronous fixed-round form is the one an oracle
+    // can unroll — the q_kcore adaptive-vs-unrolled argument doesn't
+    // apply because LPA has no monotone fixpoint to hide behind).
+    // Scale shape: per round ONE join of the label table to the
+    // neighbor relation on the node key + one (node, label) hash agg +
+    // one per-node top-1 window sharing the node partitioning; label
+    // tables are node-domain-sized, lineage severed per round by
+    // localCheckpoint (the ConnectedComponents discipline); rounds are
+    // FIXED (4), not data-dependent.
+    "q_label_prop" -> { (s, dir) =>
+      // the SUPPORT-2 backbone: keep pairs co-ordered at least twice —
+      // the market-basket support cut; the raw co-order graph is so
+      // dense (median degree ~115) that LPA collapses it to one giant
+      // community, which is true but uninformative. The backbone keeps
+      // genuine repeat-affinity structure for the labels to find.
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+        .filter(col("st") >= 2)
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = true)
+      var lab = und.select(col("u").as("n")).distinct()
+        .withColumn("lbl", col("n"))
+        .localCheckpoint(eager = true)
+      val wTop = Window.partitionBy(col("u"))
+        .orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 4) {
+        lab = und
+          .join(lab.withColumnRenamed("n", "v"), Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") === 1)
+          .select(col("u").as("n"), col("lbl"))
+          .localCheckpoint(eager = true)
+      }
+      lab.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("n")).as("min_node"))
+        .orderBy(col("n_members").desc, col("community"))
     }
   )
 
@@ -824,8 +929,72 @@ object JoinQueries extends QuerySet {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY sa
         |    ORDER BY cos_micro DESC, sb) AS BIGINT) AS rnk FROM sc)
         |SELECT sa AS suppkey, rnk, sb AS similar_supp, cos_micro
-        |FROM rk WHERE rnk <= 5 ORDER BY suppkey, rnk""".stripMargin
+        |FROM rk WHERE rnk <= 5 ORDER BY suppkey, rnk""".stripMargin,
+
+    // MATERIALIZED matters again (the kcoreSql lesson): zn feeds the
+    // wedge self-join twice and would otherwise inline the whole
+    // basket pair-gen per side
+    "q_link_predict" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.p AS a, b.p AS b, CAST(count(*) AS BIGINT) AS st
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT a AS z, b AS x, st FROM e
+        |  UNION ALL SELECT b AS z, a AS x, st FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d
+        |        FROM und GROUP BY z),
+        |zn AS MATERIALIZED (
+        |  SELECT u.z, u.x, (2000000 + dg.d) // (dg.d * 2) AS c
+        |  FROM (SELECT z, x, row_number() OVER (PARTITION BY z
+        |          ORDER BY st DESC, x) AS rk FROM und) u
+        |  JOIN deg dg ON dg.z = u.z
+        |  WHERE u.rk <= 20),
+        |pairs AS (
+        |  SELECT a.x AS u, b.x AS w, CAST(sum(a.c) AS BIGINT) AS ra_micro,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM zn a JOIN zn b ON a.z = b.z AND a.x < b.x
+        |  GROUP BY 1, 2)
+        |SELECT u AS part_a, w AS part_b, n_common, ra_micro
+        |FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.w)
+        |ORDER BY ra_micro DESC, part_a, part_b LIMIT 50""".stripMargin,
+
+    "q_label_prop" -> labelPropSql
   )
+
+  /** DuckDB LPA oracle: 4 UNROLLED synchronous rounds, generated one
+    * template per round (the kcoreSql discipline — MATERIALIZED is
+    * load-bearing, each round reads its predecessor once per reference).
+    * Mode-with-min-tiebreak via count + row_number, exactly the Spark
+    * window. */
+  private def labelPropSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s""",l$r AS MATERIALIZED (
+         |  SELECT u AS n, lbl FROM (
+         |    SELECT und.u, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY und.u
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM und JOIN l${r - 1} l ON l.n = und.v
+         |    GROUP BY und.u, l.lbl)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString("\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+       |     FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |     GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM und)
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |       min(n) AS min_node
+       |FROM l4 GROUP BY lbl
+       |ORDER BY n_members DESC, community""".stripMargin
+  }
 
   /** DuckDB k-core oracle: 8 UNROLLED peel rounds — strictly more than
     * the measured 6-round fixpoint at both oracle SFs, and rounds past

@@ -160,6 +160,39 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_a"))
     },
 
+    // TRANSPOSITION-AWARE edit distance on the same successor pairs —
+    // the record-linkage refinement of q_text_levenshtein: a native
+    // full Damerau-Levenshtein expression (functions/EditDistance.scala;
+    // Lowrance & Wagner 1975, matching DuckDB's damerau_levenshtein
+    // integer-for-integer) scores next to the plain metric, and
+    // `transpo_gain` = lev − dl surfaces how much of the edit budget was
+    // swapped-adjacent-character noise ("hte"→"the" is ONE keystroke).
+    // Same bounded-candidate discipline: the O(len²) kernel only ever
+    // sees 60-char prefixes of window-generated successor pairs, never
+    // all-pairs; both distances run in ONE whole-stage-codegen projection
+    // over one (source) exchange.
+    "q_text_damerau" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.EditDistanceOps.damerau_levenshtein
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 60).as("tp"),
+          row_number().over(w).as("rn"))
+      val a = d.select(col("doc_id").as("doc_a"), col("source"),
+        col("tp").as("ta"), col("rn"))
+      val b = d.select(col("doc_id").as("doc_b"), col("source"),
+        col("tp").as("tb"), (col("rn") - 1).as("rn"))
+      a.join(b, Seq("source", "rn"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          damerau_levenshtein(col("ta"), col("tb")).as("dl"))
+        .select(col("doc_a"), col("doc_b"), col("lev"), col("dl"),
+          (col("lev") - col("dl")).as("transpo_gain"))
+        .filter(col("dl") <= 40)
+        .orderBy(col("doc_a"))
+    },
+
     // The SAME successor pairs as q_text_levenshtein, restructured for
     // scale. The plain form's window partitions by `source` alone — with
     // a handful of sources, parallelism is capped at the SOURCE COUNT no
@@ -953,6 +986,23 @@ object TextQueries extends QuerySet {
         |       CAST(levenshtein(a.tp, b.tp) AS INT) AS edit_dist
         |FROM d a JOIN d b ON a.source = b.source AND b.rn = a.rn + 1
         |WHERE levenshtein(a.tp, b.tp) <= 40
+        |ORDER BY doc_a""".stripMargin,
+
+    // duck's damerau_levenshtein IS the full Lowrance-Wagner metric the
+    // native expression implements — integer equality, no tolerance
+    "q_text_damerau" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substr(text, 1, 60) AS tp,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.tp, b.tp) AS BIGINT) AS lev,
+        |       CAST(damerau_levenshtein(a.tp, b.tp) AS BIGINT) AS dl,
+        |       CAST(levenshtein(a.tp, b.tp) AS BIGINT)
+        |         - CAST(damerau_levenshtein(a.tp, b.tp) AS BIGINT)
+        |         AS transpo_gain
+        |FROM d a JOIN d b ON a.source = b.source AND b.rn = a.rn + 1
+        |WHERE damerau_levenshtein(a.tp, b.tp) <= 40
         |ORDER BY doc_a""".stripMargin,
 
     // identical semantics to q_text_levenshtein — Spark side differs

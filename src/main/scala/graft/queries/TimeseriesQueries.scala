@@ -1072,6 +1072,60 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_id"))
     },
 
+    // CLASSICAL SEASONAL DECOMPOSITION (the moving-average
+    // trend/seasonal/remainder split — Kendall's "classical
+    // decomposition", the method STL generalizes with loess): per
+    // event_type hourly series, trend = centered 2×24-hour MA (the
+    // standard even-period double average, here as ONE weighted window:
+    // weights 1,2,…,2,1 over ±12 summed exactly then half-up divided by
+    // 48 in micro-cents), seasonal = per hour-of-day mean of the
+    // detrended series re-centered to zero over the 24 hours, remainder
+    // = what's left. ALL-INTEGER after the one cents aggregation — both
+    // engines compute bit-identical rows with no fp anywhere. Edges
+    // without a full ±12 window are trimmed (lag/lead NULL + frame
+    // count), the classical convention. The MA frame is POSITIONAL
+    // (ROWS) by design — this data is gapless per type; gap repair is
+    // q_gapfill's job, composed upstream when needed. Scale shape: one
+    // fact-sized agg to (type × hour) cells, then windows over
+    // catalog-sized series sharing one partitioning; the seasonal
+    // profile (type × 24) broadcasts back — the q_deseasonalize plan.
+    "q_stl_decompose" -> { (s, dir) =>
+      val g = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("hc"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val w23 = wo.rowsBetween(-11, 11)
+      val tr = g
+        .withColumn("s23", sum(col("hc")).over(w23))
+        .withColumn("n23", count(lit(1)).over(w23))
+        .withColumn("lag12", lag(col("hc"), 12).over(wo))
+        .withColumn("lead12", lead(col("hc"), 12).over(wo))
+        .filter(col("lag12").isNotNull && col("lead12").isNotNull &&
+          col("n23") === 23)
+        .withColumn("trend_micro", intDiv(
+          (col("s23") * 2 + col("lag12") + col("lead12")) * 1000000L
+            + lit(24L), lit(48L)))
+        .withColumn("detr_micro",
+          col("hc") * 1000000L - col("trend_micro"))
+        .withColumn("hh", hour(col("hr")).cast("long"))
+      val wType = Window.partitionBy(col("event_type"))
+      val seas = tr.groupBy(col("event_type"), col("hh"))
+        .agg(intDiv(sum(col("detr_micro")) + intDiv(count(lit(1)), lit(2)),
+          count(lit(1))).as("s_raw"))
+        .withColumn("s_mean", intDiv(
+          sum(col("s_raw")).over(wType)
+            + intDiv(count(lit(1)).over(wType), lit(2)),
+          count(lit(1)).over(wType)))
+        .select(col("event_type"), col("hh"),
+          (col("s_raw") - col("s_mean")).as("seasonal_micro"))
+      tr.join(broadcast(seas), Seq("event_type", "hh"))
+        .select(col("event_type"), ntz(col("hr")).as("hr"),
+          col("trend_micro"), col("seasonal_micro"),
+          (col("detr_micro") - col("seasonal_micro"))
+            .as("remainder_micro"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+
     // LTTB-lite visualization downsampling (largest-triangle-three-
     // buckets, Steinarsson 2013) — THE standard TSDB chart decimator:
     // per series, 30-point buckets each keep the one point maximizing
@@ -1389,6 +1443,60 @@ object TimeseriesQueries extends QuerySet {
         .filter(col("rk") === intDiv(col("cnt") + 1, lit(2)))
         .select(col("user_id"), col("cnt").as("n_pairs"),
           col("slope_micro").as("ts_slope_micro"))
+        .orderBy(col("user_id"))
+    },
+
+    // AR(2) AUTOREGRESSIVE FORECAST — the lag-feature member of the
+    // trend family (q_predict_linear regresses on TIME, Theil-Sen on
+    // pairwise slopes; AR regresses the series on ITS OWN PAST — the
+    // Yule-Walker shape, Box & Jenkins): per series, through-origin
+    // least squares of value on its two lags, then a one-step-ahead
+    // forecast from the last two observations. Exactness: lag features
+    // are exact int64 cents from one series window; all five
+    // normal-equation sums are int64 (cents² ≈ 1e10/row — no overflow
+    // at any replica); the 2×2 solve is a FIXED-ORDER double expression
+    // of those exact sums (det, then each coefficient — both engines
+    // evaluate the identical operation sequence on identical bits),
+    // micro-quantized on output. Scale shape: one shuffle on the series
+    // key; the lag window, the tail row_number and the sum agg all
+    // share that partitioning, so the whole operator is one exchange
+    // and series-cardinality output — the §9.11 window-family argument.
+    "q_ar_forecast" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wLast = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val p = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+        .withColumn("x1", lag(col("cv"), 1).over(w))
+        .withColumn("x2", lag(col("cv"), 2).over(w))
+      val sums = p.filter(col("x2").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("cv")).as("sy1"),
+          sum(col("x2") * col("cv")).as("sy2"))
+      val last = p.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("cv").as("lv"), col("x1").as("pv"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      sums
+        .withColumn("det", d(col("s11")) * d(col("s22"))
+          - d(col("s12")) * d(col("s12")))
+        .filter(col("n") >= 3 && col("det") > 0.0)
+        .withColumn("b1", (d(col("s22")) * d(col("sy1"))
+          - d(col("s12")) * d(col("sy2"))) / col("det"))
+        .withColumn("b2", (d(col("s11")) * d(col("sy2"))
+          - d(col("s12")) * d(col("sy1"))) / col("det"))
+        .join(last, Seq("user_id"))
+        .select(col("user_id"), col("n"),
+          micro(col("b1")).as("ar1_micro"),
+          micro(col("b2")).as("ar2_micro"),
+          // one-step forecast in micro-CENTS: b1·y_T + b2·y_{T−1}
+          micro(col("b1") * d(col("lv")) + col("b2") * d(col("pv")))
+            .as("forecast_micro"))
         .orderBy(col("user_id"))
     },
 
@@ -1795,6 +1903,50 @@ object TimeseriesQueries extends QuerySet {
         |SELECT user_id, cnt AS n_pairs, slope_micro AS ts_slope_micro
         |FROM r WHERE rk = (cnt + 1) // 2
         |ORDER BY user_id""".stripMargin,
+
+    // the 2x2 solve mirrors the Spark column order exactly: det first,
+    // then each coefficient as (exact-int doubles) / det
+    "q_ar_forecast" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cv,
+        |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS x1,
+        |    lag(CAST(round(value * 100) AS BIGINT), 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS x2
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * cv) AS BIGINT) AS sy1,
+        |    CAST(sum(x2 * cv) AS BIGINT) AS sy2
+        |  FROM p WHERE x2 IS NOT NULL GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, cv AS lv, x1 AS pv FROM (
+        |    SELECT user_id, cv, x1, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM p) WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id, n, s11, s12, s22, sy1, sy2,
+        |    CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) AS det
+        |  FROM s WHERE n >= 3),
+        |g AS (
+        |  SELECT user_id, n,
+        |    (CAST(s22 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |       - CAST(s12 AS DOUBLE) * CAST(sy2 AS DOUBLE)) / det AS b1,
+        |    (CAST(s11 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |       - CAST(s12 AS DOUBLE) * CAST(sy1 AS DOUBLE)) / det AS b2
+        |  FROM f WHERE det > 0.0)
+        |SELECT g.user_id, g.n,
+        |  CAST(floor(b1 * 1000000.0 + 0.5) AS BIGINT) AS ar1_micro,
+        |  CAST(floor(b2 * 1000000.0 + 0.5) AS BIGINT) AS ar2_micro,
+        |  CAST(floor((b1 * CAST(l.lv AS DOUBLE) + b2 * CAST(l.pv AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS forecast_micro
+        |FROM g JOIN last l ON g.user_id = l.user_id
+        |ORDER BY g.user_id""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
@@ -2425,6 +2577,46 @@ object TimeseriesQueries extends QuerySet {
         |FROM d JOIN p USING (event_type, hh)
         |WHERE abs(d.cents * 10000 - p.mean_micro) > 3 * p.std_micro
         |ORDER BY event_id""".stripMargin,
+
+    // all-integer after the cents agg: the weighted 2x24 MA, the hour-of-
+    // day means and the recentering all mirror Spark's intDiv math
+    "q_stl_decompose" ->
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hc
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, hr),
+        |tr0 AS (
+        |  SELECT event_type, hr, hc,
+        |    CAST(sum(hc) OVER w23 AS BIGINT) AS s23,
+        |    count(*) OVER w23 AS n23,
+        |    lag(hc, 12) OVER wo AS lag12,
+        |    lead(hc, 12) OVER wo AS lead12
+        |  FROM g
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
+        |    w23 AS (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+        |tr AS (
+        |  SELECT event_type, hr, hour(hr) AS hh,
+        |    ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS trend_micro,
+        |    hc * 1000000
+        |      - ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS detr_micro
+        |  FROM tr0
+        |  WHERE lag12 IS NOT NULL AND lead12 IS NOT NULL AND n23 = 23),
+        |se AS (
+        |  SELECT event_type, hh,
+        |    (CAST(sum(detr_micro) AS BIGINT) + count(*) // 2) // count(*)
+        |      AS s_raw
+        |  FROM tr GROUP BY event_type, hh),
+        |sc AS (
+        |  SELECT event_type, hh,
+        |    s_raw - (CAST(sum(s_raw) OVER wt AS BIGINT)
+        |             + (count(*) OVER wt) // 2) // (count(*) OVER wt)
+        |      AS seasonal_micro
+        |  FROM se WINDOW wt AS (PARTITION BY event_type))
+        |SELECT t.event_type, t.hr, t.trend_micro, s.seasonal_micro,
+        |  t.detr_micro - s.seasonal_micro AS remainder_micro
+        |FROM tr t JOIN sc s USING (event_type, hh)
+        |ORDER BY t.event_type, t.hr""".stripMargin,
 
     // exact int64 cross products (µs × cents), floor-average anchors,
     // event_id tiebreak — every selected point identical across engines

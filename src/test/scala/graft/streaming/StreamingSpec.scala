@@ -1630,4 +1630,94 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._2._4.isDefined),
       "vacuity: at least one series must have a determined RSI")
   }
+
+  test("st37: streaming count-min sketch — the complete-mode aggregation " +
+      "state IS the sketch; bucket sums and point estimates equal the " +
+      "batch build over the same keys across micro-batch merges") {
+    import graft.operators.CountMin
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey")).collect().map(_.getLong(0))
+    val batchSketch = CountMin
+      .sketch(li.toSeq.toDF("l_partkey"), "l_partkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val (b1, b2) = li.splitAt(li.length / 2)
+    val in = MemoryStream[Long]
+    val q = CountMin.sketch(in.toDF().toDF("l_partkey"), "l_partkey")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st37").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val online = spark.table("st37").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(online == batchSketch,
+      s"first diff: ${batchSketch.collectFirst {
+        case (k, v) if online.get(k) != Some(v) => (k, v, online.get(k))
+      }}")
+    // estimates from the streamed sketch: one-sided guarantee vs the
+    // true counts, and exact agreement with the batch estimate path
+    val trueCnt = li.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val top = trueCnt.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+    val est = CountMin.estimate(spark.table("st37"),
+        top.map(_._1).toDF("l_partkey"), "l_partkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS underestimated key $k: ${est(k)} < $c")
+    }
+    // vacuity: the sketch genuinely merged across the batch boundary —
+    // some bucket's count exceeds what either half alone contributes
+    assert(b1.nonEmpty && b2.nonEmpty && batchSketch.values.exists(_ > 1))
+  }
+
+  test("st38: streaming AR(2) — nine longs of state per series; the " +
+      "online refit at each series' last event equals batch " +
+      "q_ar_forecast EXACTLY (integer micros, no epsilon) across a " +
+      "micro-batch boundary") {
+    import graft.streaming.{SeriesPoint, StreamingAr}
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_ar_forecast")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val evts = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => SeriesPoint.orderKey(
+        SeriesPoint.Point(t._1, t._2, t._3, t._4)))
+    val lastEvent = evts.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.last._3 }
+    val (b1, b2) = evts.splitAt(evts.length / 2)
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamingAr
+      .fit(in.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st38").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val online = spark.table("st38").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, want) =>
+      val got = online((u, lastEvent(u)))
+      assert(got == want, s"series $u: online $got != batch $want")
+    }
+    // vacuity: some series' normal-equation sums span the boundary
+    assert(b1.map(_._1).toSet.intersect(b2.map(_._1).toSet).nonEmpty,
+      "no series straddles the micro-batch boundary")
+  }
 }

@@ -64,18 +64,23 @@ def type_key(t):
     return str(t)
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sf_dir):
+    """Fresh connection with the table views registered. Replica-scale
+    runs exhaust a SHARED connection: buffer-pool state accumulates
+    across queries until a tiny allocation fails and every later query
+    inherits the OOM (observed at the 10x replica — q_ewma fails in
+    sequence, passes alone). A per-query connection bounds memory at the
+    single heaviest query; view registration is metadata-only."""
+    import os
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    # replica-scale runs: an in-memory duckdb cannot spill without a
-    # temp_directory, so one heavy query OOMs the connection and every
-    # later query inherits the failure (observed at the 10x replica) —
-    # give it a spill dir and a cap below the box's RAM
+    # an in-memory duckdb cannot spill without a temp_directory
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET memory_limit='48GB'")
-    import os
+    # default sized for replica-scale runs; heavy single queries (the
+    # unrolled triangle oracle at 10x spills past the box's free disk at
+    # 48GB) can raise it per-invocation
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("DUCKDB_MEMLIMIT", "48GB"))
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
         # partial dirs (ScaleBench replicas) carry only the tables their
@@ -86,30 +91,47 @@ def main():
                 f"CREATE VIEW {tbl} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        verdict = check_one(sf_dir, out_dir, name, sql)
+        print(verdict)
+        if verdict.startswith("PASS"):
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+def check_one(sf_dir, out_dir, name, sql):
+    """One query, one connection, everything freed on return — replica-
+    scale outputs (1M-row q_ewma) otherwise accumulate arrow buffers +
+    buffer-pool state across queries until allocation fails for every
+    later query (the 10x-replica OOM cascade)."""
+    con = connect(sf_dir)
+    try:
         try:
             got = arrow_table(con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
             exp = arrow_table(con.sql(sql))
         except Exception as e:
-            print(f"FAIL {name}: error: {str(e)[:300]}")
-            n_fail += 1
-            continue
+            return f"FAIL {name}: error: {str(e)[:300]}"
         got_cols = sorted(got.column_names)
         exp_cols = sorted(exp.column_names)
         if got_cols != exp_cols:
-            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
-            n_fail += 1
-            continue
+            return f"FAIL {name}: columns {got_cols} != {exp_cols}"
         if got.num_rows != exp.num_rows:
-            print(f"FAIL {name}: rows {got.num_rows} != {exp.num_rows}")
-            n_fail += 1
-            continue
+            return f"FAIL {name}: rows {got.num_rows} != {exp.num_rows}"
         type_bad = []
         for c in got_cols:
             gt = got.schema.field(c).type
@@ -117,10 +139,7 @@ def main():
             if type_key(gt) != type_key(et):
                 type_bad.append(f"{c}: spark={gt} duck={et}")
         if type_bad:
-            print(f"FAIL {name}: column types differ: {'; '.join(type_bad)}")
-            n_fail += 1
-            continue
-        bad = None
+            return f"FAIL {name}: column types differ: {'; '.join(type_bad)}"
         for c in got_cols:
             fn = canon_fn(got.schema.field(c).type)
             gv = got.column(c).to_pylist()
@@ -128,19 +147,12 @@ def main():
             for i, (g, e) in enumerate(zip(gv, ev)):
                 gc, ec = fn(g), fn(e)
                 if gc != ec:
-                    bad = (i, c, gc, ec)
-                    break
-            if bad:
-                break
-        if bad:
-            i, c, gc, ec = bad
-            print(f"FAIL {name}: row {i} col {c}:\n  spark={gc}\n  duck ={ec}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({got.num_rows} rows)")
-            n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+                    return (f"FAIL {name}: row {i} col {c}:"
+                            f"\n  spark={gc}\n  duck ={ec}")
+            del gv, ev
+        return f"PASS {name} ({got.num_rows} rows)"
+    finally:
+        con.close()
 
 
 if __name__ == "__main__":
