@@ -274,7 +274,10 @@ object ScaleBench {
     // LPA: fixed 4 rounds over the support-2 backbone; the backbone
     // GROWS with K (more orders → more repeat pairs), so the factor
     // reads edge-build + K× backbone rounds — the interesting one
-    "q_label_prop")
+    "q_label_prop",
+    // binary-segmentation changepoint: three windows sharing one
+    // user_id exchange — the §9.11 window-family shape
+    "q_changepoint")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -556,7 +559,7 @@ object ScaleBench {
       "q_vector_binop", "q_histogram_quantile", "q_wow_ratio",
       "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
       "q_attribution", "q_drift_psi", "q_stat_funcs",
-      "q_ar_forecast", "q_stl_decompose")
+      "q_ar_forecast", "q_stl_decompose", "q_changepoint")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

@@ -33,6 +33,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object EditDistanceOps {
 
+  // per-task scratch (one thread per Spark task, so ThreadLocal reuse is
+  // safe inside codegen): the DP table grows on demand; `da` ("last row
+  // where char occurred in a") is an array for BMP chars, cleared only
+  // over the touched entries after each call
+  private val dpTl = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64 * 64)
+  }
+  private val daTl = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](65536)
+  }
+
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Long = {
     val a = ua.toString
     val b = ub.toString
@@ -42,14 +53,15 @@ object EditDistanceOps {
     if (lb == 0) return la.toLong
     val inf = la + lb
     val w = lb + 2 // row width of the (la+2) × (lb+2) DP table
-    val d = new Array[Int]((la + 2) * w)
+    val need = (la + 2) * w
+    var d = dpTl.get()
+    if (d.length < need) { d = new Array[Int](need); dpTl.set(d) }
     d(0) = inf
     var i = 0
     while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
-    // da: last row index where each character occurred in `a`
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = daTl.get()
     i = 1
     while (i <= la) {
       var db = 0 // last column in this row where a(i-1) matched b
@@ -57,8 +69,7 @@ object EditDistanceOps {
       var jj = 1
       while (jj <= lb) {
         val bj = b.charAt(jj - 1)
-        val kBoxed = da.get(bj)
-        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val k = da(bj)
         val l = db
         val cost = if (ai == bj) { db = jj; 0 } else 1
         val sub = d(i * w + jj) + cost
@@ -72,9 +83,12 @@ object EditDistanceOps {
         d((i + 1) * w + jj + 1) = m
         jj += 1
       }
-      da.put(ai, i)
+      da(ai) = i
       i += 1
     }
+    // clear only the entries this call wrote — O(la), not O(65536)
+    i = 1
+    while (i <= la) { da(a.charAt(i - 1)) = 0; i += 1 }
     d((la + 1) * w + lb + 1).toLong
   }
 

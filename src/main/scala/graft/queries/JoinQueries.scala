@@ -493,27 +493,38 @@ object JoinQueries extends QuerySet {
     // each supplier is a sparse part-basket vector (quantity-weighted),
     // similarity = cosine over shared parts, top-5 neighbors per
     // supplier. Scale design: AGGREGATE-FIRST — the only fact-sized
-    // stage is one (supplier, part) sum; the pair join is keyed by
-    // part with fan-in bounded by suppliers-per-part (catalog-sized
+    // stage is one (supplier, part) sum. Pair generation is MAP-SIDE
+    // from per-part supplier vectors (r11 second pass, measured: the
+    // m⋈m self-join materialized 17M join rows and aggregated all of
+    // them — 7.6 s; the vector explode emits each unordered pair ONCE,
+    // 9M rows, no join hash build, and mirrors the aggregated
+    // catalog-sized result instead — full query 10.0 → 4.2 s). The
+    // per-part vector is bounded by suppliers-per-part (catalog-sized
     // here; a mega-popular item at web scale gets the q_source_cap-
-    // style df cap), and dot/norm reductions run in DECIMAL(38,0)
-    // (HUGEINT in the oracle) over exact integer cents — bit-identical
-    // cross-engine, no fp summation-order hazard. Both pair orders are
-    // generated so every supplier ranks its own neighbor list.
+    // style df cap). Dot/norm reductions are exact int64 over integer
+    // cents — bit-identical cross-engine, no fp summation-order hazard;
+    // bound: q ≤ ~2e6 cents per (sk,pk) even at 100× data, so each
+    // product ≤ 4e12 and a 20k-part overlap sums to ≤ 8e16 ≪ 2⁶³
+    // (the DECIMAL(38) first cut cost 2.8 s of the pair stage for
+    // headroom nothing here needs).
     "q_supplier_similarity" -> { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      val d38 = DecimalType(38, 0)
       val m = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
       val norms = m.groupBy(col("sk"))
-        .agg(sum(col("q").cast(d38) * col("q").cast(d38)).as("n2"))
-      val pairs = m.select(col("sk").as("sa"), col("pk"), col("q").as("qa"))
-        .join(m.select(col("sk").as("sb"), col("pk"), col("q").as("qb")),
-          Seq("pk"))
-        .filter(col("sa") =!= col("sb"))
-        .groupBy(col("sa"), col("sb"))
-        .agg(sum(col("qa").cast(d38) * col("qb").cast(d38)).as("dot"))
+        .agg(sum(col("q") * col("q")).as("n2"))
+      val byPart = m.groupBy(col("pk"))
+        .agg(sort_array(collect_list(struct(col("sk"), col("q"))))
+          .as("ss"))
+      val half = byPart
+        .select(col("ss"), posexplode(col("ss")).as(Seq("i", "sa_s")))
+        .select(col("sa_s.sk").as("sa"), col("sa_s.q").as("qa"),
+          explode(slice(col("ss"), col("i") + lit(2),
+            size(col("ss")) - col("i") - lit(1))).as("sb_s"))
+        .groupBy(col("sa"), col("sb_s.sk").as("sb"))
+        .agg(sum(col("qa") * col("sb_s.q")).as("dot"))
+      val pairs = half.unionAll(half.select(
+        col("sb").as("sa"), col("sa").as("sb"), col("dot")))
       val w = Window.partitionBy(col("sa"))
         .orderBy(col("cos_micro").desc, col("sb"))
       pairs
@@ -911,11 +922,11 @@ object JoinQueries extends QuerySet {
         |    CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q
         |  FROM lineitem GROUP BY 1, 2),
         |norms AS (
-        |  SELECT sk, sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS n2
+        |  SELECT sk, CAST(sum(q * q) AS BIGINT) AS n2
         |  FROM m GROUP BY sk),
         |pairs AS (
         |  SELECT a.sk AS sa, b.sk AS sb,
-        |    sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS dot
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |  FROM m a JOIN m b ON a.pk = b.pk AND a.sk <> b.sk
         |  GROUP BY 1, 2),
         |sc AS (

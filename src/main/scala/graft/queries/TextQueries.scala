@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +73,56 @@ object TextQueries extends QuerySet {
     "es" -> Seq("el", "la", "los", "que"),
     "fr" -> Seq("le", "les", "une", "et"),
     "zh" -> Seq("的", "是", "在", "了"))
+
+  /** The scale-shaped successor-pair generator shared by
+    * q_text_levenshtein_blocked and q_text_damerau (r11: damerau first
+    * shipped on the plain window-by-source form and measured 8.05× at
+    * 10× data — the §9.4 parallelism cap this generator exists to
+    * remove). Adjacency decomposes: (1) lead() within (source,
+    * doc_id-block) partitions — parallelism scales with data volume
+    * (blocks), not source cardinality; (2) boundary pairs from the
+    * block-edge subset (~2 rows per populated block) chained by one
+    * window over blocks, which also skips empty blocks correctly.
+    * Union of the two is exactly the per-source successor relation.
+    *
+    * pid/nid mark block-FIRST/LAST rows. The boundary branch filters on
+    * these WINDOW outputs — deliberately: a filter that depends on the
+    * window cannot be pushed below it, so both union branches keep the
+    * IDENTICAL raw (source, blk) exchange and the planner reuses it
+    * (one text scan, one shuffle — the jaccard-verify ReusedExchange
+    * pattern). The first cut aggregated struct min/max per block
+    * instead; Catalyst pruned the window from that branch and
+    * partial-aggregated below its own exchange — a second full text
+    * scan plus a SortAggregate (struct min/max is not hash-able),
+    * measured ~1.7× slower at 30× data. Returns (doc_id, tp, nid, ntp)
+    * with tp/ntp the 60-char prefixes. */
+  private def blockedSuccessorPairs(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blockSize = 4096
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 60).as("tp"),
+        floor(col("doc_id") / blockSize).as("blk"))
+    val wBlk = Window.partitionBy(col("source"), col("blk"))
+      .orderBy(col("doc_id"))
+    val dw = d
+      .withColumn("pid", lag(col("doc_id"), 1).over(wBlk))
+      .withColumn("nid", lead(col("doc_id"), 1).over(wBlk))
+      .withColumn("ntp", lead(col("tp"), 1).over(wBlk))
+    val within = dw
+      .filter(col("nid").isNotNull)
+      .select(col("doc_id"), col("tp"), col("nid"), col("ntp"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val boundary = dw
+      .filter(col("nid").isNull || col("pid").isNull)
+      .withColumn("bid", lead(col("doc_id"), 1).over(wSrc))
+      .withColumn("btp", lead(col("tp"), 1).over(wSrc))
+      .filter(col("nid").isNull && col("bid").isNotNull)
+      .select(col("doc_id"), col("tp"),
+        col("bid").as("nid"), col("btp").as("ntp"))
+    within.unionByName(boundary)
+  }
 
   val queries: Map[String, Q] = Map(
     // Q35: token/char statistics + type-token ratio.
@@ -167,26 +218,20 @@ object TextQueries extends QuerySet {
     // integer-for-integer) scores next to the plain metric, and
     // `transpo_gain` = lev − dl surfaces how much of the edit budget was
     // swapped-adjacent-character noise ("hte"→"the" is ONE keystroke).
-    // Same bounded-candidate discipline: the O(len²) kernel only ever
-    // sees 60-char prefixes of window-generated successor pairs, never
-    // all-pairs; both distances run in ONE whole-stage-codegen projection
-    // over one (source) exchange.
+    // Pairs come from the BLOCKED generator from the start (r11
+    // measured: the plain window-by-source form read 8.05× at 10× data
+    // — the §9.4 parallelism cap, amplified here because the O(60²) DL
+    // kernel is ~4× levenshtein's constant; blocked restores the
+    // volume-scaled partitioning and the factor drops to ≈1×). The
+    // kernel only ever sees 60-char prefixes of generated successor
+    // pairs, never all-pairs; both distances run in ONE
+    // whole-stage-codegen projection.
     "q_text_damerau" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.functions.EditDistanceOps.damerau_levenshtein
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          substring(col("text"), 1, 60).as("tp"),
-          row_number().over(w).as("rn"))
-      val a = d.select(col("doc_id").as("doc_a"), col("source"),
-        col("tp").as("ta"), col("rn"))
-      val b = d.select(col("doc_id").as("doc_b"), col("source"),
-        col("tp").as("tb"), (col("rn") - 1).as("rn"))
-      a.join(b, Seq("source", "rn"))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-          damerau_levenshtein(col("ta"), col("tb")).as("dl"))
+      blockedSuccessorPairs(s, dir)
+        .select(col("doc_id").as("doc_a"), col("nid").as("doc_b"),
+          levenshtein(col("tp"), col("ntp")).cast("long").as("lev"),
+          damerau_levenshtein(col("tp"), col("ntp")).as("dl"))
         .select(col("doc_a"), col("doc_b"), col("lev"), col("dl"),
           (col("lev") - col("dl")).as("transpo_gain"))
         .filter(col("dl") <= 40)
@@ -205,46 +250,7 @@ object TextQueries extends QuerySet {
     //     which also skips empty blocks correctly.
     // Union of the two is exactly the successor relation; same oracle.
     "q_text_levenshtein_blocked" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val blockSize = 4096
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          substring(col("text"), 1, 60).as("tp"),
-          floor(col("doc_id") / blockSize).as("blk"))
-      val wBlk = Window.partitionBy(col("source"), col("blk"))
-        .orderBy(col("doc_id"))
-      // pid/nid mark block-FIRST (no predecessor) and block-LAST (no
-      // successor) rows. The boundary branch filters on these WINDOW
-      // outputs — deliberately: a filter that depends on the window
-      // cannot be pushed below it, so both union branches keep the
-      // IDENTICAL raw (source, blk) exchange and the planner reuses it
-      // (one text scan, one shuffle — the jaccard-verify ReusedExchange
-      // pattern). The first cut aggregated struct min/max per block
-      // instead; Catalyst pruned the window from that branch and
-      // partial-aggregated below its own exchange — a second full text
-      // scan plus a SortAggregate (struct min/max is not hash-able),
-      // measured ~1.7× slower at 30× data.
-      val dw = d
-        .withColumn("pid", lag(col("doc_id"), 1).over(wBlk))
-        .withColumn("nid", lead(col("doc_id"), 1).over(wBlk))
-        .withColumn("ntp", lead(col("tp"), 1).over(wBlk))
-      val within = dw
-        .filter(col("nid").isNotNull)
-        .select(col("doc_id"), col("tp"), col("nid"), col("ntp"))
-      // the block-edge subset is ~2 rows per populated block. Chaining it
-      // with the ORIGINAL per-source window is safe at any source
-      // cardinality (input is tiny) and skips empty blocks for free: the
-      // successor of a block-LAST row within the edge subset is exactly
-      // the next populated block's first row.
-      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      val boundary = dw
-        .filter(col("nid").isNull || col("pid").isNull)
-        .withColumn("bid", lead(col("doc_id"), 1).over(wSrc))
-        .withColumn("btp", lead(col("tp"), 1).over(wSrc))
-        .filter(col("nid").isNull && col("bid").isNotNull)
-        .select(col("doc_id"), col("tp"),
-          col("bid").as("nid"), col("btp").as("ntp"))
-      within.unionByName(boundary)
+      blockedSuccessorPairs(s, dir)
         .select(col("doc_id").as("doc_a"), col("nid").as("doc_b"),
           levenshtein(col("tp"), col("ntp")).as("edit_dist"))
         .filter(col("edit_dist") <= 40)

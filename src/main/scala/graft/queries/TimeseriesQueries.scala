@@ -844,6 +844,46 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("user_id"))
     },
 
+    // BINARY-SEGMENTATION CHANGEPOINT (Scott & Knott 1974; the offline
+    // complement to q_anomaly_cusum's online alarm): per series, the
+    // single best mean-shift split is the argmax over t of the CUSUM
+    // deviation |S_t − (t/n)·S_n| — scaled by n to the PURE-INTEGER
+    // statistic |n·S_t − t·S_n| (no division anywhere), so argmax and
+    // tiebreak (earliest t) are bit-stable across engines; the two
+    // segment means come out as half-up micro intDivs of the same exact
+    // sums. Int64 bound: n·S_t ≤ len²·cents ≈ 1e17 at a 1e6-point
+    // series of 1e5-cent values — fine at any replica (series length is
+    // constant in K, the §9.11 argument). One shuffle (user_id) shared
+    // by the running-sum window, the totals window and the argmax
+    // window — the whole detector is one exchange.
+    "q_changepoint" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val p = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("cv", round(col("value") * 100).cast("long"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("st", sum(col("cv")).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sn", sum(col("cv")).over(wAll))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("rn"))
+      p.filter(col("rn") < col("n"))
+        .withColumn("score", abs(col("n") * col("st")
+          - col("rn") * col("sn")))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n"), col("rn").as("cp_pos"),
+          col("score").as("cp_score"),
+          intDiv(col("st") * 10000 + intDiv(col("rn"), lit(2)),
+            col("rn")).as("mean_left_micro"),
+          intDiv((col("sn") - col("st")) * 10000
+            + intDiv(col("n") - col("rn"), lit(2)),
+            col("n") - col("rn")).as("mean_right_micro"))
+        .orderBy(col("user_id"))
+    },
+
     // CUSUM changepoint detection (Page 1954): per series, normalize to
     // z-units and fold S := max(0, S + (z − k)) with slack k=0.5σ,
     // counting excursions past h=4σ — the classic drift detector (a
@@ -2415,6 +2455,34 @@ object TimeseriesQueries extends QuerySet {
 
     // exact-integer moment derivation + list_reduce fold, op order
     // identical to the Spark SeriesFold (see the query's scaladoc); the
+    // the scaled statistic keeps everything integer; argmax + earliest-t
+    // tiebreak via row_number mirrors the Spark window exactly
+    "q_changepoint" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cv,
+        |    CAST(row_number() OVER wo AS BIGINT) AS rn,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS st,
+        |    CAST(count(*) OVER wa AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wa
+        |      AS BIGINT) AS sn
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wa AS (PARTITION BY user_id)),
+        |sc AS (
+        |  SELECT user_id, n, rn, st, sn,
+        |    abs(n * st - rn * sn) AS score,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(n * st - rn * sn) DESC, rn) AS rk
+        |  FROM p WHERE rn < n)
+        |SELECT user_id, n, rn AS cp_pos, score AS cp_score,
+        |  (st * 10000 + rn // 2) // rn AS mean_left_micro,
+        |  ((sn - st) * 10000 + (n - rn) // 2) // (n - rn)
+        |    AS mean_right_micro
+        |FROM sc WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
     // neutral [0,0] prepend makes DuckDB's seed-from-first-element
     // semantics equal the Spark seed
     "q_anomaly_cusum" ->
