@@ -38,6 +38,9 @@ object ScaleBench {
 
   /** The heaviest BENCH_r06 queries that read documents/events. */
   val heavy: Seq[String] = Seq(
+    // round-11: cluster-size rollup — the components subtree + two
+    // catalog-sized aggs, factor should track q_dedup_components
+    "q_dedup_cluster_stats",
     "q_dedup_components", "q_dedup_apply", "q_dedup_jaccard_verify",
     "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_boilerplate",
     "q_dedup_substring", "bpe_train",

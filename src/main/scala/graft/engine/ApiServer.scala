@@ -660,6 +660,84 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // GET /changepoint/<series>?name=<field>[&from=<day>&to=<day>] —
+    // level-shift detection serving (Engine.changepoint, the
+    // q_changepoint math): WHEN did the metric's mean shift, the split
+    // timestamp + the pure-integer CUSUM-deviation score + both segment
+    // means. Driver-sized answer → plain respond.
+    http.createContext("/changepoint/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/changepoint/"))
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else if (!p.contains("name"))
+          respond(ex, 400, """{"error":"name parameter required"}""")
+        else if (p.get("from").exists(!_.matches(day)) ||
+            p.get("to").exists(!_.matches(day)))
+          respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
+        else {
+          val (n, cp) = engine.changepoint(series, p("name"),
+            p.get("from"), p.get("to"))
+          val body = cp match {
+            case Some((us, score, ml, mr)) =>
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""n":$n,"determined":true,"changepoint_us":$us,""" +
+                s""""score":$score,"mean_left_micro":$ml,""" +
+                s""""mean_right_micro":$mr}"""
+            case None =>
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""n":$n,"determined":false}"""
+          }
+          respond(ex, 200, body)
+        }
+      }
+    })
+
+    // GET /correlate/<series>?name=<field>[&from=&to=&k=5] — correlation
+    // search (Engine.correlate): which series' hourly means co-move with
+    // this one (Pearson r over common hours, top-k by |r|) — the triage
+    // question "what else changed when this metric did". Driver-sized
+    // answer → plain respond.
+    http.createContext("/correlate/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/correlate/"))
+        val p = queryParams(ex)
+        val day = """\d{4}-\d{2}-\d{2}"""
+        val k = Try(p.getOrElse("k", "5").toInt)
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else if (!p.contains("name"))
+          respond(ex, 400, """{"error":"name parameter required"}""")
+        else if (p.get("from").exists(!_.matches(day)) ||
+            p.get("to").exists(!_.matches(day)))
+          respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
+        else if (k.isFailure || k.get < 1 || k.get > 100)
+          respond(ex, 400, """{"error":"k must be an int in [1,100]"}""")
+        else {
+          val rows = engine.correlate(series, p("name"),
+            p.get("from"), p.get("to"), k.get)
+          val body = rows.map { case (sname, r, nh) =>
+            s"""{"series":${quote(sname)},"r":$r,"n_hours":$nh}"""
+          }
+          respond(ex, 200,
+            s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+              s""""correlated":${jsonArray(body)}}""")
+        }
+      }
+    })
+
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {

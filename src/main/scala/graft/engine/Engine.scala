@@ -535,6 +535,86 @@ class Engine(val spark: SparkSession, warehouse: String)
     } finally pts.unpersist()
   }
 
+  /** Binary-segmentation changepoint of one field of one series over an
+    * optional inclusive day range — the serving form of q_changepoint
+    * (Scott & Knott 1974; the offline answer to "WHEN did this metric's
+    * level shift", next to /trend's "where is it heading"): argmax over
+    * t of the pure-integer scaled CUSUM deviation |n·S_t − t·S_n|,
+    * earliest-t tiebreak, segment means as half-up micro intDivs of the
+    * same exact cent sums — all identical to the oracle-gated query.
+    * The windows run UNPARTITIONED by design: this is single-series
+    * serving over a statically-pruned (series, day) slice (driver-sized
+    * answer); the fleet-wide per-series form is q_changepoint itself.
+    * Returns (n, Some(cp_us, score, mean_left_micro, mean_right_micro));
+    * None when undetermined (n < 2). */
+  def changepoint(series: String, name: String, fromDay: Option[String],
+      toDay: Option[String]): (Long, Option[(Long, Long, Long, Long)]) = {
+    if (!exists) return (0L, None)
+    import org.apache.spark.sql.expressions.Window
+    val b0 = table().filter(col("series") === series &&
+      col("name") === name && col("value").isNotNull)
+    val b1 = fromDay.map(f => b0.filter(col("day") >= f)).getOrElse(b0)
+    val pts = toDay.map(t => b1.filter(col("day") <= t)).getOrElse(b1)
+      .select(unix_micros(col("time")).as("us"), col("id"),
+        round(col("value") * 100).cast("long").as("cv"))
+    val wOrd = Window.orderBy(col("us"), col("id"))
+    val wAll = Window.partitionBy()
+    val best = pts
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("st", sum(col("cv")).over(wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("cv")).over(wAll))
+      .filter(col("rn") < col("n"))
+      .withColumn("score", abs(col("n") * col("st")
+        - col("rn") * col("sn")))
+      .orderBy(col("score").desc, col("rn")).limit(1)
+      .head(1)
+    best.headOption match {
+      case None => (pts.count(), None)
+      case Some(r) =>
+        val (us, rn, st, n, sn, score) = (r.getAs[Long]("us"),
+          r.getAs[Long]("rn"), r.getAs[Long]("st"), r.getAs[Long]("n"),
+          r.getAs[Long]("sn"), r.getAs[Long]("score"))
+        (n, Some((us, score,
+          (st * 10000 + rn / 2) / rn,
+          ((sn - st) * 10000 + (n - rn) / 2) / (n - rn))))
+    }
+  }
+
+  /** "Which series co-move with this one" — correlation search over the
+    * TSDB (the Netflix-Atlas/outlier-triage feature): Pearson r between
+    * the target's hourly mean of `name` and every other series' hourly
+    * mean of the same field over an optional day range, top-k by |r|
+    * (series-name tiebreak), requiring ≥ 3 common hours so r is
+    * defined. Shape: one fact-sized (series, hour) agg (map-side
+    * combinable), the target's hour vector is range-bounded →
+    * broadcast, the per-series corr is one hash agg — no pairwise
+    * series×series work anywhere (the probe is ONE series; the
+    * all-pairs form is a batch job, not a serving call). Serving
+    * readout (no DuckDB twin): r is double, rounded to 6. */
+  def correlate(series: String, name: String, fromDay: Option[String],
+      toDay: Option[String], k: Int = 5): Seq[(String, Double, Long)] = {
+    if (!exists) return Seq.empty
+    val b0 = table().filter(col("name") === name && col("value").isNotNull)
+    val b1 = fromDay.map(f => b0.filter(col("day") >= f)).getOrElse(b0)
+    val hourly = toDay.map(t => b1.filter(col("day") <= t)).getOrElse(b1)
+      .groupBy(col("series"), date_trunc("hour", col("time")).as("hr"))
+      .agg(avg(col("value")).as("v"))
+    val tgt = hourly.filter(col("series") === series)
+      .select(col("hr"), col("v").as("tv"))
+    hourly.filter(col("series") =!= series)
+      .join(broadcast(tgt), Seq("hr"))
+      .groupBy(col("series"))
+      .agg(corr(col("v"), col("tv")).as("r"), count(lit(1)).as("nh"))
+      .filter(col("nh") >= 3 && col("r").isNotNull)
+      .orderBy(abs(col("r")).desc, col("series"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getString(0),
+        math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2))).toSeq
+  }
+
   // ------------------------------------------------------------ tag index
 
   private def tagIndexPath = s"$warehouse/tag_index"

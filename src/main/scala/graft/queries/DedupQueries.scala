@@ -367,6 +367,38 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // DUP-CLUSTER OBSERVABILITY — the rollup every production dedup run
+    // reports before anyone approves the deletion: the cluster-SIZE
+    // distribution of the near-dup components (how many pairs vs
+    // 50-member pile-ups — a sudden large-cluster mode means boilerplate
+    // or a crawler loop, not genuine duplication) plus the dup-excess
+    // column (docs the keep-one policy would remove). Sizes cover
+    // clusters of ≥ 2 members by construction — singletons aren't
+    // duplicates and never enter the pair relation. Shape: everything
+    // corpus-sized is the candidate/verify subtree shared with
+    // q_dedup_components; the stats are two catalog-sized hash aggs on
+    // top of the CC output.
+    "q_dedup_cluster_stats" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val pairs = candidates(s, dir)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("ni"))
+        .filter(micro(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents.run(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("dup_excess"))
+        .orderBy(col("cluster_size"))
+    },
+
     // QUALITY-AWARE cluster representative: q_dedup_components picks the
     // survivor by min doc_id; a real curation pipeline keeps the BEST
     // member of each near-dup cluster — the shared quality score
@@ -1221,6 +1253,39 @@ object DedupQueries extends QuerySet {
          |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s)
          |SELECT s AS doc_id, CAST(LEAST(s, min(d)) AS BIGINT) AS component
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    // the q_dedup_components pipeline verbatim + two rollup aggs
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $sigSql,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.doc_a
+         |  JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE CAST(floor(CAST(ni AS DOUBLE) / CAST(za.n + zb.n - ni AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) >= 500000),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM sym
+         |  UNION
+         |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+         |comp AS (
+         |  SELECT s AS doc_id, LEAST(s, min(d)) AS component
+         |  FROM reach GROUP BY s),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_excess
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $sigSql,

@@ -430,6 +430,78 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /changepoint serves the binary-segmentation split with " +
+      "hand-derived values and fail-closed validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-changepoint"))
+    // level shift 1.0 → 5.0 after the third point: cents 100,100,100,
+    // 500,500; scores |5·S_t − t·1300| = 800,1600,2400,1200 → split at
+    // t=3 with score 2400, means 100 / 500 cents
+    val base = 1700000000000000000L
+    engine.ingestLines(Seq(
+      s"cp,host=a v=1.0 $base",
+      s"cp,host=a v=1.0 ${base + 10000000000L}",
+      s"cp,host=a v=1.0 ${base + 20000000000L}",
+      s"cp,host=a v=5.0 ${base + 30000000000L}",
+      s"cp,host=a v=5.0 ${base + 40000000000L}",
+      // a single-point field: no valid split → determined:false
+      s"cp,host=a lone=7.0 $base"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(s"$url/changepoint/cp?name=v")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"n\":5") && b1.contains("\"determined\":true") &&
+        b1.contains(s""""changepoint_us":${base / 1000 + 20000000L}""") &&
+        b1.contains("\"score\":2400") &&
+        b1.contains("\"mean_left_micro\":1000000") &&
+        b1.contains("\"mean_right_micro\":5000000"), b1)
+      val (c2, b2) = call(s"$url/changepoint/cp?name=lone")
+      assert(c2 == 200 && b2.contains("\"determined\":false"), s"$c2 $b2")
+      // validation fails closed
+      assert(call(s"$url/changepoint/cp?name=v&from=14-11-2023")._1 == 400)
+      assert(call(s"$url/changepoint/cp")._1 == 400)
+      assert(call(s"$url/changepoint/nope?name=v")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("GET /correlate finds co-moving series with hand-derived r and " +
+      "fail-closed validation") {
+    val engine = new Engine(spark, tmpDir("graft-api-correlate"))
+    val h = 3600000000000L // one hour in ns
+    val base = 1700000000000000000L
+    // cpu rises 1,2,3 across three hours; load doubles it (r = +1);
+    // inv mirrors it (r = −1); blip has only 2 common hours → dropped
+    engine.ingestLines(Seq(
+      s"cpu,host=a v=1.0 $base",
+      s"cpu,host=a v=2.0 ${base + h}",
+      s"cpu,host=a v=3.0 ${base + 2 * h}",
+      s"load,host=a v=2.0 $base",
+      s"load,host=a v=4.0 ${base + h}",
+      s"load,host=a v=6.0 ${base + 2 * h}",
+      s"inv,host=a v=3.0 $base",
+      s"inv,host=a v=2.0 ${base + h}",
+      s"inv,host=a v=1.0 ${base + 2 * h}",
+      s"blip,host=a v=9.0 $base",
+      s"blip,host=a v=1.0 ${base + h}"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = call(s"$url/correlate/cpu?name=v")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""series":"load","r":1.0,"n_hours":3""") &&
+        b1.contains(""""series":"inv","r":-1.0,"n_hours":3"""), b1)
+      assert(!b1.contains("blip"), b1) // < 3 common hours
+      // k caps the list
+      val (c2, b2) = call(s"$url/correlate/cpu?name=v&k=1")
+      assert(c2 == 200 && b2.contains("inv") && !b2.contains("load"),
+        s"$c2 $b2") // |r| tie → series-name tiebreak
+      // validation fails closed
+      assert(call(s"$url/correlate/cpu?name=v&k=0")._1 == 400)
+      assert(call(s"$url/correlate/cpu")._1 == 400)
+      assert(call(s"$url/correlate/nope?name=v")._1 == 404)
+    } finally api.stop()
+  }
+
   test("GET /overlap serves sketch set-algebra between two series with " +
       "fail-closed validation") {
     val engine = new Engine(spark, tmpDir("graft-api-overlap"))
