@@ -166,11 +166,12 @@ object IngestBench {
             case "ols" => graft.streaming.StreamingOls.fit(df).toDF()
             case "changes" =>
               graft.streaming.StreamingChanges.counters(df).toDF()
+            case "ar" => graft.streaming.StreamingAr.fit(df).toDF()
           }
           drive(op, k, in, ds, numRows(k))
         }
       val all = Seq("ewma", "holt_winters", "welford", "cusum", "rate",
-        "state_runs", "ols", "changes", "kappa")
+        "state_runs", "ols", "changes", "kappa", "ar")
       val ops = sys.env.get("SPARK_GRAFT_STATE_OPS")
         .map(_.split(",").map(_.trim).toSeq).getOrElse(all)
       // fail loudly BEFORE measuring: a typo'd name would otherwise
