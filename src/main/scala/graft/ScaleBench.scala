@@ -280,7 +280,11 @@ object ScaleBench {
     "q_label_prop",
     // binary-segmentation changepoint: three windows sharing one
     // user_id exchange — the §9.11 window-family shape
-    "q_changepoint")
+    "q_changepoint",
+    // association rules: distinct projection + basket pair-gen +
+    // broadcast supports; the support-2 pair table grows with K (same
+    // backbone as q_label_prop) but the rank input is pruned first
+    "q_basket_rules")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -576,7 +580,7 @@ object ScaleBench {
       "q18b_percentile_sorted", "q_skyline", "q_skyline_grid",
       "q_triangle_count", "q_unpivot", "q_kcore",
       "q_supplier_similarity", "q_cms_heavy_hitters",
-      "q_link_predict", "q_label_prop").contains)
+      "q_link_predict", "q_label_prop", "q_basket_rules").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

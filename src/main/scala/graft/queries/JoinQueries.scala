@@ -594,6 +594,54 @@ object JoinQueries extends QuerySet {
         .orderBy(col("ra_micro").desc, col("part_a"), col("part_b"))
     },
 
+    // ASSOCIATION RULES — support / confidence / lift for co-ordered
+    // part pairs (the market-basket classic, Agrawal & Srikant 1994;
+    // what the recommender family's cosine doesn't say: is the pair
+    // co-occurrence MORE than chance). ALL-INTEGER: supports are exact
+    // counts, confidence = half-up micro ratio of two int64 counts,
+    // lift = (s_ab·N)/(s_a·s_b) as one half-up micro integer division —
+    // bounds: 2·s_ab·N·1e6 ≤ ~3e17 at the 30× replica, inside int64.
+    // Scale shape: one distinct (order, part) projection, one
+    // order-bounded basket pair-gen (the q_triangle_count argument),
+    // item supports broadcast back (catalog-sized), support floor ≥ 2
+    // (the q_label_prop backbone cut — singleton co-occurrence is not
+    // evidence of association) prunes the pair tail before the top-50
+    // rank.
+    "q_basket_rules" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = op.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val sa = op.groupBy(col("p")).agg(count(lit(1)).as("s"))
+      val pairs = op
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 2)
+      pairs
+        .join(broadcast(sa.select(col("p").as("a"), col("s").as("s_a"))),
+          Seq("a"))
+        .join(broadcast(sa.select(col("p").as("b"), col("s").as("s_b"))),
+          Seq("b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("s_ab"), col("s_a"), col("s_b"),
+          // confidence a→b = s_ab/s_a, half-up micro in pure int64
+          intDiv(col("s_ab") * 1000000L + intDiv(col("s_a"), lit(2)),
+            col("s_a")).as("conf_micro"),
+          // lift = s_ab·N / (s_a·s_b), half-up micro in pure int64
+          intDiv(col("s_ab") * col("n_orders") * 2000000L
+            + col("s_a") * col("s_b"),
+            col("s_a") * col("s_b") * 2).as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+        .limit(50)
+        .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+    },
+
     // COMMUNITY DETECTION — synchronous label propagation (Raghavan et
     // al. 2007), the sixth graph-family member (CC = reachability,
     // PageRank = centrality, triangles = local density, k-core = global
@@ -973,7 +1021,29 @@ object JoinQueries extends QuerySet {
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.w)
         |ORDER BY ra_micro DESC, part_a, part_b LIMIT 50""".stripMargin,
 
-    "q_label_prop" -> labelPropSql
+    "q_label_prop" -> labelPropSql,
+
+    // supports exact, confidence/lift mirrored as the same half-up
+    // int64 micro divisions
+    "q_basket_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |sa AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM op GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa AS part_a, pb AS part_b, s_ab,
+        |  za.s AS s_a, zb.s AS s_b,
+        |  (s_ab * 1000000 + za.s // 2) // za.s AS conf_micro,
+        |  (s_ab * n.n_orders * 2000000 + za.s * zb.s)
+        |    // (za.s * zb.s * 2) AS lift_micro
+        |FROM pairs
+        |JOIN sa za ON za.p = pa
+        |JOIN sa zb ON zb.p = pb
+        |CROSS JOIN n
+        |ORDER BY lift_micro DESC, part_a, part_b LIMIT 50""".stripMargin
   )
 
   /** DuckDB LPA oracle: 4 UNROLLED synchronous rounds, generated one
