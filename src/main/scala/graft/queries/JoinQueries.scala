@@ -611,8 +611,11 @@ object JoinQueries extends QuerySet {
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val nOrders = op.select(col("o")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
+      // ONE driver-sized scalar (the Bloom-build collect policy): the
+      // order count folds into the lift arithmetic as a literal — a
+      // 1-row crossJoin would plan as BroadcastNestedLoopJoin and trip
+      // the no-cartesian plan gate for a join that carries one number
+      val nOrders = op.select(col("o")).distinct().count()
       val sa = op.groupBy(col("p")).agg(count(lit(1)).as("s"))
       val pairs = op
         .groupBy(col("o"))
@@ -627,14 +630,13 @@ object JoinQueries extends QuerySet {
           Seq("a"))
         .join(broadcast(sa.select(col("p").as("b"), col("s").as("s_b"))),
           Seq("b"))
-        .crossJoin(broadcast(nOrders))
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("s_ab"), col("s_a"), col("s_b"),
           // confidence a→b = s_ab/s_a, half-up micro in pure int64
           intDiv(col("s_ab") * 1000000L + intDiv(col("s_a"), lit(2)),
             col("s_a")).as("conf_micro"),
           // lift = s_ab·N / (s_a·s_b), half-up micro in pure int64
-          intDiv(col("s_ab") * col("n_orders") * 2000000L
+          intDiv(col("s_ab") * lit(nOrders) * 2000000L
             + col("s_a") * col("s_b"),
             col("s_a") * col("s_b") * 2).as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
