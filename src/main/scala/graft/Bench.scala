@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (BASELINE.md): TWO full passes over the suite (minutes
   * apart by construction), each timing the median of 3 warm runs per
-  * query after one untimed JVM/codegen warm-up; reported per-query time
-  * is the MIN of the two pass-medians (the shared box shows sustained
-  * multi-second contention windows that defeat any single-window
-  * estimator); `value` is the sum over queries.
+  * query after one untimed JVM/codegen warm-up, plus a THIRD pass for
+  * any query whose two pass-medians disagree by > 1 s (both samples
+  * plausibly contended); reported per-query time is the MIN of the
+  * pass-medians (the shared box shows sustained multi-second contention
+  * windows that defeat any single-window estimator); `value` is the sum
+  * over queries; `spread` is per-query 2nd-best − best.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,16 +66,41 @@ object Bench {
     // unchanged — BASELINE.md variance notes), which defeat any estimator
     // whose samples all land inside one window. So: TWO full passes over
     // the suite — minutes apart by construction, decorrelating each query
-    // from any single window — reporting per query the MIN of the two
+    // from any single window — reporting per query the MIN of the
     // pass-medians (each itself a median of 3 warm runs; a clean-window
     // median is the query's cost, a dirty-window one is the neighbor's).
+    // SELF-POLICING (r11 verdict item 1): any query whose two pass
+    // medians disagree by > 1 s gets a THIRD pass at the end — both its
+    // samples plausibly landed in distinct contention windows, and a
+    // reported min with multi-second spread is exactly the reading that
+    // polluted the r11 round-over-round diff. The emitted spread is
+    // (2nd-best − best) over however many passes the query got, so
+    // spread > ~1 s in the output now means three separated windows all
+    // disagreed — a genuinely unquiet box, not an unlucky pair.
     val p1 = pass().toMap
     val p2 = pass().toMap
+    val retry: Set[String] = p1.keys.filter { k =>
+      (p1(k), p2(k)) match {
+        case (Some(a), Some(b)) => math.abs(a - b) > 1.0
+        case _ => true // a pass failed: one more attempt before reporting
+      }
+    }.toSet
+    val p3: Map[String, Option[Double]] =
+      if (retry.isEmpty) Map.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => retry.contains(n) }
+        .map { case (name, fn) =>
+          val ts = (1 to runs).flatMap { _ =>
+            try Some(time(run(fn(spark, sfDir))))
+            catch { case _: Throwable => None }
+          }.sorted
+          name -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
+        }.toMap
+    val samples: Map[String, Seq[Double]] = p1.keys.map { k =>
+      k -> Seq(p1.get(k), p2.get(k), p3.get(k)).flatten.flatten.sorted
+    }.toMap
     val results = p1.keys.toSeq.sorted.map { name =>
-      name -> ((p1(name), p2(name)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b) => a.orElse(b)
-      })
+      name -> samples(name).headOption
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
@@ -83,13 +110,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Per-query pass separation |p1 − p2|: a clean read has spread ≈ 0;
-    // a multi-second spread marks a contention-window sample, making a
-    // contended reading machine-detectable in round-over-round diffs
-    // (the q_rate_counter / q_embed_project ambiguity of r8–r10).
+    // Per-query pass separation (2nd-best − best over all passes the
+    // query got, including the spread-triggered third): a clean read has
+    // spread ≈ 0; a multi-second spread marks a contention-window
+    // sample, making a contended reading machine-detectable in
+    // round-over-round diffs (the q_rate_counter / q_embed_project
+    // ambiguity of r8–r10; the third pass added after r11's pollution).
     val spread = ok.map { case (k, _) =>
-      "\"" + k + "\":" + ((p1(k), p2(k)) match {
-        case (Some(a), Some(b)) => fmt(math.abs(a - b))
+      "\"" + k + "\":" + (samples(k) match {
+        case s if s.length >= 2 => fmt(s(1) - s.head)
         case _ => fmt(0.0)
       })
     }.mkString("{", ",", "}")

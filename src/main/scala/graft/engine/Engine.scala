@@ -540,8 +540,15 @@ class Engine(val spark: SparkSession, warehouse: String)
     * (Scott & Knott 1974; the offline answer to "WHEN did this metric's
     * level shift", next to /trend's "where is it heading"): argmax over
     * t of the pure-integer scaled CUSUM deviation |n·S_t − t·S_n|,
-    * earliest-t tiebreak, segment means as half-up micro intDivs of the
-    * same exact cent sums — all identical to the oracle-gated query.
+    * earliest-t tiebreak, segment means as micro intDivs of the same
+    * exact cent sums — all identical to the oracle-gated query.
+    * Rounding semantics of the segment means: JVM `/` TRUNCATES toward
+    * zero, so (st·10000 + rn/2)/rn is half-up for non-negative segment
+    * sums and half-DOWN-in-magnitude for negative ones (a negative
+    * cents sum truncates toward zero) — the same arithmetic
+    * q_changepoint's oracle twin computes (DuckDB `//` on the same
+    * integers), so the engines agree bit-for-bit either way; stated
+    * here because "half-up" is only literally true for st ≥ 0.
     * The windows run UNPARTITIONED by design: this is single-series
     * serving over a statically-pruned (series, day) slice (driver-sized
     * answer); the fleet-wide per-series form is q_changepoint itself.

@@ -66,11 +66,47 @@ class SignatureStore(spark: SparkSession, val path: String) {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** WRITER mutual exclusion: refresh's check-then-append and drop's
+    * swap are not atomic on their own — two concurrent refreshes over
+    * the same store dir could both see it without a doc_id and
+    * double-append it, and duplicate doc_id rows silently fan out every
+    * downstream signature join (q_dedup_cross's verify join would count
+    * matches once per duplicate). An exclusive create of a `.lock`
+    * sibling serializes mutators (atomic create on HDFS; close-enough
+    * check-and-create on the local FS — the store's two mutation sites
+    * both go through here, which is the race that actually exists);
+    * readers stay lock-free. A lock older than 10 min is presumed
+    * abandoned (writer killed mid-hold) and broken. */
+  private def withWriteLock[T](body: => T): T = {
+    val lock = new Path(path + ".lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch {
+        case _: java.io.IOException =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > 600000L
+            catch { case _: java.io.IOException => false }
+          if (stale) { fs.delete(lock, false); () }
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"signature store write-lock timeout: $lock")
+          else Thread.sleep(100)
+      }
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
+
   /** Append signatures for every doc in `docs` NOT already stored
     * (by doc_id). Returns the number of documents signed. The anti-join
     * prunes to the store's doc_id column (ReadSchema: one long per
-    * stored doc); shingling runs on the new rows only. */
-  def refresh(docs: DataFrame): Long = {
+    * stored doc); shingling runs on the new rows only. Serialized
+    * against concurrent mutators by [[withWriteLock]] so the
+    * see-stale-then-append sequence can never double-sign a doc_id. */
+  def refresh(docs: DataFrame): Long = withWriteLock {
     val unseen = docs.select(col("doc_id"), col("text"))
       .join(load().select(col("doc_id")), Seq("doc_id"), "left_anti")
     val sigs = SignatureStore.signatures(unseen).persist()
@@ -85,23 +121,29 @@ class SignatureStore(spark: SparkSession, val path: String) {
   /** Retention: remove stored signatures matching `pred` (e.g. a
     * deleted-document sweep). Rewrites the survivors through a staging
     * dir and renames — symmetric with refresh: a dropped doc re-signs on
-    * the next refresh that sees it. Returns the number dropped. */
-  def drop(pred: org.apache.spark.sql.Column): Long = {
-    if (!exists) return 0L
-    val cur = load().persist()
-    try {
-      val total = cur.count()
-      val keep = cur.filter(!pred)
-      val kept = keep.count()
-      if (kept < total) {
-        val staging = new Path(path + ".staging")
-        keep.write.mode("overwrite").parquet(staging.toString)
-        val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(new Path(path), true)
-        fs.rename(staging, new Path(path))
-      }
-      total - kept
-    } finally { cur.unpersist(); () }
+    * the next refresh that sees it. Returns the number dropped.
+    * Mutator-serialized by [[withWriteLock]]; the delete→rename swap
+    * still has a reader-visible empty window on filesystems without
+    * atomic dir replace (local FS) — retention is a maintenance-window
+    * operation, run it when no query reads the store. */
+  def drop(pred: org.apache.spark.sql.Column): Long = withWriteLock {
+    if (!exists) 0L
+    else {
+      val cur = load().persist()
+      try {
+        val total = cur.count()
+        val keep = cur.filter(!pred)
+        val kept = keep.count()
+        if (kept < total) {
+          val staging = new Path(path + ".staging")
+          keep.write.mode("overwrite").parquet(staging.toString)
+          val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.delete(new Path(path), true)
+          fs.rename(staging, new Path(path))
+        }
+        total - kept
+      } finally { cur.unpersist(); () }
+    }
   }
 
   /** (doc_id, n, bk) — one row per band per stored doc, the corpus side

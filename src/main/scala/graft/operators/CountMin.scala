@@ -39,12 +39,17 @@ object CountMin {
       .agg(count(lit(1)).as("c"))
 
   /** Point estimates for `probes` (small/broadcastable): min over depth
-    * of the matching bucket counts. */
+    * of the matching bucket counts. LEFT join + coalesce-to-0 so the min
+    * is always over all `depth` rows: a never-seen key whose bucket is
+    * empty at some depth estimates 0 (the true CMS semantics — an empty
+    * bucket bounds the count at 0) instead of overestimating from the
+    * matched depths only, or vanishing from the output entirely when all
+    * its buckets are empty. */
   def estimate(sketchDf: DataFrame, probes: DataFrame,
       keyCol: String): DataFrame =
     probes.select(col("*"), bucketsOf(col(keyCol)))
       .select(col(keyCol), col("h.d").as("d"), col("h.bucket").as("bucket"))
-      .join(broadcast(sketchDf), Seq("d", "bucket"))
+      .join(broadcast(sketchDf), Seq("d", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }

@@ -50,6 +50,29 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("never-seen probe keys estimate over ALL depths (empty bucket = 0), " +
+      "and keys with every bucket empty report 0 instead of vanishing") {
+    val keys = Seq(1L, 2L, 3L, 1L, 2L, 1L) // tiny: most buckets empty
+    val sketch = CountMin.sketch(keys.toDF("k"), "k")
+    val ref = refSketch(keys)
+    // probe the in-data keys AND a spread of never-seen ones
+    val probeKeys = keys.distinct ++ Seq(999L, 123456L, 29_999_999L)
+    val est = CountMin.estimate(sketch, probeKeys.toDF("k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == probeKeys.toSet,
+      "every probe key must appear in the output")
+    probeKeys.foreach { k =>
+      val expected = CountMin.hashes.map { case (d, a, b) =>
+        ref.getOrElse((d, (k * a + b) % CountMin.P % CountMin.W), 0L)
+      }.min
+      assert(est(k) == expected,
+        s"probe $k: got ${est(k)}, want min-over-all-depths $expected")
+    }
+    // with a 6-element multiset over 3×1024 buckets, the never-seen keys
+    // must hit at least one empty bucket → exact 0, the CMS semantics
+    Seq(999L, 123456L, 29_999_999L).foreach(k => assert(est(k) == 0L))
+  }
+
   test("property: sketches merge — sketch(A ++ B) is the bucket-wise sum " +
       "of sketch(A) and sketch(B)") {
     (1 to 5).foreach { i =>
