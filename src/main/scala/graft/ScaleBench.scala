@@ -284,7 +284,14 @@ object ScaleBench {
     // association rules: distinct projection + basket pair-gen +
     // broadcast supports; the support-2 pair table grows with K (same
     // backbone as q_label_prop) but the rank input is pruned first
-    "q_basket_rules")
+    "q_basket_rules",
+    // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
+    // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
+    // support growth of catalog-fixed replication, so F2 (and the
+    // candidate self-join's input) is IDENTICAL to the base cut at any
+    // K; the factor reads the K× pair-gen + pair-support agg, never a
+    // candidate blow-up
+    "q_basket_triples")
 
   /** The LONG-SERIES stress family (round-8 VERDICT #4): both recurrence
     * formulations on a replica that concentrates K×100k points into ONE
@@ -580,7 +587,8 @@ object ScaleBench {
       "q18b_percentile_sorted", "q_skyline", "q_skyline_grid",
       "q_triangle_count", "q_unpivot", "q_kcore",
       "q_supplier_similarity", "q_cms_heavy_hitters",
-      "q_link_predict", "q_label_prop", "q_basket_rules").contains)
+      "q_link_predict", "q_label_prop", "q_basket_rules",
+      "q_basket_triples").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

@@ -52,6 +52,14 @@ object JoinQueries extends QuerySet {
     }
   }
 
+  /** confidence a→b = s_ab/s_a as a half-up micro int64 ratio — ONE
+    * definition shared by q_basket_rules and the st39 streaming
+    * readout (streamed == batch must hold bit-for-bit, so the
+    * arithmetic cannot fork). */
+  private[graft] def confMicro(sAb: org.apache.spark.sql.Column,
+      sA: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    intDiv(sAb * 1000000L + intDiv(sA, lit(2)), sA)
+
   /** The per-supplier (revenue, median-ish delay) aggregate both skyline
     * variants filter — ONE fact-side groupBy; the dominance test never
     * touches raw lineitem rows. */
@@ -675,8 +683,7 @@ object JoinQueries extends QuerySet {
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("s_ab"), col("s_a"), col("s_b"),
           // confidence a→b = s_ab/s_a, half-up micro in pure int64
-          intDiv(col("s_ab") * 1000000L + intDiv(col("s_a"), lit(2)),
-            col("s_a")).as("conf_micro"),
+          confMicro(col("s_ab"), col("s_a")).as("conf_micro"),
           // lift = s_ab·N / (s_a·s_b), half-up micro — int64 while the
           // headroom bound holds, exact DECIMAL past it (liftMicro)
           liftMicro(col("s_ab"), col("s_a"), col("s_b"), nOrders)
@@ -699,31 +706,68 @@ object JoinQueries extends QuerySet {
     // (customer, a) so generation stays inside each basket), then
     // subset-pruned ((b,c) must itself be frequent — the downward-
     // closure cut, an equi semi-join), then counted with the same
-    // support-2 floor. Scale shape: basket pair-gen is basket-bounded;
+    // floor. The floor is DENSITY-RELATIVE: minSup = max(2, ⌊2·mean
+    // pair support⌋) — Agrawal & Srikant define min-support relative
+    // to the corpus, and the right density proxy here is the mean
+    // support of the pair domain: a transaction-count-relative floor
+    // kills sparse catalogs (measured: floor 19 at sf0.1 leaves ZERO
+    // frequent pairs — supports top out at 5), while a FIXED floor
+    // stops pruning the moment the corpus grows over a fixed catalog
+    // (every support-1 pair recurs at K× replication and the 94%
+    // frequent-pair cut vanishes — the scale trap). Under catalog-
+    // fixed K× growth mean support grows K×, the floor tracks it
+    // (2 → ~2K), and F2 is IDENTICAL to the base cut — selectivity is
+    // preserved by construction. At both oracle SFs the floor
+    // evaluates to exactly 2 (mean 1.29 / 1.02), so it changes nothing
+    // the gate sees. Scale shape: basket pair-gen is basket-bounded;
     // the infrequent-pair cut runs BEFORE the triple join — measured
     // at sf0.1 it drops 13.1M basket pairs to 836k frequent-pair
     // instances (94%), so the self-join's per-(cust, a) groups are
-    // frequent-pair-bounded, not basket-C(n,2)-bounded; at 100 TB the
-    // support floor rises with the corpus and the candidate set stays
-    // catalog-sized. All-integer counts — nothing to quantize.
+    // frequent-pair-bounded, not basket-C(n,2)-bounded. All-integer
+    // counts — nothing to quantize.
     "q_basket_triples" -> { (s, dir) =>
-      val pr = t(s, dir, "lineitem")
+      // no .distinct() before the basket agg: collect_set dedups within
+      // the basket, so the extra (o,p) exchange would be pure cost.
+      // What gets severed is the BASKETS frame — customer-count-sized
+      // (one array row per account), so the fact join + basket shuffle
+      // runs ONCE and both pair-relation consumers re-derive pr as a
+      // map-only explode off cache. (Checkpointing pr itself — 131M
+      // rows at the 10× replica — OOMed the 32-thread box, measured;
+      // and without any cut the join+shuffle ran twice.) The explicit
+      // fixed-width repartition before the cut is LOAD-BEARING: AQE
+      // coalesces the catalog-sized agg output to a few partitions, and
+      // the 131M-row pair explode inherits that parallelism — the
+      // measured blockedSuccessorPairs trap, 24 → 38 s at 10× without it
+      val baskets = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .groupBy(col("o"))
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .groupBy(col("o_custkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("o"))
+        .localCheckpoint(eager = true)
+      val pr = baskets
         .select(col("o"), col("ps"),
           posexplode(col("ps")).as(Seq("i", "a")))
         .select(col("o"), col("a"),
           explode(slice(col("ps"), col("i") + lit(2),
             size(col("ps")) - col("i") - lit(1))).as("b"))
-      val f2 = pr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
-        .filter(col("s") >= 2).select(col("a"), col("b"))
-      // an order's pairs that are frequent corpus-wide — computed once,
+      // pair supports: feeds the floor scalar and F2
+      val f0 = pr.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("s"))
+        .localCheckpoint(eager = true)
+      // TWO driver-sized scalars off the checkpointed pair table (the
+      // q_basket_rules nOrders collect policy): the floor folds into
+      // the F2 filter as a literal
+      val d = f0.agg(sum(col("s")).cast("long"), count(lit(1))).head()
+      val minSup = math.max(2L, 2L * d.getLong(0) / d.getLong(1))
+      // F2 is catalog-pair-sized (413k pairs at sf0.1, IDENTICAL at any
+      // K by the floor construction) — broadcast BOTH closure semi
+      // joins so the fact-sized pair relation never shuffles on (a,b)
+      // for membership tests
+      val f2 = f0.filter(col("s") >= minSup).select(col("a"), col("b"))
+      // a basket's pairs that are frequent corpus-wide — computed once,
       // severed: it feeds both sides of the candidate self-join
-      val fpr = pr.join(f2, Seq("a", "b"), "left_semi")
+      val fpr = pr.join(broadcast(f2), Seq("a", "b"), "left_semi")
         .localCheckpoint(eager = true)
       fpr.as("x")
         .join(fpr.as("y"),
@@ -732,11 +776,11 @@ object JoinQueries extends QuerySet {
         .select(col("x.a").as("a"), col("x.b").as("b"),
           col("y.b").as("c"))
         // downward closure: the third face (b,c) must be frequent too
-        .join(f2.select(col("a").as("b"), col("b").as("c")),
+        .join(broadcast(f2.select(col("a").as("b"), col("b").as("c"))),
           Seq("b", "c"), "left_semi")
         .groupBy(col("a"), col("b"), col("c"))
         .agg(count(lit(1)).as("s_abc"))
-        .filter(col("s_abc") >= 2)
+        .filter(col("s_abc") >= minSup)
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("c").as("part_c"), col("s_abc"))
         .orderBy(col("s_abc").desc, col("part_a"), col("part_b"),
@@ -1163,8 +1207,12 @@ object JoinQueries extends QuerySet {
         |pr AS MATERIALIZED (
         |  SELECT x.o, x.p AS a, y.p AS b
         |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |f0 AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM pr GROUP BY a, b),
+        |m AS (SELECT greatest(2, (2 * CAST(sum(s) AS BIGINT)) // count(*))
+        |      AS ms FROM f0),
         |f2 AS MATERIALIZED (
-        |  SELECT a, b FROM pr GROUP BY a, b HAVING count(*) >= 2),
+        |  SELECT a, b FROM f0 WHERE s >= (SELECT ms FROM m)),
         |fpr AS MATERIALIZED (
         |  SELECT pr.o, pr.a, pr.b FROM pr SEMI JOIN f2 USING (a, b)),
         |tri AS (
@@ -1173,7 +1221,7 @@ object JoinQueries extends QuerySet {
         |  SEMI JOIN f2 ON f2.a = x.b AND f2.b = y.b)
         |SELECT a AS part_a, b AS part_b, c AS part_c,
         |       CAST(count(*) AS BIGINT) AS s_abc
-        |FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT ms FROM m)
         |ORDER BY s_abc DESC, part_a, part_b, part_c LIMIT 50""".stripMargin
   )
 

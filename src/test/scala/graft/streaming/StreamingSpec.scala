@@ -1720,4 +1720,58 @@ class StreamingSpec extends SparkSpec {
     assert(b1.map(_._1).toSet.intersect(b2.map(_._1).toSet).nonEmpty,
       "no series straddles the micro-batch boundary")
   }
+
+  test("st39: streaming association rules — one tagged complete-mode " +
+      "count is the whole state (pair+item supports and the order " +
+      "count); the top-lift readout equals batch q_basket_rules over " +
+      "EVERY arrived prefix, exactly, across a micro-batch boundary") {
+    import graft.streaming.StreamingBasket
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // orders arrive WHOLE (the operator contract): split by orderkey
+    val baskets = li.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (o, rs) => (o, rs.map(_._2).distinct.sorted.toSeq) }
+    val (b1, b2) = baskets.splitAt(baskets.length / 2)
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = StreamingBasket.counts(in.toDF().toDF("o", "ps"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st39").start()
+    def batchRules(prefix: Seq[(Long, Seq[Long])]): Seq[Seq[Any]] = {
+      // the batch query over the same prefix: a lineitem.parquet with
+      // exactly the arrived rows (q_basket_rules reads only these cols)
+      val d = tmpDir("graft-st39")
+      prefix.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      graft.SparkEntry.queries("q_basket_rules")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      var arrived = Seq.empty[(Long, Seq[Long])]
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = StreamingBasket.readout(spark.table("st39"))
+          .collect().map(_.toSeq.toList).toSeq
+        val batch = batchRules(arrived)
+        assert(online == batch,
+          s"prefix of ${arrived.length} orders: online top-50 != batch" +
+            s" (first diff: ${online.zipAll(batch, null, null)
+              .find { case (a, bb) => a != bb }})")
+        assert(batch.nonEmpty, "vacuity: prefix produced no rules")
+      }
+    } finally q.stop()
+    // vacuity: some surviving pair must accumulate support from BOTH
+    // batches, or the boundary claim is untested
+    def pairs(bs: Seq[(Long, Seq[Long])]): Set[(Long, Long)] =
+      bs.flatMap { case (_, ps) =>
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+    assert(pairs(b1).intersect(pairs(b2)).nonEmpty,
+      "no co-order pair straddles the micro-batch boundary")
+  }
 }
