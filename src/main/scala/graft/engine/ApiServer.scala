@@ -738,6 +738,54 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // Item-item similarity serving off the PERSISTED neighbor rollup
+    // (Engine.buildSimilarityIndex — the q_supplier_similarity batch
+    // shape): GET /similar/<series>?name=<field>[&k=N] reads the stored
+    // top-20 table only (partition-pruned to the field, plan-asserted in
+    // ApiServerSpec — no fact scan at request time); POST
+    // /similar/rebuild refreshes the rollup after ingest. A GET before
+    // any build fails 409 with the rebuild hint rather than serving an
+    // empty neighbor list as if the series had none.
+    http.createContext("/similar/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val seg = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/similar/"))
+        val p = queryParams(ex)
+        val k = Try(p.getOrElse("k", "5").toInt)
+        (ex.getRequestMethod, seg) match {
+          case ("POST", "rebuild") =>
+            engine.buildSimilarityIndex()
+            respond(ex, 200, """{"rebuilt":true}""")
+          case ("POST", _) =>
+            respond(ex, 405, """{"error":"POST is only /similar/rebuild"}""")
+          case (m, _) if m != "GET" =>
+            respond(ex, 405, """{"error":"GET required"}""")
+          case (_, "") =>
+            respond(ex, 400, """{"error":"series name required"}""")
+          case (_, series) if !engine.seriesExists(series) =>
+            respond(ex, 404,
+              s"""{"error":${quote(s"unknown series $series")}}""")
+          case _ if !p.contains("name") =>
+            respond(ex, 400, """{"error":"name parameter required"}""")
+          case _ if k.isFailure || k.get < 1 || k.get > 20 =>
+            // the rollup stores 20 neighbors — a bigger k would silently
+            // truncate, so it is rejected instead
+            respond(ex, 400, """{"error":"k must be an int in [1,20]"}""")
+          case _ if !engine.similarIndexExists =>
+            respond(ex, 409,
+              """{"error":"similarity index not built; POST /similar/rebuild"}""")
+          case (_, series) =>
+            val rows = engine.similar(series, p("name"), k.get)
+            val body = rows.map { case (rnk, other, cm) =>
+              s"""{"rank":$rnk,"series":${quote(other)},"cos_micro":$cm}"""
+            }
+            respond(ex, 200,
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""neighbors":${jsonArray(body)}}""")
+        }
+      }
+    })
+
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {

@@ -674,4 +674,66 @@ class ApiServerSpec extends SparkSpec {
       assert(call(s"$base/series/old", "GET")._1 == 405) // wrong method
     } finally api.stop()
   }
+
+  test("GET /similar serves the PERSISTED item-item neighbor rollup with " +
+      "hand-derived cosines, no fact scan at request time, and " +
+      "fail-closed validation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val engine = new Engine(spark, tmpDir("graft-api-similar"))
+    val h = 3600000000000L // one hour in ns
+    val base = 1700000000000000000L
+    // hourly cents vectors of field v: ma=(300,400), mb=(300,400),
+    // mc=(400,·). Norms 500/500/400; dots ma·mb=250000, ma·mc=120000,
+    // mb·mc=120000 → cos(ma,mb)=1.0, cos(ma,mc)=cos(mb,mc)=0.6
+    engine.ingestLines(Seq(
+      s"ma,host=x v=3.0 $base",
+      s"ma,host=x v=4.0 ${base + h}",
+      s"mb,host=x v=3.0 $base",
+      s"mb,host=x v=4.0 ${base + h}",
+      s"mc,host=x v=4.0 $base"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // before any build: 409 with the rebuild hint, not an empty list
+      val (c0, b0) = call(s"$url/similar/ma?name=v")
+      assert(c0 == 409 && b0.contains("rebuild"), s"$c0 $b0")
+      assert(call(s"$url/similar/rebuild", "POST", "")._1 == 200)
+      val (c1, b1) = call(s"$url/similar/ma?name=v")
+      assert(c1 == 200, b1)
+      assert(b1.contains(
+        """{"rank":1,"series":"mb","cos_micro":1000000}""") &&
+        b1.contains("""{"rank":2,"series":"mc","cos_micro":600000}"""), b1)
+      // equal cosines tie-break by neighbor name (mc: ma and mb at 0.6)
+      val (c2, b2) = call(s"$url/similar/mc?name=v")
+      assert(c2 == 200 &&
+        b2.contains("""{"rank":1,"series":"ma","cos_micro":600000}""") &&
+        b2.contains("""{"rank":2,"series":"mb","cos_micro":600000}"""), b2)
+      // k caps the stored list
+      val (c3, b3) = call(s"$url/similar/ma?name=v&k=1")
+      assert(c3 == 200 && b3.contains("mb") && !b3.contains("mc"), b3)
+      // an unknown FIELD has no neighbors — empty list, not an error
+      val (c4, b4) = call(s"$url/similar/ma?name=ghost")
+      assert(c4 == 200 && b4.contains(""""neighbors":[]"""), s"$c4 $b4")
+      // validation fails closed
+      assert(call(s"$url/similar/ma?name=v&k=0")._1 == 400)
+      assert(call(s"$url/similar/ma?name=v&k=21")._1 == 400)
+      assert(call(s"$url/similar/ma")._1 == 400)
+      assert(call(s"$url/similar/nope?name=v")._1 == 404)
+      assert(call(s"$url/similar/ma?name=v", "POST", "")._1 == 405)
+      // THE POINT of persisting the rollup: the serving plan reads ONLY
+      // the stored neighbor table (partition-pruned to the field) — the
+      // measurements fact table is never scanned at request time
+      val q = engine.similarFrame("ma", "v", 5)
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the serving plan")
+      assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("similar_index"))),
+        s"serving plan scans beyond the persisted index:\n$q")
+      val idxScan = scans.head
+      assert(idxScan.partitionFilters.nonEmpty,
+        s"field lookup did not become a partition filter:\n$idxScan")
+    } finally api.stop()
+  }
 }
