@@ -489,10 +489,13 @@ object JoinQueries extends QuerySet {
     // random-graph phase transition), so peeling genuinely cascades:
     // 6 rounds to fixpoint at sf0.01 AND sf0.1. Scale shape: the
     // driver loop is data-ADAPTIVE (iterate until an edge-count
-    // fixpoint), each round one degree hash agg + two anti joins on
-    // the node key, lineage severed per round by localCheckpoint (the
-    // ConnectedComponents discipline — reliable checkpoints at cluster
-    // scale); rounds are bounded by the peeling depth, not graph size.
+    // fixpoint), each round one degree hash agg + two BROADCAST anti
+    // joins (the peel set is node-domain-sized — the part catalog
+    // bounds it at any data scale — so the edge list never shuffles
+    // inside a round), lineage severed per round by localCheckpoint
+    // (the ConnectedComponents discipline — reliable checkpoints at
+    // cluster scale); rounds are bounded by the peeling depth, not
+    // graph size.
     // Driver-job budget (the r11 punch item — this loop was the
     // heaviest query at 7.2 s from ~19 fixed-cost job round-trips, the
     // same overhead shape the r10 BPE fix removed): TWO jobs per round
@@ -522,11 +525,20 @@ object JoinQueries extends QuerySet {
         val deg = edges.select(col("a").as("n"))
           .unionAll(edges.select(col("b").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        // bad is node-domain-sized (the part catalog bounds it at ANY
+        // data scale) — broadcast makes both anti joins MAP-SIDE, so a
+        // peel round never shuffles the edge list at all: one degree
+        // agg exchange per round is the whole shuffle budget
         val bad = deg.filter(col("d") < k).select(col("n"))
+        // LAZY checkpoint + count: the count action materializes the
+        // checkpoint blocks and reads the fixpoint probe in the SAME
+        // job — one driver round-trip per peel round total
         val next = edges
-          .join(bad.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-          .join(bad.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
-          .localCheckpoint(eager = true)
+          .join(broadcast(bad.withColumnRenamed("n", "a")),
+            Seq("a"), "left_anti")
+          .join(broadcast(bad.withColumnRenamed("n", "b")),
+            Seq("b"), "left_anti")
+          .localCheckpoint(eager = false)
         val m2 = next.count()
         if (m2 == m) done = true
         else { edges = next; m = m2 }
@@ -623,12 +635,16 @@ object JoinQueries extends QuerySet {
       val deg = und.groupBy(col("z")).agg(count(lit(1)).as("d"))
       val wTop = Window.partitionBy(col("z"))
         .orderBy(col("st").desc, col("x"))
+      // zn is ≤ 20·|nodes| rows by the truncation — severing it keeps
+      // the wedge self-join's BOTH sides off the window+degree lineage
+      // (exchange reuse does not always unify the two aliased sides)
       val zn = und.withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 20)
         .join(broadcast(deg), Seq("z"))
         // half-up micro of 1/d in pure int64: floor((2e6 + d) / 2d)
         .withColumn("c", intDiv(lit(2000000L) + col("d"), col("d") * 2))
         .select(col("z"), col("x"), col("c"))
+        .localCheckpoint(eager = true)
       val pairs = zn.select(col("z"), col("x").as("u"), col("c"))
         .join(zn.select(col("z"), col("x").as("w")), Seq("z"))
         .filter(col("u") < col("w"))
