@@ -43,6 +43,37 @@ class SignatureStoreSpec extends SparkSpec {
     assert(store.drop(lit(false)) == 0L) // no-match drop is a no-op
   }
 
+  test("concurrent refreshes over one store dir never double-sign a " +
+      "doc_id (the write-lock races), and a stale lock is broken") {
+    val dir = tmpDir("sigstore-lock") + "/store"
+    val docs = (1L to 40L).map(i => (i, s"$t1 word$i")).toDF("doc_id", "text")
+    // two racing refreshes of the SAME docs: without mutual exclusion
+    // both see an empty store and both append all 40 (the r11 advice
+    // scenario — duplicate doc_id rows fan out every downstream join)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq(
+      Future(new SignatureStore(spark, dir).refresh(docs)),
+      Future(new SignatureStore(spark, dir).refresh(docs)))
+    val added = runs.map(Await.result(_, 5.minutes))
+    assert(added.sum == 40L,
+      s"the two racing refreshes signed ${added.sum} docs, want 40 total")
+    val store = new SignatureStore(spark, dir)
+    assert(store.load().count() == 40L)
+    assert(store.load().select(col("doc_id")).distinct().count() == 40L,
+      "duplicate doc_id rows — the lock failed")
+    // the lock is released after both refreshes
+    assert(!new java.io.File(dir + ".lock").exists(), "lock left behind")
+    // a stale lock (abandoned > 10 min ago) is broken, not waited on
+    val lock = new java.io.File(dir + ".lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000))
+    assert(store.refresh(
+      Seq((99L, t2)).toDF("doc_id", "text")) == 1L)
+    assert(!lock.exists(), "stale lock not cleaned up")
+  }
+
   test("stored signatures are bit-identical to the batch MinHash scheme " +
       "and shs is the sorted distinct shingle-hash set") {
     import graft.operators.MinHash
