@@ -1773,5 +1773,12 @@ class StreamingSpec extends SparkSpec {
       }.toSet
     assert(pairs(b1).intersect(pairs(b2)).nonEmpty,
       "no co-order pair straddles the micro-batch boundary")
+    // state-footprint pin (the SCALE §10 claim): the agg state IS the
+    // rollup, so its size is the TOUCHED-KEY count — distinct pairs +
+    // distinct items + 1 — bounded by the catalog², never by fact rows
+    val items = baskets.flatMap(_._2).toSet
+    assert(spark.table("st39").count() ==
+      pairs(baskets).size + items.size + 1L,
+      "state rows != touched (pair + item + order-count) keys")
   }
 }
