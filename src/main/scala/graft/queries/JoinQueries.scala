@@ -767,15 +767,21 @@ object JoinQueries extends QuerySet {
         .select(col("o"), col("a"),
           explode(slice(col("ps"), col("i") + lit(2),
             size(col("ps")) - col("i") - lit(1))).as("b"))
-      // pair supports: feeds the floor scalar and F2
+      // pair supports: feeds the floor scalar and F2. LAZY checkpoint +
+      // count (the q_kcore fusion): one job materializes the pair table
+      // AND reads the distinct-pair scalar; the instance total needs no
+      // pass over pr at all — it is Σ C(|basket|,2) off the cached
+      // basket frame (collect_set already dedups, so the identity is
+      // exact). Two driver-sized scalars total (the q_basket_rules
+      // nOrders collect policy): the floor folds into F2 as a literal.
       val f0 = pr.groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("s"))
-        .localCheckpoint(eager = true)
-      // TWO driver-sized scalars off the checkpointed pair table (the
-      // q_basket_rules nOrders collect policy): the floor folds into
-      // the F2 filter as a literal
-      val d = f0.agg(sum(col("s")).cast("long"), count(lit(1))).head()
-      val minSup = math.max(2L, 2L * d.getLong(0) / d.getLong(1))
+        .localCheckpoint(eager = false)
+      val nPairs = f0.count()
+      val nInst = baskets.agg(sum(intDiv(
+        size(col("ps")).cast("long") * (size(col("ps")) - 1).cast("long"),
+        lit(2L))).cast("long")).head().getLong(0)
+      val minSup = math.max(2L, 2L * nInst / nPairs)
       // F2 is catalog-pair-sized (413k pairs at sf0.1, IDENTICAL at any
       // K by the floor construction) — broadcast BOTH closure semi
       // joins so the fact-sized pair relation never shuffles on (a,b)
