@@ -156,8 +156,13 @@ object ScaleBench {
     "q_inverted_postings", "q_retrieval_rrf",
     // round-11: transposition-aware edit distance — one (source) window
     // + the native O(60²) kernel per successor pair, scan-bound like
-    // q_text_levenshtein
-    "q_text_damerau")
+    // q_text_damerau
+    "q_text_damerau",
+    // round-12: TextRank — the replica's per-word suffix grows the
+    // vocab a full K× (the bpe_train worst-case note), so the factor
+    // reads K× vocab-sized round tables over a K× pair-explode: an
+    // upper bound on real-corpus behavior (Heaps' law grows vocab ≪ K×)
+    "q_text_textrank")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

@@ -860,6 +860,68 @@ object TextQueries extends QuerySet {
         .select(col("query_id"), col("rnk"), col("doc_id"),
           col("rrf_micro"), col("rank_bm25"), col("rank_ql"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // GRAPH-BASED KEYWORD EXTRACTION — TextRank (Mihalcea & Tarau
+    // 2004): rank a source's candidate keywords by their stationary
+    // importance in the word co-occurrence graph rather than raw
+    // frequency — TF-IDF's blind spot is a mid-frequency term that
+    // co-occurs with everything central. Candidates = tokens ≥ 4 chars
+    // (the stopword-ish cut); edges join ADJACENT candidates within
+    // each document (window 2 over the filtered sequence), undirected,
+    // weight = the source's corpus-wide co-occurrence count. Scoring =
+    // FOUR fixed synchronous PageRank rounds, damping 17/20, each
+    // per-edge contribution quantized as ONE truncating int64 division
+    // intDiv(17·w·r, 20·W_u) — int64 sums are order-free, so the
+    // rounds are bit-stable and the DuckDB oracle unrolls them exactly
+    // (the q_label_prop fixed-round argument; no libm, no doubles
+    // anywhere). Scale shape: the only corpus-sized work is the
+    // adjacent-pair explode feeding one (source, u, v) hash agg; every
+    // round is one node-keyed join + one (source, node) hash agg over
+    // VOCAB-sized tables (Heaps-law-bounded, not corpus-bounded),
+    // lineage severed per round by localCheckpoint; rounds are FIXED.
+    "q_text_textrank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(col("text"), " "),
+        w => length(w) >= 4)
+      val pairs = t(s, dir, "documents")
+        .select(col("source"), ws.as("ws"))
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, greatest(size(ws) - 1, 1)), " +
+            "i -> struct(ws[i-1] AS x, ws[i] AS y))")).as("p"))
+        .filter(col("p.x") =!= col("p.y"))
+        .select(col("source"), least(col("p.x"), col("p.y")).as("u"),
+          greatest(col("p.x"), col("p.y")).as("v"))
+      val e = pairs.groupBy(col("source"), col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+      val und = e.unionAll(e.select(col("source"), col("v").as("u"),
+        col("u").as("v"), col("w")))
+      // (source, u, v, w, wu): the weighted adjacency with each source
+      // node's total out-weight attached — vocab-sized, severed once,
+      // read by all four rounds
+      val undW = und.join(
+        und.groupBy(col("source"), col("u")).agg(sum(col("w")).as("wu")),
+        Seq("source", "u"))
+        .localCheckpoint(eager = true)
+      var r = undW.select(col("source"), col("u").as("word"))
+        .distinct()
+        .withColumn("r", lit(1000000L))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to 4) {
+        r = undW
+          .join(r.withColumnRenamed("word", "u"), Seq("source", "u"))
+          .groupBy(col("source"), col("v").as("word"))
+          .agg((lit(150000L) + sum(intDiv(lit(17L) * col("w") * col("r"),
+            lit(20L) * col("wu")))).as("r"))
+          .localCheckpoint(eager = true)
+      }
+      val wtop = Window.partitionBy(col("source"))
+        .orderBy(col("r").desc, col("word"))
+      r.withColumn("rnk", row_number().over(wtop).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("word"),
+          col("r").as("rank_micro"))
+        .orderBy(col("source"), col("rnk"))
     }
   )
 
@@ -1379,6 +1441,54 @@ object TextQueries extends QuerySet {
         |        FROM fu WHERE rrf_micro > 0)
         |SELECT query_id, rnk, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       rank_bm25, rank_ql
-        |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+        |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_text_textrank" -> textrankSql
   )
+
+  /** DuckDB TextRank oracle: 4 UNROLLED synchronous rounds, one
+    * generated template per round (the labelPropSql discipline —
+    * MATERIALIZED is load-bearing, each round reads its predecessor
+    * once per reference), `//` mirroring intDiv's truncation on the
+    * same all-int64 damping formula. range(1, n) is exclusive of n, so
+    * i spans the adjacent positions 1..len−1; a one-candidate document
+    * yields ws[i+1] = NULL and the <> predicate drops it — identical to
+    * the Spark side's null-propagating =!= filter. */
+  private def textrankSql: String = {
+    val rounds = (1 to 4).map { t =>
+      s""",r$t AS MATERIALIZED (
+         |  SELECT g.source, g.v AS word,
+         |    CAST(150000 + sum((17 * g.w * p.r) // (20 * g.wu))
+         |      AS BIGINT) AS r
+         |  FROM g JOIN r${t - 1} p ON p.source = g.source AND p.word = g.u
+         |  GROUP BY g.source, g.v)""".stripMargin
+    }.mkString("\n")
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(text, ' '),
+       |    w -> length(w) >= 4) AS ws FROM documents),
+       |pr AS (
+       |  SELECT source, ws, unnest(range(1, greatest(len(ws), 2))) AS i
+       |  FROM d),
+       |e AS MATERIALIZED (
+       |  SELECT source, least(ws[i], ws[i + 1]) AS u,
+       |         greatest(ws[i], ws[i + 1]) AS v,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM pr WHERE ws[i] <> ws[i + 1]
+       |  GROUP BY 1, 2, 3),
+       |und AS (SELECT source, u, v, w FROM e
+       |        UNION ALL SELECT source, v AS u, u AS v, w FROM e),
+       |g AS MATERIALIZED (
+       |  SELECT und.source, und.u, und.v, und.w, s.wu
+       |  FROM und JOIN (SELECT source, u, CAST(sum(w) AS BIGINT) AS wu
+       |                 FROM und GROUP BY 1, 2) s
+       |    ON s.source = und.source AND s.u = und.u),
+       |r0 AS (SELECT DISTINCT source, u AS word,
+       |         CAST(1000000 AS BIGINT) AS r FROM und)
+       |$rounds
+       |SELECT source, rnk, word, r AS rank_micro FROM (
+       |  SELECT source, word, r, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY r DESC, word) AS BIGINT) AS rnk
+       |  FROM r4)
+       |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin
+  }
 }
