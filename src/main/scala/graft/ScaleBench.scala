@@ -290,6 +290,12 @@ object ScaleBench {
     // broadcast supports; the support-2 pair table grows with K (same
     // backbone as q_label_prop) but the rank input is pruned first
     "q_basket_rules",
+    // round-12: z-order — q_zorder_key reads the pure map-side
+    // interleave cost; q_zorder_box builds the bucketed layout on
+    // first use (artifact, amortized by the warm-up) and then
+    // measures the PRUNED scan: the factor reads covered-tile growth,
+    // not corpus growth
+    "q_zorder_key", "q_zorder_box",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the
@@ -593,7 +599,7 @@ object ScaleBench {
       "q_triangle_count", "q_unpivot", "q_kcore",
       "q_supplier_similarity", "q_cms_heavy_hitters",
       "q_link_predict", "q_label_prop", "q_basket_rules",
-      "q_basket_triples").contains)
+      "q_basket_triples", "q_zorder_key", "q_zorder_box").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

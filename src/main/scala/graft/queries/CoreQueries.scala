@@ -214,10 +214,67 @@ object CoreQueries extends QuerySet {
           (coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L)))
             .as("cents_delta"))
         .orderBy(col("custkey"))
+    },
+
+    // Z-ORDER KEY (Morton 1966) — the multi-dimensional layout key
+    // behind q_zorder_box: (partkey, suppkey) bucketed to a 64×64 grid
+    // and bit-interleaved in pure int64 shift/mask arithmetic. The
+    // Spark Column expression and the DuckDB oracle SQL render from
+    // the SAME constant table (operators.ZOrder.spreadSteps — one
+    // definition, so the oracle hash-checks the keys themselves).
+    // Output is the per-key row count: every fact row's key is
+    // computed, the comparison is key-domain-sized.
+    "q_zorder_key" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      val li = t(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (xw, yw) = (ZOrder.bucketWidth(mx.getLong(0)),
+        ZOrder.bucketWidth(mx.getLong(1)))
+      li.select(ZOrder.morton(expr(s"l_partkey div $xw"),
+          expr(s"l_suppkey div $yw")).as("zkey"))
+        .groupBy(col("zkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("zkey"))
+    },
+
+    // Z-ORDER BOX SCAN — the layout pay-off: the box query runs
+    // against the z-bucket-partitioned lineitem layout (built once per
+    // dir, the SignatureStore artifact recipe), partition-PRUNED to
+    // the driver-enumerated covering buckets (≤ 4096-cell grid walk —
+    // a constant of the layout, not the corpus), with the exact box
+    // predicate closing the superset. The oracle is the PLAIN filter
+    // over the unordered table — an equivalence gate: pruning must
+    // change the files read (ZOrderSpec plan-asserts that), never the
+    // answer. At 100 TB this is the difference between scanning every
+    // file and scanning the tile sliver under the box.
+    "q_zorder_box" -> { (s, dir) =>
+      graft.operators.ZOrder.boxScan(s, dir, 100L, 400L, 10L, 40L)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+        .orderBy(col("suppkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_key" -> {
+      import graft.operators.ZOrder
+      val xw = "(SELECT max(l_partkey) // 64 + 1 FROM lineitem)"
+      val yw = "(SELECT max(l_suppkey) // 64 + 1 FROM lineitem)"
+      s"""SELECT ${ZOrder.mortonSql(s"l_partkey // $xw", s"l_suppkey // $yw")}
+         |  AS zkey, CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY zkey""".stripMargin
+    },
+
+    "q_zorder_box" ->
+      """SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400
+        |  AND l_suppkey BETWEEN 10 AND 40
+        |GROUP BY 1 ORDER BY suppkey""".stripMargin,
+
     "q01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,

@@ -1,104 +1,103 @@
 package graft.operators
 
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.SparkSpec
-import graft.Tables
 
-/** Z-order clustering must (1) preserve the data exactly and (2) actually
-  * shrink per-file min/max spans on EVERY z-dimension at once — the
-  * property parquet footer skipping feeds on. A single-column sort gives a
-  * tight span on that column and full-range spans on the others; the
-  * z-layout must beat it where it is blind.
-  */
+/** Gates for the Z-order layout: the interleave against a bit-by-bit
+  * reference, the cover's superset contract on random boxes, and THE
+  * POINT — the box scan partition-prunes to the covering z-buckets
+  * (fewer files listed than the full layout) while returning exactly
+  * the plain filter's rows. */
 class ZOrderSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.01"
+  import spark.implicits._
 
-  /** Mean per-file (max-min) span of `c`, normalized by the global span —
-    * 1.0 means every file covers the whole range (no skipping possible),
-    * 1/nFiles is the disjoint ideal. */
-  private def meanSpan(path: String, c: String): Double = {
-    val perFile = spark.read.parquet(path)
-      .withColumn("__f", input_file_name())
-      .groupBy(col("__f"))
-      .agg((max(col(c).cast("double")) - min(col(c).cast("double")))
-        .as("span"))
-      .agg(avg(col("span"))).head().getDouble(0)
-    val g = spark.read.parquet(path)
-      .agg(max(col(c).cast("double")) - min(col(c).cast("double")))
-      .head().getDouble(0)
-    perFile / g
+  test("morton interleave matches the bit-by-bit reference (Column, " +
+      "driver, and generated SQL are one definition)") {
+    def slow(x: Long, y: Long): Long =
+      (0 until 32).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val cases = for {
+      i <- 1 to 200
+      g = Gen.choose(0L, 0xFFFFFFFFL)
+    } yield (g.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+      g.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    cases.foreach { case (x, y) =>
+      assert(ZOrder.mortonRef(x, y) == slow(x, y), s"ref diverges at ($x,$y)")
+    }
+    // the Column expression computes the same keys as the driver ref
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton(col("x"), col("y")).as("z"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(2) == ZOrder.mortonRef(r.getLong(0), r.getLong(1)))
+    }
   }
 
-  test("z-ordered layout bounds per-file stats spans on both dimensions " +
-      "and beats the single-column sort's worst dimension") {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("value"))
-    val nFiles = 16
-
-    val sortedPath = tmpDir("zorder-sorted")
-    ev.repartitionByRange(nFiles, col("user_id"))
-      .sortWithinPartitions(col("user_id"))
-      .write.mode("overwrite").parquet(sortedPath)
-
-    val zPath = tmpDir("zorder-z")
-    ZOrder.write(ev, Seq("user_id", "value"), zPath, nFiles)
-
-    // data preserved exactly
-    assert(spark.read.parquet(zPath).count() == ev.count())
-    assert(spark.read.parquet(zPath).agg(sum(col("event_id"))).head().getLong(0)
-      == ev.agg(sum(col("event_id"))).head().getLong(0))
-
-    val sortU = meanSpan(sortedPath, "user_id")
-    val sortV = meanSpan(sortedPath, "value")
-    val zU = meanSpan(zPath, "user_id")
-    val zV = meanSpan(zPath, "value")
-    info(f"user_id span: sorted $sortU%.3f vs z $zU%.3f; " +
-      f"value span: sorted $sortV%.3f vs z $zV%.3f")
-    // the single-column sort nails its own column but stays wide on value
-    // (events' value is only partially correlated with user_id)
-    assert(sortU < 0.2, s"sorted user_id span $sortU")
-    // z-order: BOTH dimensions bounded — files cover a rectangle of
-    // (user_id, value) space, so a predicate on EITHER column skips files
-    assert(zU < 0.5, s"z user_id span $zU")
-    assert(zV < 0.5, s"z value span $zV")
-    // the property that matters for ad-hoc predicates: the z-layout's
-    // WORST dimension beats the single-column layout's worst dimension
-    // (min-max fairness — no dimension is left unprunable)
-    assert(math.max(zU, zV) < math.max(sortU, sortV),
-      s"z worst ${math.max(zU, zV)} vs sorted worst ${math.max(sortU, sortV)}")
-    // and value-only predicates specifically skip far better than under
-    // the user_id sort
-    assert(zV < 0.6 * sortV, s"$zV !< 0.6*$sortV")
+  test("coverBuckets is a superset of every cell the box touches and " +
+      "only contains buckets whose tile intersects it") {
+    (1 to 50).foreach { i =>
+      def pick(seed: Long, lo: Long, hi: Long): Long =
+        Gen.choose(lo, hi).pureApply(Gen.Parameters.default, Seed(seed))
+      val (xw, yw) = (pick(i, 1, 40), pick(100 + i, 1, 40))
+      val x0 = pick(200 + i, 0, 2000); val x1 = x0 + pick(300 + i, 0, 500)
+      val y0 = pick(400 + i, 0, 2000); val y1 = y0 + pick(500 + i, 0, 500)
+      val cover = ZOrder.coverBuckets(x0, x1, y0, y1, xw, yw).toSet
+      // every raw point in the box maps into a covered bucket
+      for (x <- x0 to math.min(x1, x0 + 60);
+           y <- y0 to math.min(y1, y0 + 60)) {
+        val xb = math.min(ZOrder.CoordMax, x / xw)
+        val yb = math.min(ZOrder.CoordMax, y / yw)
+        val b = ZOrder.mortonRef(xb, yb) >> ZOrder.BucketShift
+        assert(cover.contains(b), s"seed $i: box point ($x,$y) in " +
+          s"uncovered bucket $b (widths $xw,$yw)")
+      }
+    }
   }
 
-  test("3-dimensional z-order bounds every dimension's per-file span") {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("value"))
-    val zPath = tmpDir("zorder-3d")
-    ZOrder.write(ev, Seq("event_id", "user_id", "value"), zPath, 16)
-    assert(spark.read.parquet(zPath).count() == ev.count())
-    val spans = Seq("event_id", "user_id", "value").map(meanSpan(zPath, _))
-    info(spans.map(s => f"$s%.3f").mkString("3-dim spans: ", ", ", ""))
-    // with 3 interleaved dims and 16 files, each dim gets fewer bits of
-    // the range split, so the bound is looser than 2-dim — but every
-    // dimension must stay well under the blind 1.0
-    assert(spans.forall(_ < 0.7), spans.mkString(","))
-  }
-
-  test("zvalue interleaves bucket bits (known corners)") {
-    import spark.implicits._
-    val df = Seq((0.0, 0.0), (255.0, 0.0), (0.0, 255.0), (255.0, 255.0),
-      (128.0, 128.0)).toDF("x", "y")
-    val z = ZOrder.zvalue(df, Seq("x", "y"))
-      .orderBy(col("x"), col("y"))
-      .select(col("x"), col("y"), col("__z")).collect()
-      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
-    // x occupies even bits, y odd bits
-    assert(z.contains((0.0, 0.0, 0L)))
-    assert(z.contains((255.0, 0.0, 0x5555L)))   // 01010101... even bits
-    assert(z.contains((0.0, 255.0, 0xAAAAL)))   // odd bits
-    assert(z.contains((255.0, 255.0, 0xFFFFL)))
+  test("the box scan partition-prunes to the covering buckets and " +
+      "returns exactly the plain filter's rows") {
+    val dir = "/root/testdata/sf0.001"
+    val q = ZOrder.boxScan(spark, dir, 20L, 60L, 2L, 5L)
+    // equivalence: exactly the plain filter over the raw table
+    val got = q.select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = graft.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_partkey").between(20, 60) &&
+        col("l_suppkey").between(2, 5))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want, s"layout path diverges: ${got.length} vs " +
+      s"${want.length} rows")
+    assert(want.nonEmpty, "vacuity: the box must match rows")
+    // plan shape: the layout scan carries a zbucket partition filter
+    // and lists FEWER partition dirs than the full layout holds
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the layout path")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"bucket cover did not become partition filters:\n$scan")
+    val pType = scan.relation.partitionSchema.fields(0).dataType
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.get(0, pType).toString.toLong).distinct
+    val total = ZOrder.lineitemLayout(spark, dir)._1
+      .select(col("zbucket")).distinct().count()
+    assert(selected.length < total,
+      s"no pruning: ${selected.length} of $total buckets read")
+    // and every listed bucket is in the enumerated cover
+    val (_, xw, yw) = ZOrder.lineitemLayout(spark, dir)
+    val cover = ZOrder.coverBuckets(20, 60, 2, 5, xw, yw).toSet
+    assert(selected.forall(cover.contains),
+      s"scan read a bucket outside the cover: $selected vs $cover")
   }
 }
