@@ -863,6 +863,73 @@ object JoinQueries extends QuerySet {
       lab.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min(col("n")).as("min_node"))
         .orderBy(col("n_members").desc, col("community"))
+    },
+
+    // MULTI-SOURCE WEIGHTED SHORTEST PATHS (Bellman-Ford min-plus rounds,
+    // Bellman 1958) over the support-2 co-order backbone — the
+    // distance-to-hub primitive the graph family was missing (CC =
+    // reachability, PageRank = centrality, k-core = density; this is
+    // PROXIMITY: "how far is every part from the heavily-co-ordered
+    // hub set", the warehouse/CDN-distance shape). Sources are the hub
+    // nodes whose backbone degree is at least twice the mean degree —
+    // an ALL-INTEGER density-relative rule (d·|V| ≥ 2·Σd, the
+    // q_basket_triples floor argument: invariant under K× replication
+    // of the same baskets), 96 hubs at sf0.01 / 145 at sf0.1. Edge
+    // weight = 1000 div st + 1 (strong co-order ties are cheap), so
+    // dist is exact int64 everywhere, bounded by rounds·501.
+    // Scale shape (the q_kcore loop recipe): edges are checkpointed
+    // ONCE; the dist table is node-domain-sized (the part catalog
+    // bounds it at any corpus size) so each relax round BROADCASTS it
+    // into a map-side join with the edge list — a round's only shuffle
+    // is the node-keyed min agg — and the fixpoint probe ((count,
+    // sum(dist)) unchanged; min-plus improvements strictly decrease the
+    // sum or grow the count, so the pair is a faithful fixpoint
+    // witness) rides the SAME action that materializes the lazy
+    // per-round checkpoint: ONE driver job per round. Adaptive depth is
+    // the true fixpoint (6 rounds at sf0.01, 7 at sf0.1); the DuckDB
+    // oracle unrolls 10 rounds and asserts its own bound with a
+    // (-1,-1) sentinel row when d10 ≠ d9 (the q_kcore guard), so a
+    // deeper future fixture fails loudly instead of silently blaming
+    // the deeper adaptive answer. The two hub-rule scalars (|V|, Σd)
+    // are a documented driver-sized collect (the q_zorder_key policy:
+    // 2 scalars off a node-domain agg, never data-sized).
+    "q_shortest_path" -> { (s, dir) =>
+      val eb = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+        .filter(col("st") >= 2)
+        .withColumn("w", intDiv(lit(1000L), col("st")) + lit(1L))
+      val edges = eb.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(eb.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .localCheckpoint(eager = true)
+      val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      // hub-rule scalars: one row off the node-domain-sized degree agg
+      val totRow = deg.agg(count(lit(1)).as("nn"), sum(col("d")).as("td"))
+        .first()
+      val (nn, td) = (totRow.getLong(0), totRow.getLong(1))
+      var dist = deg.filter(col("d") * lit(nn) >= lit(2L * td))
+        .select(col("n"), lit(0L).as("dist"))
+        .localCheckpoint(eager = true)
+      var probe = (-1L, -1L)
+      var done = false
+      while (!done) {
+        val relaxed = edges
+          .join(broadcast(dist.withColumnRenamed("n", "u")), Seq("u"))
+          .select(col("v").as("n"), (col("dist") + col("w")).as("dist"))
+        val next = dist.unionAll(relaxed)
+          .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(eager = false)
+        val r = next.agg(count(lit(1)), sum(col("dist"))).first()
+        val p2 = (r.getLong(0), r.getLong(1))
+        if (p2 == probe) done = true
+        else { dist = next; probe = p2 }
+      }
+      dist.select(col("n").as("p_partkey"), col("dist"))
+        .orderBy(col("p_partkey"))
     }
   )
 
@@ -1193,6 +1260,8 @@ object JoinQueries extends QuerySet {
 
     "q_label_prop" -> labelPropSql,
 
+    "q_shortest_path" -> shortestPathSql,
+
     // supports exact, confidence/lift mirrored as the same half-up
     // int64 micro divisions
     "q_basket_rules" ->
@@ -1292,6 +1361,43 @@ object JoinQueries extends QuerySet {
     * signature (one extra row sorting first) instead of silently
     * blaming the Spark side's deeper adaptive answer. At the fixpoint
     * the WHERE is false and the query is unchanged. */
+  /** DuckDB Bellman-Ford oracle: 10 UNROLLED min-plus rounds — above
+    * the measured fixpoint (6 at sf0.01, 7 at sf0.1); rounds past the
+    * fixpoint are identity (no dist improves), so unrolled == adaptive
+    * exactly. Self-asserting unroll bound (the kcoreSql guard): if d10
+    * still differs from d9 — more nodes reached OR any dist improved —
+    * a (-1,-1) sentinel row appears and the gate fails visibly. */
+  private def shortestPathSql: String = {
+    val rounds = (1 to 10).map { r =>
+      s""",d$r AS MATERIALIZED (SELECT n, min(dist) AS dist FROM (
+         |    SELECT n, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT ed.v AS n, p.dist + ed.w AS dist
+         |    FROM d${r - 1} p JOIN ed ON ed.u = p.n) t
+         |  GROUP BY n)""".stripMargin
+    }.mkString("\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |eb AS MATERIALIZED (SELECT x.p AS a, y.p AS b, count(*) AS st
+       |   FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |   GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ed AS MATERIALIZED (
+       |   SELECT a AS u, b AS v, 1000 // st + 1 AS w FROM eb
+       |   UNION ALL SELECT b, a, 1000 // st + 1 FROM eb),
+       |deg AS (SELECT u AS n, count(*) AS d FROM ed GROUP BY u),
+       |tot AS (SELECT count(*) AS nn, sum(d) AS td FROM deg),
+       |d0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS dist
+       |   FROM deg, tot WHERE d * nn >= 2 * td)
+       |$rounds
+       |SELECT p_partkey, dist FROM (
+       |  SELECT n AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d10
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |  WHERE (SELECT count(*) FROM d10) <> (SELECT count(*) FROM d9)
+       |     OR (SELECT sum(dist) FROM d10) <> (SELECT sum(dist) FROM d9)
+       |) ORDER BY p_partkey""".stripMargin
+  }
+
   private def kcoreSql: String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references its predecessor 3× — un-materialized, e8 expands
