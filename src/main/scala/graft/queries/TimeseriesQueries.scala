@@ -1375,6 +1375,60 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // DYNAMIC TIME WARPING similarity (Sakoe & Chiba 1978) between the
+    // PAA-compressed daily-shape series of the 50 most-active users —
+    // the alignment-TOLERANT member of the series-similarity family
+    // (q_cross_corr = phase-locked Pearson; DTW matches "same shape,
+    // shifted"): each user's valued events collapse to a 24-bucket PAA
+    // vector (floor-mean cents per bucket over the global hour span,
+    // missing buckets 0), pairs ranked by banded DTW distance (band 4).
+    // ALL-INTEGER: cents in, exact int64 DTW out — the native dtw_band
+    // expression (functions/Dtw.scala, codegen'd two-row DP) and the
+    // oracle's recursive-CTE anti-diagonal DP compute the same number
+    // bit-for-bit. Scale shape: AGGREGATE-FIRST — the only fact-sized
+    // stage is one (user, bucket) hash agg (the PAA compression is
+    // what makes DTW scale: raw-length DTW is O(len²) per pair);
+    // blocking = top-50 activity truncation (the q_link_predict
+    // recipe), so the pair table is 1225 rows BY CONSTRUCTION at any
+    // corpus size and rides one broadcast nested-loop over vector rows
+    // (PlanShapeSpec allowCross: both sides ≤ 50 rows). The global
+    // hour-span bounds are a documented 2-scalar driver collect off
+    // the fact agg (the q_zorder_key policy); the activity rank's
+    // single-partition window runs over the user-domain-sized count
+    // table, never raw events.
+    "q_dtw" -> { (s, dir) =>
+      import graft.functions.DtwOps
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          intDiv(unix_micros(col("ts")), lit(3600000000L)).as("hb"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val wRk = Window.orderBy(col("n").desc, col("user_id"))
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") <= 50)
+        .select(col("user_id"))
+      val bRow = ev.agg(min(col("hb")), max(col("hb"))).first()
+      val (mn, span) = (bRow.getLong(0), bRow.getLong(1) - bRow.getLong(0) + 1)
+      val bk = ev.join(broadcast(top), Seq("user_id"))
+        .groupBy(col("user_id"),
+          intDiv((col("hb") - lit(mn)) * 24, lit(span)).as("bucket"))
+        .agg(intDiv(sum(col("cents")), count(lit(1))).as("pv"))
+      val grid = top.select(col("user_id"),
+        explode(sequence(lit(0L), lit(23L))).as("bucket"))
+      val vecs = grid.join(bk, Seq("user_id", "bucket"), "left")
+        .groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(col("bucket"),
+          coalesce(col("pv"), lit(0L)).as("pv")))),
+          x => x.getField("pv")).as("v"))
+      vecs.select(col("user_id").as("user_a"), col("v").as("x"))
+        .join(vecs.select(col("user_id").as("user_b"), col("v").as("y")),
+          col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"),
+          DtwOps.dtw_band(col("x"), col("y"), 4).as("dtw_dist"))
+        .orderBy(col("dtw_dist"), col("user_a"), col("user_b"))
+        .limit(100)
+    },
+
     // SRE MULTI-WINDOW error-budget burn rate (the Google SRE workbook
     // alert): burn = error_rate / budget (20% here) over a short (1 h)
     // AND a long (6 h) window, alerting only when BOTH exceed 1 — the
@@ -3020,6 +3074,58 @@ object TimeseriesQueries extends QuerySet {
         |         WHEN m <= 10000 THEN 'c' ELSE 'd' END AS s
         |  FROM paa)
         |SELECT user_id, day, string_agg(s, '' ORDER BY seg) AS sax_word
-        |FROM sym GROUP BY 1,2 ORDER BY user_id, day""".stripMargin
+        |FROM sym GROUP BY 1,2 ORDER BY user_id, day""".stripMargin,
+
+    // DTW as a recursive CTE over ANTI-DIAGONALS: cell (i,j) needs
+    // (i−1,j), (i,j−1) — same diagonal d−1 — and (i−1,j−1) — diagonal
+    // d−2 — so each recursion step carries the last TWO diagonals as
+    // LIST columns and computes the next with one list_transform; no
+    // within-step dependency remains (the reason a row-by-row unroll
+    // can't work in set-based recursion). 47 steps (2·24−1 diagonals),
+    // 1225 pair rows per step. INF (2^40) marks out-of-band/off-matrix
+    // cells; every in-band cell keeps an in-band predecessor (band
+    // connectivity), so INF never chains into a real path. Validated
+    // cell-for-cell against an independent full-matrix DP at both
+    // oracle SFs before shipping.
+    "q_dtw" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, epoch_us(ts)//3600000000 AS hb,
+        |              CAST(round(value*100) AS BIGINT) AS cents
+        |       FROM events WHERE value IS NOT NULL),
+        |top AS (SELECT user_id FROM (
+        |    SELECT user_id,
+        |           row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+        |    FROM ev GROUP BY user_id) WHERE rk <= 50),
+        |bnd AS (SELECT min(hb) AS mn, max(hb) - min(hb) + 1 AS span FROM ev),
+        |bk AS (SELECT e.user_id, (e.hb - bnd.mn) * 24 // bnd.span AS bucket,
+        |              sum(e.cents) AS sc, count(*) AS n
+        |       FROM ev e JOIN top USING (user_id), bnd GROUP BY 1, 2),
+        |grid AS (SELECT user_id, g.range AS bucket FROM top, range(24) g),
+        |vecs AS (SELECT user_id, list(coalesce(sc // n, 0) ORDER BY bucket) AS v
+        |         FROM grid LEFT JOIN bk USING (user_id, bucket)
+        |         GROUP BY user_id),
+        |pairs AS (SELECT a.user_id AS ua, b2.user_id AS ub, a.v AS x, b2.v AS y
+        |          FROM vecs a JOIN vecs b2 ON a.user_id < b2.user_id),
+        |dp AS (
+        |  SELECT ua, ub, 0 AS d,
+        |    list_transform(range(24), i -> CASE WHEN i = 0 THEN abs(x[1] - y[1])
+        |      ELSE 1099511627776 END) AS cur,
+        |    list_transform(range(24), i -> 1099511627776) AS prev, x, y
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ua, ub, d + 1,
+        |    list_transform(range(24), i ->
+        |      CASE WHEN d + 1 - i < 0 OR d + 1 - i > 23 OR abs(2*i - d - 1) > 4
+        |        THEN 1099511627776
+        |      ELSE abs(x[i+1] - y[d+2-i]) + least(
+        |        CASE WHEN i > 0 THEN cur[i] ELSE 1099511627776 END,
+        |        cur[i+1],
+        |        CASE WHEN i > 0 THEN prev[i] ELSE 1099511627776 END)
+        |      END) AS cur,
+        |    cur AS prev, x, y
+        |  FROM dp WHERE d < 46)
+        |SELECT ua AS user_a, ub AS user_b, CAST(cur[24] AS BIGINT) AS dtw_dist
+        |FROM dp WHERE d = 46
+        |ORDER BY dtw_dist, user_a, user_b LIMIT 100""".stripMargin
   )
 }

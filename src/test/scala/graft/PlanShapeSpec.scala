@@ -21,7 +21,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
     "q_pca_project", // k-row broadcast pinned-component table (model-sized)
     "q_token_budget_mix", // 1-row broadcast global budget into the catalog-sized fractions
-    "q34f_sq8_ann") // 1-row broadcast query codes + scale/norm (q34 pattern)
+    "q34f_sq8_ann", // 1-row broadcast query codes + scale/norm (q34 pattern)
+    "q_dtw") // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
