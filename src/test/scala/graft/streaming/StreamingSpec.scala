@@ -1781,4 +1781,77 @@ class StreamingSpec extends SparkSpec {
       pairs(baskets).size + items.size + 1L,
       "state rows != touched (pair + item + order-count) keys")
   }
+
+  test("st40: streaming conversion funnel — O(1) per-user stage state; " +
+      "the per-stage distinct-user readout equals batch q_funnel over " +
+      "EVERY arrived prefix, exactly, with stage progressions that " +
+      "straddle the micro-batch boundary") {
+    import graft.streaming.StreamingFunnel
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._2.getTime) // global event-time order (the contract)
+    // pick the split point FROM the data so the boundary is guaranteed
+    // to cut through a stage progression: greedy-fold the funnel to
+    // find a user whose qualifying click exists, then split right
+    // before that click — view lands in b1, the advance in b2
+    val greedy = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+    var cut = -1
+    ev.zipWithIndex.foreach { case ((u, t, et), i) =>
+      val (st, tLast) = greedy.getOrElse(u, (0, -1L))
+      if (st == 0 && et == "view") greedy(u) = (1, t.getTime)
+      else if (st == 1 && et == "click" && t.getTime > tLast) {
+        greedy(u) = (2, t.getTime)
+        if (cut < 0) cut = i // first stage-2 advance in global order
+      }
+    }
+    assert(cut > 0, "fixture has no view→click progression at all")
+    val (b1, b2) = ev.splitAt(cut)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingFunnel
+      .stages(in.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st40").start()
+    def batchFunnel(prefix: Array[(Long, java.sql.Timestamp, String)])
+        : Seq[Seq[Any]] = {
+      val d = tmpDir("graft-st40")
+      val sp = spark
+      import sp.implicits._
+      prefix.zipWithIndex
+        .map { case ((u, t, et), i) => (i.toLong, t, u, et) }.toSeq
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      graft.SparkEntry.queries("q_funnel")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    var stageAfterB1 = Map.empty[Long, Int]
+    try {
+      var arrived = Array.empty[(Long, java.sql.Timestamp, String)]
+      Seq(b1, b2).zipWithIndex.foreach { case (b, bi) =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = StreamingFunnel.readout(spark.table("st40"))
+          .collect().map(_.toSeq.toList).toSeq
+        val batch = batchFunnel(arrived)
+        assert(online == batch,
+          s"prefix of ${arrived.length} events: online funnel != batch" +
+            s" (online=$online batch=$batch)")
+        assert(batch.nonEmpty, "vacuity: prefix produced no funnel rows")
+        if (bi == 0) stageAfterB1 = spark.table("st40").collect()
+          .map(r => r.getLong(0) -> r.getInt(1))
+          .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      }
+    } finally q.stop()
+    // vacuity: some user must ADVANCE a stage in batch 2 on top of
+    // batch-1 state, or the cross-boundary claim is untested
+    val finalStage = spark.table("st40").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(finalStage.exists { case (u, st) =>
+      stageAfterB1.getOrElse(u, 0) >= 1 && st > stageAfterB1.getOrElse(u, 0)
+    }, "no user advanced a funnel stage across the micro-batch boundary")
+  }
 }
