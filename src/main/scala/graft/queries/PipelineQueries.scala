@@ -505,6 +505,51 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("source"), col("seq_id"))
     },
 
+    // SYSTEMATIC WEIGHTED SAMPLING (Madow 1949, the midpoint form) —
+    // the DETERMINISTIC probability-proportional-to-size draw the
+    // sampling family was missing (q_sample_quality = Bernoulli by
+    // score, q_stratified_sample = equal-per-stratum, q_token_budget_mix
+    // = budget thresholding; this one selects k docs with inclusion
+    // count ∝ weight, EXACTLY k total, no randomness): lay every doc's
+    // weight (n_chars) on a line, drop k midpoints (2i+1)·W/(2k), a doc
+    // is selected once per midpoint inside its interval. ALL-INTEGER:
+    // the hit count has a closed form over exact rationals compared by
+    // CROSS-MULTIPLICATION — n_hits = ⌈200·c1/W⌉/2 − ⌈200·c0/W⌉/2
+    // (odd-multiple counting; 2k = 200) — no floats, no floor-vs-ceil
+    // engine drift; Σ n_hits = k exactly, verified against direct
+    // rational enumeration at both oracle SFs. Overflow bound: 200·W
+    // needs W ≤ 4.6e16 — petabyte-scale total chars (documented, the
+    // q_basket_rules bound discipline). Scale shape: the global prefix
+    // sum is the q_pack_chop DISTRIBUTED decomposition (within-block
+    // windows on doc_id blocks + a block-offset pass 1000× smaller than
+    // the corpus; recurse block-of-blocks past ~1e8 blocks); W is a
+    // documented 1-scalar driver collect (the q_zorder_key policy); the
+    // hit-count test is map-only after the prefix join.
+    "q_sample_systematic" -> { (s, dir) =>
+      val k2 = 200L // 2k, k = 100 samples
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"))
+        .withColumn("blk", intDiv(col("doc_id"), lit(1000L)))
+      val tw = d.agg(sum(col("w"))).first().getLong(0)
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      val within = d.withColumn("cum_in", sum(col("w")).over(wIn))
+      val wOff = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = d.groupBy(col("blk")).agg(sum(col("w")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("blk"), col("off"))
+      def ceilDiv(a: org.apache.spark.sql.Column) =
+        intDiv(a + lit(tw - 1L), lit(tw))
+      within.join(offs, Seq("blk"))
+        .withColumn("c0", col("off") + col("cum_in") - col("w"))
+        .withColumn("n_hits",
+          intDiv(ceilDiv((col("c0") + col("w")) * k2), lit(2L)) -
+            intDiv(ceilDiv(col("c0") * k2), lit(2L)))
+        .filter(col("n_hits") > 0L)
+        .select(col("doc_id"), col("w"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // TOKEN-BUDGET data mixing — the static mixing step of an LLM data
     // recipe (each source gets an equal share of a 50%-of-corpus token
     // budget; oversized sources are downsampled to their share, small
@@ -795,6 +840,22 @@ object PipelineQueries extends QuerySet {
     // the oracle computes the plain per-source cumulative sum — the
     // distributed prefix-sum decomposition must be algebraically
     // invisible
+    // mirrors the Spark side's exact-rational hit count; the window
+    // cumsum replaces the distributed block decomposition (same sums)
+    "q_sample_systematic" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |                     PRECEDING AND CURRENT ROW) - w AS c0 FROM d),
+        |tot AS (SELECT sum(w) AS tw FROM d)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |       CAST(n_hits AS BIGINT) AS n_hits FROM (
+        |  SELECT doc_id, w,
+        |    ((200*(c0+w) + tw - 1) // tw) // 2
+        |      - ((200*c0 + tw - 1) // tw) // 2 AS n_hits
+        |  FROM c, tot) t
+        |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+
     "q_pack_chop" ->
       """WITH d AS (
         |  SELECT doc_id, source,
