@@ -930,6 +930,23 @@ object JoinQueries extends QuerySet {
       }
       dist.select(col("n").as("p_partkey"), col("dist"))
         .orderBy(col("p_partkey"))
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE — the q07 nation-revenue rollup
+    // refreshed from a persisted partial-aggregate store plus ONE delta
+    // scan, instead of a full recompute (operators/IncrementalRollup:
+    // the SignatureStore discipline applied to aggregates — the dedup
+    // store stops per-batch re-shingling, this stops per-refresh
+    // re-scanning). The oracle is the FULL recompute (q07's own SQL) —
+    // the q_zorder_box equivalence posture: maintenance changes what is
+    // SCANNED, never the answer. Distributive partials (DECIMAL(28,2)
+    // sums + counts) merge by addition, so store ⊎ delta ≡ recompute
+    // exactly; at 100 TB the base/delta split is ingestion-time
+    // partition pruning (the modulo slice stands in for the high-water
+    // mark) and the refresh cost is the delta scan + a catalog-sized
+    // merge.
+    "q_ivm_rollup" -> { (s, dir) =>
+      graft.operators.IncrementalRollup.nationRevenue(s, dir)
     }
   )
 
@@ -1261,6 +1278,16 @@ object JoinQueries extends QuerySet {
     "q_label_prop" -> labelPropSql,
 
     "q_shortest_path" -> shortestPathSql,
+
+    // the FULL recompute — the equivalence gate for the incremental
+    // store+delta plan (maintenance must never change the answer)
+    "q_ivm_rollup" ->
+      """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // supports exact, confidence/lift mirrored as the same half-up
     // int64 micro divisions
