@@ -870,13 +870,17 @@ object JoinQueries extends QuerySet {
     // distance-to-hub primitive the graph family was missing (CC =
     // reachability, PageRank = centrality, k-core = density; this is
     // PROXIMITY: "how far is every part from the heavily-co-ordered
-    // hub set", the warehouse/CDN-distance shape). Sources are the hub
-    // nodes whose backbone degree is at least twice the mean degree —
-    // an ALL-INTEGER density-relative rule (d·|V| ≥ 2·Σd, the
-    // q_basket_triples floor argument: invariant under K× replication
-    // of the same baskets), 96 hubs at sf0.01 / 145 at sf0.1. Edge
-    // weight = 1000 div st + 1 (strong co-order ties are cheap), so
-    // dist is exact int64 everywhere, bounded by rounds·501.
+    // hub set", the warehouse/CDN-distance shape). Sources are the
+    // TOP-128 nodes by backbone degree (row_number over (d DESC, n) —
+    // deterministic, node-domain-sized window). A 2×-mean-degree rule
+    // shipped first and the 10× replica measurement caught its density
+    // trap the same day: K× replication densifies the support-2
+    // backbone toward the full co-order graph (mean degree 1.2 → 120)
+    // until NO node clears twice the mean — the top-K rule is
+    // well-defined at every density and keeps the hub count a layout
+    // constant. Edge weight = 1000 div st + 1 (strong co-order ties
+    // are cheap), so dist is exact int64 everywhere, bounded by
+    // rounds·501.
     // Scale shape (the q_kcore loop recipe): edges are checkpointed
     // ONCE; the dist table is node-domain-sized (the part catalog
     // bounds it at any corpus size) so each relax round BROADCASTS it
@@ -890,9 +894,8 @@ object JoinQueries extends QuerySet {
     // oracle unrolls 10 rounds and asserts its own bound with a
     // (-1,-1) sentinel row when d10 ≠ d9 (the q_kcore guard), so a
     // deeper future fixture fails loudly instead of silently blaming
-    // the deeper adaptive answer. The two hub-rule scalars (|V|, Σd)
-    // are a documented driver-sized collect (the q_zorder_key policy:
-    // 2 scalars off a node-domain agg, never data-sized).
+    // the deeper adaptive answer (measured fixpoints: 6 at sf0.01, 7
+    // at sf0.1, 3 at the denser 10× replica).
     "q_shortest_path" -> { (s, dir) =>
       val eb = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("o"))
@@ -907,11 +910,9 @@ object JoinQueries extends QuerySet {
         .unionAll(eb.select(col("b").as("u"), col("a").as("v"), col("w")))
         .localCheckpoint(eager = true)
       val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
-      // hub-rule scalars: one row off the node-domain-sized degree agg
-      val totRow = deg.agg(count(lit(1)).as("nn"), sum(col("d")).as("td"))
-        .first()
-      val (nn, td) = (totRow.getLong(0), totRow.getLong(1))
-      var dist = deg.filter(col("d") * lit(nn) >= lit(2L * td))
+      val wHub = Window.orderBy(col("d").desc, col("n"))
+      var dist = deg.withColumn("rk", row_number().over(wHub))
+        .filter(col("rk") <= 128)
         .select(col("n"), lit(0L).as("dist"))
         .localCheckpoint(eager = true)
       var probe = (-1L, -1L)
@@ -923,7 +924,9 @@ object JoinQueries extends QuerySet {
         val next = dist.unionAll(relaxed)
           .groupBy(col("n")).agg(min(col("dist")).as("dist"))
           .localCheckpoint(eager = false)
-        val r = next.agg(count(lit(1)), sum(col("dist"))).first()
+        // coalesce: an empty backbone must converge to (0, 0), not NPE
+        val r = next
+          .agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).first()
         val p2 = (r.getLong(0), r.getLong(1))
         if (p2 == probe) done = true
         else { dist = next; probe = p2 }
@@ -1412,9 +1415,9 @@ object JoinQueries extends QuerySet {
        |   SELECT a AS u, b AS v, 1000 // st + 1 AS w FROM eb
        |   UNION ALL SELECT b, a, 1000 // st + 1 FROM eb),
        |deg AS (SELECT u AS n, count(*) AS d FROM ed GROUP BY u),
-       |tot AS (SELECT count(*) AS nn, sum(d) AS td FROM deg),
-       |d0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS dist
-       |   FROM deg, tot WHERE d * nn >= 2 * td)
+       |d0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS dist FROM (
+       |   SELECT n, row_number() OVER (ORDER BY d DESC, n) AS rk
+       |   FROM deg) t WHERE rk <= 128)
        |$rounds
        |SELECT p_partkey, dist FROM (
        |  SELECT n AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d10
