@@ -45,6 +45,7 @@ class Engine(val spark: SparkSession, warehouse: String)
   graft.functions.ExplodeLine.register(spark)
   graft.functions.VecOps.register(spark)
   graft.functions.EditDistanceOps.register(spark)
+  graft.functions.DtwOps.register(spark)
 
   import spark.implicits._
 

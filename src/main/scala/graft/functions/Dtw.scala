@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -91,6 +91,22 @@ object DtwOps {
   def dtw_band(x: Column, y: Column, band: Int): Column =
     ColumnBridge.column(DtwBand(
       ColumnBridge.expression(x), ColumnBridge.expression(y), band))
+
+  /** SQL surface: `SELECT dtw_band(x, y, 4)` — the band argument must
+    * be an integer literal (it parameterizes the generated kernel). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dtw_band", es => {
+        val band = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, IntegerType) => v
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Long, LongType) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"dtw_band: band must be an integer literal, got $other")
+        }
+        DtwBand(es.head, es(1), band)
+      }, "built-in")
 }
 
 /** [[DtwOps.dtwBand]] as a native expression:

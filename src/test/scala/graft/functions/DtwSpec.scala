@@ -82,6 +82,17 @@ class DtwSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: dtw_band resolves with a literal band and rejects " +
+      "a non-literal one") {
+    DtwOps.register(spark)
+    val r = spark.sql("SELECT dtw_band(array(0L,10L,0L,0L), " +
+      "array(0L,0L,10L,0L), 2) AS d").head.getLong(0)
+    assert(r === 0L)
+    intercept[Exception](spark.sql(
+      "SELECT dtw_band(array(1L), array(1L), cast(rand()*4 AS INT))")
+      .collect())
+  }
+
   test("q_dtw plan uses the native dtw_band expression (no lambda " +
       "tower in the pair stage) and returns deterministic top pairs") {
     val df = graft.SparkEntry.queries("q_dtw")(spark,
