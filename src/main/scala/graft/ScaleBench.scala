@@ -319,6 +319,12 @@ object ScaleBench {
     // + catalog-sized merge, so the factor should read ~K×/10 of a
     // full-agg scan — the whole point of the operator
     "q_ivm_rollup",
+    // round-12 second wave: the two graph quality metrics —
+    // assortativity is edge build + degree agg + broadcast joins + one
+    // six-sum row (expect the K× edge-build scan); modularity rides
+    // the SAME lpa() rounds as q_label_prop plus two hash aggs, so its
+    // factor should track q_label_prop's
+    "q_graph_assortativity", "q_graph_modularity",
     // round-12 second wave: banded DTW — aggregate-first PAA (one
     // (user, bucket) hash agg over the K× corpus), then a
     // CONSTANT-SIZE pair stage (top-50 blocking): factor = the agg
@@ -622,7 +628,8 @@ object ScaleBench {
       "q_supplier_similarity", "q_cms_heavy_hitters",
       "q_link_predict", "q_label_prop", "q_basket_rules",
       "q_basket_triples", "q_zorder_key", "q_zorder_box",
-      "q_shortest_path", "q_ivm_rollup").contains)
+      "q_shortest_path", "q_ivm_rollup",
+      "q_graph_assortativity", "q_graph_modularity").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

@@ -830,39 +830,48 @@ object JoinQueries extends QuerySet {
     // localCheckpoint (the ConnectedComponents discipline); rounds are
     // FIXED (4), not data-dependent.
     "q_label_prop" -> { (s, dir) =>
-      // the SUPPORT-2 backbone: keep pairs co-ordered at least twice —
-      // the market-basket support cut; the raw co-order graph is so
-      // dense (median degree ~115) that LPA collapses it to one giant
-      // community, which is true but uninformative. The backbone keeps
-      // genuine repeat-affinity structure for the labels to find.
-      val e = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("o"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
-          size(col("ps")) - col("i") - lit(1))).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
-        .filter(col("st") >= 2)
-      val und = e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(eager = true)
-      var lab = und.select(col("u").as("n")).distinct()
-        .withColumn("lbl", col("n"))
-        .localCheckpoint(eager = true)
-      val wTop = Window.partitionBy(col("u"))
-        .orderBy(col("c").desc, col("lbl"))
-      for (_ <- 1 to 4) {
-        lab = und
-          .join(lab.withColumnRenamed("n", "v"), Seq("v"))
-          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") === 1)
-          .select(col("u").as("n"), col("lbl"))
-          .localCheckpoint(eager = true)
-      }
+      val (_, lab) = lpa(s, dir)
       lab.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min(col("n")).as("min_node"))
         .orderBy(col("n_members").desc, col("community"))
+    },
+
+    // MODULARITY (Newman & Girvan 2004) of the LPA communities — the
+    // second graph QUALITY metric (with q_graph_assortativity): did
+    // label propagation find real structure? Q = Σ_c [L_c/m −
+    // (d_c/2m)²], reported ALL-INTEGER: Q·4m² = Σ_c (2m·intra_c −
+    // d_c²) where intra_c counts DIRECTED intra-community edges
+    // (= 2·L_c), every term an exact int64 (2m·intra ≤ 4m², fine to
+    // m ≈ 2.1e6 backbone edges — documented, and the measured replica
+    // band keeps the graph constant in K); the micro readout shifts by
+    // +1 BEFORE the division — ((Qs + 4m²)·250000) div m² − 1e6 — so
+    // the numerator is non-negative and Spark's truncating IntegralDivide
+    // equals DuckDB's flooring // exactly (Q itself can be negative;
+    // the q_pack_chop intDiv-vs-floor hazard, designed out instead of
+    // documented around). LPA labels come from the ONE shared lpa()
+    // definition (q_label_prop and this query cannot drift); scale
+    // shape: the label joins BROADCAST the node-domain-sized lab table
+    // (map-side), the metric is two hash aggs to one row; m is a
+    // 1-scalar driver read off the checkpointed edge frame.
+    "q_graph_modularity" -> { (s, dir) =>
+      val (und, lab) = lpa(s, dir)
+      val m = und.count() / 2
+      val cc = und
+        .join(broadcast(lab.select(col("n").as("u"),
+          col("lbl").as("lu"))), Seq("u"))
+        .join(broadcast(lab.select(col("n").as("v"),
+          col("lbl").as("lv"))), Seq("v"))
+        .groupBy(col("lu").as("c"))
+        .agg(count(lit(1)).as("dc"),
+          sum(when(col("lu") === col("lv"), 1L).otherwise(0L))
+            .as("intra"))
+      cc.agg(count(lit(1)).as("n_communities"),
+          sum(lit(2L * m) * col("intra") - col("dc") * col("dc"))
+            .as("qs"))
+        .select(col("n_communities"), lit(m).as("n_edges"),
+          (intDiv((col("qs") + lit(4L * m * m)) * lit(250000L),
+            lit(m * m)) - lit(1000000L)).as("q_micro"))
+        .orderBy(col("n_edges"))
     },
 
     // MULTI-SOURCE WEIGHTED SHORTEST PATHS (Bellman-Ford min-plus rounds,
@@ -935,6 +944,52 @@ object JoinQueries extends QuerySet {
         .orderBy(col("p_partkey"))
     },
 
+    // DEGREE ASSORTATIVITY (Newman 2002) of the support-2 co-order
+    // backbone — the first of the two graph QUALITY metrics (with
+    // q_graph_modularity) that turn the graph family's outputs into
+    // judged numbers: do high-degree parts co-order with other
+    // high-degree parts (r > 0, social-network-like) or with leaves
+    // (r < 0, technological/dependency-like)? r = Pearson over the
+    // DIRECTED edge list of (deg(u), deg(v)) — the standard
+    // formulation; both directions of every edge make it symmetric.
+    // ALL-INTEGER six sums (the q_cross_corr recipe: degrees are
+    // bounded by the part catalog, so n·sxx ≤ 4m²·max_d² ≈ 3e17 at the
+    // measured replica band — documented), fp only in the one-row
+    // final formula, micro-quantized. Scale shape: edge build + one
+    // degree agg; both endpoint-degree joins BROADCAST the
+    // node-domain-sized deg table (map-side), the six sums partial-agg
+    // to one row.
+    "q_graph_assortativity" -> { (s, dir) =>
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+        .filter(col("st") >= 2)
+      val ed = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = ed.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      ed.join(broadcast(deg.select(col("n").as("u"), col("d").as("x"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("n").as("v"), col("d").as("y"))),
+          Seq("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(intDiv(col("n"), lit(2L)).as("n_edges"),
+          micro((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("assort_micro"))
+        .orderBy(col("n_edges"))
+    },
+
     // INCREMENTAL VIEW MAINTENANCE — the q07 nation-revenue rollup
     // refreshed from a persisted partial-aggregate store plus ONE delta
     // scan, instead of a full recompute (operators/IncrementalRollup:
@@ -952,6 +1007,49 @@ object JoinQueries extends QuerySet {
       graft.operators.IncrementalRollup.nationRevenue(s, dir)
     }
   )
+
+  /** Shared 4-round synchronous LPA over the support-2 co-order
+    * backbone — ONE definition for q_label_prop and
+    * q_graph_modularity, so the communities the metric scores are the
+    * communities the query reports, by construction. The SUPPORT-2
+    * backbone: keep pairs co-ordered at least twice — the
+    * market-basket support cut; the raw co-order graph is so dense
+    * (median degree ~115) that LPA collapses it to one giant
+    * community, which is true but uninformative. Returns (und —
+    * directed edge frame, checkpointed; lab — (n, lbl) labels after 4
+    * rounds, checkpointed). Per-round shape: one node-keyed join + one
+    * (node, label) hash agg + one top-1 window sharing the node
+    * partitioning; label tables node-domain-sized; lineage severed per
+    * round by localCheckpoint (the ConnectedComponents discipline). */
+  private def lpa(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+        size(col("ps")) - col("i") - lit(1))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+      .filter(col("st") >= 2)
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(eager = true)
+    var lab = und.select(col("u").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(eager = true)
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to 4) {
+      lab = und
+        .join(lab.withColumnRenamed("n", "v"), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("u").as("n"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    (und, lab)
+  }
 
   /** Lead-validity interval formulation of the q13 as-of join (shared
     * with RangeJoinRuleSpec, which re-plans it through
@@ -1280,7 +1378,34 @@ object JoinQueries extends QuerySet {
 
     "q_label_prop" -> labelPropSql,
 
+    "q_graph_modularity" -> modularitySql,
+
     "q_shortest_path" -> shortestPathSql,
+
+    "q_graph_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+        |   FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |   GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS MATERIALIZED (
+        |   SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d
+        |        FROM ed GROUP BY u),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(du.d) AS BIGINT) AS sx,
+        |        CAST(sum(dv.d) AS BIGINT) AS sy,
+        |        CAST(sum(du.d * du.d) AS BIGINT) AS sxx,
+        |        CAST(sum(dv.d * dv.d) AS BIGINT) AS syy,
+        |        CAST(sum(du.d * dv.d) AS BIGINT) AS sxy
+        |      FROM ed JOIN deg du ON ed.u = du.n
+        |              JOIN deg dv ON ed.v = dv.n)
+        |SELECT n // 2 AS n_edges,
+        |  CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n*syy - sy*sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS assort_micro
+        |FROM g ORDER BY n_edges""".stripMargin,
 
     // the FULL recompute — the equivalence gate for the incremental
     // store+delta plan (maintenance must never change the answer)
@@ -1351,7 +1476,9 @@ object JoinQueries extends QuerySet {
     * load-bearing, each round reads its predecessor once per reference).
     * Mode-with-min-tiebreak via count + row_number, exactly the Spark
     * window. */
-  private def labelPropSql: String = {
+  /** Shared WITH-prefix for the LPA pair (the lpa() twin): backbone,
+    * directed edges, l0..l4 unrolled rounds. */
+  private def lpaCtes: String = {
     val rounds = (1 to 4).map { r =>
       s""",l$r AS MATERIALIZED (
          |  SELECT u AS n, lbl FROM (
@@ -1370,12 +1497,35 @@ object JoinQueries extends QuerySet {
        |und AS MATERIALIZED (
        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
        |l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM und)
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def labelPropSql: String =
+    s"""$lpaCtes
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
        |       min(n) AS min_node
        |FROM l4 GROUP BY lbl
        |ORDER BY n_members DESC, community""".stripMargin
-  }
+
+  /** Modularity over the SAME unrolled LPA: the +4m² shift makes the
+    * micro numerator non-negative, so DuckDB's flooring // equals
+    * Spark's truncating IntegralDivide exactly (Q can be negative). */
+  private def modularitySql: String =
+    s"""$lpaCtes
+       |,mm AS (SELECT CAST(count(*) AS BIGINT) // 2 AS m FROM und),
+       |ee AS (SELECT lu.lbl AS lu, lv.lbl AS lv
+       |       FROM und JOIN l4 lu ON lu.n = und.u
+       |                JOIN l4 lv ON lv.n = und.v),
+       |cc AS (SELECT lu AS c, CAST(count(*) AS BIGINT) AS dc,
+       |         CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS intra
+       |       FROM ee GROUP BY lu)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_communities,
+       |       m AS n_edges,
+       |       CAST(((SELECT CAST(sum(2*m*intra - dc*dc) AS BIGINT)
+       |              FROM cc) + 4*m*m) * 250000 // (m*m) - 1000000
+       |         AS BIGINT) AS q_micro
+       |FROM mm ORDER BY n_edges""".stripMargin
 
   /** DuckDB k-core oracle: 8 UNROLLED peel rounds — strictly more than
     * the measured 6-round fixpoint at both oracle SFs, and rounds past
