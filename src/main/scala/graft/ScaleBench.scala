@@ -311,6 +311,10 @@ object ScaleBench {
     // K; the factor reads the K× pair-gen + pair-support agg, never a
     // candidate blow-up
     "q_basket_triples",
+    // round-12 second wave: weighted median — one (group, value) hash
+    // agg collapses K× facts to the value domain, which saturates
+    // (prices recur); expect the agg scan to dominate
+    "q_weighted_median",
     // round-12 second wave: Bellman-Ford hub distances — the replica
     // keeps partkeys so the node domain is constant; the backbone
     // grows with K (the q_label_prop note) but stays edge-bounded, so
@@ -632,7 +636,7 @@ object ScaleBench {
       "q_supplier_similarity", "q_cms_heavy_hitters",
       "q_link_predict", "q_label_prop", "q_basket_rules",
       "q_basket_triples", "q_zorder_key", "q_zorder_box",
-      "q_shortest_path", "q_ivm_rollup",
+      "q_shortest_path", "q_ivm_rollup", "q_weighted_median",
       "q_graph_assortativity", "q_graph_modularity").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)

@@ -178,6 +178,33 @@ object AggQueries extends QuerySet {
         .orderBy(col(g))
     },
 
+    // EXACT WEIGHTED MEDIAN per group (the survey-statistics classic the
+    // percentile family lacks: q18/q18b weight every ROW equally; here
+    // each price is weighted by its quantity — "the price at which half
+    // the UNITS ship"): lower weighted median = smallest value whose
+    // cumulative weight reaches half the total, decided by the
+    // ALL-INTEGER test 2·cum ≥ W (no halves, no fp). Scale shape: one
+    // (group, value) hash agg collapses the fact table to the DISTINCT
+    // VALUE domain before any window (the q18b discipline), then one
+    // per-group cumulative window + a min — at 100 TB the window input
+    // is price-domain-sized, never row-sized.
+    "q_weighted_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("gw"))
+      val byVal = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      val whole = Window.partitionBy(col("flag"))
+      g.withColumn("cum", sum(col("gw")).over(byVal))
+        .withColumn("tot", sum(col("gw")).over(whole))
+        .filter(lit(2L) * col("cum") >= col("tot"))
+        .groupBy(col("flag").as("l_returnflag"))
+        .agg(min(col("cents")).as("median_cents"),
+          min(col("tot")).as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // covariance, least-squares regression — identical co-moment
     // definitions in both engines; magnitudes keep fp error << 1e-6.
@@ -391,6 +418,25 @@ object AggQueries extends QuerySet {
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |  round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |        CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+        |        CAST(round(l_quantity) AS BIGINT) AS w
+        |      FROM lineitem),
+        |g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS gw
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, gw,
+        |        CAST(sum(gw) OVER (PARTITION BY flag ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(gw) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |      FROM g)
+        |SELECT flag AS l_returnflag,
+        |       CAST(min(cents) AS BIGINT) AS median_cents,
+        |       CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE 2*cum >= tot
+        |GROUP BY flag ORDER BY l_returnflag""".stripMargin,
 
     "q_stat_funcs" ->
       """WITH e AS (SELECT *, epoch(ts) AS ts_s FROM events)
