@@ -165,41 +165,7 @@ object TextQueries extends QuerySet {
     // hash aggs; the rank window runs over score-domain groups
     // partitioned by evaluator, never raw docs.
     "q_eval_auc" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      val enArr = array(stopwords.toMap.apply("en").map(lit): _*)
-      val langidScored = d.withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) > 0)
-        .select(lit("langid_s_en").as("evaluator"),
-          micro(size(filter(col("w"), tk => array_contains(enArr, tk)))
-            .cast("double") / size(col("w"))).as("sc"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      val clsScored = d
-        .withColumn("cs",
-          graft.functions.TextOps.classifier_scores(col("text")))
-        .withColumn("n_tok", col("cs").getItem(0).cast("long"))
-        .withColumn("n_feat",
-          col("n_tok") + greatest(col("n_tok") - 1L, lit(0L)))
-        .filter(col("n_feat") > 0L)
-        .select(lit("classifier_avg_w").as("evaluator"),
-          micro((col("cs").getItem(1) + col("cs").getItem(2))
-            .cast("double") / col("n_feat").cast("double")).as("sc"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      val g = langidScored.unionAll(clsScored)
-        .groupBy(col("evaluator"), col("sc"))
-        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
-      val wC = Window.partitionBy(col("evaluator")).orderBy(col("sc"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("cum", coalesce(sum(col("cnt")).over(wC), lit(0L)))
-        .groupBy(col("evaluator"))
-        .agg(sum(col("pc")).as("np"),
-          (sum(col("cnt")) - sum(col("pc"))).as("nn"),
-          sum(col("pc") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
-            .as("r2"))
-        .select(col("evaluator"), col("np").as("n_pos"),
-          col("nn").as("n_neg"),
-          intDiv((col("r2") - col("np") * (col("np") + lit(1L)))
-            * lit(500000L), col("np") * col("nn")).as("auc_micro"))
-        .orderBy(col("evaluator"))
+      aucFromGroups(aucGroups(aucScored(t(s, dir, "documents"))))
     },
 
     "q_text_langid" -> { (s, dir) =>
@@ -1021,6 +987,56 @@ object TextQueries extends QuerySet {
     s"i -> concat(element_at($wCol, i), '_', element_at($wCol, i + 1))), " +
     s"tk -> ${wgtExpr("tk")}), CAST(0 AS BIGINT), (a, x) -> a + x) " +
     s"ELSE CAST(0 AS BIGINT) END)"
+
+  /** q_eval_auc's three stages as ONE shared definition each (the st39
+    * one-definition recipe: the streaming twin st41 reuses them, so
+    * streamed == batch AUC holds bit-for-bit by construction).
+    * aucScored: map-only scoring — both shipped evaluators per doc.
+    * aucGroups: the (evaluator, score-value) tagged count — the ONLY
+    * stateful stage (score-domain bounded; complete-mode streaming agg
+    * merges it additively). aucFromGroups: the exact tie-averaged
+    * integer rank-sum readout over those groups. */
+  private[graft] def aucScored(d: DataFrame): DataFrame = {
+    val enArr = array(stopwords.toMap.apply("en").map(lit): _*)
+    val langidScored = d.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) > 0)
+      .select(lit("langid_s_en").as("evaluator"),
+        micro(size(filter(col("w"), tk => array_contains(enArr, tk)))
+          .cast("double") / size(col("w"))).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val clsScored = d
+      .withColumn("cs",
+        graft.functions.TextOps.classifier_scores(col("text")))
+      .withColumn("n_tok", col("cs").getItem(0).cast("long"))
+      .withColumn("n_feat",
+        col("n_tok") + greatest(col("n_tok") - 1L, lit(0L)))
+      .filter(col("n_feat") > 0L)
+      .select(lit("classifier_avg_w").as("evaluator"),
+        micro((col("cs").getItem(1) + col("cs").getItem(2))
+          .cast("double") / col("n_feat").cast("double")).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    langidScored.unionAll(clsScored)
+  }
+
+  private[graft] def aucGroups(scored: DataFrame): DataFrame =
+    scored.groupBy(col("evaluator"), col("sc"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+
+  private[graft] def aucFromGroups(g: DataFrame): DataFrame = {
+    val wC = Window.partitionBy(col("evaluator")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum(col("cnt")).over(wC), lit(0L)))
+      .groupBy(col("evaluator"))
+      .agg(sum(col("pc")).as("np"),
+        (sum(col("cnt")) - sum(col("pc"))).as("nn"),
+        sum(col("pc") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
+          .as("r2"))
+      .select(col("evaluator"), col("np").as("n_pos"),
+        col("nn").as("n_neg"),
+        intDiv((col("r2") - col("np") * (col("np") + lit(1L)))
+          * lit(500000L), col("np") * col("nn")).as("auc_micro"))
+      .orderBy(col("evaluator"))
+  }
 
   private def langScoreSql(l: String, words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")

@@ -1854,4 +1854,64 @@ class StreamingSpec extends SparkSpec {
       stageAfterB1.getOrElse(u, 0) >= 1 && st > stageAfterB1.getOrElse(u, 0)
     }, "no user advanced a funnel stage across the micro-batch boundary")
   }
+
+  test("st41: streaming evaluation AUC — one tagged complete-mode " +
+      "(evaluator, score) count is the whole state; the rank-sum " +
+      "readout equals batch q_eval_auc over EVERY arrived prefix, " +
+      "exactly, with score groups that straddle the boundary") {
+    import graft.streaming.StreamingAuc
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingAuc
+      .groups(in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st41").start()
+    def batchAuc(prefix: Array[(Long, String, String)]): Seq[Seq[Any]] = {
+      val d = tmpDir("graft-st41")
+      val sp = spark
+      import sp.implicits._
+      prefix.toSeq.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      graft.SparkEntry.queries("q_eval_auc")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      var arrived = Array.empty[(Long, String, String)]
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = StreamingAuc.readout(spark.table("st41"))
+          .collect().map(_.toSeq.toList).toSeq
+        val batch = batchAuc(arrived)
+        assert(online == batch,
+          s"prefix of ${arrived.length} docs: online AUC != batch" +
+            s" (online=$online batch=$batch)")
+        assert(batch.nonEmpty && batch.head(1).asInstanceOf[Long] > 0L,
+          "vacuity: prefix produced no positives")
+      }
+    } finally q.stop()
+    // state-footprint pin (the st39 claim): the agg state IS the tagged
+    // rollup — rows == touched (evaluator, score) keys, never doc count
+    val keys = StreamingAuc.groups(
+      graft.Tables.load(spark, dir, "documents")).count()
+    assert(spark.table("st41").count() == keys,
+      "state rows != touched (evaluator, score) keys")
+    // vacuity: some score group must accumulate counts from BOTH
+    // batches, or the boundary claim is untested
+    def grp(b: Array[(Long, String, String)]): Set[(String, Long)] = {
+      val sp = spark
+      import sp.implicits._
+      StreamingAuc.groups(b.toSeq.toDF("doc_id", "text", "lang"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(grp(b1).intersect(grp(b2)).nonEmpty,
+      "no (evaluator, score) group straddles the micro-batch boundary")
+  }
 }
