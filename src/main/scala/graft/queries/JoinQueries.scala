@@ -968,8 +968,12 @@ object JoinQueries extends QuerySet {
           size(col("ps")) - col("i") - lit(1))).as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
         .filter(col("st") >= 2)
+      // checkpoint: ed feeds THREE consumers (deg + both endpoint
+      // joins) and exchange reuse does not unify aliased subtrees —
+      // without this the whole backbone build runs per consumer
       val ed = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = true)
       val deg = ed.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
       ed.join(broadcast(deg.select(col("n").as("u"), col("d").as("x"))),
           Seq("u"))

@@ -1415,11 +1415,15 @@ object TimeseriesQueries extends QuerySet {
         .agg(intDiv(sum(col("cents")), count(lit(1))).as("pv"))
       val grid = top.select(col("user_id"),
         explode(sequence(lit(0L), lit(23L))).as("bucket"))
+      // checkpoint before the self-join: exchange reuse does not unify
+      // aliased sides (the q_link_predict zn lesson — without this the
+      // ENTIRE PAA subtree, fact scan included, runs once per side)
       val vecs = grid.join(bk, Seq("user_id", "bucket"), "left")
         .groupBy(col("user_id"))
         .agg(transform(array_sort(collect_list(struct(col("bucket"),
           coalesce(col("pv"), lit(0L)).as("pv")))),
           x => x.getField("pv")).as("v"))
+        .localCheckpoint(eager = true)
       vecs.select(col("user_id").as("user_a"), col("v").as("x"))
         .join(vecs.select(col("user_id").as("user_b"), col("v").as("y")),
           col("user_a") < col("user_b"))
