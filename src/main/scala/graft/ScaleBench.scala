@@ -294,6 +294,11 @@ object ScaleBench {
     // binary-segmentation changepoint: three windows sharing one
     // user_id exchange — the §9.11 window-family shape
     "q_changepoint",
+    // round-12 second wave: seasonality strength — the stlCore
+    // subtree (one fact-sized hourly agg, then catalog-sized windows)
+    // plus two catalog-sized mean/deviation aggs; expect q_stl's flat
+    // shape
+    "q_seasonal_strength",
     // association rules: distinct projection + basket pair-gen +
     // broadcast supports; the support-2 pair table grows with K (same
     // backbone as q_label_prop) but the rank input is pruned first
@@ -620,7 +625,8 @@ object ScaleBench {
       "q_vector_binop", "q_histogram_quantile", "q_wow_ratio",
       "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
       "q_attribution", "q_drift_psi", "q_stat_funcs",
-      "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw")
+      "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw",
+      "q_seasonal_strength")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

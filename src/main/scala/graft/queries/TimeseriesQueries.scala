@@ -1130,40 +1130,64 @@ object TimeseriesQueries extends QuerySet {
     // catalog-sized series sharing one partitioning; the seasonal
     // profile (type × 24) broadcasts back — the q_deseasonalize plan.
     "q_stl_decompose" -> { (s, dir) =>
-      val g = t(s, dir, "events").filter(col("value").isNotNull)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("hc"))
-      val wo = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-      val w23 = wo.rowsBetween(-11, 11)
-      val tr = g
-        .withColumn("s23", sum(col("hc")).over(w23))
-        .withColumn("n23", count(lit(1)).over(w23))
-        .withColumn("lag12", lag(col("hc"), 12).over(wo))
-        .withColumn("lead12", lead(col("hc"), 12).over(wo))
-        .filter(col("lag12").isNotNull && col("lead12").isNotNull &&
-          col("n23") === 23)
-        .withColumn("trend_micro", intDiv(
-          (col("s23") * 2 + col("lag12") + col("lead12")) * 1000000L
-            + lit(24L), lit(48L)))
-        .withColumn("detr_micro",
-          col("hc") * 1000000L - col("trend_micro"))
-        .withColumn("hh", hour(col("hr")).cast("long"))
-      val wType = Window.partitionBy(col("event_type"))
-      val seas = tr.groupBy(col("event_type"), col("hh"))
-        .agg(intDiv(sum(col("detr_micro")) + intDiv(count(lit(1)), lit(2)),
-          count(lit(1))).as("s_raw"))
-        .withColumn("s_mean", intDiv(
-          sum(col("s_raw")).over(wType)
-            + intDiv(count(lit(1)).over(wType), lit(2)),
-          count(lit(1)).over(wType)))
-        .select(col("event_type"), col("hh"),
-          (col("s_raw") - col("s_mean")).as("seasonal_micro"))
+      val (tr, seas) = stlCore(s, dir)
       tr.join(broadcast(seas), Seq("event_type", "hh"))
         .select(col("event_type"), ntz(col("hr")).as("hr"),
           col("trend_micro"), col("seasonal_micro"),
           (col("detr_micro") - col("seasonal_micro"))
             .as("remainder_micro"))
         .orderBy(col("event_type"), col("hr"))
+    },
+
+    // SEASONALITY STRENGTH (Hyndman & Athanasopoulos, FPP: F_s =
+    // max(0, 1 − Var(remainder)/Var(detrended))) — the scalar that says
+    // whether q_stl_decompose's seasonal component is real structure or
+    // noise, per series (0.16–0.60 on this corpus: genuine hour-of-day
+    // signal). ALL-INTEGER to the last step: components come from the
+    // ONE shared stlCore (this metric scores exactly what the
+    // decomposition reports), micros round to cents and means round
+    // half-up through POSITIVE-SHIFTED divisions ((x + 5e17 + 5e5) div
+    // 1e6 − 5e11; + n·1e9 for the mean) so Spark's truncating
+    // IntegralDivide equals DuckDB's flooring // on the possibly-
+    // negative inputs (the q_graph_modularity trick); centered integer
+    // deviations bound the square sums at ~2.8e17 (int64-safe at any
+    // corpus since hourly cents are value-range-bounded — the
+    // q_cross_corr mean argument), and the final ratio converts the
+    // SAME exact int64s to double once on both engines. Scale shape:
+    // everything after the fact-sized hourly agg is catalog-sized
+    // (type × hours); the two-pass mean/deviation is two hash aggs and
+    // a broadcast join.
+    "q_seasonal_strength" -> { (s, dir) =>
+      val (tr, seas) = stlCore(s, dir)
+      def toCents(c: org.apache.spark.sql.Column) =
+        intDiv(c + lit(500000000000000000L) + lit(500000L),
+          lit(1000000L)) - lit(500000000000L)
+      val rem = tr.join(broadcast(seas), Seq("event_type", "hh"))
+        .select(col("event_type"), toCents(col("detr_micro")).as("dc"),
+          toCents(col("detr_micro") - col("seasonal_micro")).as("rc"))
+      def meanShift(sc: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        intDiv(sc + n * lit(1000000000L) + intDiv(n, lit(2L)), n) -
+          lit(1000000000L)
+      val m = rem.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("dc")).as("sdc"),
+          sum(col("rc")).as("src"))
+        .select(col("event_type"), col("n"),
+          meanShift(col("sdc"), col("n")).as("md"),
+          meanShift(col("src"), col("n")).as("mr"))
+      rem.join(broadcast(m), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_hours"),
+          sum((col("dc") - col("md")) * (col("dc") - col("md")))
+            .as("sd2"),
+          sum((col("rc") - col("mr")) * (col("rc") - col("mr")))
+            .as("sr2"))
+        .filter(col("sd2") > 0L)
+        .select(col("event_type"), col("n_hours"),
+          greatest(lit(0L), micro(lit(1.0) -
+            col("sr2").cast("double") / col("sd2").cast("double")))
+            .as("strength_micro"))
+        .orderBy(col("event_type"))
     },
 
     // LTTB-lite visualization downsampling (largest-triangle-three-
@@ -1855,6 +1879,82 @@ object TimeseriesQueries extends QuerySet {
       |    CAST(floor(sqrt(CAST(n*scc - sc*sc AS DOUBLE)) / CAST(n AS DOUBLE)
       |      / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS std_micro
       |  FROM g)""".stripMargin
+
+  /** The classical-decomposition core shared by q_stl_decompose and
+    * q_seasonal_strength (one definition — the metric scores exactly
+    * the components the decomposition reports): returns (tr — per
+    * (type, hour) trend/detrended micros, seas — per (type,
+    * hour-of-day) seasonal micros). Arithmetic documented at the
+    * q_stl_decompose entry. */
+  private def stlCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val g = t(s, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("hc"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val w23 = wo.rowsBetween(-11, 11)
+    val tr = g
+      .withColumn("s23", sum(col("hc")).over(w23))
+      .withColumn("n23", count(lit(1)).over(w23))
+      .withColumn("lag12", lag(col("hc"), 12).over(wo))
+      .withColumn("lead12", lead(col("hc"), 12).over(wo))
+      .filter(col("lag12").isNotNull && col("lead12").isNotNull &&
+        col("n23") === 23)
+      .withColumn("trend_micro", intDiv(
+        (col("s23") * 2 + col("lag12") + col("lead12")) * 1000000L
+          + lit(24L), lit(48L)))
+      .withColumn("detr_micro",
+        col("hc") * 1000000L - col("trend_micro"))
+      .withColumn("hh", hour(col("hr")).cast("long"))
+    val wType = Window.partitionBy(col("event_type"))
+    val seas = tr.groupBy(col("event_type"), col("hh"))
+      .agg(intDiv(sum(col("detr_micro")) + intDiv(count(lit(1)), lit(2)),
+        count(lit(1))).as("s_raw"))
+      .withColumn("s_mean", intDiv(
+        sum(col("s_raw")).over(wType)
+          + intDiv(count(lit(1)).over(wType), lit(2)),
+        count(lit(1)).over(wType)))
+      .select(col("event_type"), col("hh"),
+        (col("s_raw") - col("s_mean")).as("seasonal_micro"))
+    (tr, seas)
+  }
+
+  /** The classical-decomposition WITH-prefix shared by the
+    * q_stl_decompose and q_seasonal_strength oracles (the stlCore
+    * twin). */
+  private def stlCtes: String =
+    """WITH g AS (
+      |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hr,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hc
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type, hr),
+      |tr0 AS (
+      |  SELECT event_type, hr, hc,
+      |    CAST(sum(hc) OVER w23 AS BIGINT) AS s23,
+      |    count(*) OVER w23 AS n23,
+      |    lag(hc, 12) OVER wo AS lag12,
+      |    lead(hc, 12) OVER wo AS lead12
+      |  FROM g
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
+      |    w23 AS (PARTITION BY event_type ORDER BY hr
+      |            ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+      |tr AS (
+      |  SELECT event_type, hr, hour(hr) AS hh,
+      |    ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS trend_micro,
+      |    hc * 1000000
+      |      - ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS detr_micro
+      |  FROM tr0
+      |  WHERE lag12 IS NOT NULL AND lead12 IS NOT NULL AND n23 = 23),
+      |se AS (
+      |  SELECT event_type, hh,
+      |    (CAST(sum(detr_micro) AS BIGINT) + count(*) // 2) // count(*)
+      |      AS s_raw
+      |  FROM tr GROUP BY event_type, hh),
+      |sc AS (
+      |  SELECT event_type, hh,
+      |    s_raw - (CAST(sum(s_raw) OVER wt AS BIGINT)
+      |             + (count(*) OVER wt) // 2) // (count(*) OVER wt)
+      |      AS seasonal_micro
+      |  FROM se WINDOW wt AS (PARTITION BY event_type))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // one window spec, three frames, all integer
@@ -2707,42 +2807,41 @@ object TimeseriesQueries extends QuerySet {
     // all-integer after the cents agg: the weighted 2x24 MA, the hour-of-
     // day means and the recentering all mirror Spark's intDiv math
     "q_stl_decompose" ->
-      """WITH g AS (
-        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hr,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hc
-        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, hr),
-        |tr0 AS (
-        |  SELECT event_type, hr, hc,
-        |    CAST(sum(hc) OVER w23 AS BIGINT) AS s23,
-        |    count(*) OVER w23 AS n23,
-        |    lag(hc, 12) OVER wo AS lag12,
-        |    lead(hc, 12) OVER wo AS lead12
-        |  FROM g
-        |  WINDOW wo AS (PARTITION BY event_type ORDER BY hr),
-        |    w23 AS (PARTITION BY event_type ORDER BY hr
-        |            ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
-        |tr AS (
-        |  SELECT event_type, hr, hour(hr) AS hh,
-        |    ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS trend_micro,
-        |    hc * 1000000
-        |      - ((s23 * 2 + lag12 + lead12) * 1000000 + 24) // 48 AS detr_micro
-        |  FROM tr0
-        |  WHERE lag12 IS NOT NULL AND lead12 IS NOT NULL AND n23 = 23),
-        |se AS (
-        |  SELECT event_type, hh,
-        |    (CAST(sum(detr_micro) AS BIGINT) + count(*) // 2) // count(*)
-        |      AS s_raw
-        |  FROM tr GROUP BY event_type, hh),
-        |sc AS (
-        |  SELECT event_type, hh,
-        |    s_raw - (CAST(sum(s_raw) OVER wt AS BIGINT)
-        |             + (count(*) OVER wt) // 2) // (count(*) OVER wt)
-        |      AS seasonal_micro
-        |  FROM se WINDOW wt AS (PARTITION BY event_type))
+      s"""$stlCtes
         |SELECT t.event_type, t.hr, t.trend_micro, s.seasonal_micro,
         |  t.detr_micro - s.seasonal_micro AS remainder_micro
         |FROM tr t JOIN sc s USING (event_type, hh)
         |ORDER BY t.event_type, t.hr""".stripMargin,
+
+    // the SAME stlCtes; positive-shifted divisions mirror the Spark
+    // side exactly (floor == trunc on non-negative numerators)
+    "q_seasonal_strength" ->
+      s"""$stlCtes,
+        |rem AS (
+        |  SELECT t.event_type,
+        |    (t.detr_micro + 500000000000000000 + 500000) // 1000000
+        |      - 500000000000 AS dc,
+        |    (t.detr_micro - s.seasonal_micro + 500000000000000000
+        |      + 500000) // 1000000 - 500000000000 AS rc
+        |  FROM tr t JOIN sc s USING (event_type, hh)),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(sum(dc) AS BIGINT) + count(*) * 1000000000
+        |      + count(*) // 2) // count(*) - 1000000000 AS md,
+        |    (CAST(sum(rc) AS BIGINT) + count(*) * 1000000000
+        |      + count(*) // 2) // count(*) - 1000000000 AS mr
+        |  FROM rem GROUP BY event_type),
+        |v AS (
+        |  SELECT r.event_type, min(m.n) AS n,
+        |    CAST(sum((r.dc - m.md) * (r.dc - m.md)) AS BIGINT) AS sd2,
+        |    CAST(sum((r.rc - m.mr) * (r.rc - m.mr)) AS BIGINT) AS sr2
+        |  FROM rem r JOIN m ON r.event_type = m.event_type
+        |  GROUP BY r.event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+        |  greatest(CAST(0 AS BIGINT),
+        |    CAST(floor((1.0 - CAST(sr2 AS DOUBLE) / CAST(sd2 AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS strength_micro
+        |FROM v WHERE sd2 > 0 ORDER BY event_type""".stripMargin,
 
     // exact int64 cross products (µs × cents), floor-average anchors,
     // event_id tiebreak — every selected point identical across engines
