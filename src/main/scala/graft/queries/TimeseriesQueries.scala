@@ -1162,9 +1162,14 @@ object TimeseriesQueries extends QuerySet {
       def toCents(c: org.apache.spark.sql.Column) =
         intDiv(c + lit(500000000000000000L) + lit(500000L),
           lit(1000000L)) - lit(500000000000L)
+      // checkpoint: rem feeds the mean pass AND the deviation pass, and
+      // its subtree holds the fact-sized hourly agg — unsevered, the
+      // plan audit read FOUR fact scans for one catalog-sized metric
+      // (the q_dtw/assortativity lesson, third instance this round)
       val rem = tr.join(broadcast(seas), Seq("event_type", "hh"))
         .select(col("event_type"), toCents(col("detr_micro")).as("dc"),
           toCents(col("detr_micro") - col("seasonal_micro")).as("rc"))
+        .localCheckpoint(eager = true)
       def meanShift(sc: org.apache.spark.sql.Column,
           n: org.apache.spark.sql.Column) =
         intDiv(sc + n * lit(1000000000L) + intDiv(n, lit(2L)), n) -
