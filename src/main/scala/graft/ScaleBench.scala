@@ -332,6 +332,11 @@ object ScaleBench {
     // + catalog-sized merge, so the factor should read ~K×/10 of a
     // full-agg scan — the whole point of the operator
     "q_ivm_rollup",
+    // round-13: the second registry view — same IVM shape over the
+    // events fact (1/10th delta scan + one hash agg + merge); the
+    // (type, hour) key domain saturates at the replica (hours recur),
+    // so expect the delta scan to dominate like q_ivm_rollup
+    "q_ivm_events",
     // round-12 second wave: the two graph quality metrics —
     // assortativity is edge build + degree agg + broadcast joins + one
     // six-sum row (expect the K× edge-build scan); modularity rides
@@ -626,7 +631,7 @@ object ScaleBench {
       "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
       "q_attribution", "q_drift_psi", "q_stat_funcs",
       "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw",
-      "q_seasonal_strength")
+      "q_seasonal_strength", "q_ivm_events")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

@@ -786,6 +786,52 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // Maintained per-day stats serving off the INCREMENTAL stats store
+    // (Engine.statsRefresh — the IncrementalRollup discipline with real
+    // ingestion-time deltas: refresh scans only unfolded ingest_batch
+    // partitions): GET /stats/<series>?name=<field>[&from=<day>&to=<day>]
+    // reads the store only (no raw scan at request time); POST
+    // /stats/refresh folds newly-ingested batches in. A GET before any
+    // refresh fails 409 with the hint (the /similar posture) rather than
+    // serving empty stats as if the series were silent.
+    http.createContext("/stats/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val seg = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/stats/"))
+        val p = queryParams(ex)
+        (ex.getRequestMethod, seg) match {
+          case ("POST", "refresh") =>
+            engine.statsRefresh()
+            respond(ex, 200, """{"refreshed":true}""")
+          case ("POST", _) =>
+            respond(ex, 405, """{"error":"POST is only /stats/refresh"}""")
+          case (m, _) if m != "GET" =>
+            respond(ex, 405, """{"error":"GET required"}""")
+          case (_, "") =>
+            respond(ex, 400, """{"error":"series name required"}""")
+          case (_, series) if !engine.seriesExists(series) =>
+            respond(ex, 404,
+              s"""{"error":${quote(s"unknown series $series")}}""")
+          case _ if !p.contains("name") =>
+            respond(ex, 400, """{"error":"name parameter required"}""")
+          case _ if !engine.statsStoreExists =>
+            respond(ex, 409,
+              """{"error":"stats store not built; POST /stats/refresh"}""")
+          case (_, series) =>
+            val rows = engine.stats(series, p("name"),
+              p.get("from"), p.get("to")).collect().map { r =>
+              s"""{"day":${quote(r.getDate(0).toString)},""" +
+                s""""n":${r.getLong(1)},"sum":${r.getDouble(2)},""" +
+                s""""avg":${r.getDouble(3)},"min":${r.getDouble(4)},""" +
+                s""""max":${r.getDouble(5)}}"""
+            }.toSeq
+            respond(ex, 200,
+              s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
+                s""""days":${jsonArray(rows)}}""")
+        }
+      }
+    })
+
     // DELETE /series/<name> — drop one series (InfluxDB DROP SERIES analog)
     http.createContext("/series/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {

@@ -487,6 +487,164 @@ class Engine(val spark: SparkSession, warehouse: String)
         .groupBy(col("bin")).agg(sum(col("cnt")).as("w")),
       qs)
 
+  // ---------------------- incremental maintained stats (the IVM store)
+
+  private def statsPath = s"$warehouse/stats_daily"
+
+  private val statsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "series STRING, day DATE, name STRING, n BIGINT, " +
+      "sum_v DECIMAL(28,6), min_v DOUBLE, max_v DOUBLE")
+
+  /** The `ingest_batch=` partition tags currently on disk — the
+    * ingestion-time delta unit the stats manifest tracks. */
+  private def batchTags(): Set[String] =
+    if (!exists) Set.empty
+    else fs(tablePath)
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("ingest_batch="))
+      .map(s => unescapePathName(
+        s.getPath.getName.stripPrefix("ingest_batch=")))
+      .toSet
+
+  /** Per-(series, day, name) numeric-field stats maintained
+    * INCREMENTALLY — the [[graft.operators.IncrementalRollup]]
+    * discipline wired into the engine with REAL ingestion-time deltas:
+    * a manifest of already-folded `ingest_batch=` partitions rides
+    * inside the store, and a refresh scans ONLY unfolded batches
+    * (partition pruning makes the delta scan physical — `ingest_batch`
+    * is a partition column) then merges their distributive partials
+    * (count / DECIMAL(28,6)-exact sum / min / max — 22 integer digits
+    * of headroom, order-free) into the stored ones. Unlike
+    * [[sketchRollup]]/[[histogramRollup]] (full rebuilds per refresh),
+    * the refresh cost is proportional to NEW data — at 100 TB that is
+    * the difference between a nightly maintenance job re-reading the
+    * corpus and one that reads the day's arrivals.
+    *
+    * Self-healing invariant: if a folded batch no longer exists on disk
+    * ([[compact]] rewrote the batch tags, or an operator removed one),
+    * the manifest cannot be trusted and the store REBUILDS from scratch
+    * — detected by manifest ⊄ current tags, logged loudly. Retention is
+    * symmetric: [[applyRetention]]/[[dropSeries]] prune the store's
+    * rows with the same predicate they apply to the data (exact —
+    * retention deletes whole day partitions, which map 1:1 to store
+    * rows), so the store never reports expired data (the sketch-rollup
+    * staleness lesson). Store + manifest land together under ONE parent
+    * directory via the [[atomicOverwrite]] staging/rename dance, and
+    * [[recoverSideTable]]'s `.old` recovery applies to the parent. */
+  def statsRefresh(): Unit = Engine.tableLock(tablePath).synchronized {
+    acquireWriterLease()
+    if (!exists) return
+    recoverSideTable(statsPath)
+    val current = batchTags()
+    val haveStore = pathExists(s"$statsPath/data")
+    val folded: Set[String] =
+      if (haveStore)
+        spark.read.parquet(s"$statsPath/manifest")
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    val invalid = !folded.subsetOf(current)
+    if (invalid)
+      logWarning(s"stats_daily manifest lists folded batches no longer " +
+        s"on disk (${(folded -- current).take(3).mkString(", ")}…) — " +
+        "compaction or an external drop rewrote the batch layout; " +
+        "rebuilding the stats store from scratch.")
+    val baseTags = if (invalid) Set.empty[String] else folded
+    val newTags = (current -- baseTags).toSeq.sorted
+    if (newTags.isEmpty && !invalid && haveStore) return
+    val base: DataFrame =
+      if (haveStore && !invalid)
+        spark.read.schema(statsSchema).parquet(s"$statsPath/data")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+    val delta = spark.read.schema(Engine.canonicalSchema).parquet(tablePath)
+      .filter(col("ingest_batch").isin(newTags: _*))
+      .filter(col("value").isNotNull)
+      .groupBy(col("series"), col("day"), col("name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(28, 6))).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val merged = base.unionByName(delta)
+      .groupBy(col("series"), col("day"), col("name"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_v"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    statsSwapIn(merged, current)
+  }
+
+  /** Land (data, manifest) under the store's parent dir atomically —
+    * the [[atomicOverwrite]] two-rename dance on the PARENT, so readers
+    * never see data from one refresh with the manifest of another. */
+  private def statsSwapIn(data: DataFrame, tags: Set[String]): Unit = {
+    import spark.implicits._
+    val staging = statsPath + ".staging"
+    val old = statsPath + ".old"
+    deletePath(staging); deletePath(old)
+    data.write.mode("overwrite").parquet(s"$staging/data")
+    tags.toSeq.sorted.toDF("batch_tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/manifest")
+    if (pathExists(statsPath) && !renamePath(statsPath, old))
+      throw new java.io.IOException(
+        s"statsSwapIn: cannot stage out $statsPath")
+    if (!renamePath(staging, statsPath)) {
+      renamePath(old, statsPath)
+      throw new java.io.IOException(s"statsSwapIn: cannot swap in $staging")
+    }
+    deletePath(old)
+  }
+
+  /** Predicate retention on the stats store (keep rows matching
+    * `keep`) — folded batches stay folded, so a retention-dropped day
+    * cannot leak back in a later refresh (its batches are never
+    * re-scanned). The manifest is intersected with the tags still on
+    * disk: a batch dir emptied and removed by the SAME delete this
+    * call mirrors held only pruned rows, so forgetting its tag keeps
+    * the fold-state exact while sparing the next refresh the
+    * invalid-manifest full rebuild. */
+  private def statsKeepWhere(keep: Column): Unit =
+    if (pathExists(s"$statsPath/data")) {
+      val kept = spark.read.schema(statsSchema)
+        .parquet(s"$statsPath/data").filter(keep)
+      val tags = spark.read.parquet(s"$statsPath/manifest")
+        .collect().map(_.getString(0)).toSet
+      statsSwapIn(kept, tags intersect batchTags())
+    }
+
+  /** The maintained stats table — typed empty frame when never built
+    * (empty-not-error posture, D4). */
+  def statsTable(): DataFrame = {
+    recoverSideTable(statsPath)
+    if (pathExists(s"$statsPath/data"))
+      spark.read.schema(statsSchema).parquet(s"$statsPath/data")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+  }
+
+  def statsStoreExists: Boolean = {
+    recoverSideTable(statsPath)
+    pathExists(s"$statsPath/data")
+  }
+
+  /** Per-day stats of one field of one series over an optional
+    * inclusive day range — answered ENTIRELY from the maintained store
+    * (no raw scan at request time; avg derives from the (sum, n)
+    * partials, the IncrementalRollup readout contract). */
+  def stats(series: String, name: String, fromDay: Option[String] = None,
+      toDay: Option[String] = None): DataFrame =
+    statsTable()
+      .filter(col("series") === series && col("name") === name)
+      .filter(fromDay.map(d => col("day") >= to_date(lit(d)))
+        .getOrElse(lit(true)))
+      .filter(toDay.map(d => col("day") <= to_date(lit(d)))
+        .getOrElse(lit(true)))
+      .select(col("day"), col("n"),
+        col("sum_v").cast("double").as("sum_v"),
+        (col("sum_v") / col("n")).cast("double").as("avg_v"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("day"))
+
   /** Linear trend of one field of one series over an optional inclusive
     * day range — the serving form of q_predict_linear (PromQL's
     * deriv/predict_linear): OLS slope in micro-cents/second and the
@@ -991,6 +1149,10 @@ class Engine(val spark: SparkSession, warehouse: String)
     deletePath(old)
     writeVersion += 1
     seriesCache = null // batch dirs were rewritten
+    // batch tags changed wholesale, so the stats manifest is now
+    // invalid; refresh eagerly (one full pass — compaction already paid
+    // one) instead of leaving the loud rebuild to the next reader
+    if (statsStoreExists) statsRefresh()
   }}
 
   /** Remove orphaned staging state a crashed maintenance op can leave
@@ -1113,6 +1275,9 @@ class Engine(val spark: SparkSession, warehouse: String)
           // (see tagIndex scaladoc), so it is left for its own refresh.
           if (pathExists(sketchPath)) sketchRollup()
           if (pathExists(histPath)) histogramRollup()
+          // the INCREMENTAL stats store prunes by the same predicate
+          // instead of rebuilding — day partitions map 1:1 to its rows
+          statsKeepWhere(col("day") >= to_date(lit(beforeDay)))
         }
         dropped
       }
@@ -1176,6 +1341,8 @@ class Engine(val spark: SparkSession, warehouse: String)
                    s.getPath.getName.stripPrefix("series=")) == series)
             sfs.delete(s.getPath, true)
         }
+        // incremental stats store: prune the series' rows in place
+        statsKeepWhere(col("series") =!= series)
       }
       hit
     }

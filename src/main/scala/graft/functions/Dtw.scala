@@ -93,17 +93,24 @@ object DtwOps {
       ColumnBridge.expression(x), ColumnBridge.expression(y), band))
 
   /** SQL surface: `SELECT dtw_band(x, y, 4)` — the band argument must
-    * be an integer literal (it parameterizes the generated kernel). */
+    * be a foldable integer expression (it parameterizes the generated
+    * kernel, so it is evaluated once at registration/plan time). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dtw_band", es => {
+        if (es.length != 3) throw new IllegalArgumentException(
+          s"dtw_band: expected 3 arguments (x, y, band), got ${es.length}")
         val band = es(2) match {
-          case org.apache.spark.sql.catalyst.expressions
-              .Literal(v: Int, IntegerType) => v
-          case org.apache.spark.sql.catalyst.expressions
-              .Literal(v: Long, LongType) => v.toInt
+          // foldable covers literals AND constant arithmetic (2+2)
+          case e if e.foldable => e.eval() match {
+            case v: Int => v
+            case v: Long => v.toInt
+            case v: Short => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"dtw_band: band must be an integer constant, got $other")
+          }
           case other => throw new IllegalArgumentException(
-            s"dtw_band: band must be an integer literal, got $other")
+            s"dtw_band: band must be an integer constant, got $other")
         }
         DtwBand(es.head, es(1), band)
       }, "built-in")

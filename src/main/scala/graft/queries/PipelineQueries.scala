@@ -527,9 +527,15 @@ object PipelineQueries extends QuerySet {
     // hit-count test is map-only after the prefix join.
     "q_sample_systematic" -> { (s, dir) =>
       val k2 = 200L // 2k, k = 100 samples
+      // checkpoint the 3-column projection ONCE: the total-weight agg,
+      // the within-block window, and the block-offset agg all derive
+      // from it — exchange reuse does not unify aliased subtrees (the
+      // q_dtw/assortativity lesson), so without this the documents
+      // fact is scanned three times
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars").as("w"))
         .withColumn("blk", intDiv(col("doc_id"), lit(1000L)))
+        .localCheckpoint(eager = true)
       val tw = d.agg(sum(col("w"))).first().getLong(0)
       val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       val within = d.withColumn("cum_in", sum(col("w")).over(wIn))

@@ -1422,26 +1422,29 @@ object TimeseriesQueries extends QuerySet {
     // corpus size and rides one broadcast nested-loop over vector rows
     // (PlanShapeSpec allowCross: both sides ≤ 50 rows). The global
     // hour-span bounds are a documented 2-scalar driver collect off
-    // the fact agg (the q_zorder_key policy); the activity rank's
-    // single-partition window runs over the user-domain-sized count
-    // table, never raw events.
+    // the fact agg (the q_zorder_key policy); the activity top-50 is
+    // a distributed TakeOrderedAndProject over the user-domain count
+    // table (orderBy+limit, no single-partition rank window).
     "q_dtw" -> { (s, dir) =>
       import graft.functions.DtwOps
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("user_id"),
           intDiv(unix_micros(col("ts")), lit(3600000000L)).as("hb"),
           round(col("value") * 100).cast("long").as("cents"))
-      val wRk = Window.orderBy(col("n").desc, col("user_id"))
-      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(wRk))
-        .filter(col("rk") <= 50)
-        .select(col("user_id"))
+      val top = topActive(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
       val bRow = ev.agg(min(col("hb")), max(col("hb"))).first()
       val (mn, span) = (bRow.getLong(0), bRow.getLong(1) - bRow.getLong(0) + 1)
+      // true FLOOR-mean: intDiv truncates toward zero, DuckDB's //
+      // floors — subtracting pmod (non-negative for a positive count)
+      // makes the numerator exactly divisible, so the truncating
+      // division IS floor division for any sign of sum(cents)
+      val sc = sum(col("cents"))
+      val nEv = count(lit(1))
       val bk = ev.join(broadcast(top), Seq("user_id"))
         .groupBy(col("user_id"),
           intDiv((col("hb") - lit(mn)) * 24, lit(span)).as("bucket"))
-        .agg(intDiv(sum(col("cents")), count(lit(1))).as("pv"))
+        .agg(intDiv(sc - pmod(sc, nEv), nEv).as("pv"))
       val grid = top.select(col("user_id"),
         explode(sequence(lit(0L), lit(23L))).as("bucket"))
       // checkpoint before the self-join: exchange reuse does not unify
@@ -1891,6 +1894,17 @@ object TimeseriesQueries extends QuerySet {
     * (type, hour) trend/detrended micros, seas — per (type,
     * hour-of-day) seasonal micros). Arithmetic documented at the
     * q_stl_decompose entry. */
+  /** q_dtw's activity blocking — top-50 users by event count via
+    * orderBy+limit: a DISTRIBUTED TakeOrderedAndProject over the
+    * user-domain count table (round 12, "what's wrong" #1 — the rank
+    * window it replaced sorted that whole table in one partition).
+    * Deterministic by the (n desc, user_id) total order; plan shape
+    * pinned by PlanShapeSpec. */
+  private[graft] def topActive(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts.orderBy(col("n").desc, col("user_id")).limit(50)
+      .select(col("user_id"))
+
   private def stlCore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val g = t(s, dir, "events").filter(col("value").isNotNull)

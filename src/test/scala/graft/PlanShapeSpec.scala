@@ -202,6 +202,42 @@ class PlanShapeSpec extends SparkSpec {
       s"profile join-back is not broadcast:\n${plan.take(3000)}")
   }
 
+  test("top-k selections plan as distributed TakeOrderedAndProject, not " +
+      "single-partition rank windows, and the shortest-path relax join " +
+      "is broadcast (round-12 punch items #2/#6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the real selection code paths (called by q_shortest_path/q_dtw
+    // before their checkpoints hide the subtree from the final plan).
+    // Inputs must exceed k, else EliminateLimits folds the limit away
+    // (maxRows <= k) and no TakeOrdered can appear.
+    val deg = spark.range(0, 1000)
+      .select(col("id").as("n"), (col("id") % 7).as("d"))
+      .repartition(4) // >1 partition so a global window would matter
+    val hubPlan = graft.queries.JoinQueries.hubSelect(deg)
+      .queryExecution.executedPlan.toString
+    assert(hubPlan.contains("TakeOrderedAndProject"),
+      s"hub selection lost the TakeOrdered plan:\n$hubPlan")
+    assert(!hubPlan.contains("Window"),
+      s"hub selection regressed to a rank window:\n$hubPlan")
+    val counts = spark.range(0, 1000)
+      .select(col("id").as("user_id"), (col("id") % 5).as("n"))
+      .repartition(4)
+    val topPlan = graft.queries.TimeseriesQueries.topActive(counts)
+      .queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"dtw activity cut lost the TakeOrdered plan:\n$topPlan")
+    assert(!topPlan.contains("Window"),
+      s"dtw activity cut regressed to a rank window:\n$topPlan")
+    // relax join: catalog-sized dist must broadcast into the edge side
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L)).toDF("u", "v", "w")
+    val dist = Seq((1L, 0L)).toDF("n", "dist")
+    val relaxPlan = graft.queries.JoinQueries.relaxStep(edges, dist)
+      .queryExecution.executedPlan.toString
+    assert(relaxPlan.contains("BroadcastHashJoin"),
+      s"relax join is not broadcast:\n$relaxPlan")
+  }
+
   test("q_skyline_grid's heavy pass is cell-partitioned (the global " +
       "single-partition window only ever sees local-skyline survivors)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -736,4 +736,47 @@ class ApiServerSpec extends SparkSpec {
         s"field lookup did not become a partition filter:\n$idxScan")
     } finally api.stop()
   }
+
+  test("GET /stats serves the INCREMENTAL maintained stats store (no raw " +
+      "scan at request time), POST /stats/refresh folds new batches") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val engine = new Engine(spark, tmpDir("graft-api-stats"))
+    // 2023-11-14 (1700000000e9 ns): v = 1.5, 2.5
+    engine.ingestLines(Seq(
+      "cpu v=1.5 1700000000000000000",
+      "cpu v=2.5 1700000000000000000"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // before any refresh: 409 with the hint, not empty stats
+      val (c0, b0) = call(s"$url/stats/cpu?name=v")
+      assert(c0 == 409 && b0.contains("refresh"), s"$c0 $b0")
+      assert(call(s"$url/stats/refresh", "POST", "")._1 == 200)
+      val (c1, b1) = call(s"$url/stats/cpu?name=v")
+      assert(c1 == 200 && b1.contains(
+        """{"day":"2023-11-14","n":2,"sum":4.0,"avg":2.0,""" +
+          """"min":1.5,"max":2.5}"""), s"$c1 $b1")
+      // refresh folds ONLY the new batch; readout reflects the merge
+      engine.ingestLines(Seq("cpu v=6.0 1700000000000000000"))
+      assert(call(s"$url/stats/refresh", "POST", "")._1 == 200)
+      val (c2, b2) = call(s"$url/stats/cpu?name=v")
+      assert(c2 == 200 && b2.contains(
+        """"n":3,"sum":10.0"""), s"$c2 $b2")
+      // day-range filter + validation fail closed
+      assert(call(s"$url/stats/cpu?name=v&from=2023-11-15")._2
+        .contains(""""days":[]"""))
+      assert(call(s"$url/stats/cpu")._1 == 400)
+      assert(call(s"$url/stats/nope?name=v")._1 == 404)
+      assert(call(s"$url/stats/cpu?name=v", "POST", "")._1 == 405)
+      // serving plan reads ONLY the persisted store — never the fact table
+      val q = engine.stats("cpu", "v")
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the serving plan")
+      assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("stats_daily"))),
+        s"serving plan scans beyond the persisted store:\n$q")
+    } finally api.stop()
+  }
 }

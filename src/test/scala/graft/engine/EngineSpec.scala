@@ -560,4 +560,66 @@ class EngineSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
     assert(r.getDouble(2) == 1.0)
   }
+
+  test("incremental stats store: refresh folds ONLY unfolded batches, " +
+      "readout equals the recompute, and compaction/retention/dropSeries " +
+      "keep it consistent") {
+    val wh = tmpDir("graft-stats")
+    val e = new Engine(spark, wh)
+    // 1700000000e9 ns = 2023-11-14; +86400 s = 2023-11-15
+    e.ingestLines(Seq(
+      "cpu load=1.5 1700000000000000000",
+      "cpu load=2.5 1700000000000000000",
+      "cpu load=4.0 1700086400000000000",
+      "mem used=10.0 1700000000000000000"))
+    assert(!e.statsStoreExists)
+    assert(e.stats("cpu", "load").collect().isEmpty) // empty-not-error
+    e.statsRefresh()
+    assert(e.statsStoreExists)
+    def cpu() = e.stats("cpu", "load").collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(cpu() == Seq(
+      ("2023-11-14", 2L, 4.0, 2.0, 1.5, 2.5),
+      ("2023-11-15", 1L, 4.0, 4.0, 4.0, 4.0)))
+    def manifest() = spark.read.parquet(s"$wh/stats_daily/manifest")
+      .collect().map(_.getString(0)).toSet
+    val folded1 = manifest()
+    assert(folded1.nonEmpty)
+    // no new data → refresh is a no-op (manifest object untouched)
+    val mtime = new java.io.File(s"$wh/stats_daily").lastModified
+    e.statsRefresh()
+    assert(new java.io.File(s"$wh/stats_daily").lastModified == mtime,
+      "refresh without new batches rewrote the store")
+    // a second batch folds INCREMENTALLY: manifest grows by exactly the
+    // new tags; the merged readout equals the full recompute
+    e.ingestLines(Seq("cpu load=3.5 1700000000000000000"))
+    e.statsRefresh()
+    assert(folded1.subsetOf(manifest()) && manifest().size > folded1.size,
+      "second refresh did not fold the new batch on top of the old store")
+    assert(cpu() == Seq(
+      ("2023-11-14", 3L, 7.5, 2.5, 1.5, 3.5),
+      ("2023-11-15", 1L, 4.0, 4.0, 4.0, 4.0)))
+    // compaction rewrites every batch tag — the store must survive (the
+    // invalid-manifest rebuild path, exercised eagerly by compact())
+    e.compact()
+    assert(cpu() == Seq(
+      ("2023-11-14", 3L, 7.5, 2.5, 1.5, 3.5),
+      ("2023-11-15", 1L, 4.0, 4.0, 4.0, 4.0)))
+    // retention prunes the store's rows with the data (no stale serving)
+    assert(e.applyRetention("2023-11-15") > 0)
+    assert(cpu() == Seq(("2023-11-15", 1L, 4.0, 4.0, 4.0, 4.0)))
+    // ...and the pruned day does NOT leak back on the next refresh
+    e.ingestLines(Seq("cpu load=9.0 1700086400000000000"))
+    e.statsRefresh()
+    assert(cpu() == Seq(("2023-11-15", 2L, 13.0, 6.5, 4.0, 9.0)))
+    // dropSeries prunes the dropped series' stats rows only
+    assert(e.stats("mem", "used").collect().isEmpty) // mem expired above
+    e.ingestLines(Seq("mem used=20.0 1700086400000000000"))
+    e.statsRefresh()
+    assert(e.stats("mem", "used").collect().length == 1)
+    assert(e.dropSeries("mem"))
+    assert(e.stats("mem", "used").collect().isEmpty)
+    assert(cpu() == Seq(("2023-11-15", 2L, 13.0, 6.5, 4.0, 9.0)))
+  }
 }

@@ -16,7 +16,7 @@ class IncrementalRollupSpec extends SparkSpec {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3
       .stringHash(s"${src.getCanonicalPath}@${src.lastModified}"))
     new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_ivm/nation_rev_$key")
+      s"${sys.props("java.io.tmpdir")}/graft_ivm/nation_revenue_$key")
   }
 
   test("incremental rollup equals the full recompute exactly") {
@@ -54,5 +54,65 @@ class IncrementalRollupSpec extends SparkSpec {
     // base 9/10ths is never rescanned at refresh time
     assert(plan.contains("pmod") || plan.contains("% 10"),
       s"no delta slice filter in refresh plan:\n${plan.take(2000)}")
+  }
+
+  test("the second registered view (hourly_activity) equals its full " +
+      "recompute exactly, min/max merge included") {
+    val inc = IncrementalRollup.refresh(spark, dir, "hourly_activity")
+      .collect().map(_.toSeq.toList).toSeq
+    val full = graft.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .select(col("event_type"), col("hr").cast("timestamp_ntz").as("hr"),
+        col("n_events"), col("sum_cents"), col("min_cents"),
+        col("max_cents"))
+      .orderBy(col("event_type"), col("hr"))
+      .collect().map(_.toSeq.toList).toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
+  test("dropWhere retention: staged predicate rewrite drops base partials " +
+      "only — the dropped key's refresh serves the delta slice alone") {
+    // COPIED corpus: the store is keyed by canonical path + mtime, so a
+    // retention test on the shared testdata-keyed store would poison
+    // every later refresh in this JVM and the driver's — isolate it
+    val d = tmpDir("ivm_drop")
+    Seq("orders", "customer", "nation").foreach { n =>
+      graft.Tables.load(spark, dir, n)
+        .write.mode("overwrite").parquet(s"$d/$n.parquet")
+    }
+    val before = IncrementalRollup.refresh(spark, d, "nation_revenue")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val victim = before.keys.min
+    val dropped = IncrementalRollup.dropWhere(spark, d, "nation_revenue",
+      col("n_name") === victim)
+    assert(dropped == 1L, s"expected 1 store row dropped, got $dropped")
+    val after = IncrementalRollup.refresh(spark, d, "nation_revenue")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the victim now reports only its delta-slice (o_orderkey % 10 = 7)
+    // orders; every other key is untouched
+    val deltaOnly = graft.Tables.load(spark, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(10L)) === 7L)
+      .join(graft.Tables.load(spark, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, d, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === victim)
+      .count()
+    assert(after(victim) == deltaOnly,
+      s"victim serves ${after(victim)}, delta slice has $deltaOnly")
+    assert(after(victim) < before(victim))
+    assert((after - victim) == (before - victim),
+      "retention touched keys outside the predicate")
+    // idempotent on a non-matching predicate; store dir still present
+    assert(IncrementalRollup.dropWhere(spark, d, "nation_revenue",
+      col("n_name") === "NO_SUCH_NATION") == 0L)
+    assert(IncrementalRollup.refresh(spark, d, "nation_revenue")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap == after)
   }
 }

@@ -71,18 +71,51 @@ class AprioriFloorSpec extends SparkSpec {
       s"replica != base x3:\nbase $base\nrep  $rep")
   }
 
+  test("floor multiplier knob: -Dgraft.triples.floorMult raises the cut " +
+      "operably, the default output is unchanged, and replication " +
+      "invariance holds at the second multiplier too") {
+    // at mult 2 the sparse fixture's floor is max(2, ⌊2·~1.3⌋) = 2 and
+    // the {1,2,3} triple (support 2) survives; at mult 4 the floor is
+    // ⌊4·1.3⌋ = 5 > 2 and the triple drops — the knob bites
+    val dir = writeDir(sparse, 1)
+    val byDefault = triples(dir)
+    assert(byDefault.contains((1L, 2L, 3L, 2L)))
+    try {
+      sys.props("graft.triples.floorMult") = "4"
+      assert(triples(dir).isEmpty,
+        "mult 4 must cut the support-2 triple on the sparse fixture")
+      // invariance is multiplier-independent: under K× replication the
+      // mult-4 cut scales with density exactly like the mult-2 cut —
+      // here both scales yield the same (empty) survivor set
+      assert(triples(writeDir(sparse, 3)).isEmpty,
+        "mult-4 replica admitted a triple the base cut rejected")
+      // dense fixture at mult 4: floor ⌊4·1.95⌋ = 7 keeps nothing at
+      // base (max support 5); replicas must agree (⌈⌊4mK⌋/K⌉ ≥ ⌊4m⌋)
+      val denseDir = writeDir(dense, 1)
+      val baseM4 = triples(denseDir).map { case (a, b, c, _) => (a, b, c) }
+      for (k <- Seq(2, 3)) {
+        val repM4 = triples(writeDir(dense, k))
+          .map { case (a, b, c, _) => (a, b, c) }
+        assert(repM4.toSet.subsetOf(baseM4.toSet),
+          s"K=$k mult=4: replica admitted a non-base survivor")
+      }
+    } finally sys.props -= "graft.triples.floorMult"
+    assert(triples(dir) == byDefault, "default output changed by the knob")
+  }
+
+  // mean pair support 39/20 = 1.95 → base floor ⌊3.9⌋ = 3; across
+  // K ∈ {2,3,5} the effective cut in base units is 4 (⌈⌊3.9K⌋/K⌉), so
+  // the AT-floor survivor (1,2,4) (support 3) drops while the floor+1
+  // survivor (1,2,3) (support 5) persists — the one-unit bite, live
+  private val dense = Map[Long, Seq[Seq[Long]]](
+    (1L to 5L).map(c => c -> Seq(Seq(1L, 2L, 3L))) ++
+      (6L to 8L).map(c => c -> Seq(Seq(1L, 2L, 4L))) ++
+      Seq(9L -> Seq(Seq(5L, 6L, 7L))) ++ // support-1: must NEVER survive
+      (0 to 11).map(i =>
+        (10L + i) -> Seq(Seq(100L + 2 * i, 101L + 2 * i))): _*)
+
   test("dense regime: the replicated cut stays within one base-support " +
       "unit and never admits support-1 itemsets") {
-    // mean pair support 39/20 = 1.95 → base floor ⌊3.9⌋ = 3; across
-    // K ∈ {2,3,5} the effective cut in base units is 4 (⌈⌊3.9K⌋/K⌉), so
-    // the AT-floor survivor (1,2,4) (support 3) drops while the floor+1
-    // survivor (1,2,3) (support 5) persists — the one-unit bite, live
-    val dense = Map[Long, Seq[Seq[Long]]](
-      (1L to 5L).map(c => c -> Seq(Seq(1L, 2L, 3L))) ++
-        (6L to 8L).map(c => c -> Seq(Seq(1L, 2L, 4L))) ++
-        Seq(9L -> Seq(Seq(5L, 6L, 7L))) ++ // support-1: must NEVER survive
-        (0 to 11).map(i =>
-          (10L + i) -> Seq(Seq(100L + 2 * i, 101L + 2 * i))): _*)
     val base = triples(writeDir(dense, 1))
     val supports = base.map { case (a, b, c, s) => (a, b, c) -> s }.toMap
     assert(supports.nonEmpty && supports.values.forall(_ >= 2))

@@ -23,5 +23,9 @@ for d in "$OUT"/*/; do
       >> "$LOG" 2>&1; then pass=$((pass+1));
   else fail=$((fail+1)); failed="$failed $q"; fi
 done
+if [ $((pass + fail)) -eq 0 ]; then
+  echo "== x10 replica: NO query dirs found under $OUT — vacuous run" >&2
+  exit 2
+fi
 echo "== x10 replica: $pass pass, $fail fail$failed"
 [ "$fail" -eq 0 ]
