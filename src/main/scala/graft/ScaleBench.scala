@@ -82,7 +82,12 @@ object ScaleBench {
     // shuffle + a w=3 lead window (pair count ≤ 3n by construction), so
     // the factor should read the shingle build + sort, never a
     // quadratic block blow-up
-    "q_dedup_snm")
+    "q_dedup_snm",
+    // round-13: entity resolution — record synthesis is map-only off
+    // the supplier catalog, blocking is the SNM w=3 window (pair count
+    // ≤ 3n), trigram verify map-side: the factor reads the catalog-K×
+    // sort, never a block blow-up
+    "q_er_suppliers")
 
   /** The similarity-search family over the embeddings replica (fixed 1×
     * query side, K× corpus — the serving shape). The corpus self-join is
@@ -154,6 +159,10 @@ object ScaleBench {
     // plus the per-term rank window) and RRF fusion (two scorers over
     // ONE shared pruned hits table; broadcast query side fixed at 1×)
     "q_inverted_postings", "q_retrieval_rrf",
+    // round-13: MMR re-rank — one tokenize scan + one (doc, token) agg
+    // (checkpointed), a TakeOrdered candidate cut, then constant-size
+    // (20-candidate) sim + greedy stages: the factor reads the scan+agg
+    "q_retrieval_mmr",
     // round-11: transposition-aware edit distance — one (source) window
     // + the native O(60²) kernel per successor pair, scan-bound like
     // q_text_damerau
@@ -326,6 +335,11 @@ object ScaleBench {
     // the factor reads the K× edge-build scan + the (deeper or
     // shallower) adaptive rounds over node-domain-sized dist tables
     "q_shortest_path",
+    // round-13: personalized PageRank — same backbone build as
+    // q_shortest_path plus exactly 4 broadcast-spread rounds whose
+    // mass tables are (8 × node-domain)-bounded: the factor reads the
+    // K× edge build, the rounds stay node-domain-sized
+    "q_ppr",
     // round-12 second wave: IVM refresh — the store is a once-per-dir
     // artifact (amortized by the warm-up pass, the q_zorder_box
     // recipe); the measured cost is the 1/10th delta scan + dim joins
@@ -648,7 +662,8 @@ object ScaleBench {
       "q_link_predict", "q_label_prop", "q_basket_rules",
       "q_basket_triples", "q_zorder_key", "q_zorder_box",
       "q_shortest_path", "q_ivm_rollup", "q_weighted_median",
-      "q_graph_assortativity", "q_graph_modularity").contains)
+      "q_graph_assortativity", "q_graph_modularity",
+      "q_ppr", "q_er_suppliers").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

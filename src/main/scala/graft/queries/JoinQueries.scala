@@ -1022,6 +1022,66 @@ object JoinQueries extends QuerySet {
     // the whole implementation (operators/IncrementalRollup.views).
     "q_ivm_events" -> { (s, dir) =>
       graft.operators.IncrementalRollup.refresh(s, dir, "hourly_activity")
+    },
+
+    // PERSONALIZED PAGERANK (random walk with restart, Page et al.
+    // 1999 §6 / Haveliwala 2002) over the support-2 co-order backbone
+    // — the RECOMMENDATION primitive the graph family was missing:
+    // global PageRank says "important anywhere", PPR says "important
+    // NEAR THIS SOURCE" (people-who-ordered-X proximity). Per source
+    // s: p₀ = 1e6 at s; each of 4 fixed synchronous rounds spreads
+    // (85·(p div deg)) div 100 along every edge and adds the 150 000
+    // restart at s — ALL-INTEGER micro mass, deterministic on both
+    // engines (the integer share division leaks remainder mass like
+    // q_pagerank's documented dangling leak — a ranking, not a
+    // distribution). Sources = top-8 backbone hubs via the same
+    // distributed TakeOrdered as q_shortest_path's hub cut. Scale
+    // shape: the q_shortest_path loop recipe — edges (+ out-degree)
+    // checkpointed ONCE, the (source × node)-domain mass table
+    // BROADCASTS into the map-side spread join (same catalog-size
+    // cutover note as the relax join), each round's only shuffle is
+    // the (src, node) sum agg; fixed 4 rounds so the oracle unrolls
+    // exactly (the lpa() fixed-round argument — no adaptive fixpoint
+    // for the oracle to chase). Zero-mass rows are dropped each round
+    // (adding zero is a no-op on both engines, so the prune is
+    // semantics-free state bounding).
+    "q_ppr" -> { (s, dir) =>
+      val eb = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")) - col("i") - lit(1))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("st"))
+        .filter(col("st") >= 2)
+      val edges = eb.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(eb.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = true)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      // edges carry the tail's out-degree so the per-round spread join
+      // needs no second lookup; built once, severed before the loop
+      val ewd = edges.join(broadcast(deg), Seq("u"))
+        .localCheckpoint(eager = true)
+      val srcs = deg.orderBy(col("d").desc, col("u")).limit(8)
+        .select(col("u").as("s")).localCheckpoint(eager = true)
+      val restart = srcs.select(col("s").as("src"), col("s").as("n"),
+        lit(150000L).as("m"))
+      var p = srcs.select(col("s").as("src"), col("s").as("n"),
+        lit(1000000L).as("m")).localCheckpoint(eager = true)
+      for (_ <- 1 to 4) {
+        val spread = ewd
+          .join(broadcast(p.withColumnRenamed("n", "u")), Seq("u"))
+          .select(col("src"), col("v").as("n"),
+            intDiv(lit(85L) * intDiv(col("m"), col("d")), lit(100L))
+              .as("m"))
+        p = spread.unionAll(restart)
+          .groupBy(col("src"), col("n")).agg(sum(col("m")).as("m"))
+          .filter(col("m") > 0)
+          .localCheckpoint(eager = true)
+      }
+      p.select(col("src"), col("n").as("p_partkey"),
+          col("m").as("mass_micro"))
+        .orderBy(col("src"), col("p_partkey"))
     }
   )
 
@@ -1424,6 +1484,8 @@ object JoinQueries extends QuerySet {
 
     "q_shortest_path" -> shortestPathSql,
 
+    "q_ppr" -> pprSql,
+
     "q_graph_assortativity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
@@ -1600,6 +1662,34 @@ object JoinQueries extends QuerySet {
     * exactly. Self-asserting unroll bound (the kcoreSql guard): if d10
     * still differs from d9 — more nodes reached OR any dist improved —
     * a (-1,-1) sentinel row appears and the gate fails visibly. */
+  /** PPR: 4 unrolled spread rounds over the same backbone CTEs as
+    * q_shortest_path — integer micro mass, per-round zero-mass prune. */
+  private def pprSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s""",p$r AS MATERIALIZED (
+         |  SELECT src, n, CAST(sum(m) AS BIGINT) AS m FROM (
+         |    SELECT p.src, e.v AS n, (85 * (p.m // dg.d)) // 100 AS m
+         |    FROM p${r - 1} p JOIN ed e ON e.u = p.n
+         |    JOIN deg dg ON dg.u = p.n
+         |    UNION ALL SELECT s, s, 150000 FROM srcs) t
+         |  GROUP BY src, n HAVING sum(m) > 0)""".stripMargin
+    }.mkString("\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |eb AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+       |   FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |   GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ed AS MATERIALIZED (
+       |   SELECT a AS u, b AS v FROM eb UNION ALL SELECT b, a FROM eb),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY u),
+       |srcs AS (SELECT u AS s FROM deg ORDER BY d DESC, u LIMIT 8),
+       |p0 AS (SELECT s AS src, s AS n, CAST(1000000 AS BIGINT) AS m
+       |       FROM srcs)
+       |$rounds
+       |SELECT src, n AS p_partkey, m AS mass_micro FROM p4
+       |ORDER BY src, p_partkey""".stripMargin
+  }
+
   private def shortestPathSql: String = {
     val rounds = (1 to 10).map { r =>
       s""",d$r AS MATERIALIZED (SELECT n, min(dist) AS dist FROM (

@@ -888,6 +888,100 @@ object TextQueries extends QuerySet {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // DIVERSIFIED RETRIEVAL — greedy Maximal Marginal Relevance
+    // (Carbonell & Goldstein 1998) over the q_text_bm25 hit pipeline:
+    // relevance ranks alone return near-duplicates of the best hit;
+    // every production RAG pipeline re-ranks the shortlist so the next
+    // pick trades relevance against similarity to what is ALREADY
+    // picked (gain = λ·rel − (1−λ)·max-sim-to-selected, λ = 0.7,
+    // scaled ×10 to stay integer: 7·rel − 3·maxsim). ALL-INTEGER and
+    // fully deterministic: rel = the certified BM25 micro sum for one
+    // 5-term query; sim = token-set Jaccard micro between CANDIDATES
+    // (|A∩B|·1e6 // |A∪B| over the distinct-token sets tf already
+    // holds); ties break by doc_id, so Spark's greedy and the oracle's
+    // recursive CTE (one LATERAL argmax per step, the q_pack_sequences
+    // bounded-unroll precedent) pick identical docs. Scale shape: the
+    // only fact-sized work is the tokenize scan + the (doc, token)
+    // hash agg (checkpointed ONCE — it feeds both the query-term
+    // scoring and the candidate token sets; at 100 TB it is served by
+    // the persisted q_retrieval_index postings instead of recomputed);
+    // the candidate pool is top-20 by (rel, doc_id) via a distributed
+    // TakeOrdered, the pairwise sim stage is ≤ 190 pairs BY
+    // CONSTRUCTION, and the greedy k = 10 loop runs on a documented
+    // model-sized driver collect (20 + 190 rows, constant at any
+    // corpus size).
+    "q_retrieval_mmr" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("stream", "window", "agg", "hash", "join")
+      val qt = terms.toDF("term")
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("tk"))
+        .groupBy(col("doc_id"), col("dl"), col("tk"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true) // feeds scoring AND token sets
+      val corp = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tfq = tf.join(broadcast(qt), col("tk") === col("term"))
+      val dfx = tfq.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+          + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
+      val tfc = (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl").cast("double") * col("n_docs").cast("double")) /
+            col("sum_dl").cast("double"))))
+      val cand = tfq
+        .join(broadcast(dfx.withColumnRenamed("tk", "dtk")),
+          col("tk") === col("dtk"))
+        .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
+        .withColumn("c_micro", micro(idf * tfc))
+        .groupBy(col("doc_id")).agg(sum(col("c_micro")).as("rel"))
+        .orderBy(col("rel").desc, col("doc_id")).limit(20) // TakeOrdered
+        .localCheckpoint(eager = true) // feeds sim build + the greedy
+      val ctok = tf.join(broadcast(cand.select(col("doc_id"))), "doc_id")
+        .select(col("doc_id"), col("tk"))
+      val csz = ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sims = ctok.as("a")
+        .join(ctok.as("b"), col("a.tk") === col("b.tk") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+        .join(broadcast(csz.select(col("doc_id").as("da"),
+          col("sz").as("sa"))), "da")
+        .join(broadcast(csz.select(col("doc_id").as("db"),
+          col("sz").as("sb"))), "db")
+        .select(col("da"), col("db"),
+          intDiv(col("i") * 1000000L, col("sa") + col("sb") - col("i"))
+            .as("s"))
+      // model-sized driver collect: 20 candidates + ≤190 sim pairs,
+      // constant at any corpus size (the q_pack_sequences policy)
+      val cs = cand.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy { case (id, rel) => (-rel, id) }
+      val sm = sims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      for (rk <- 1 to 10) {
+        val (doc, rel, gain) = cs.iterator
+          .filterNot { case (id, _) => chosen.contains(id) }
+          .map { case (id, rel) =>
+            val ms = chosen.iterator
+              .map(c => sm.getOrElse((id, c), 0L)).maxOption.getOrElse(0L)
+            (id, rel, 7L * rel - 3L * ms)
+          }
+          .reduceLeft { (x, y) =>
+            if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+          }
+        chosen += doc
+        out += ((rk.toLong, doc, rel, gain))
+      }
+      out.toSeq.toDF("rk", "doc_id", "rel_micro", "mmr_gain")
+        .orderBy(col("rk"))
+    },
+
     // GRAPH-BASED KEYWORD EXTRACTION — TextRank (Mihalcea & Tarau
     // 2004): rank a source's candidate keywords by their stationary
     // importance in the word co-occurrence graph rather than raw
@@ -1569,6 +1663,71 @@ object TextQueries extends QuerySet {
         |SELECT query_id, rnk, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       rank_bm25, rank_ql
         |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // greedy MMR as a bounded recursive CTE: one LATERAL argmax per
+    // step over the 20-candidate pool (the q_pack_sequences
+    // bounded-unroll precedent); all-integer gains make the argmax
+    // deterministic on both engines
+    "q_retrieval_mmr" ->
+      """WITH RECURSIVE
+        |qt(term) AS (VALUES ('stream'),('window'),('agg'),('hash'),('join')),
+        |d AS (SELECT doc_id, list_filter(string_split(text,' '),
+        |        t -> length(t) > 0) AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |corp AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+        |df AS (SELECT tk, count(*) AS df FROM tf
+        |       WHERE tk IN (SELECT term FROM qt) GROUP BY tk),
+        |hits AS (
+        |  SELECT f.doc_id, q.term, f.tf, x.df, l.dl, c.n_docs, c.sum_dl
+        |  FROM qt q JOIN tf f ON f.tk = q.term JOIN df x ON x.tk = q.term
+        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN corp c),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |         / CAST(sum_dl AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rel
+        |  FROM hits GROUP BY doc_id),
+        |cand AS (SELECT doc_id, rel FROM sc ORDER BY rel DESC, doc_id LIMIT 20),
+        |ctok AS (SELECT DISTINCT t.doc_id, t.tk FROM tok t
+        |         WHERE t.doc_id IN (SELECT doc_id FROM cand)),
+        |csz AS (SELECT doc_id, count(*) AS sz FROM ctok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM ctok a JOIN ctok b
+        |            ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        |          GROUP BY da, db),
+        |sim AS (SELECT da, db,
+        |          CAST(i*1000000 // (sa.sz + sb.sz - i) AS BIGINT) AS s
+        |        FROM inter JOIN csz sa ON sa.doc_id = da
+        |        JOIN csz sb ON sb.doc_id = db),
+        |sel AS (
+        |  SELECT 1 AS rk, c.doc_id AS doc, CAST(7*c.rel AS BIGINT) AS gain,
+        |         [c.doc_id] AS chosen, c.rel AS rel
+        |  FROM (SELECT doc_id, rel FROM cand
+        |        ORDER BY rel DESC, doc_id LIMIT 1) c
+        |  UNION ALL
+        |  SELECT s.rk + 1, pick.doc_id, pick.gain,
+        |         list_append(s.chosen, pick.doc_id), pick.rel
+        |  FROM sel s, LATERAL (
+        |    SELECT c.doc_id, c.rel,
+        |      CAST(7*c.rel - 3*coalesce((SELECT max(m.s) FROM sim m
+        |         WHERE m.da = c.doc_id
+        |           AND list_contains(s.chosen, m.db)), 0) AS BIGINT) AS gain
+        |    FROM cand c
+        |    WHERE NOT list_contains(s.chosen, c.doc_id)
+        |    ORDER BY gain DESC, c.doc_id
+        |    LIMIT 1
+        |  ) pick
+        |  WHERE s.rk < 10
+        |)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc AS doc_id,
+        |       rel AS rel_micro, gain AS mmr_gain
+        |FROM sel ORDER BY rk""".stripMargin,
 
     "q_text_textrank" -> textrankSql
   )
