@@ -965,6 +965,9 @@ object DedupQueries extends QuerySet {
           "transform(sequence(1, length(n) - 2), i -> substring(n, i, 3))")))
       val wn = Window.partitionBy(col("nat"))
         .orderBy(col("sk"), col("rec_id"))
+      // severed: the three pair branches below would otherwise each
+      // re-derive the window (and its scans) — nb is catalog-sized
+      // (2 rows per supplier), so the checkpoint is cheap at any scale
       val nb = recs
         .withColumn("r1", lead(col("rec_id"), 1).over(wn))
         .withColumn("t1", lead(col("tg"), 1).over(wn))
@@ -972,6 +975,7 @@ object DedupQueries extends QuerySet {
         .withColumn("t2", lead(col("tg"), 2).over(wn))
         .withColumn("r3", lead(col("rec_id"), 3).over(wn))
         .withColumn("t3", lead(col("tg"), 3).over(wn))
+        .localCheckpoint(eager = true)
       val pairs = Seq(("r1", "t1", 1), ("r2", "t2", 2), ("r3", "t3", 3))
         .map { case (r, tb, k) =>
           nb.filter(col(r).isNotNull)

@@ -964,7 +964,12 @@ object TextQueries extends QuerySet {
       val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long)]
-      for (rk <- 1 to 10) {
+      // emits min(10, |pool|) rows: a pool smaller than k (rare terms —
+      // or the ScaleBench word-suffix replica, where the fixed query
+      // terms match nothing and the pool is EMPTY) must rank what
+      // exists, not crash; the oracle's recursive CTE terminates the
+      // same way (no LATERAL row → recursion stops)
+      for (rk <- 1 to math.min(10, cs.length)) {
         val (doc, rel, gain) = cs.iterator
           .filterNot { case (id, _) => chosen.contains(id) }
           .map { case (id, rel) =>
