@@ -557,14 +557,18 @@ class Engine(val spark: SparkSession, warehouse: String)
         spark.read.schema(statsSchema).parquet(s"$statsPath/data")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+    // BOTH numeric carriers fold in: line-protocol floats land in
+    // `value`, `42i` integers in `value_long` — a field's stats must
+    // not depend on which typed column the wire format chose
+    val v = coalesce(col("value"), col("value_long").cast("double"))
     val delta = spark.read.schema(Engine.canonicalSchema).parquet(tablePath)
       .filter(col("ingest_batch").isin(newTags: _*))
-      .filter(col("value").isNotNull)
+      .filter(v.isNotNull)
       .groupBy(col("series"), col("day"), col("name"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(
+        sum(v.cast(
           org.apache.spark.sql.types.DecimalType(28, 6))).as("sum_v"),
-        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        min(v).as("min_v"), max(v).as("max_v"))
     val merged = base.unionByName(delta)
       .groupBy(col("series"), col("day"), col("name"))
       .agg(sum(col("n")).as("n"),

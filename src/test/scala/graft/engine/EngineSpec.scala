@@ -621,5 +621,15 @@ class EngineSpec extends SparkSpec {
     assert(e.dropSeries("mem"))
     assert(e.stats("mem", "used").collect().isEmpty)
     assert(cpu() == Seq(("2023-11-15", 2L, 13.0, 6.5, 4.0, 9.0)))
+    // integer fields (42i → value_long) fold into the same stats — a
+    // field's stats must not depend on the wire format's typed column
+    e.ingestLines(Seq("disk free=7i 1700086400000000000",
+      "disk free=3i 1700086400000000000",
+      "disk free=2.5 1700086400000000000"))
+    e.statsRefresh()
+    val disk = e.stats("disk", "free").collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(disk == Seq(("2023-11-15", 3L, 12.5, 12.5 / 3.0, 2.5, 7.0)))
   }
 }
