@@ -236,6 +236,20 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(relaxPlan.contains("BroadcastHashJoin"),
       s"relax join is not broadcast:\n$relaxPlan")
+    // ...and the selection is byte-identical to the rank window it
+    // replaced, ties included (duplicated d values land on the n
+    // tiebreak) — the determinism contract the oracle depends on
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val wHub = Window.orderBy(col("d").desc, col("n"))
+    val viaWindow = deg.withColumn("rk", row_number().over(wHub))
+      .filter(col("rk") <= 128)
+      .select(col("n"), org.apache.spark.sql.functions.lit(0L).as("dist"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaTake = graft.queries.JoinQueries.hubSelect(deg)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaTake == viaWindow,
+      "TakeOrdered hub selection diverged from the rank-window form")
   }
 
   test("q_skyline_grid's heavy pass is cell-partitioned (the global " +
