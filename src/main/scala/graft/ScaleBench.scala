@@ -163,6 +163,11 @@ object ScaleBench {
     // (checkpointed), a TakeOrdered candidate cut, then constant-size
     // (20-candidate) sim + greedy stages: the factor reads the scan+agg
     "q_retrieval_mmr",
+    // round-13: DSIR selection — one bigram explode (checkpointed),
+    // two 8192-bucket-domain aggs, a broadcast log-ratio join back,
+    // one per-doc sum + TakeOrdered-20: the factor reads the explode
+    // + the per-doc agg; the bucket domain is constant at any K
+    "q_dsir_select",
     // round-11: transposition-aware edit distance — one (source) window
     // + the native O(60²) kernel per successor pair, scan-bound like
     // q_text_damerau

@@ -568,6 +568,66 @@ object PipelineQueries extends QuerySet {
     // token rollup (catalog-sized), a 1-row global budget broadcast
     // back, and a map-only keep decision — the audit rollup is the only
     // second pass.
+    // DATA SELECTION BY IMPORTANCE RESAMPLING (DSIR, Xie et al. 2023)
+    // — the distribution-MATCHING member of the selection family
+    // (q_sample_quality gates on absolute quality, q_token_budget_mix
+    // on volume; this ranks raw docs by how much they LOOK LIKE a
+    // target corpus): per doc, log importance weight = Σ over hashed
+    // bigram instances of ln(p_target(b)/p_raw(b)) under
+    // Laplace-smoothed 8192-bucket hashed-bigram LMs (target = the
+    // lang='en' slice standing in for "high-quality reference
+    // corpus"). Cross-engine determinism: the bucket hash is the first
+    // 8 hex chars of md5 (both engines bit-identical) mod 8192, the
+    // log-ratio is computed once per BUCKET from identical integers
+    // (identical doubles → identical micro, the BM25 idf posture), and
+    // the per-doc score is an int64 micro sum. Scale shape: ONE
+    // fact-sized bigram explode (checkpointed — it feeds the raw
+    // counts, the target counts, and the per-doc scoring join), two
+    // bucket-DOMAIN (8192-row) hash aggs, the log-ratio table
+    // broadcast back map-side, one per-doc sum, and a top-20
+    // distributed TakeOrdered; the 1-row totals ride a broadcast
+    // cross join (no collect).
+    "q_dsir_select" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = d.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("g"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+            lit(8192L)).as("b"))
+        .localCheckpoint(eager = true)
+      val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val ct = bg.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val tots = bg.agg(count(lit(1)).as("ns"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val lr = cs.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tots)) // 1-row totals, no collect
+        .select(col("b"), micro(
+          log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            (col("nt") + lit(8192.0)))
+          - log((col("c") + lit(1.0)) / (col("ns") + lit(8192.0))))
+          .as("lr_micro"))
+      // lang rides the per-doc agg (constant per doc) so the ranked
+      // readout needs no second documents scan; the 20-row rank window
+      // is output-sized (the deliberate-merge category)
+      val top = bg.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"),
+          sum(col("lr_micro")).as("score_micro"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      val wRk = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(wRk).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("lang"),
+          col("score_micro"), col("n_bigrams"))
+        .orderBy(col("rnk"))
+    },
+
     "q_token_budget_mix" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -736,6 +796,39 @@ object PipelineQueries extends QuerySet {
         |    x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
         |FROM d GROUP BY shard
         |ORDER BY shard""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(string_split(text,' '),
+        |             t -> length(t) > 0) AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(unnest(list_transform(
+        |           range(1, len(w)), i -> w[i] || ' ' || w[i+1]))),1,8))
+        |           AS UBIGINT) % 8192 AS b
+        |       FROM d WHERE len(w) >= 2),
+        |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cs) AS ns,
+        |               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct)
+        |                 AS nt),
+        |lr AS (SELECT cs.b,
+        |         CAST(floor((ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + 8192.0))
+        |                   - ln((cs.c + 1.0) / (tot.ns + 8192.0)))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        |       FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot),
+        |sc AS (SELECT bg.doc_id, CAST(sum(lr.lr_micro) AS BIGINT)
+        |         AS score_micro,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams
+        |       FROM bg JOIN lr ON lr.b = bg.b GROUP BY bg.doc_id),
+        |top AS (SELECT doc_id, score_micro, n_bigrams FROM sc
+        |        ORDER BY score_micro DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number()
+        |         OVER (ORDER BY t.score_micro DESC, t.doc_id) AS BIGINT)
+        |         AS rnk,
+        |       t.doc_id AS doc_id, dd.lang, t.score_micro, t.n_bigrams
+        |FROM top t JOIN (SELECT DISTINCT doc_id, lang FROM documents) dd
+        |  ON dd.doc_id = t.doc_id
+        |ORDER BY rnk""".stripMargin,
 
     "q_token_budget_mix" ->
       """WITH d AS (
