@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -588,39 +589,9 @@ object PipelineQueries extends QuerySet {
     // distributed TakeOrdered; the 1-row totals ride a broadcast
     // cross join (no collect).
     "q_dsir_select" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
-        .filter(size(col("w")) >= 2)
-      val bg = d.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(w) - 1), " +
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("g"))
-        .select(col("doc_id"), col("lang"),
-          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
-            lit(8192L)).as("b"))
-        .localCheckpoint(eager = true)
-      val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
-      val ct = bg.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      val tots = bg.agg(count(lit(1)).as("ns"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-      val lr = cs.join(ct, Seq("b"), "left")
-        .crossJoin(broadcast(tots)) // 1-row totals, no collect
-        .select(col("b"), micro(
-          log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
-            (col("nt") + lit(8192.0)))
-          - log((col("c") + lit(1.0)) / (col("ns") + lit(8192.0))))
-          .as("lr_micro"))
-      // lang rides the per-doc agg (constant per doc) so the ranked
-      // readout needs no second documents scan; the 20-row rank window
-      // is output-sized (the deliberate-merge category)
-      val top = bg.join(broadcast(lr), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(first(col("lang")).as("lang"),
-          sum(col("lr_micro")).as("score_micro"),
-          count(lit(1)).as("n_bigrams"))
+      val top = dsirScores(s, dir)
         .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      // the 20-row rank window is output-sized (deliberate merge)
       val wRk = Window.orderBy(col("score_micro").desc, col("doc_id"))
       top.withColumn("rnk", row_number().over(wRk).cast("long"))
         .select(col("rnk"), col("doc_id"), col("lang"),
@@ -761,6 +732,81 @@ object PipelineQueries extends QuerySet {
 
   /** One oracle row of q_profile_columns (mirrors the Spark quantizers:
     * longs as-is, strings by length, doubles half-up micro, ts epoch µs). */
+  /** DSIR hashed-bigram bucket of one bigram string g: first 8 hex
+    * chars of md5 (bit-identical on both engines) mod 8192. */
+  private def dsirBucket(g: Column): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(8192L))
+
+  /** Per-bigram-instance (doc_id, lang, bucket) — checkpointed: it
+    * feeds the raw counts, target counts, AND the scoring join. */
+  private def dsirBg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("g"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("g")).as("b"))
+      .localCheckpoint(eager = true)
+
+  /** The trained model: per observed bucket, micro-quantized
+    * ln(p_target(b)/p_raw(b)) under Laplace-smoothed 8192-bucket LMs
+    * (target = the lang='en' slice). Bucket-domain-sized (≤ 8192
+    * rows); [[graft.streaming.StreamingDsir]] serves it as the FIXED
+    * reference model for online scoring. */
+  private[graft] def dsirLr(bg: DataFrame): DataFrame = {
+    val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val ct = bg.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tots = bg.agg(count(lit(1)).as("ns"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    cs.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tots)) // 1-row totals, no collect
+      .select(col("b"), micro(
+        log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+          (col("nt") + lit(8192.0)))
+        - log((col("c") + lit(1.0)) / (col("ns") + lit(8192.0))))
+        .as("lr_micro"))
+  }
+
+  /** The trained model straight from a corpus dir (the streaming
+    * twin's entry point — one bg build shared with nothing else). */
+  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame =
+    dsirLr(dsirBg(s, dir))
+
+  /** Driver-side model bundle for the streaming scorer: (bucket →
+    * lr_micro, unseen-bucket default = the Laplace ratio at zero
+    * counts, computed by the SAME ln/micro arithmetic as the bucket
+    * rows). Model-sized collect (≤ 8192 rows — the PCA pinned-model
+    * policy). */
+  private[graft] def dsirModelBundle(s: SparkSession,
+      dir: String): (Map[Long, Long], Long) = {
+    val bg = dsirBg(s, dir)
+    val m = dsirLr(bg).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = bg.agg(count(lit(1)).as("ns"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")).first()
+    val (ns, nt) = (tr.getLong(0), tr.getLong(1))
+    val default = math.floor((math.log(1.0 / (nt + 8192.0))
+      - math.log(1.0 / (ns + 8192.0))) * 1000000.0 + 0.5).toLong
+    (m, default)
+  }
+
+  /** Per-doc DSIR log importance weight (int64 micro sum over bigram
+    * instances) — ONE bg build feeds both the model and the scoring
+    * join; lang rides the agg (constant per doc) so the ranked
+    * readout needs no second documents scan. */
+  private[graft] def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val bg = dsirBg(s, dir)
+    bg.join(broadcast(dsirLr(bg)), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        sum(col("lr_micro")).as("score_micro"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   private def profileSql(tbl: String, c: String, kind: String): String = {
     val (mn, mx) = kind match {
       case "long" => (s"CAST(min($c) AS BIGINT)", s"CAST(max($c) AS BIGINT)")

@@ -1914,4 +1914,54 @@ class StreamingSpec extends SparkSpec {
     assert(grp(b1).intersect(grp(b2)).nonEmpty,
       "no (evaluator, score) group straddles the micro-batch boundary")
   }
+
+  test("st42: streaming DSIR scoring — stateless fixed-model map equals " +
+      "batch q_dsir_select scores exactly over the training corpus, and " +
+      "unseen buckets score the Laplace zero-count default") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val (lr, defaultLr) = PipelineQueries.dsirModelBundle(spark, dir)
+    assert(lr.nonEmpty && defaultLr > 0L,
+      "vacuity: empty model (default must be positive — the target " +
+        "slice is smaller than the corpus)")
+    val batch = PipelineQueries.dsirScores(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDsir
+      .score(in.toDF().toDF("doc_id", "text"), lr, defaultLr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st42").start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val online = spark.table("st42").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(online == batch,
+        s"online scores != batch q_dsir_select scores " +
+          s"(${online.size} vs ${batch.size} docs)")
+      assert(batch.nonEmpty)
+      // a doc of tokens the reference corpus never saw: every bucket
+      // scores the default — expected computed independently from the
+      // bundle with a JVM md5 (not the engine's)
+      val alien = "zzqx1 zzqx2 zzqx3 zzqx4"
+      val aw = alien.split(' ')
+      val expected = aw.toSeq.sliding(2).map { p =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((p(0) + " " + p(1)).getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        lr.getOrElse(java.lang.Long.parseLong(hex, 16) % 8192L, defaultLr)
+      }.sum
+      in.addData((999999L, alien)); q.processAllAvailable()
+      val got = spark.table("st42").collect()
+        .find(_.getLong(0) == 999999L).get
+      assert(got.getLong(1) == expected && got.getLong(2) == 3L,
+        s"alien doc scored ${got.getLong(1)}, expected $expected")
+    } finally q.stop()
+  }
 }
