@@ -168,6 +168,10 @@ object ScaleBench {
     // one per-doc sum + TakeOrdered-20: the factor reads the explode
     // + the per-doc agg; the bucket domain is constant at any K
     "q_dsir_select",
+    // round-13: DSIR resampling — the same score build plus the
+    // q_sample_systematic block prefix-sum; expect its factor to track
+    // q_dsir_select's (the scoring dominates, the PPS is doc-sized)
+    "q_dsir_resample",
     // round-11: transposition-aware edit distance — one (source) window
     // + the native O(60²) kernel per successor pair, scan-bound like
     // q_text_damerau

@@ -89,6 +89,11 @@ class Engine(val spark: SparkSession, warehouse: String)
     *  - `cqEveryBatches` > 0: after every Nth micro-batch, refresh every
     *    registered continuous query ([[refreshCqs]]) — incremental, so
     *    the slot's cost tracks the batch size, not the table.
+    *  - `statsEveryBatches` > 0: after every Nth micro-batch, fold the
+    *    new batches into the incremental stats store ([[statsRefresh]])
+    *    — the cheapest hook here by design: it scans ONLY the
+    *    `ingest_batch=` partitions its manifest has not folded yet, so
+    *    its cost tracks the batch size like the cq slot.
     * All run inside foreachBatch — i.e. between micro-batches, never
     * racing an append (same table lock), and a hook failure fails the
     * batch (retried by the stream) rather than being silently lost. */
@@ -97,7 +102,7 @@ class Engine(val spark: SparkSession, warehouse: String)
       bucketEveryBatches: Int = 0, bucketTable: String = "measurements_bucketed",
       retainDays: Int = 0, retentionEveryBatches: Int = 0,
       sketchEveryBatches: Int = 0, tagIndexEveryBatches: Int = 0,
-      cqEveryBatches: Int = 0)
+      cqEveryBatches: Int = 0, statsEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
@@ -138,6 +143,10 @@ class Engine(val spark: SparkSession, warehouse: String)
         // refresh touched are recomputed
         if (cqEveryBatches > 0 && id > 0 && id % cqEveryBatches == 0)
           refreshCqs()
+        // the incremental stats store folds only unfolded batches, so
+        // this slot's cost tracks the batch size, not the table
+        if (statsEveryBatches > 0 && id > 0 && id % statsEveryBatches == 0)
+          statsRefresh()
         ()
       }
       .start()

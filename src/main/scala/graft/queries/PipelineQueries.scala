@@ -599,6 +599,50 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("rnk"))
     },
 
+    // DSIR step 2 — RESAMPLE the raw corpus proportional to importance
+    // (Xie et al. 2023 §3: selection is top-k OR weighted sampling;
+    // q_dsir_select is the top-k face, this is the sampling face,
+    // composed from the SAME scores and the q_sample_systematic Madow
+    // machinery): weights are the scores shifted positive
+    // (score − min + 1, a 1-scalar driver collect — the q_zorder_key
+    // policy), the draw is the deterministic midpoint-systematic PPS
+    // with exact-rational cross-multiplied hit counts (Σ n_hits = k
+    // exactly, no randomness, reproducible on any cluster). Scale
+    // shape: the score frame is checkpointed ONCE (it feeds min, the
+    // within-block window, and the block-offset agg — the
+    // q_sample_systematic triple-scan lesson applied at birth), the
+    // global prefix sum is the distributed block decomposition, the
+    // hit test map-only. Overflow bound: 200·W with W ≈ n_docs ×
+    // score-range — int64-safe to ~1e9 docs at the measured 1e7 micro
+    // score range (the q_sample_systematic bound discipline).
+    "q_dsir_resample" -> { (s, dir) =>
+      val k2 = 200L // 2k, k = 100 draws
+      val scores = dsirScores(s, dir)
+        .select(col("doc_id"), col("score_micro"))
+        .withColumn("blk", intDiv(col("doc_id"), lit(1000L)))
+        .localCheckpoint(eager = true)
+      val mn = scores.agg(min(col("score_micro"))).first().getLong(0)
+      val d = scores.select(col("doc_id"),
+        (col("score_micro") - lit(mn) + lit(1L)).as("w"), col("blk"))
+      val tw = d.agg(sum(col("w"))).first().getLong(0)
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      val within = d.withColumn("cum_in", sum(col("w")).over(wIn))
+      val wOff = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = d.groupBy(col("blk")).agg(sum(col("w")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("blk"), col("off"))
+      def ceilDiv(a: Column) = intDiv(a + lit(tw - 1L), lit(tw))
+      within.join(offs, Seq("blk"))
+        .withColumn("c0", col("off") + col("cum_in") - col("w"))
+        .withColumn("n_hits",
+          intDiv(ceilDiv((col("c0") + col("w")) * k2), lit(2L)) -
+            intDiv(ceilDiv(col("c0") * k2), lit(2L)))
+        .filter(col("n_hits") > 0L)
+        .select(col("doc_id"), col("w"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_token_budget_mix" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -875,6 +919,46 @@ object PipelineQueries extends QuerySet {
         |FROM top t JOIN (SELECT DISTINCT doc_id, lang FROM documents) dd
         |  ON dd.doc_id = t.doc_id
         |ORDER BY rnk""".stripMargin,
+
+    // the sampling face: same score CTEs, then the Madow midpoint
+    // closed form over shifted-positive weights (validated against
+    // direct rational enumeration at both oracle SFs)
+    "q_dsir_resample" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(string_split(text,' '),
+        |             t -> length(t) > 0) AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(unnest(list_transform(
+        |           range(1, len(w)), i -> w[i] || ' ' || w[i+1]))),1,8))
+        |           AS UBIGINT) % 8192 AS b
+        |       FROM d WHERE len(w) >= 2),
+        |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cs) AS ns,
+        |               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct)
+        |                 AS nt),
+        |lr AS (SELECT cs.b,
+        |         CAST(floor((ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + 8192.0))
+        |                   - ln((cs.c + 1.0) / (tot.ns + 8192.0)))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        |       FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot),
+        |sc AS (SELECT bg.doc_id, CAST(sum(lr.lr_micro) AS BIGINT) AS score
+        |       FROM bg JOIN lr ON lr.b = bg.b GROUP BY bg.doc_id),
+        |wt AS (SELECT doc_id, score - (SELECT min(score) FROM sc) + 1 AS w
+        |       FROM sc),
+        |pre AS (SELECT doc_id, w,
+        |          coalesce(sum(w) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS c0,
+        |          (SELECT CAST(sum(w) AS BIGINT) FROM wt) AS tw
+        |        FROM wt)
+        |SELECT doc_id, w,
+        |  CAST(((c0 + w) * 200 + tw - 1) // tw // 2
+        |     - (c0 * 200 + tw - 1) // tw // 2 AS BIGINT) AS n_hits
+        |FROM pre
+        |WHERE ((c0 + w) * 200 + tw - 1) // tw // 2
+        |    - (c0 * 200 + tw - 1) // tw // 2 > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_token_budget_mix" ->
       """WITH d AS (

@@ -21,6 +21,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_embed_project", // 1-row broadcast query vector (q34 pattern)
     "q_pca_project", // k-row broadcast pinned-component table (model-sized)
     "q_token_budget_mix", // 1-row broadcast global budget into the catalog-sized fractions
+    // (q_dsir_resample shares dsirLr's 1-row totals broadcast, but its
+    // score frame is checkpointed, so the returned plan shows no cross)
     "q_dsir_select", // 1-row broadcast corpus totals into the 8192-bucket log-ratio table
     "q34f_sq8_ann", // 1-row broadcast query codes + scale/norm (q34 pattern)
     "q_dtw") // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction

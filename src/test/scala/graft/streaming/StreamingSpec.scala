@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     assert(engine.table().select("id").distinct().count() == 4)
   }
 
+  test("st1c: the statsEveryBatches maintenance hook keeps the " +
+      "incremental stats store warm under continuous ingest") {
+    val in = MemoryStream[String]
+    val engine = new Engine(spark, tmpDir("graft-stream-stats"))
+    val q = engine.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-ckpt-stats"), statsEveryBatches = 1)
+    in.addData("cpu load=1.0 1700000000000000000",
+      "cpu load=3.0 1700000000000000000")
+    q.processAllAvailable()
+    // batch 0 wrote; the hook fires from id 1 on — push a second batch
+    in.addData("cpu load=5.0 1700000000000000000")
+    q.processAllAvailable()
+    q.stop()
+    assert(engine.statsStoreExists,
+      "maintenance hook never built the stats store")
+    val rows = engine.stats("cpu", "load").collect()
+    assert(rows.length == 1)
+    // the folded store must cover AT LEAST the batches up to the last
+    // hook firing (batch 1 fired after batch 1's write → all 3 rows)
+    assert(rows.head.getLong(1) == 3L && rows.head.getDouble(2) == 9.0,
+      s"stats store stale after the hook: ${rows.head}")
+  }
+
   test("st1b: restart from checkpoint continues without reprocessing") {
     val in = MemoryStream[String]
     val engine = new Engine(spark, tmpDir("graft-restart"))
