@@ -115,4 +115,37 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(IncrementalRollup.refresh(spark, d, "nation_revenue")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap == after)
   }
+
+  test("racing first builds: the staging+rename discipline gives every " +
+      "racer the same store content — first rename wins, losers delete " +
+      "their staging (the SignatureStore race pin, lock-free variant)") {
+    // fresh COPIED corpus → fresh store key → both threads race the
+    // first build of the same store path
+    val d = tmpDir("ivm_race")
+    Seq("orders", "customer", "nation").foreach { n =>
+      graft.Tables.load(spark, dir, n)
+        .write.mode("overwrite").parquet(s"$d/$n.parquet")
+    }
+    import java.util.concurrent.{Callable, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new Callable[Seq[List[Any]]] {
+          override def call(): Seq[List[Any]] =
+            IncrementalRollup.refresh(spark, d, "nation_revenue")
+              .collect().map(_.toSeq.toList).toSeq
+        })
+      }
+      val results = futs.map(_.get())
+      assert(results(0) == results(1) && results(0).nonEmpty,
+        "racing refreshes disagreed")
+    } finally pool.shutdown()
+    // no orphaned staging dirs survive the race
+    val parent = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_ivm")
+    val orphans = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".stage-"))
+    assert(orphans.isEmpty,
+      s"lost-race staging dirs not cleaned: ${orphans.mkString(", ")}")
+  }
 }
