@@ -172,6 +172,10 @@ object ScaleBench {
     // q_sample_systematic block prefix-sum; expect its factor to track
     // q_dsir_select's (the scoring dominates, the PPS is doc-sized)
     "q_dsir_resample",
+    // round-13: per-source KL drift — one bigram explode + two
+    // bucket-domain aggs; the terms relation is 8192 × sources at any
+    // K, so the factor reads the explode alone
+    "q_text_kl_drift",
     // round-11: transposition-aware edit distance — one (source) window
     // + the native O(60²) kernel per successor pair, scan-bound like
     // q_text_damerau

@@ -888,6 +888,66 @@ object TextQueries extends QuerySet {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // CORPUS-COMPOSITION DRIFT — per-source KL divergence of the
+    // hashed-bigram distribution against the whole corpus (Kullback &
+    // Leibler 1951; the text-side sibling of q_drift_psi's numeric
+    // PSI): the monitor an LLM-data pipeline runs per ingest source —
+    // "which provider's text stopped looking like the corpus?".
+    // KL(P_src ‖ P_corpus) over Laplace-smoothed 8192-bucket
+    // hashed-bigram LMs (the q_dsir_select bucket canon: md5 first-8-
+    // hex mod 8192, bit-identical on both engines). Cross-engine
+    // determinism: each bucket's contribution is quantized to NANO
+    // int64 BEFORE the sum (the per-term-micro-then-sum recipe — a raw
+    // double sum would be summation-order sensitive), and the
+    // (8192 − observed) unobserved-bucket remainder is one closed-form
+    // constant per source, so the completed KL is ≥ 0 by construction.
+    // Scale shape: ONE fact-sized bigram explode (checkpointed — it
+    // feeds the corpus counts and the per-source counts), then
+    // everything is bucket-domain × source-domain bounded: the terms
+    // relation is ≤ 8192 × n_sources rows BY CONSTRUCTION at any
+    // corpus size (the declared bounded cross join), one hash agg to
+    // the source-domain readout.
+    "q_text_kl_drift" -> { (s, dir) =>
+      val bg = t(s, dir, "documents")
+        .select(col("source"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("g"))
+        .select(col("source"),
+          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+            lit(8192L)).as("b"))
+        .localCheckpoint(eager = true)
+      val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val srcCnt = bg.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("sc"))
+      val tots = srcCnt.groupBy(col("source"))
+        .agg(sum(col("sc")).as("n_src"))
+      val corp = cs.agg(sum(col("c")).as("ns"), count(lit(1)).as("nb"))
+      val ps = (coalesce(col("sc"), lit(0L)) + lit(1.0)) /
+        (col("n_src") + lit(8192.0))
+      val pc = (col("c") + lit(1.0)) / (col("ns") + lit(8192.0))
+      val p0s = lit(1.0) / (col("n_src") + lit(8192.0))
+      val p0c = lit(1.0) / (col("ns") + lit(8192.0))
+      cs.crossJoin(broadcast(tots)) // bucket-domain × source-domain
+        .join(srcCnt, Seq("source", "b"), "left")
+        .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
+        .withColumn("term_nano",
+          floor(ps * (log(ps) - log(pc)) * 1000000000.0 + 0.5)
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("term_nano")).as("tsum"), max(col("nb")).as("nb"),
+          max(col("n_src")).as("n_src"), max(col("ns")).as("ns"))
+        .select(col("source"),
+          (col("tsum") + (lit(8192L) - col("nb")) *
+            floor(p0s * (log(p0s) - log(p0c)) * 1000000000.0 + 0.5)
+              .cast("long")).as("kl_nano"),
+          col("n_src").as("n_bigrams"))
+        .orderBy(col("source"))
+    },
+
     // DIVERSIFIED RETRIEVAL — greedy Maximal Marginal Relevance
     // (Carbonell & Goldstein 1998) over the q_text_bm25 hit pipeline:
     // relevance ranks alone return near-duplicates of the best hit;
@@ -1668,6 +1728,44 @@ object TextQueries extends QuerySet {
         |SELECT query_id, rnk, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       rank_bm25, rank_ql
         |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // per-bucket NANO quantization before the sum + the closed-form
+    // unobserved-bucket remainder (validated against an independent
+    // Python KL implementation at both oracle SFs)
+    "q_text_kl_drift" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(string_split(text,' '),
+        |             t -> length(t) > 0) AS w FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5(unnest(list_transform(
+        |           range(1, len(w)), i -> w[i] || ' ' || w[i+1]))),1,8))
+        |           AS UBIGINT) % 8192 AS b
+        |       FROM d WHERE len(w) >= 2),
+        |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+        |src AS (SELECT source, b, CAST(count(*) AS BIGINT) AS sc
+        |        FROM bg GROUP BY source, b),
+        |tots AS (SELECT source, CAST(sum(sc) AS BIGINT) AS n_src FROM src
+        |         GROUP BY source),
+        |corp AS (SELECT CAST(sum(c) AS BIGINT) AS ns,
+        |                CAST(count(*) AS BIGINT) AS nb FROM cs),
+        |terms AS (
+        |  SELECT t.source, t.n_src, c2.ns, c2.nb,
+        |    CAST(floor(
+        |      ((coalesce(s.sc, 0) + 1.0) / (t.n_src + 8192.0)) *
+        |      (ln((coalesce(s.sc, 0) + 1.0) / (t.n_src + 8192.0))
+        |       - ln((cs.c + 1.0) / (c2.ns + 8192.0)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+        |  FROM cs CROSS JOIN tots t
+        |  LEFT JOIN src s ON s.b = cs.b AND s.source = t.source
+        |  CROSS JOIN corp c2)
+        |SELECT source,
+        |  CAST((sum(term_nano)
+        |    + (8192 - max(nb)) * CAST(floor(
+        |        (1.0 / (max(n_src) + 8192.0)) *
+        |        (ln(1.0 / (max(n_src) + 8192.0))
+        |         - ln(1.0 / (max(ns) + 8192.0)))
+        |        * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
+        |  max(n_src) AS n_bigrams
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // greedy MMR as a bounded recursive CTE: one LATERAL argmax per
     // step over the 20-candidate pool (the q_pack_sequences

@@ -24,6 +24,7 @@ class PlanShapeSpec extends SparkSpec {
     // (q_dsir_resample shares dsirLr's 1-row totals broadcast, but its
     // score frame is checkpointed, so the returned plan shows no cross)
     "q_dsir_select", // 1-row broadcast corpus totals into the 8192-bucket log-ratio table
+    "q_text_kl_drift", // ≤8192-bucket × source-domain declared bounded cross + 1-row totals
     "q34f_sq8_ann", // 1-row broadcast query codes + scale/norm (q34 pattern)
     "q_dtw") // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction
 
