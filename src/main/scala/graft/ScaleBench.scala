@@ -192,7 +192,20 @@ object ScaleBench {
     // round-12 second wave: AUC harness — two map-only scoring passes
     // (one native classifier_scores, one stopword filter) into
     // score-DOMAIN-sized aggs; expect the scan to dominate
-    "q_eval_auc")
+    "q_eval_auc",
+    // round-13 second wave: retrieval evaluation — both ride the shared
+    // bm25Hits build (tf/dl aggs, broadcast query side), so the factors
+    // should track q_text_bm25; ranking windows run over PRUNED hits
+    "q_eval_mrr", "q_eval_ndcg",
+    // round-13 second wave: calibration (the q_eval_auc scoring passes
+    // into a 2×10-bin agg — the tightest state domain in the suite) and
+    // the confusion readout (one langid scoring pass into a ≤25-cell
+    // agg); both should read pure scan cost
+    "q_eval_calibration", "q_eval_confusion",
+    // round-13 second wave: curriculum pacing — one quality-scoring
+    // scan into a ≤1001-bucket domain agg + a bucket-partitioned rank
+    // window + broadcast offsets; the scoring scan should dominate
+    "q_curriculum")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -331,6 +344,19 @@ object ScaleBench {
     // measures the PRUNED scan: the factor reads covered-tile growth,
     // not corpus growth
     "q_zorder_key", "q_zorder_box",
+    // round-13 second wave: zone maps — ONE block-keyed hash agg over
+    // the events scan (block domain grows with K, but stays output-
+    // sized); expect a pure scan-bound ≈linear factor
+    "q_zone_maps",
+    // round-13 second wave: the pruned scan — layout+sidecar build is a
+    // once-per-dir artifact (amortized by the warm-up, the q_zorder_box
+    // recipe); the measured cost is the sidecar 1-row agg + the PRUNED
+    // suffix scan, so the factor should read well under the data ratio
+    "q_zone_scan",
+    // round-13 second wave: KS drift — one (type, week, cents) hash agg
+    // (the cents domain saturates, weeks recur in the replica) + value-
+    // domain windows; expect the agg scan to dominate, near-flat tail
+    "q_drift_ks",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the

@@ -253,6 +253,69 @@ object CoreQueries extends QuerySet {
           sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("cents"))
         .orderBy(col("suppkey"))
+    },
+
+    // ZONE MAPS / small materialized aggregates (Moerkotte, VLDB 1998 —
+    // the min/max data-skipping stats every columnar engine persists
+    // per block: parquet row-group stats, ClickHouse marks, ORC
+    // indexes), over the TSDB fact the reference actually serves:
+    // fixed 512-event-id blocks of events (ingest order IS roughly
+    // time order — exactly the correlation zone maps monetize; the
+    // uncorrelated counter-case is documented below). Per block the
+    // row count, min/max event time and value cents, whether the
+    // canonical time-range scan (ts ≥ 2024-01-20) could PRUNE the
+    // block outright (max_ts below the cut — 12 of 20 blocks at
+    // sf0.01, 123 of 196 at sf0.1), and the corpus skip share that
+    // pruning delivers (repeated per row — the ece_micro one-schema
+    // recipe). Lineitem would be the counter-case: its shipdate is
+    // uniform across order-key blocks (measured: every block spans
+    // 1995–2001), so natural-order zone maps buy ZERO skipping there —
+    // the readout an engine uses to decide a table needs clustering
+    // (the q_zorder family is the fix). Scale shape: ONE fact-sized
+    // hash agg keyed by block id; everything downstream (prune flag,
+    // share window) is block-domain sized — a deliberate output-sized
+    // merge, same as the skyline/block-offset precedents.
+    "q_zone_maps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      t(s, dir, "events")
+        .groupBy(intDiv(col("event_id"), lit(512L)).as("blk"))
+        .agg(count(lit(1)).as("n_rows"),
+          ntz(min(col("ts"))).as("min_ts"),
+          ntz(max(col("ts"))).as("max_ts"),
+          min(round(col("value") * 100).cast("long"))
+            .as("min_value_cents"),
+          max(round(col("value") * 100).cast("long"))
+            .as("max_value_cents"))
+        .withColumn("prunable",
+          (col("max_ts") < lit("2024-01-20").cast("timestamp_ntz"))
+            .cast("long"))
+        .withColumn("skip_share_micro",
+          intDiv(sum(col("prunable")).over(wAll) * lit(1000000L),
+            sum(lit(1L)).over(wAll)))
+        .orderBy(col("blk"))
+    },
+
+    // ZONE-MAP PRUNED SCAN — the pay-off query (the q_zorder_box
+    // equivalence-gate recipe): the canonical time-range rollup runs
+    // THROUGH operators/ZoneMaps — a block-partitioned events layout
+    // plus a persisted per-block min/max-ts sidecar, both built once
+    // per dir (staging+rename artifact). The sidecar's 1-row agg gives
+    // the first surviving block (ingest order ≈ time order, so the
+    // survivors are a block-id SUFFIX and the pruning predicate is ONE
+    // scalar comparison on the partition column — never a block-list
+    // collect); the exact ts predicate closes the superset. The oracle
+    // is the PLAIN filter+agg over the unordered table — pruning must
+    // change the files read (ZoneMapSpec pins the reduction), never
+    // the answer. This is R11's time-range scan at 100 TB: the
+    // difference between opening every file and opening the suffix
+    // under the cut.
+    "q_zone_scan" -> { (s, dir) =>
+      graft.operators.ZoneMaps.prunedRange(s, dir, "2024-01-20")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -274,6 +337,40 @@ object CoreQueries extends QuerySet {
         |WHERE l_partkey BETWEEN 100 AND 400
         |  AND l_suppkey BETWEEN 10 AND 40
         |GROUP BY 1 ORDER BY suppkey""".stripMargin,
+
+    // same block key (non-negative, so // == Spark's truncating div),
+    // same cents rounding, same prune cut; the share window mirrors
+    // skip_share_micro over the block domain
+    "q_zone_maps" ->
+      """WITH z AS (
+        |  SELECT event_id // 512 AS blk,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(ts) AS min_ts, max(ts) AS max_ts,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT))
+        |      AS BIGINT) AS min_value_cents,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT))
+        |      AS BIGINT) AS max_value_cents
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(blk AS BIGINT) AS blk, n_rows, min_ts, max_ts,
+        |    min_value_cents, max_value_cents,
+        |    CAST(CASE WHEN max_ts < TIMESTAMP '2024-01-20'
+        |         THEN 1 ELSE 0 END AS BIGINT) AS prunable
+        |  FROM z)
+        |SELECT blk, n_rows, min_ts, max_ts, min_value_cents,
+        |  max_value_cents, prunable,
+        |  CAST(sum(prunable) OVER () * 1000000 // sum(1) OVER ()
+        |    AS BIGINT) AS skip_share_micro
+        |FROM p ORDER BY blk""".stripMargin,
+
+    // the equivalence gate: the plain unpruned filter+agg — the layout
+    // may only change the files read, never the answer
+    "q_zone_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -748,6 +748,65 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("source"), col("bucket"))
     },
 
+    // CURRICULUM PACING (Bengio et al., ICML 2009; Platanios et al.
+    // 2019's competence schedules): order the corpus easiest-first by
+    // THE shared quality score (TextQueries.withQuality — the same
+    // definition q_dedup_keep_best and q_source_cap rank by) and cut it
+    // into 10 equal pacing stages; the readout is the training plan —
+    // per stage the doc count, character budget, quality band, and the
+    // cumulative budget a competence schedule feeds the sampler.
+    // DISTRIBUTED exact ranking without a global sort (the round-12
+    // top-k window lesson, applied to full-corpus ranking; the
+    // q_pack_chop block prefix-sum decomposition): docs bucket by
+    // qb = quality_micro div 1000 — ≤ 1001 buckets BY CONSTRUCTION
+    // (the score lives in [0, 1e6]; the raw VALUE domain is nearly
+    // doc-unique, measured 473 distinct over 500 docs, so bucketing is
+    // what keeps the domain table corpus-independent). A bucket-ordered
+    // window over the ≤ 1001-row count table yields each bucket's
+    // cumulative offset; each doc's EXACT global rank = its bucket's
+    // offset + its row_number within the bucket (partitioned window,
+    // ~N/1000 rows per partition). stage = 1 + (rank−1)·10 div N is the
+    // deterministic equal-split (both engines compute it identically —
+    // no ntile remainder-semantics risk). Scale shape: one map-only
+    // scoring pass, one bucket-domain agg, one bucket-partitioned
+    // window, one broadcast join of the ≤ 1001-row offsets, one stage
+    // agg; the only unpartitioned windows order the bucket domain and
+    // the 10-row stage table (deliberate output-sized merges, the
+    // skyline precedent).
+    "q_curriculum" -> { (s, dir) =>
+      // checkpointed once: feeds the domain agg, the total, AND the
+      // per-doc rank join (the q_sample_systematic triple-scan lesson)
+      val d = TextQueries.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("quality_micro"),
+          intDiv(col("quality_micro"), lit(1000L)).as("qb"))
+        .localCheckpoint(eager = true)
+      val wDom = Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = d.groupBy(col("qb"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(wDom), lit(0L)))
+        .select(col("qb"), col("cb"))
+      val total = d.groupBy().agg(count(lit(1)).as("n_total"))
+      // easiest-first within the bucket too: quality DESC, doc_id
+      val wIn = Window.partitionBy(col("qb"))
+        .orderBy(col("quality_micro").desc, col("doc_id"))
+      val wStage = Window.orderBy(col("stage"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("rn", row_number().over(wIn).cast("long"))
+        .join(broadcast(cum), "qb")
+        .crossJoin(broadcast(total)) // 1-row corpus total, no collect
+        .withColumn("stage",
+          lit(1L) + intDiv((col("cb") + col("rn") - 1L) * 10L,
+            col("n_total")))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_budget"),
+          min(col("quality_micro")).as("min_quality_micro"),
+          max(col("quality_micro")).as("max_quality_micro"))
+        .withColumn("cum_chars", sum(col("char_budget")).over(wStage))
+        .orderBy(col("stage"))
+    },
+
     // SHARD MANIFEST — the reproducibility artifact a training run ships
     // next to its exported shards (q_export_shards' layout): per shard,
     // the doc and token counts plus an order-independent md5 over the
@@ -986,6 +1045,41 @@ object PipelineQueries extends QuerySet {
         |FROM d JOIN f USING (source)
         |GROUP BY f.source, f.n_docs, f.tokens_total, f.keep_frac_micro
         |ORDER BY f.source""".stripMargin,
+
+    // same shared quality CTEs; same div-1000 bucket (score ≥ 0, so
+    // // == Spark's truncating div), same offset + within-bucket
+    // row_number rank and (rank−1)·10 div N stage split
+    "q_curriculum" ->
+      s"""WITH ${TextQueries.qualitySql},
+         |dq AS (SELECT d.doc_id, d.n_chars, q.quality_micro,
+         |         q.quality_micro // 1000 AS qb
+         |       FROM documents d JOIN q USING (doc_id)),
+         |g AS (SELECT qb, count(*) AS cnt FROM dq GROUP BY 1),
+         |cum AS (SELECT qb,
+         |         coalesce(sum(cnt) OVER (ORDER BY qb DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cb
+         |        FROM g),
+         |tot AS (SELECT count(*) AS n_total FROM dq),
+         |rk AS (SELECT dq.n_chars, dq.quality_micro,
+         |         cum.cb + row_number() OVER (PARTITION BY dq.qb
+         |           ORDER BY dq.quality_micro DESC, dq.doc_id) AS grank,
+         |         t.n_total
+         |       FROM dq JOIN cum USING (qb) CROSS JOIN tot t),
+         |st AS (SELECT 1 + (grank - 1) * 10 // n_total AS stage,
+         |         n_chars, quality_micro FROM rk),
+         |agg AS (SELECT CAST(stage AS BIGINT) AS stage,
+         |          CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n_chars) AS BIGINT) AS char_budget,
+         |          CAST(min(quality_micro) AS BIGINT) AS min_quality_micro,
+         |          CAST(max(quality_micro) AS BIGINT) AS max_quality_micro
+         |        FROM st GROUP BY 1)
+         |SELECT stage, n_docs, char_budget, min_quality_micro,
+         |  max_quality_micro,
+         |  CAST(sum(char_budget) OVER (ORDER BY stage
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_chars
+         |FROM agg ORDER BY stage""".stripMargin,
 
     "q_sample_quality" -> {
       def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)

@@ -430,6 +430,59 @@ object TimeseriesQueries extends QuerySet {
         .orderBy(col("event_type"), col("wk"))
     },
 
+    // TWO-SAMPLE KOLMOGOROV-SMIRNOV drift (Kolmogorov 1933, Smirnov
+    // 1939 — the EXACT nonparametric member of the drift family:
+    // q_drift_psi needs a bucket grid, q_text_kl_drift a smoothing
+    // prior; KS is bucket-free and assumption-free, D = max |ECDF
+    // difference|): week-over-week per event_type on the value
+    // distribution, the same pairing frame as q_drift_psi. ALL-INTEGER
+    // exactness: values go to exact cents, both weeks' counts meet on
+    // the UNION value grid (full outer join, zero-filled), cumulative
+    // counts come from one value-ordered window, and the ECDF gap is
+    // cross-multiplied — D·nA·nB = max |cumA·nB − cumB·nA| — so
+    // ks_micro = Dmax·1e6 div (nA·nB) never touches a float; int64-
+    // safe while nA·nB ≤ 9.2e12 (~3M rows per (type, week) side — the
+    // q_eval_auc documented-bound posture; past it, pre-divide the
+    // cents domain). Scale shape: ONE (type, week, cents) hash agg is
+    // the only fact-sized stage (value domain is price-bounded, so the
+    // grid saturates); the windows partition by (type, week) — value-
+    // domain-sized partitions, thousands of them; weeks missing a
+    // predecessor drop via the nA/nB > 0 guard, not a special case.
+    "q_drift_ks" -> { (s, dir) =>
+      // checkpointed once: the per-(type, week, cents) counts feed the
+      // current side AND the shifted previous side
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          intDiv(unix_micros(col("ts")), lit(604800000000L)).as("wk"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("wk"), col("cents"))
+        .agg(count(lit(1)).as("pcnt"))
+        .localCheckpoint(eager = true)
+      val prev = v.select(col("event_type"), (col("wk") + 1L).as("wk"),
+        col("cents"), col("pcnt").as("qcnt"))
+      val wOrd = Window.partitionBy(col("event_type"), col("wk"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"), col("wk"))
+      v.join(prev, Seq("event_type", "wk", "cents"), "full_outer")
+        .na.fill(0L, Seq("pcnt", "qcnt"))
+        .withColumn("cumA", sum(col("pcnt")).over(wOrd))
+        .withColumn("cumB", sum(col("qcnt")).over(wOrd))
+        .withColumn("nA", sum(col("pcnt")).over(wAll))
+        .withColumn("nB", sum(col("qcnt")).over(wAll))
+        .filter(col("nA") > 0L && col("nB") > 0L)
+        .withColumn("d",
+          abs(col("cumA") * col("nB") - col("cumB") * col("nA")))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(max(col("d")).as("dmax"),
+          max(col("nA")).as("n_cur"), max(col("nB")).as("n_prev"))
+        .select(col("event_type"), col("wk"), col("n_cur"),
+          col("n_prev"),
+          intDiv(col("dmax") * lit(1000000L),
+            col("n_cur") * col("n_prev")).as("ks_micro"))
+        .orderBy(col("event_type"), col("wk"))
+    },
+
     // MARKOV TRANSITION MATRIX over the event-type alphabet: P(next |
     // current) per user-ordered stream, probabilities as half-up
     // micro-units of exact counts. One lead window on the user_id
@@ -3139,6 +3192,41 @@ object TimeseriesQueries extends QuerySet {
         |  CAST(sum(CAST(floor((p-q)*ln(p/q)*1000000.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS psi_micro
         |FROM pq GROUP BY 1,2 ORDER BY event_type, wk""".stripMargin,
+
+    // same cents grid, same full-outer union grid (COALESCE via the
+    // FULL JOIN's zero fills), same cross-multiplied integer ECDF gap
+    "q_drift_ks" ->
+      """WITH v AS (
+        |  SELECT event_type, epoch_us(ts)//604800000000 AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS pcnt
+        |  FROM events GROUP BY 1,2,3),
+        |pv AS (SELECT event_type, wk + 1 AS wk, cents,
+        |         pcnt AS qcnt FROM v),
+        |m AS (
+        |  SELECT coalesce(v.event_type, pv.event_type) AS event_type,
+        |    coalesce(v.wk, pv.wk) AS wk,
+        |    coalesce(v.cents, pv.cents) AS cents,
+        |    coalesce(v.pcnt, 0) AS pcnt, coalesce(pv.qcnt, 0) AS qcnt
+        |  FROM v FULL OUTER JOIN pv
+        |    ON pv.event_type = v.event_type AND pv.wk = v.wk
+        |      AND pv.cents = v.cents),
+        |c AS (
+        |  SELECT event_type, wk, cents, pcnt, qcnt,
+        |    sum(pcnt) OVER (PARTITION BY event_type, wk ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+        |    sum(qcnt) OVER (PARTITION BY event_type, wk ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB,
+        |    sum(pcnt) OVER (PARTITION BY event_type, wk) AS nA,
+        |    sum(qcnt) OVER (PARTITION BY event_type, wk) AS nB
+        |  FROM m)
+        |SELECT event_type, CAST(wk AS BIGINT) AS wk,
+        |  CAST(max(nA) AS BIGINT) AS n_cur,
+        |  CAST(max(nB) AS BIGINT) AS n_prev,
+        |  CAST(max(abs(cumA*nB - cumB*nA)) * 1000000
+        |       // (max(nA) * max(nB)) AS BIGINT) AS ks_micro
+        |FROM c WHERE nA > 0 AND nB > 0
+        |GROUP BY 1,2 ORDER BY event_type, wk""".stripMargin,
 
     // same lead pairing and half-up row-normalized probabilities
     "q_markov_transitions" ->

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The zone-map store contract (the ZOrderSpec recipe): pruning may
+  * change only the FILES READ, never the answer; the sidecar alone
+  * decides what survives; the artifact is reused, not rebuilt. */
+class ZoneMapSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the pruned range scan returns exactly the plain filter's rows " +
+      "and partition-prunes the block suffix") {
+    val q = ZoneMaps.prunedRange(spark, dir, "2024-01-20")
+    val got = q.select(col("event_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = graft.Tables.load(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+      .select(col("event_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == want,
+      s"layout path diverges: ${got.length} vs ${want.length} rows")
+    assert(want.nonEmpty, "vacuity: the cut must keep rows")
+    // plan shape: the scan carries a blk partition filter and lists
+    // FEWER block dirs than the layout holds
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the layout path")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"the block suffix did not become a partition filter:\n$scan")
+    val pType = scan.relation.partitionSchema.fields(0).dataType
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.get(0, pType).toString.toLong).distinct
+    val (layout, sidecar) = ZoneMaps.eventsLayout(spark, dir)
+    val total = layout.select(col("blk")).distinct().count()
+    assert(selected.length < total,
+      s"no pruning: ${selected.length} of $total blocks read")
+    // every pruned-away block is genuinely all-before-the-cut
+    val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val skipped = sidecar.collect()
+      .filter(r => !selected.contains(r.getAs[Long]("blk")))
+    assert(skipped.nonEmpty, "vacuity: nothing was skipped")
+    skipped.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("max_ts").before(cut),
+        s"block ${r.getAs[Long]("blk")} was skipped but reaches the cut")
+    }
+  }
+
+  test("a cut past the corpus prunes everything (empty, not an error); " +
+      "the artifact is built once and reused") {
+    val empty = ZoneMaps.prunedRange(spark, dir, "2030-01-01")
+    assert(empty.count() == 0L)
+    // reuse: the layout root's mtime is stable across a second call
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"${src.getCanonicalPath}@${src.lastModified}"))
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_zonemap/events_$key")
+    assert(root.exists(), "artifact root missing")
+    val before = root.lastModified()
+    ZoneMaps.prunedRange(spark, dir, "2024-01-10").count()
+    assert(root.lastModified() == before, "artifact was rebuilt")
+  }
+}

@@ -1987,4 +1987,101 @@ class StreamingSpec extends SparkSpec {
         s"alien doc scored ${got.getLong(1)}, expected $expected")
     } finally q.stop()
   }
+
+  test("st43: streaming calibration — one (evaluator, bin) complete-mode " +
+      "rollup is the whole state; the reliability/ECE readout equals " +
+      "batch q_eval_calibration over EVERY arrived prefix, exactly") {
+    import graft.streaming.StreamingCalibration
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingCalibration
+      .bins(in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st43").start()
+    def batchCal(prefix: Array[(Long, String, String)]): Seq[Seq[Any]] = {
+      val d = tmpDir("graft-st43")
+      val sp = spark
+      import sp.implicits._
+      prefix.toSeq.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      graft.SparkEntry.queries("q_eval_calibration")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      var arrived = Array.empty[(Long, String, String)]
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = StreamingCalibration.readout(spark.table("st43"))
+          .collect().map(_.toSeq.toList).toSeq
+        val batch = batchCal(arrived)
+        assert(online == batch,
+          s"prefix of ${arrived.length} docs: online calibration != batch")
+        assert(batch.size > 2, "vacuity: fewer than 3 occupied bins")
+      }
+    } finally q.stop()
+    // state-footprint pin: the agg state IS the bin rollup — rows ==
+    // touched (evaluator, bin) keys (≤ 2 × 10), never doc count
+    val keys = StreamingCalibration.bins(
+      graft.Tables.load(spark, dir, "documents")).count()
+    assert(spark.table("st43").count() == keys,
+      "state rows != touched (evaluator, bin) keys")
+    assert(keys <= 20L, s"bin state exceeded the 2×10 domain bound: $keys")
+  }
+
+  test("st44: streaming confusion matrix — one (labeled, predicted) " +
+      "complete-mode cell count is the whole state; the per-class " +
+      "precision/recall/F1 readout equals batch q_eval_confusion over " +
+      "EVERY arrived prefix, exactly") {
+    import graft.streaming.StreamingConfusion
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingConfusion
+      .cells(in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st44").start()
+    def batchConf(prefix: Array[(Long, String, String)]): Seq[Seq[Any]] = {
+      val d = tmpDir("graft-st44")
+      val sp = spark
+      import sp.implicits._
+      prefix.toSeq.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      graft.SparkEntry.queries("q_eval_confusion")(spark, d)
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      var arrived = Array.empty[(Long, String, String)]
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = StreamingConfusion.readout(spark.table("st44"))
+          .collect().map(_.toSeq.toList).toSeq
+        val batch = batchConf(arrived)
+        assert(online == batch,
+          s"prefix of ${arrived.length} docs: online confusion != batch")
+        assert(batch.size >= 5, "vacuity: fewer than 5 classes in readout")
+      }
+    } finally q.stop()
+    // state-footprint pin: rows == touched (labeled, predicted) cells,
+    // bounded by the class-domain square, never doc count
+    val keys = StreamingConfusion.cells(
+      graft.Tables.load(spark, dir, "documents")).count()
+    assert(spark.table("st44").count() == keys,
+      "state rows != touched (labeled, predicted) cells")
+    assert(keys <= 36L, s"cell state exceeded the 6² domain bound: $keys")
+  }
 }
