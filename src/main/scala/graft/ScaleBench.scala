@@ -357,6 +357,10 @@ object ScaleBench {
     // (the cents domain saturates, weeks recur in the replica) + value-
     // domain windows; expect the agg scan to dominate, near-flat tail
     "q_drift_ks",
+    // round-13 second wave: skew profile — one ×2 fan-out key-count agg
+    // over the events scan, then count-of-counts-DOMAIN windows (the
+    // domain saturates); expect the key agg to dominate
+    "q_skew_profile",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the
@@ -684,7 +688,8 @@ object ScaleBench {
       "q_histogram", "q_markov_transitions", "q_sax", "q_bollinger",
       "q_attribution", "q_drift_psi", "q_stat_funcs",
       "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw",
-      "q_seasonal_strength", "q_ivm_events")
+      "q_seasonal_strength", "q_ivm_events",
+      "q_zone_maps", "q_zone_scan", "q_drift_ks", "q_skew_profile")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.WeightedAvg
@@ -203,6 +204,67 @@ object AggQueries extends QuerySet {
         .agg(min(col("cents")).as("median_cents"),
           min(col("tot")).as("total_weight"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // KEY-SKEW PROFILE — the observability readout that says which join/
+    // agg keys need salting BEFORE a 100 TB run hits the straggler (the
+    // advisory side of operators/Skew.scala; q_profile_columns profiles
+    // value domains, this profiles GROUP-SIZE concentration): per
+    // candidate shuffle key of the events fact (user_id, event_type),
+    // the key count, row total, top-1 and top-10 key shares, and the
+    // exact Gini coefficient of group sizes. ALL-INTEGER via the
+    // count-of-counts decomposition: the fact-sized stage is ONE (key)
+    // count agg per column (fan-out ×2 map-side, the two profiled keys
+    // ride one scan); everything after lives on the count-of-counts
+    // DOMAIN (how many keys have count c — saturates at any corpus).
+    // Gini over a run of k tied keys sorted ascending contributes
+    // c·(k·prev + k(k+1)/2) to the rank-weighted sum S, and
+    // G = (2S − (n+1)T) / (nT) — exact while n·T ≤ 9.2e12 (the
+    // q_eval_auc documented-bound posture; past it, pre-bucket counts).
+    // Top-10 share takes min(k, 10 − keys_before) keys from the
+    // count-DESC walk — the partial-run form, no per-key sort anywhere.
+    "q_skew_profile" -> { (s, dir) =>
+      val keyed = t(s, dir, "events")
+        .select(explode(array(
+          struct(lit("user_id").as("col_name"),
+            col("user_id").cast("string").as("k")),
+          struct(lit("event_type").as("col_name"),
+            col("event_type").as("k")))).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.k").as("k"))
+        .groupBy(col("col_name"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val cc = keyed.groupBy(col("col_name"), col("c"))
+        .agg(count(lit(1)).as("nk"))
+      val wAsc = Window.partitionBy(col("col_name")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wDesc = Window.partitionBy(col("col_name"))
+        .orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cc
+        .withColumn("prevAsc", coalesce(sum(col("nk")).over(wAsc), lit(0L)))
+        .withColumn("prevDesc", coalesce(sum(col("nk")).over(wDesc), lit(0L)))
+        .withColumn("sTerm",
+          col("c") * (col("nk") * col("prevAsc")
+            + intDiv(col("nk") * (col("nk") + 1L), lit(2L))))
+        .withColumn("t10Term",
+          col("c") * greatest(lit(0L),
+            least(col("nk"), lit(10L) - col("prevDesc"))))
+        .groupBy(col("col_name"))
+        .agg(sum(col("nk")).as("n_keys"),
+          sum(col("c") * col("nk")).as("n_rows"),
+          max(col("c")).as("max_count"),
+          sum(col("sTerm")).as("s"),
+          sum(col("t10Term")).as("t10"))
+        .select(col("col_name"), col("n_keys"), col("n_rows"),
+          col("max_count"),
+          intDiv(col("max_count") * 1000000L, col("n_rows"))
+            .as("top1_share_micro"),
+          intDiv(col("t10") * 1000000L, col("n_rows"))
+            .as("top10_share_micro"),
+          intDiv((lit(2L) * col("s")
+              - (col("n_keys") + 1L) * col("n_rows")) * 1000000L,
+            col("n_keys") * col("n_rows")).as("gini_micro"))
+        .orderBy(col("col_name"))
     },
 
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
@@ -437,6 +499,45 @@ object AggQueries extends QuerySet {
         |       CAST(min(tot) AS BIGINT) AS total_weight
         |FROM c WHERE 2*cum >= tot
         |GROUP BY flag ORDER BY l_returnflag""".stripMargin,
+
+    // same count-of-counts decomposition, same tied-run Gini terms and
+    // partial top-10 walk; all numerators non-negative so // == trunc
+    "q_skew_profile" ->
+      """WITH keyed AS (
+        |  SELECT col_name, k, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT 'user_id' AS col_name,
+        |           CAST(user_id AS VARCHAR) AS k FROM events
+        |    UNION ALL
+        |    SELECT 'event_type', event_type FROM events) u
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT col_name, c, CAST(count(*) AS BIGINT) AS nk
+        |       FROM keyed GROUP BY 1, 2),
+        |w AS (
+        |  SELECT col_name, c, nk,
+        |    coalesce(sum(nk) OVER (PARTITION BY col_name ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prevAsc,
+        |    coalesce(sum(nk) OVER (PARTITION BY col_name ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prevDesc
+        |  FROM cc),
+        |g AS (
+        |  SELECT col_name,
+        |    CAST(sum(nk) AS BIGINT) AS n_keys,
+        |    CAST(sum(c * nk) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_count,
+        |    CAST(sum(c * (nk * prevAsc + (nk * (nk + 1)) // 2))
+        |      AS BIGINT) AS s,
+        |    CAST(sum(c * greatest(0, least(nk, 10 - prevDesc)))
+        |      AS BIGINT) AS t10
+        |  FROM w GROUP BY 1)
+        |SELECT col_name, n_keys, n_rows, max_count,
+        |  CAST(max_count * 1000000 // n_rows AS BIGINT)
+        |    AS top1_share_micro,
+        |  CAST(t10 * 1000000 // n_rows AS BIGINT) AS top10_share_micro,
+        |  CAST((2 * s - (n_keys + 1) * n_rows) * 1000000
+        |       // (n_keys * n_rows) AS BIGINT) AS gini_micro
+        |FROM g ORDER BY col_name""".stripMargin,
 
     "q_stat_funcs" ->
       """WITH e AS (SELECT *, epoch(ts) AS ts_s FROM events)

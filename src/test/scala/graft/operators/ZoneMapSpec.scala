@@ -33,9 +33,19 @@ class ZoneMapSpec extends SparkSpec {
     val scan = scans.head
     assert(scan.partitionFilters.nonEmpty,
       s"the block suffix did not become a partition filter:\n$scan")
+    // the survivor semi-join must plan as DYNAMIC partition pruning
+    // (runtime dir skipping for non-contiguous dead blocks) ...
+    val (dynamic, static) = scan.partitionFilters.partition(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(dynamic.nonEmpty,
+      s"survivor semi-join did not become dynamic pruning:\n$scan")
+    assert(static.nonEmpty,
+      s"the suffix scalar did not become a static partition filter:\n$scan")
+    // ... while the static suffix alone already lists fewer dirs
     val pType = scan.relation.partitionSchema.fields(0).dataType
     val selected = scan.relation.location
-      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .listFiles(static, scan.dataFilters)
       .map(_.values.get(0, pType).toString.toLong).distinct
     val (layout, sidecar) = ZoneMaps.eventsLayout(spark, dir)
     val total = layout.select(col("blk")).distinct().count()
