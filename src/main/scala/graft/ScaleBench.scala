@@ -205,7 +205,11 @@ object ScaleBench {
     // round-13 second wave: curriculum pacing — one quality-scoring
     // scan into a ≤1001-bucket domain agg + a bucket-partitioned rank
     // window + broadcast offsets; the scoring scan should dominate
-    "q_curriculum")
+    "q_curriculum",
+    // round-13 third wave: ranker agreement — the shared dualRanks
+    // build (the q_retrieval_rrf scan shape) + a ≤190-pair-per-query
+    // constant stage; the factor should track q_eval_mrr
+    "q_eval_rankcorr")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY
@@ -361,6 +365,10 @@ object ScaleBench {
     // over the events scan, then count-of-counts-DOMAIN windows (the
     // domain saturates); expect the key agg to dominate
     "q_skew_profile",
+    // round-13 third wave: join-cardinality advisory — two key-count
+    // hash aggs per profiled join + a key-domain histogram join; the
+    // factor reads the aggs, never the joins it predicts
+    "q_join_cardinality",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the
@@ -707,7 +715,7 @@ object ScaleBench {
       "q_basket_triples", "q_zorder_key", "q_zorder_box",
       "q_shortest_path", "q_ivm_rollup", "q_weighted_median",
       "q_graph_assortativity", "q_graph_modularity",
-      "q_ppr", "q_er_suppliers").contains)
+      "q_ppr", "q_er_suppliers", "q_join_cardinality").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

@@ -544,6 +544,37 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
     // (Engine.approxQuantiles): any day range, no raw scan, ≤ ~0.5%
     // relative error. Catalog-sized answers → plain respond, no
     // streaming needed.
+    // GET /skew/<series> — tag-value concentration advisory: per tag
+    // key the exact Gini of value group sizes plus top-1/top-10 shares
+    // (the SHARED oracle-certified q_skew_profile formula via
+    // Engine.tagSkew) — the hot-tag readout /cardinality's distinct
+    // counts cannot see; catalog-sized output → plain respond
+    http.createContext("/skew/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val series = decodeSegment(
+          ex.getRequestURI.getRawPath.stripPrefix("/skew/"))
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else if (series.isEmpty)
+          respond(ex, 400, """{"error":"series name required"}""")
+        else if (!engine.seriesExists(series))
+          respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
+        else {
+          val rows = engine.tagSkew(series).collect()
+          val body = rows.map { r =>
+            s"""{"tag":${quote(r.getString(0))},""" +
+              s""""n_values":${r.getLong(1)},"n_rows":${r.getLong(2)},""" +
+              s""""max_count":${r.getLong(3)},""" +
+              s""""top1_share_micro":${r.getLong(4)},""" +
+              s""""top10_share_micro":${r.getLong(5)},""" +
+              s""""gini_micro":${r.getLong(6)}}"""
+          }.toSeq
+          respond(ex, 200, s"""{"series":${quote(series)},""" +
+            s""""skew":${jsonArray(body)}}""")
+        }
+      }
+    })
+
     http.createContext("/quantiles/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = safely(ex) {
         val series = decodeSegment(

@@ -1063,6 +1063,24 @@ class Engine(val spark: SparkSession, warehouse: String)
     (series +: fields +: tagRows).toSeq
   }
 
+  /** Tag-value concentration of one series — the live /skew endpoint's
+    * body: per tag key, the exact Gini coefficient of value group
+    * sizes plus top-1/top-10 shares, via the SHARED
+    * AggQueries.skewReadout (the oracle-certified q_skew_profile
+    * formula — the serving path cannot drift from the gated one). This
+    * is the hot-tag readout /cardinality's distinct counts cannot see:
+    * a million-value tag can still be 99% one value, and THAT is what
+    * breaks a shuffle, not the ndv. One scan, statically pruned to the
+    * series partition; everything after the per-value count runs on
+    * the count-of-counts domain (catalog-sized output, one row per
+    * tag key). */
+  def tagSkew(series: String): DataFrame =
+    graft.queries.AggQueries.skewReadout(
+      table().filter(col("series") === series)
+        .select(explode(col("tags")).as(Seq("tag_k", "tag_v")))
+        .groupBy(col("tag_k").as("col_name"), col("tag_v").as("k"))
+        .agg(count(lit(1)).as("c")))
+
   /** Per-field column profile of one series (optionally day-bounded):
     * row count, per-type non-null counts, approximate distinct count,
     * numeric min/max over the typed-value union, and the first/last

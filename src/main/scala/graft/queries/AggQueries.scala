@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,7 +225,7 @@ object AggQueries extends QuerySet {
     // Top-10 share takes min(k, 10 − keys_before) keys from the
     // count-DESC walk — the partial-run form, no per-key sort anywhere.
     "q_skew_profile" -> { (s, dir) =>
-      val keyed = t(s, dir, "events")
+      skewReadout(t(s, dir, "events")
         .select(explode(array(
           struct(lit("user_id").as("col_name"),
             col("user_id").cast("string").as("k")),
@@ -232,39 +233,7 @@ object AggQueries extends QuerySet {
             col("event_type").as("k")))).as("e"))
         .select(col("e.col_name").as("col_name"), col("e.k").as("k"))
         .groupBy(col("col_name"), col("k"))
-        .agg(count(lit(1)).as("c"))
-      val cc = keyed.groupBy(col("col_name"), col("c"))
-        .agg(count(lit(1)).as("nk"))
-      val wAsc = Window.partitionBy(col("col_name")).orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wDesc = Window.partitionBy(col("col_name"))
-        .orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      cc
-        .withColumn("prevAsc", coalesce(sum(col("nk")).over(wAsc), lit(0L)))
-        .withColumn("prevDesc", coalesce(sum(col("nk")).over(wDesc), lit(0L)))
-        .withColumn("sTerm",
-          col("c") * (col("nk") * col("prevAsc")
-            + intDiv(col("nk") * (col("nk") + 1L), lit(2L))))
-        .withColumn("t10Term",
-          col("c") * greatest(lit(0L),
-            least(col("nk"), lit(10L) - col("prevDesc"))))
-        .groupBy(col("col_name"))
-        .agg(sum(col("nk")).as("n_keys"),
-          sum(col("c") * col("nk")).as("n_rows"),
-          max(col("c")).as("max_count"),
-          sum(col("sTerm")).as("s"),
-          sum(col("t10Term")).as("t10"))
-        .select(col("col_name"), col("n_keys"), col("n_rows"),
-          col("max_count"),
-          intDiv(col("max_count") * 1000000L, col("n_rows"))
-            .as("top1_share_micro"),
-          intDiv(col("t10") * 1000000L, col("n_rows"))
-            .as("top10_share_micro"),
-          intDiv((lit(2L) * col("s")
-              - (col("n_keys") + 1L) * col("n_rows")) * 1000000L,
-            col("n_keys") * col("n_rows")).as("gini_micro"))
-        .orderBy(col("col_name"))
+        .agg(count(lit(1)).as("c")))
     },
 
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
@@ -411,6 +380,51 @@ object AggQueries extends QuerySet {
         .orderBy(col("true_cnt").desc, col("l_partkey"))
     }
   )
+
+  /** The skew readout over per-key counts — (col_name, k, c) in, one
+    * advisory row per col_name out (n_keys, n_rows, max_count,
+    * top-1/top-10 shares, exact Gini). ONE definition shared by
+    * q_skew_profile (the oracle-gated operator over the events fact)
+    * and Engine.tagSkew (the live /skew endpoint over a series' tags) —
+    * the serving path grades concentration with exactly the certified
+    * formula. Everything here runs on the count-of-counts DOMAIN (how
+    * many keys have count c — saturates at any corpus); see the
+    * q_skew_profile scaladoc for the tied-run Gini algebra and the
+    * n·T ≤ 9.2e12 int64 bound. */
+  private[graft] def skewReadout(keyed: DataFrame): DataFrame = {
+    val cc = keyed.groupBy(col("col_name"), col("c"))
+      .agg(count(lit(1)).as("nk"))
+    val wAsc = Window.partitionBy(col("col_name")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.partitionBy(col("col_name"))
+      .orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cc
+      .withColumn("prevAsc", coalesce(sum(col("nk")).over(wAsc), lit(0L)))
+      .withColumn("prevDesc", coalesce(sum(col("nk")).over(wDesc), lit(0L)))
+      .withColumn("sTerm",
+        col("c") * (col("nk") * col("prevAsc")
+          + intDiv(col("nk") * (col("nk") + 1L), lit(2L))))
+      .withColumn("t10Term",
+        col("c") * greatest(lit(0L),
+          least(col("nk"), lit(10L) - col("prevDesc"))))
+      .groupBy(col("col_name"))
+      .agg(sum(col("nk")).as("n_keys"),
+        sum(col("c") * col("nk")).as("n_rows"),
+        max(col("c")).as("max_count"),
+        sum(col("sTerm")).as("s"),
+        sum(col("t10Term")).as("t10"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"),
+        col("max_count"),
+        intDiv(col("max_count") * 1000000L, col("n_rows"))
+          .as("top1_share_micro"),
+        intDiv(col("t10") * 1000000L, col("n_rows"))
+          .as("top10_share_micro"),
+        intDiv((lit(2L) * col("s")
+            - (col("n_keys") + 1L) * col("n_rows")) * 1000000L,
+          col("n_keys") * col("n_rows")).as("gini_micro"))
+      .orderBy(col("col_name"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q14_groupby_agg" ->

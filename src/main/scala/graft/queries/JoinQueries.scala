@@ -79,6 +79,50 @@ object JoinQueries extends QuerySet {
           .as("delay_micro"))
 
   val queries: Map[String, Q] = Map(
+    // JOIN-CARDINALITY PROFILE — the planner advisory that predicts a
+    // join's output size and its worst single key BEFORE running it
+    // (Selinger 1979's |A⋈B| = Σ_k cA(k)·cB(k), computed EXACTLY from
+    // the two key histograms — the quantity optimizers estimate, here
+    // an operator any pipeline can run cheaply since the histograms
+    // are key-domain-sized; the companion of q_skew_profile, which
+    // grades one side's concentration — this grades the PRODUCT): for
+    // two canonical joins (orders⋈lineitem on orderkey — the star
+    // spine; lineitem⋈lineitem on partkey — the self-join that feeds
+    // the co-order backbone and CAN explode), the side row counts,
+    // common-key count, EXACT output rows, the largest single-key
+    // contribution (the straggler bound a skew-join must split), and
+    // its share. All integers; out_rows is literally the join's
+    // count(*), which the spec pins by running the joins. Scale
+    // shape: two key-count hash aggs per join (the only fact-sized
+    // stages) and a key-domain equi-join of the histograms — the
+    // advisory costs two aggs, never the join it predicts.
+    "q_join_cardinality" -> { (s, dir) =>
+      def profile(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+        val ca = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+        ca.join(cb, "k")
+          .select((col("ca") * col("cb")).as("kk"))
+          .agg(count(lit(1)).as("n_keys_common"),
+            sum(col("kk")).as("out_rows"),
+            max(col("kk")).as("max_key_rows"))
+          .crossJoin(a.agg(count(lit(1)).as("n_left")))
+          .crossJoin(b.agg(count(lit(1)).as("n_right")))
+          .select(lit(name).as("join_name"), col("n_left"),
+            col("n_right"), col("n_keys_common"), col("out_rows"),
+            col("max_key_rows"),
+            intDiv(col("max_key_rows") * 1000000L, col("out_rows"))
+              .as("top_key_share_micro"))
+      }
+      val li = t(s, dir, "lineitem")
+      profile("orders_lineitem_orderkey",
+          t(s, dir, "orders").select(col("o_orderkey").as("k")),
+          li.select(col("l_orderkey").as("k")))
+        .unionByName(profile("lineitem_self_partkey",
+          li.select(col("l_partkey").as("k")),
+          li.select(col("l_partkey").as("k"))))
+        .orderBy(col("join_name"))
+    },
+
     // Q07: inner equi-join chain with an explicit broadcast of the dim.
     "q07_inner_join" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -1191,6 +1235,38 @@ object JoinQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    // same histogram product per join; all numerators non-negative
+    "q_join_cardinality" ->
+      """WITH
+        |oa AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        |       GROUP BY 1),
+        |lb AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        |       GROUP BY 1),
+        |pa AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+        |       GROUP BY 1),
+        |j1 AS (
+        |  SELECT 'orders_lineitem_orderkey' AS join_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+        |    CAST(count(*) AS BIGINT) AS n_keys_common,
+        |    CAST(sum(oa.c * lb.c) AS BIGINT) AS out_rows,
+        |    CAST(max(oa.c * lb.c) AS BIGINT) AS max_key_rows
+        |  FROM oa JOIN lb ON lb.k = oa.k),
+        |j2 AS (
+        |  SELECT 'lineitem_self_partkey' AS join_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+        |    CAST(count(*) AS BIGINT) AS n_keys_common,
+        |    CAST(sum(pa.c * pb.c) AS BIGINT) AS out_rows,
+        |    CAST(max(pa.c * pb.c) AS BIGINT) AS max_key_rows
+        |  FROM pa JOIN pa pb ON pb.k = pa.k),
+        |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2)
+        |SELECT join_name, n_left, n_right, n_keys_common, out_rows,
+        |  max_key_rows,
+        |  CAST(max_key_rows * 1000000 // out_rows AS BIGINT)
+        |    AS top_key_share_micro
+        |FROM u ORDER BY join_name""".stripMargin,
+
     "q07_inner_join" ->
       """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |       count(*) AS n_orders

@@ -902,53 +902,9 @@ object TextQueries extends QuerySet {
     // per-query state, corpus-sized work only in the tf/dl aggs any
     // retrieval run pays once.
     "q_retrieval_rrf" -> { (s, dir) =>
-      import s.implicits._
-      val qt = Seq((1, "hash"), (1, "join"), (2, "dup"), (2, "scan"),
-        (3, "stream"), (3, "window"), (3, "agg")).toDF("query_id", "term")
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
-      val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = d.select(col("doc_id"), explode(col("w")).as("tk"))
-        .groupBy(col("doc_id"), col("tk"))
-        .agg(count(lit(1)).as("tf"))
-      val tfq = tf.join(broadcast(qt.select(col("term")).distinct()),
-        col("tk") === col("term")).drop("term")
-      val dfc = tfq.groupBy(col("tk"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-      val idf = log((col("n_docs").cast("double") - col("df").cast("double")
-          + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
-      val tfc = (col("tf").cast("double") * 2.2) /
-        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-          ((col("dl").cast("double") * col("n_docs").cast("double")) /
-            col("sum_dl").cast("double"))))
-      // Jelinek-Mercer: ln(0.9·tf/dl + 0.1·ctf/sum_dl), one fixed-order
-      // double formula per (term, doc), micro-floored before the sum
-      val ql = log((lit(0.9) * col("tf").cast("double")) /
-          col("dl").cast("double") +
-        (lit(0.1) * col("ctf").cast("double")) /
-          col("sum_dl").cast("double"))
-      val scores = tfq
-        .join(broadcast(qt), col("tk") === col("term"))
-        .join(broadcast(dfc.withColumnRenamed("tk", "dtk")),
-          col("tk") === col("dtk"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
-        .withColumn("bm_micro", micro(idf * tfc))
-        .withColumn("ql_micro", micro(ql))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("bm_micro")).as("bm25_micro"),
-          sum(col("ql_micro")).as("ql_score_micro"))
-      val wb = Window.partitionBy(col("query_id"))
-        .orderBy(col("bm25_micro").desc, col("doc_id"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("ql_score_micro").desc, col("doc_id"))
       val wf = Window.partitionBy(col("query_id"))
         .orderBy(col("rrf_micro").desc, col("doc_id"))
-      scores
-        .withColumn("rank_bm25", row_number().over(wb).cast("long"))
-        .withColumn("rank_ql", row_number().over(wq).cast("long"))
+      dualRanks(s, dir)
         .withColumn("rrf_micro",
           when(col("rank_bm25") <= 20,
             micro(lit(1.0) / (lit(60.0) + col("rank_bm25").cast("double"))))
@@ -962,6 +918,59 @@ object TextQueries extends QuerySet {
         .select(col("query_id"), col("rnk"), col("doc_id"),
           col("rrf_micro"), col("rank_bm25"), col("rank_ql"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // RANKER AGREEMENT — Kendall tau between the two rankers fusion
+    // fuses (Kendall 1938; the diagnostic that says whether RRF is
+    // combining INDEPENDENT evidence or averaging one signal twice):
+    // per query, tau-a over the BM25 top-20 shortlist with BOTH
+    // rankers' full ranks (the shared dualRanks definition — the
+    // metric grades exactly what q_retrieval_rrf fuses; the
+    // INTERSECTION of the two top-20s would be the naive universe, and
+    // it is EMPTY on this corpus — length normalization pushes QL's
+    // top-20 onto different docs entirely — so the shortlist-under-
+    // both-ranks form is what stays non-vacuous; it reads moderate
+    // agreement (tau 0.37–0.63 at sf0.01) WITHIN the shortlist while
+    // the shortlists themselves diverge: exactly the two-sided
+    // readout that says RRF fusion is combining genuinely different
+    // evidence rather than averaging one signal twice). Row-number
+    // ranks are strict, so every pair is concordant or discordant and
+    // tau = (C − D)/P with P = pairs; the possibly-negative numerator
+    // goes through the positive-shift division ((C − D + P)·1e6 div P
+    // − 1e6 with C − D + P = 2C ≥ 0, the q_seasonal_strength recipe)
+    // so Spark's truncation equals DuckDB's floor. Scale shape: the
+    // corpus-sized work is the shared hit build; the pair self-join is
+    // ≤ 190 rows per query BY CONSTRUCTION (the q_dtw bounded-pair
+    // posture).
+    "q_eval_rankcorr" -> { (s, dir) =>
+      // severed once: both pair sides read this ≤ 20-row-per-query cut
+      val r = dualRanks(s, dir)
+        .filter(col("rank_bm25") <= 20)
+        .select(col("query_id"), col("doc_id"),
+          col("rank_bm25"), col("rank_ql"))
+        .localCheckpoint(eager = true)
+      val a = r.select(col("query_id"), col("doc_id").as("da"),
+        col("rank_bm25").as("ba"), col("rank_ql").as("qa"))
+      val b = r.select(col("query_id"), col("doc_id").as("db"),
+        col("rank_bm25").as("bb"), col("rank_ql").as("qb"))
+      val nc = r.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"))
+      a.join(b, Seq("query_id")).filter(col("da") < col("db"))
+        .withColumn("conc",
+          (((col("ba") < col("bb")) && (col("qa") < col("qb"))) ||
+            ((col("ba") > col("bb")) && (col("qa") > col("qb"))))
+            .cast("long"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+        .join(nc, "query_id")
+        .select(col("query_id").cast("long").as("query_id"),
+          col("n_common"), col("n_pairs"), col("concordant"),
+          (col("n_pairs") - col("concordant")).as("discordant"),
+          // tau = (C − D)/P = (2C − P)/P; shifted numerator (C − D) + P
+          // = 2C is non-negative, so trunc == floor on both engines
+          (intDiv(lit(2L) * col("concordant") * 1000000L, col("n_pairs"))
+            - lit(1000000L)).as("tau_micro"))
+        .orderBy(col("query_id"))
     },
 
     // CORPUS-COMPOSITION DRIFT — per-source KL divergence of the
@@ -1459,6 +1468,110 @@ object TextQueries extends QuerySet {
         col("ece_micro"))
       .orderBy(col("evaluator"), col("bin"))
   }
+
+  /** The dual-ranker hit table — (query_id, doc_id, bm25_micro,
+    * ql_score_micro, rank_bm25, rank_ql), one row per (query, matching
+    * doc): BM25 (the q_text_bm25 formula) and Jelinek-Mercer query
+    * likelihood ln(0.9·tf/dl + 0.1·ctf/sum_dl), each term contribution
+    * micro-floored THEN summed; ONE shared definition for
+    * q_retrieval_rrf (fusion) and q_eval_rankcorr (agreement), so the
+    * correlation grades exactly the rankers fusion fuses. Scale shape:
+    * identical to bm25Hits (broadcast query/df sides; tf/dl aggs are
+    * the corpus shuffles) plus two per-query rank windows over the
+    * PRUNED hit set. */
+  private[graft] def dualRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qt = bm25QueryTerms.toDF("query_id", "term")
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
+    val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), explode(col("w")).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val tfq = tf.join(broadcast(qt.select(col("term")).distinct()),
+      col("tk") === col("term")).drop("term")
+    val dfc = tfq.groupBy(col("tk"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+        + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
+    val tfc = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        ((col("dl").cast("double") * col("n_docs").cast("double")) /
+          col("sum_dl").cast("double"))))
+    // Jelinek-Mercer: ln(0.9·tf/dl + 0.1·ctf/sum_dl), one fixed-order
+    // double formula per (term, doc), micro-floored before the sum
+    val ql = log((lit(0.9) * col("tf").cast("double")) /
+        col("dl").cast("double") +
+      (lit(0.1) * col("ctf").cast("double")) /
+        col("sum_dl").cast("double"))
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ql_score_micro").desc, col("doc_id"))
+    tfq
+      .join(broadcast(qt), col("tk") === col("term"))
+      .join(broadcast(dfc.withColumnRenamed("tk", "dtk")),
+        col("tk") === col("dtk"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
+      .withColumn("bm_micro", micro(idf * tfc))
+      .withColumn("ql_micro", micro(ql))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bm_micro")).as("bm25_micro"),
+        sum(col("ql_micro")).as("ql_score_micro"))
+      .withColumn("rank_bm25", row_number().over(wb).cast("long"))
+      .withColumn("rank_ql", row_number().over(wq).cast("long"))
+  }
+
+  /** DuckDB twin of [[dualRanks]]: CTE chain ending in
+    * `rk(query_id, doc_id, bm25_micro, ql_score_micro, rank_bm25,
+    * rank_ql)` — shared by the q_retrieval_rrf and q_eval_rankcorr
+    * oracles. */
+  private[graft] val dualRanksSql: String =
+    """qt AS (
+      |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'dup'),(2,'scan'),
+      |                        (3,'stream'),(3,'window'),(3,'agg'))
+      |    AS t(query_id, term)),
+      |d AS (SELECT doc_id, list_filter(string_split(text,' '),
+      |        t -> length(t) > 0) AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+      |corp AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+      |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+      |dfc AS (SELECT tk, count(*) AS df, sum(tf) AS ctf FROM tf
+      |        WHERE tk IN (SELECT term FROM qt) GROUP BY tk),
+      |hits AS (
+      |  SELECT q.query_id, f.doc_id, f.tf, x.df, x.ctf, l.dl,
+      |         c.n_docs, c.sum_dl
+      |  FROM qt q JOIN tf f ON f.tk = q.term JOIN dfc x ON x.tk = q.term
+      |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN corp c),
+      |contrib AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(floor(
+      |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |         / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+      |      ((CAST(tf AS DOUBLE) * 2.2) /
+      |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |         / CAST(sum_dl AS DOUBLE)))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS bm_micro,
+      |    CAST(floor(
+      |      ln((0.9 * CAST(tf AS DOUBLE)) / CAST(dl AS DOUBLE) +
+      |         (0.1 * CAST(ctf AS DOUBLE)) / CAST(sum_dl AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS ql_micro
+      |  FROM hits),
+      |sc AS (SELECT query_id, doc_id,
+      |         CAST(sum(bm_micro) AS BIGINT) AS bm25_micro,
+      |         CAST(sum(ql_micro) AS BIGINT) AS ql_score_micro
+      |       FROM contrib GROUP BY query_id, doc_id),
+      |rk AS (SELECT *,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_bm25,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY ql_score_micro DESC, doc_id) AS BIGINT) AS rank_ql
+      |       FROM sc)""".stripMargin
 
   /** DuckDB twin of [[aucScored]]: CTE chain ending in
     * `u(evaluator, sc, pos)` — the tagged per-document scores both
@@ -2041,48 +2154,7 @@ object TextQueries extends QuerySet {
     // identical shared hits table, two fixed-order double formulas, the
     // same micro-floor-then-BIGINT-sum discipline; ranks (integers) fuse
     "q_retrieval_rrf" ->
-      """WITH qt AS (
-        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'dup'),(2,'scan'),
-        |                        (3,'stream'),(3,'window'),(3,'agg'))
-        |    AS t(query_id, term)),
-        |d AS (SELECT doc_id, list_filter(string_split(text,' '),
-        |        t -> length(t) > 0) AS w FROM documents),
-        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
-        |corp AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
-        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
-        |dfc AS (SELECT tk, count(*) AS df, sum(tf) AS ctf FROM tf
-        |        WHERE tk IN (SELECT term FROM qt) GROUP BY tk),
-        |hits AS (
-        |  SELECT q.query_id, f.doc_id, f.tf, x.df, x.ctf, l.dl,
-        |         c.n_docs, c.sum_dl
-        |  FROM qt q JOIN tf f ON f.tk = q.term JOIN dfc x ON x.tk = q.term
-        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN corp c),
-        |contrib AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(floor(
-        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |         / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-        |      ((CAST(tf AS DOUBLE) * 2.2) /
-        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |        ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-        |         / CAST(sum_dl AS DOUBLE)))))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS bm_micro,
-        |    CAST(floor(
-        |      ln((0.9 * CAST(tf AS DOUBLE)) / CAST(dl AS DOUBLE) +
-        |         (0.1 * CAST(ctf AS DOUBLE)) / CAST(sum_dl AS DOUBLE))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS ql_micro
-        |  FROM hits),
-        |sc AS (SELECT query_id, doc_id,
-        |         CAST(sum(bm_micro) AS BIGINT) AS bm25_micro,
-        |         CAST(sum(ql_micro) AS BIGINT) AS ql_score_micro
-        |       FROM contrib GROUP BY query_id, doc_id),
-        |rk AS (SELECT *,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_bm25,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY ql_score_micro DESC, doc_id) AS BIGINT) AS rank_ql
-        |       FROM sc),
+      s"""WITH $dualRanksSql,
         |fu AS (SELECT query_id, doc_id, rank_bm25, rank_ql,
         |         (CASE WHEN rank_bm25 <= 20 THEN CAST(floor(
         |            1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE))
@@ -2097,6 +2169,32 @@ object TextQueries extends QuerySet {
         |SELECT query_id, rnk, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       rank_bm25, rank_ql
         |FROM fin WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // same dual-rank CTEs; the same strict-pair concordance count and
+    // positive-shift tau division
+    "q_eval_rankcorr" ->
+      s"""WITH $dualRanksSql,
+        |c20 AS (SELECT query_id, doc_id, rank_bm25, rank_ql FROM rk
+        |        WHERE rank_bm25 <= 20),
+        |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM c20 GROUP BY 1),
+        |pr AS (
+        |  SELECT a.query_id,
+        |    CASE WHEN (a.rank_bm25 < b.rank_bm25 AND a.rank_ql < b.rank_ql)
+        |           OR (a.rank_bm25 > b.rank_bm25 AND a.rank_ql > b.rank_ql)
+        |         THEN 1 ELSE 0 END AS conc
+        |  FROM c20 a JOIN c20 b
+        |    ON b.query_id = a.query_id AND a.doc_id < b.doc_id),
+        |g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(conc) AS BIGINT) AS concordant
+        |      FROM pr GROUP BY 1)
+        |SELECT CAST(g.query_id AS BIGINT) AS query_id, nc.n_common,
+        |  g.n_pairs, g.concordant,
+        |  g.n_pairs - g.concordant AS discordant,
+        |  CAST(2 * g.concordant * 1000000 // g.n_pairs - 1000000
+        |    AS BIGINT) AS tau_micro
+        |FROM g JOIN nc ON nc.query_id = g.query_id
+        |ORDER BY query_id""".stripMargin,
 
     // per-bucket NANO quantization before the sum + the closed-form
     // unobserved-bucket remainder (validated against an independent

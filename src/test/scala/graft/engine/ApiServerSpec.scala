@@ -358,6 +358,37 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /skew serves the per-tag-key concentration advisory (exact " +
+      "Gini + top shares via the shared q_skew_profile formula), 404s " +
+      "unknown series") {
+    val engine = new Engine(spark, tmpDir("graft-api-skew"))
+    // host: h1×3, h2×1 — n=2 values over T=4 rows: sorted counts (1,3),
+    // S = 1·1 + 3·2 = 7, Gini = (2·7 − 3·4)/(2·4) = 2/8 = 0.25;
+    // dc: east×4 — single value, Gini 0 with top-1 share 1.0 (the hot
+    // tag /cardinality's ndv cannot flag)
+    engine.ingestLines(Seq(
+      "cpu,host=h1,dc=east usage=0.5 1700000000000000000",
+      "cpu,host=h1,dc=east usage=0.6 1700000001000000000",
+      "cpu,host=h1,dc=east usage=0.7 1700000002000000000",
+      "cpu,host=h2,dc=east usage=0.8 1700000003000000000"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c, b) = call(s"$base/skew/cpu")
+      assert(c == 200, b)
+      assert(b.contains("""{"tag":"dc","n_values":1,"n_rows":4,""" +
+        """"max_count":4,"top1_share_micro":1000000,""" +
+        """"top10_share_micro":1000000,"gini_micro":0}"""), b)
+      assert(b.contains("""{"tag":"host","n_values":2,"n_rows":4,""" +
+        """"max_count":3,"top1_share_micro":750000,""" +
+        """"top10_share_micro":1000000,"gini_micro":250000}"""), b)
+      val (c404, _) = call(s"$base/skew/nope")
+      assert(c404 == 404)
+      val (c400, _) = call(s"$base/skew/")
+      assert(c400 == 400)
+    } finally api.stop()
+  }
+
   test("GET /profile serves the per-field column profile with day-range " +
       "pruning and fail-closed validation") {
     val engine = new Engine(spark, tmpDir("graft-api-profile"))

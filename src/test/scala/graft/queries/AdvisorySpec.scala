@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property pins for the round-13 third-wave advisories: the
+  * cardinality profile is checked against the JOINS IT PREDICTS
+  * (actually executed at fixture scale), and the rank correlation
+  * against a naive textbook Kendall tau. */
+class AdvisorySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_join_cardinality's out_rows equals the real count(*) of both " +
+      "profiled joins, and the straggler bound is attained by some key") {
+    val got = graft.SparkEntry.queries("q_join_cardinality")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val realOl = orders.join(li,
+      col("o_orderkey") === col("l_orderkey")).count()
+    val a = li.select(col("l_partkey").as("pa"))
+    val b = li.select(col("l_partkey").as("pb"))
+    val realSelf = a.join(b, col("pa") === col("pb")).count()
+    assert(got("orders_lineitem_orderkey")._4 == realOl,
+      "predicted orders⋈lineitem size != executed size")
+    assert(got("lineitem_self_partkey")._4 == realSelf,
+      "predicted self-join size != executed size")
+    // the straggler bound is real: some key's product hits max_key_rows
+    val maxKey = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c") * col("c"))).head().getLong(0)
+    assert(got("lineitem_self_partkey")._5 == maxKey)
+    // non-vacuity: the self-join genuinely amplifies (out > input)
+    assert(realSelf > li.count(), "vacuity: no key repeats")
+  }
+
+  test("q_eval_rankcorr equals a naive Kendall tau over the collected " +
+      "shortlist ranks, with the documented agreement band") {
+    val ranks = TextQueries.dualRanks(spark, dir)
+      .filter(col("rank_bm25") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank_bm25"),
+        col("rank_ql"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = ranks.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (q, ds) =>
+        val pairs = for {
+          i <- ds.indices; j <- ds.indices
+          if ds(i)._2 < ds(j)._2
+        } yield (ds(i), ds(j))
+        val conc = pairs.count { case (x, y) =>
+          (x._3 < y._3) == (x._4 < y._4) }
+        val p = pairs.size.toLong
+        (q.toLong, ds.length.toLong, p, conc.toLong, p - conc,
+          2L * conc * 1000000L / p - 1000000L)
+    }
+    val got = graft.SparkEntry.queries("q_eval_rankcorr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._2 > 1L),
+      "vacuity: shortlists too small to form pairs")
+    assert(got.forall(r => r._6 >= -1000000L && r._6 <= 1000000L),
+      "tau out of [-1, 1]")
+  }
+}
