@@ -209,7 +209,10 @@ object ScaleBench {
     // round-13 third wave: ranker agreement — the shared dualRanks
     // build (the q_retrieval_rrf scan shape) + a ≤190-pair-per-query
     // constant stage; the factor should track q_eval_mrr
-    "q_eval_rankcorr")
+    "q_eval_rankcorr",
+    // round-13 third wave: sliced AUC — the q_eval_auc scan shape with
+    // (evaluator × source × score)-domain aggs; expect its factor
+    "q_eval_subgroup")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

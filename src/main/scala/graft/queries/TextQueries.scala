@@ -184,6 +184,27 @@ object TextQueries extends QuerySet {
       calibrationReadout(calibrationBins(aucScored(t(s, dir, "documents"))))
     },
 
+    // DISAGGREGATED EVALUATION — the q_eval_auc rank-sum PER INGEST
+    // SOURCE (sliced/subgroup evaluation, the Model-Cards/HELM
+    // discipline: an aggregate AUC can hide a slice where the scorer
+    // is broken or inverted; per-source is the slice a data pipeline
+    // owns). ONE shared definition chain with q_eval_auc — the same
+    // scorers, groups, and exact tie-averaged integer rank sums, with
+    // (evaluator, source) as the key tuple (aucScoredKeyed /
+    // aucGroupsKeyed / aucFromGroupsKeyed); degenerate slices (no
+    // positives or no negatives — AUC undefined) are dropped, not
+    // zero-filled. Scale shape: identical to q_eval_auc — two map-only
+    // scoring passes into (evaluator × source × score)-domain hash
+    // aggs; the score domain saturates and sources are catalog-sized,
+    // so the readout never touches raw docs after the scan.
+    "q_eval_subgroup" -> { (s, dir) =>
+      aucFromGroupsKeyed(
+        aucGroupsKeyed(
+          aucScoredKeyed(t(s, dir, "documents"), Seq("source")),
+          Seq("evaluator", "source")),
+        Seq("evaluator", "source"))
+    },
+
     "q_text_langid" -> { (s, dir) =>
       langidPredicted(t(s, dir, "documents"))
         .select(
@@ -1329,14 +1350,21 @@ object TextQueries extends QuerySet {
     * stateful stage (score-domain bounded; complete-mode streaming agg
     * merges it additively). aucFromGroups: the exact tie-averaged
     * integer rank-sum readout over those groups. */
-  private[graft] def aucScored(d: DataFrame): DataFrame = {
+  private[graft] def aucScored(d: DataFrame): DataFrame =
+    aucScoredKeyed(d, Nil)
+
+  /** [[aucScored]] with extra passthrough SLICE columns from `d` (e.g.
+    * source) — the disaggregated-evaluation entry point. */
+  private[graft] def aucScoredKeyed(d: DataFrame,
+      extra: Seq[String]): DataFrame = {
     val enArr = array(stopwords.toMap.apply("en").map(lit): _*)
+    val ex = extra.map(col)
     val langidScored = d.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) > 0)
-      .select(lit("langid_s_en").as("evaluator"),
+      .select(lit("langid_s_en").as("evaluator") +: ex :+
         micro(size(filter(col("w"), tk => array_contains(enArr, tk)))
-          .cast("double") / size(col("w"))).as("sc"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .cast("double") / size(col("w"))).as("sc") :+
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"): _*)
     val clsScored = d
       .withColumn("cs",
         graft.functions.TextOps.classifier_scores(col("text")))
@@ -1344,31 +1372,45 @@ object TextQueries extends QuerySet {
       .withColumn("n_feat",
         col("n_tok") + greatest(col("n_tok") - 1L, lit(0L)))
       .filter(col("n_feat") > 0L)
-      .select(lit("classifier_avg_w").as("evaluator"),
+      .select(lit("classifier_avg_w").as("evaluator") +: ex :+
         micro((col("cs").getItem(1) + col("cs").getItem(2))
-          .cast("double") / col("n_feat").cast("double")).as("sc"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .cast("double") / col("n_feat").cast("double")).as("sc") :+
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"): _*)
     langidScored.unionAll(clsScored)
   }
 
   private[graft] def aucGroups(scored: DataFrame): DataFrame =
-    scored.groupBy(col("evaluator"), col("sc"))
+    aucGroupsKeyed(scored, Seq("evaluator"))
+
+  private[graft] def aucGroupsKeyed(scored: DataFrame,
+      keys: Seq[String]): DataFrame =
+    scored.groupBy((keys.map(col) :+ col("sc")): _*)
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
 
-  private[graft] def aucFromGroups(g: DataFrame): DataFrame = {
-    val wC = Window.partitionBy(col("evaluator")).orderBy(col("sc"))
+  private[graft] def aucFromGroups(g: DataFrame): DataFrame =
+    aucFromGroupsKeyed(g, Seq("evaluator"))
+
+  /** The exact tie-averaged rank-sum readout, generalized to any key
+    * tuple (evaluator alone = q_eval_auc/st41; evaluator × source =
+    * q_eval_subgroup). Degenerate slices (no positives or no
+    * negatives — AUC undefined) are DROPPED, not zero-filled: a
+    * one-class slice is a data problem the row's absence surfaces. */
+  private[graft] def aucFromGroupsKeyed(g: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val wC = Window.partitionBy(kc: _*).orderBy(col("sc"))
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cum", coalesce(sum(col("cnt")).over(wC), lit(0L)))
-      .groupBy(col("evaluator"))
+      .groupBy(kc: _*)
       .agg(sum(col("pc")).as("np"),
         (sum(col("cnt")) - sum(col("pc"))).as("nn"),
         sum(col("pc") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
           .as("r2"))
-      .select(col("evaluator"), col("np").as("n_pos"),
-        col("nn").as("n_neg"),
+      .filter(col("np") > 0L && col("nn") > 0L)
+      .select(kc :+ col("np").as("n_pos") :+ col("nn").as("n_neg") :+
         intDiv((col("r2") - col("np") * (col("np") + lit(1L)))
-          * lit(500000L), col("np") * col("nn")).as("auc_micro"))
-      .orderBy(col("evaluator"))
+          * lit(500000L), col("np") * col("nn")).as("auc_micro"): _*)
+      .orderBy(kc: _*)
   }
 
   /** The language-ID scorer + argmax — ONE definition shared by
@@ -1580,31 +1622,34 @@ object TextQueries extends QuerySet {
     def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
     val enArr = stopwords.toMap.apply("en")
       .map(w => s"'$w'").mkString("[", ",", "]")
-    s"""lraw AS (SELECT lang, string_split(text, ' ') AS w
+    s"""lraw AS (SELECT lang, source, string_split(text, ' ') AS w
        |              FROM documents),
-       |ls AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |ls AS (SELECT source,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
        |         CAST(floor(CAST(len(list_filter(w,
        |           t -> list_contains($enArr, t))) AS DOUBLE) / len(w)
        |           * 1000000.0 + 0.5) AS BIGINT) AS sc
        |       FROM lraw WHERE len(w) > 0),
-       |cd AS (SELECT lang, list_filter(string_split(text, ' '),
+       |cd AS (SELECT lang, source, list_filter(string_split(text, ' '),
        |                                tk -> length(tk) > 0) AS w
        |       FROM documents),
-       |cb AS (SELECT lang, w, list_transform(range(1, len(w)),
+       |cb AS (SELECT lang, source, w, list_transform(range(1, len(w)),
        |         i -> w[i] || '_' || w[i + 1]) AS bg FROM cd),
-       |cw AS (SELECT lang,
+       |cw AS (SELECT lang, source,
        |         COALESCE(CAST(list_sum(list_transform(w,
        |           tk -> ${wgtSql("tk")})) AS BIGINT), 0)
        |         + COALESCE(CAST(list_sum(list_transform(bg,
        |           tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS score,
        |         len(w) + len(bg) AS nf
        |       FROM cb),
-       |cls AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |cls AS (SELECT source,
+       |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
        |          CAST(floor(CAST(score AS DOUBLE) / CAST(nf AS DOUBLE)
        |            * 1000000.0 + 0.5) AS BIGINT) AS sc
        |        FROM cw WHERE nf > 0),
-       |u AS (SELECT 'langid_s_en' AS evaluator, sc, pos FROM ls
-       |      UNION ALL SELECT 'classifier_avg_w', sc, pos FROM cls)""".stripMargin
+       |u AS (SELECT 'langid_s_en' AS evaluator, source, sc, pos FROM ls
+       |      UNION ALL
+       |      SELECT 'classifier_avg_w', source, sc, pos FROM cls)""".stripMargin
   }
 
   /** DuckDB twin of [[langidPredicted]]: CTE chain ending in
@@ -1744,6 +1789,33 @@ object TextQueries extends QuerySet {
          |  CAST(sum(tp) OVER () * 1000000 // sum(n_labeled) OVER ()
          |    AS BIGINT) AS acc_micro
          |FROM j ORDER BY class""".stripMargin,
+
+    // same scored CTEs with the source slice carried through; the same
+    // rank-sum readout keyed by (evaluator, source); the same
+    // degenerate-slice drop
+    "q_eval_subgroup" -> {
+      s"""WITH $aucScoredSql,
+         |g AS (SELECT evaluator, source, sc,
+         |        CAST(count(*) AS BIGINT) AS cnt,
+         |        CAST(sum(pos) AS BIGINT) AS pc
+         |      FROM u GROUP BY 1, 2, 3),
+         |r AS (SELECT evaluator, source, cnt, pc,
+         |        CAST(coalesce(sum(cnt) OVER (
+         |          PARTITION BY evaluator, source
+         |          ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |          1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM g),
+         |a AS (SELECT evaluator, source,
+         |        CAST(sum(pc) AS BIGINT) AS n_pos,
+         |        CAST(sum(cnt) - sum(pc) AS BIGINT) AS n_neg,
+         |        CAST(sum(pc * (2*cum + cnt + 1)) AS BIGINT) AS r2
+         |      FROM r GROUP BY 1, 2)
+         |SELECT evaluator, source, n_pos, n_neg,
+         |  CAST((r2 - n_pos * (n_pos + 1)) * 500000
+         |       // (n_pos * n_neg) AS BIGINT) AS auc_micro
+         |FROM a WHERE n_pos > 0 AND n_neg > 0
+         |ORDER BY evaluator, source""".stripMargin
+    },
 
     // same scored CTEs (aucScoredSql); the same clamp(sc div 1e5, 0, 9)
     // bin — DuckDB's flooring // differs from Spark's truncation only

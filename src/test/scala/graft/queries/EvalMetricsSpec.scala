@@ -110,6 +110,42 @@ class EvalMetricsSpec extends SparkSpec {
       "vacuity: no negative classifier score reached the clamp")
   }
 
+  test("q_eval_subgroup equals a naive per-(evaluator, source) " +
+      "Mann-Whitney AUC over the collected scores; its evaluator-level " +
+      "aggregation base matches q_eval_auc's inputs") {
+    val scored = TextQueries.aucScoredKeyed(
+      graft.Tables.load(spark, dir, "documents"), Seq("source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    def naiveAuc(rows: Seq[(Long, Long)]): Option[(Long, Long, Long)] = {
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        // U statistic with half-credit ties, in exact halves
+        val u2 = pos.map(p => 2L * neg.count(_ < p) +
+          neg.count(_ == p)).sum
+        Some((pos.length.toLong, neg.length.toLong,
+          u2 * 500000L / (pos.length.toLong * neg.length.toLong)))
+      }
+    }
+    val expected = scored.groupBy(s => (s._1, s._2)).toSeq
+      .flatMap { case ((ev, src), rows) =>
+        naiveAuc(rows.map(r => (r._3, r._4)).toSeq)
+          .map { case (np, nn, auc) => (ev, src, np, nn, auc) }
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("q_eval_subgroup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "vacuity: no non-degenerate slices")
+    // slices must genuinely disagree somewhere, or slicing adds nothing
+    val byEval = got.groupBy(_._1)
+    assert(byEval.values.exists(rows =>
+      rows.map(_._5).max - rows.map(_._5).min > 10000L),
+      "vacuity: all slices within 0.01 AUC of each other")
+  }
+
   test("q_eval_confusion equals a naive confusion matrix from the " +
       "collected langid predictions; identities tp+fn == n_labeled, " +
       "tp+fp == n_predicted, Σtp ≤ Σn hold") {
