@@ -26,7 +26,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_dsir_select", // 1-row broadcast corpus totals into the 8192-bucket log-ratio table
     "q_text_kl_drift", // ≤8192-bucket × source-domain declared bounded cross + 1-row totals
     "q34f_sq8_ann", // 1-row broadcast query codes + scale/norm (q34 pattern)
-    "q_dtw") // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction
+    "q_dtw", // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction
+    "q_eval_mrr", // 1-row broadcast corpus totals via the shared bm25Hits (q_text_bm25 pattern)
+    "q_curriculum", // 1-row broadcast corpus total N into the stage split
+    "q_join_cardinality") // two 1-row broadcast side totals per profiled join
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"
