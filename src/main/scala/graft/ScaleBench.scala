@@ -193,10 +193,10 @@ object ScaleBench {
     // (one native classifier_scores, one stopword filter) into
     // score-DOMAIN-sized aggs; expect the scan to dominate
     "q_eval_auc",
-    // round-13 second wave: retrieval evaluation — both ride the shared
+    // round-13 second wave: retrieval evaluation — all ride the shared
     // bm25Hits build (tf/dl aggs, broadcast query side), so the factors
     // should track q_text_bm25; ranking windows run over PRUNED hits
-    "q_eval_mrr", "q_eval_ndcg",
+    "q_eval_mrr", "q_eval_ndcg", "q_eval_map",
     // round-13 second wave: calibration (the q_eval_auc scoring passes
     // into a 2×10-bin agg — the tightest state domain in the suite) and
     // the confusion readout (one langid scoring pass into a ≤25-cell

@@ -39,6 +39,17 @@ object ZoneMaps {
     * unit — the constant is per-layout, not per-corpus). */
   val BlockRows = 512L
 
+  /** The per-block min/max-ts sidecar rollup — ONE definition shared
+    * by the [[eventsLayout]] batch build and the st45 streaming
+    * maintenance twin (count/min/max merge additively across
+    * micro-batches, so the streamed sidecar equals this batch rollup
+    * over any arrived prefix bit-for-bit). `ev` needs (event_id, ts). */
+  def sidecarRollup(ev: DataFrame): DataFrame =
+    ev.withColumn("blk", expr(s"event_id div $BlockRows"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+
   /** The cached block-partitioned EVENTS layout + its zone-map sidecar
     * for a testdata dir, written once per (dir, mtime) — the
     * ZOrder.lineitemLayout / SignatureStore.forCorpus artifact recipe.
@@ -56,14 +67,12 @@ object ZoneMaps {
       // root appears atomically complete or not at all
       val stage = new Path(out + ".staging")
       fs.delete(stage, true)
-      val ev = graft.Tables.load(spark, dir, "events")
-        .withColumn("blk", expr(s"event_id div $BlockRows"))
-      ev.repartition(col("blk"))
+      val raw = graft.Tables.load(spark, dir, "events")
+      raw.withColumn("blk", expr(s"event_id div $BlockRows"))
+        .repartition(col("blk"))
         .write.mode("overwrite").partitionBy("blk")
         .parquet(s"$stage/data")
-      ev.groupBy(col("blk"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      sidecarRollup(raw)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/zonemap")
       fs.rename(stage, p)

@@ -566,6 +566,62 @@ object TextQueries extends QuerySet {
       per.unionByName(overall).orderBy(col("query_id"))
     },
 
+    // RETRIEVAL EVALUATION — MAP@20 (mean average precision, the
+    // TREC-standard order-sensitive metric between MRR's first-hit
+    // myopia and NDCG's graded gains): per query, AP = (Σ over
+    // relevant docs at rank r ≤ 20 of P@r) / min(n_rel, 20), with the
+    // q_eval_mrr relevance labels (all query terms present) and the
+    // shared bm25Hits ranking. Exact two-stage integer flooring,
+    // mirrored verbatim in the oracle: each P@r micro-floors as
+    // relcnt·1e6 div r BEFORE the sum (the BM25 per-term recipe), the
+    // AP division floors once at the end; the query_id = 0 row is the
+    // half-up corpus MAP. A query with relevant docs but none in its
+    // top-20 reads AP = 0 through the left join, not a dropped row.
+    // Scale shape: identical to q_eval_mrr — the hit build is the
+    // corpus-sized work; rank and cumulative-relevance come from ONE
+    // window pass (same partition/order spec), readout query-domain.
+    "q_eval_map" -> { (s, dir) =>
+      import s.implicits._
+      val nq = bm25QueryTerms.groupBy(_._1).view.mapValues(_.size.toLong)
+        .toSeq.sorted.toDF("query_id", "n_terms")
+      // severed once: feeds the n_rel rollup AND the ranked cut
+      val labeled = bm25Hits(s, dir)
+        .join(broadcast(nq), "query_id")
+        .withColumn("rel",
+          when(col("n_terms_hit") === col("n_terms"), 1L).otherwise(0L))
+        .select(col("query_id"), col("doc_id"), col("score_micro"),
+          col("rel"))
+        .localCheckpoint(eager = true)
+      val nRel = labeled.groupBy(col("query_id").cast("long").as("query_id"))
+        .agg(sum(col("rel")).as("n_rel"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val per = labeled
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("relcnt", sum(col("rel")).over(wCum))
+        .filter(col("rnk") <= 20 && col("rel") === 1L)
+        .withColumn("term_micro",
+          intDiv(col("relcnt") * 1000000L, col("rnk")))
+        .groupBy(col("query_id").cast("long").as("query_id"))
+        .agg(count(lit(1)).as("n_rel_top20"),
+          sum(col("term_micro")).as("sum_prec"))
+      val perQ = nRel.join(per, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_rel_top20", "sum_prec"))
+        .select(col("query_id"), col("n_rel"), col("n_rel_top20"),
+          intDiv(col("sum_prec"), least(col("n_rel"), lit(20L)))
+            .as("ap_micro"))
+      val overall = perQ.groupBy().agg(
+          sum(col("n_rel")).as("n_rel"),
+          sum(col("n_rel_top20")).as("n_rel_top20"),
+          count(lit(1)).as("nquery"), sum(col("ap_micro")).as("sap"))
+        .select(lit(0L).as("query_id"), col("n_rel"),
+          col("n_rel_top20"),
+          intDiv(col("sap") + intDiv(col("nquery"), lit(2L)),
+            col("nquery")).as("ap_micro"))
+      perQ.unionByName(overall).orderBy(col("query_id"))
+    },
+
     // RETRIEVAL EVALUATION — NDCG@10 with GRADED relevance (Järvelin &
     // Kekäläinen 2002), gain = n_terms_hit (0..3 distinct query terms
     // matched — graded by construction, no judgment file needed). The
@@ -2034,6 +2090,47 @@ object TextQueries extends QuerySet {
         |           AS BIGINT) AS rr_micro
         |       FROM perr)
         |SELECT * FROM perr UNION ALL SELECT * FROM ov
+        |ORDER BY query_id""".stripMargin,
+
+    // identical hit CTE and relevance labels; the same two-stage
+    // flooring (per-P@r micro floor, then the AP floor) and half-up
+    // corpus mean; missing-top-20 queries kept at 0 via the left join
+    "q_eval_map" ->
+      s"""WITH $bm25HitsSql,
+        |nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+        |lab AS (SELECT sc.query_id, doc_id, score_micro,
+        |          CASE WHEN n_terms_hit = n_terms THEN 1 ELSE 0 END
+        |            AS rel
+        |        FROM sc JOIN nq ON nq.query_id = sc.query_id),
+        |nr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |         CAST(sum(rel) AS BIGINT) AS n_rel
+        |       FROM lab GROUP BY 1),
+        |r AS (SELECT query_id, rel,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id) AS rnk,
+        |        sum(rel) OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS relcnt
+        |      FROM lab),
+        |per AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |          CAST(count(*) AS BIGINT) AS n_rel_top20,
+        |          CAST(sum(relcnt * 1000000 // rnk) AS BIGINT)
+        |            AS sum_prec
+        |        FROM r WHERE rnk <= 20 AND rel = 1 GROUP BY 1),
+        |j AS (SELECT nr.query_id, nr.n_rel,
+        |        CAST(coalesce(per.n_rel_top20, 0) AS BIGINT)
+        |          AS n_rel_top20,
+        |        CAST(coalesce(per.sum_prec, 0)
+        |             // least(nr.n_rel, 20) AS BIGINT) AS ap_micro
+        |      FROM nr LEFT JOIN per ON per.query_id = nr.query_id),
+        |ov AS (SELECT CAST(0 AS BIGINT) AS query_id,
+        |         CAST(sum(n_rel) AS BIGINT) AS n_rel,
+        |         CAST(sum(n_rel_top20) AS BIGINT) AS n_rel_top20,
+        |         CAST((sum(ap_micro) + count(*) // 2) // count(*)
+        |           AS BIGINT) AS ap_micro
+        |       FROM j)
+        |SELECT * FROM j UNION ALL SELECT * FROM ov
         |ORDER BY query_id""".stripMargin,
 
     // identical hit CTE; the same fixed 10-entry integer discount table

@@ -110,6 +110,41 @@ class EvalMetricsSpec extends SparkSpec {
       "vacuity: no negative classifier score reached the clamp")
   }
 
+  test("q_eval_map equals a naive AP@20 with the same two-stage " +
+      "flooring, and differentiates the queries (not saturated)") {
+    val nTerms = TextQueries.bm25QueryTerms.groupBy(_._1)
+      .map { case (q, ts) => q -> ts.size.toLong }
+    val full = TextQueries.bm25Hits(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val perQ = full.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, hs) =>
+      val ranked = hs.sortBy(h => (-h._4, h._2))
+      val rels = ranked.map(h => if (h._3 == nTerms(q)) 1L else 0L)
+      val nRel = rels.sum
+      var relcnt = 0L
+      var sumPrec = 0L
+      var top20 = 0L
+      ranked.zipWithIndex.foreach { case (_, i) =>
+        if (rels(i) == 1L) {
+          relcnt += 1
+          if (i < 20) { top20 += 1; sumPrec += relcnt * 1000000L / (i + 1) }
+        }
+      }
+      (q.toLong, nRel, top20, sumPrec / math.min(nRel, 20L))
+    }
+    val mapAll = (perQ.map(_._4).sum + perQ.size / 2) / perQ.size
+    val expected = (perQ :+
+      ((0L, perQ.map(_._2).sum, perQ.map(_._3).sum, mapAll)))
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_eval_map")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    val aps = got.filter(_._1 > 0).map(_._4)
+    assert(aps.max > aps.min, "vacuity: MAP does not differentiate")
+    assert(aps.forall(a => a >= 0L && a <= 1000000L), "AP out of [0,1]")
+  }
+
   test("q_eval_subgroup equals a naive per-(evaluator, source) " +
       "Mann-Whitney AUC over the collected scores; its evaluator-level " +
       "aggregation base matches q_eval_auc's inputs") {

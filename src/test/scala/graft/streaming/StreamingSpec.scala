@@ -2084,4 +2084,64 @@ class StreamingSpec extends SparkSpec {
       "state rows != touched (labeled, predicted) cells")
     assert(keys <= 36L, s"cell state exceeded the 6² domain bound: $keys")
   }
+
+  test("st45: streaming zone-map sidecar maintenance — one per-block " +
+      "complete-mode rollup is the whole state; the sidecar equals the " +
+      "batch ZoneMaps rollup over EVERY arrived prefix, a block " +
+      "straddles the boundary, and the prune decision tracks the state") {
+    import graft.streaming.StreamingZoneMap
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_._1)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    // the split must land INSIDE a block, or the additive-merge claim
+    // (min/max folding across batches for one key) is untested
+    assert(b1.last._1 / 512 == b2.head._1 / 512,
+      "fixture drift: the batch boundary must straddle a block")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingZoneMap
+      .sidecar(in.toDF().toDF("event_id", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st45").start()
+    def batchSidecar(prefix: Array[(Long, java.sql.Timestamp)])
+        : Seq[Seq[Any]] = {
+      val sp = spark
+      import sp.implicits._
+      graft.operators.ZoneMaps.sidecarRollup(
+        prefix.toSeq.toDF("event_id", "ts"))
+        .orderBy(col("blk"))
+        .collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      var arrived = Array.empty[(Long, java.sql.Timestamp)]
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        arrived = arrived ++ b
+        val online = spark.table("st45").orderBy(col("blk"))
+          .collect().map(_.toSeq.toList).toSeq
+        assert(online == batchSidecar(arrived),
+          s"prefix of ${arrived.length} events: online sidecar != batch")
+      }
+      // state-footprint pin: rows == touched blocks exactly
+      val blocks = arrived.map(_._1 / 512).distinct.length.toLong
+      assert(spark.table("st45").count() == blocks,
+        "state rows != touched blocks")
+      // the prune readout equals a direct recompute from the state,
+      // and the straddling block is NOT prunable at a cut between the
+      // two batches' times if either side reaches past it
+      val cut = "2024-01-10"
+      val pruned = StreamingZoneMap
+        .prunable(spark.table("st45"), cut)
+        .collect().map(_.getLong(0)).toSeq
+      val cutTs = java.sql.Timestamp.valueOf(s"$cut 00:00:00")
+      val expect = arrived.groupBy(_._1 / 512)
+        .filter { case (_, rows) => rows.map(_._2).max.before(cutTs) }
+        .keys.toSeq.sorted
+      assert(pruned == expect, "prune decision diverged from the state")
+    } finally q.stop()
+  }
 }
