@@ -46,6 +46,11 @@ class Engine(val spark: SparkSession, warehouse: String)
   graft.functions.VecOps.register(spark)
   graft.functions.EditDistanceOps.register(spark)
   graft.functions.DtwOps.register(spark)
+  // classifier_scores / repetition_stats / gopher_stats: the native
+  // text-quality kernels, callable from any POST /query SELECT over a
+  // string field — the same expressions the oracle-gated text family
+  // compiles against
+  graft.functions.TextOps.register(spark)
 
   import spark.implicits._
 

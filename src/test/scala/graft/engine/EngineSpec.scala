@@ -561,6 +561,29 @@ class EngineSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("the native text-quality kernels are callable from the engine " +
+      "SQL surface (classifier_scores / repetition_stats / gopher_stats) " +
+      "and agree with their Column API forms") {
+    val r = engine.query(
+      """SELECT classifier_scores('the quick fox') AS cs,
+        |       gopher_stats('the quick brown fox and a dog') AS gs,
+        |       repetition_stats('a a a a') AS rs
+        |""".stripMargin).toOption.get.head()
+    val cs = r.getSeq[Long](0)
+    assert(cs.head == 3L, s"classifier token count: $cs")
+    // Column-API twin on the same literal — same expression, same result
+    val viaColumn = spark.range(1).select(
+      graft.functions.TextOps.classifier_scores(
+        org.apache.spark.sql.functions.lit("the quick fox")).as("cs"))
+      .head().getSeq[Long](0)
+    assert(cs == viaColumn, "SQL registration diverged from Column API")
+    // gopher/repetition stats are STRUCT-typed kernels — present and
+    // populated is the registration claim here (their arithmetic is
+    // oracle-gated by q_text_gopher / q_text_repetition)
+    assert(!r.isNullAt(1) && r.getStruct(1).length > 0)
+    assert(!r.isNullAt(2) && r.getStruct(2).length > 0)
+  }
+
   test("incremental stats store: refresh folds ONLY unfolded batches, " +
       "readout equals the recompute, and compaction/retention/dropSeries " +
       "keep it consistent") {
