@@ -372,6 +372,10 @@ object ScaleBench {
     // hash aggs per profiled join + a key-domain histogram join; the
     // factor reads the aggs, never the joins it predicts
     "q_join_cardinality",
+    // round-13 fourth wave: MERGE apply — one primary-key equi-join of
+    // base vs the synthesized change feed (both grow K×) + a
+    // catalog-sized readout; expect a ≈linear join-bound factor
+    "q_merge_upsert",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the
@@ -718,7 +722,8 @@ object ScaleBench {
       "q_basket_triples", "q_zorder_key", "q_zorder_box",
       "q_shortest_path", "q_ivm_rollup", "q_weighted_median",
       "q_graph_assortativity", "q_graph_modularity",
-      "q_ppr", "q_er_suppliers", "q_join_cardinality").contains)
+      "q_ppr", "q_er_suppliers", "q_join_cardinality",
+      "q_merge_upsert").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

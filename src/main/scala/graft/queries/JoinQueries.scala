@@ -79,6 +79,52 @@ object JoinQueries extends QuerySet {
           .as("delay_micro"))
 
   val queries: Map[String, Q] = Map(
+    // MERGE / UPSERT APPLY (the lakehouse MERGE INTO semantics — Delta/
+    // Iceberg/Hudi's core mutation, and the missing mutation member of
+    // the join family: q_snapshot_diff DETECTS changes between two
+    // table states, this APPLIES a change feed): a deterministic CDC
+    // batch derived from the orders fact itself (keys ≡3 mod 10
+    // update price by +7.77, ≡7 delete, ≡1 insert a new key shifted by
+    // 1e7 at +1.11 — zero randomness, the q_dedup_cross synthesized-
+    // batch recipe) full-outer-joins the base on the primary key;
+    // matched-D drops, matched-U takes the change row, unmatched-I
+    // inserts, everything else keeps the base row — exactly MERGE
+    // WHEN MATCHED/NOT MATCHED. The readout aggregates the merged
+    // state by (status, provenance) in exact cents, so a single
+    // mis-applied row flips the hash. Scale shape: ONE equi-join on
+    // the primary key (shuffle both sides on the key, AQE handles
+    // skew; at a real lakehouse the base side is partition-pruned to
+    // the touched files first — the zone-map/DPP machinery above),
+    // map-only change synthesis, catalog-sized readout.
+    "q_merge_upsert" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upd = base.filter(pmod(col("k"), lit(10L)) === 3L)
+        .select(col("k"), lit("U").as("op"), col("st").as("c_st"),
+          (col("cents") + 777L).as("c_cents"))
+      val del = base.filter(pmod(col("k"), lit(10L)) === 7L)
+        .select(col("k"), lit("D").as("op"), col("st").as("c_st"),
+          col("cents").as("c_cents"))
+      val ins = base.filter(pmod(col("k"), lit(10L)) === 1L)
+        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+          col("st").as("c_st"), (col("cents") + 111L).as("c_cents"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      base.join(changes, Seq("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("st"), col("c_st")).as("st"),
+          when(col("op") === "U", col("c_cents"))
+            .when(col("op") === "I", col("c_cents"))
+            .otherwise(col("cents")).as("m_cents"),
+          when(col("op") === "U", lit("updated"))
+            .when(col("op") === "I", lit("inserted"))
+            .otherwise(lit("kept")).as("provenance"))
+        .groupBy(col("st").as("o_orderstatus"), col("provenance"))
+        .agg(count(lit(1)).as("n"), sum(col("m_cents")).as("cents"))
+        .orderBy(col("o_orderstatus"), col("provenance"))
+    },
+
     // JOIN-CARDINALITY PROFILE — the planner advisory that predicts a
     // join's output size and its worst single key BEFORE running it
     // (Selinger 1979's |A⋈B| = Σ_k cA(k)·cB(k), computed EXACTLY from
@@ -1235,6 +1281,35 @@ object JoinQueries extends QuerySet {
   }
 
   val oracle: Map[String, String] = Map(
+    // same deterministic change synthesis, same full-outer MERGE
+    // semantics and provenance tagging
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT k, 'U' AS op, st AS c_st, cents + 777 AS c_cents
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, 'D', st, cents FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT k + 10000000, 'I', st, cents + 111
+        |  FROM base WHERE k % 10 = 1),
+        |m AS (
+        |  SELECT coalesce(b.st, c.c_st) AS st,
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.c_cents
+        |         ELSE b.cents END AS m_cents,
+        |    CASE WHEN c.op = 'U' THEN 'updated'
+        |         WHEN c.op = 'I' THEN 'inserted'
+        |         ELSE 'kept' END AS provenance
+        |  FROM base b FULL OUTER JOIN changes c ON c.k = b.k
+        |  WHERE coalesce(c.op, '') <> 'D')
+        |SELECT st AS o_orderstatus, provenance,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m_cents) AS BIGINT) AS cents
+        |FROM m GROUP BY 1, 2 ORDER BY o_orderstatus, provenance""".stripMargin,
+
     // same histogram product per join; all numerators non-negative
     "q_join_cardinality" ->
       """WITH

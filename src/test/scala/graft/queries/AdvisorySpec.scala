@@ -37,6 +37,33 @@ class AdvisorySpec extends SparkSpec {
     assert(realSelf > li.count(), "vacuity: no key repeats")
   }
 
+  test("q_merge_upsert applies MERGE semantics exactly: row accounting " +
+      "(base − deletes + inserts), provenance counts match the change " +
+      "synthesis, and cents shift by the op deltas") {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val n = orders.count()
+    val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
+    val nUpd = keys.count(_ % 10 == 3).toLong
+    val nDel = keys.count(_ % 10 == 7).toLong
+    val nIns = keys.count(_ % 10 == 1).toLong
+    val got = graft.SparkEntry.queries("q_merge_upsert")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val byProv = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byProv("updated") == nUpd, "updated count drifted")
+    assert(byProv("inserted") == nIns, "inserted count drifted")
+    assert(byProv("kept") == n - nUpd - nDel, "kept count drifted")
+    assert(got.map(_._3).sum == n - nDel + nIns, "merged row accounting")
+    // cents deltas: updated rows shifted +777 each, inserted +111 each
+    val baseCents = orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expUpd = keys.filter(_ % 10 == 3).map(k => baseCents(k) + 777L).sum
+    assert(got.filter(_._2 == "updated").map(_._4).sum == expUpd,
+      "updated cents drifted")
+    assert(nUpd > 0 && nDel > 0 && nIns > 0, "vacuity: an op class is empty")
+  }
+
   test("q_eval_rankcorr equals a naive Kendall tau over the collected " +
       "shortlist ranks, with the documented agreement band") {
     val ranks = TextQueries.dualRanks(spark, dir)
