@@ -376,6 +376,10 @@ object ScaleBench {
     // base vs the synthesized change feed (both grow K×) + a
     // catalog-sized readout; expect a ≈linear join-bound factor
     "q_merge_upsert",
+    // round-13 fourth wave: equi-depth histogram — one value→count agg
+    // (the cents domain saturates) + domain windows; expect the
+    // count-compress scan to dominate, near-flat tail
+    "q_histogram_equidepth",
     // round-12: level-wise Apriori triples — the DENSITY-RELATIVE
     // support floor (max(2, ⌊2·mean pair support⌋)) tracks the K×
     // support growth of catalog-fixed replication, so F2 (and the
@@ -723,7 +727,7 @@ object ScaleBench {
       "q_shortest_path", "q_ivm_rollup", "q_weighted_median",
       "q_graph_assortativity", "q_graph_modularity",
       "q_ppr", "q_er_suppliers", "q_join_cardinality",
-      "q_merge_upsert").contains)
+      "q_merge_upsert", "q_histogram_equidepth").contains)
     val needEmb = selected.exists(simHeavy.contains)
     val needLong = selected.exists(longHeavy.contains)
     // long-series replicas live beside the core replica dirs, so the

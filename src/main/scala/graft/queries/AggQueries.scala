@@ -236,6 +236,57 @@ object AggQueries extends QuerySet {
         .agg(count(lit(1)).as("c")))
     },
 
+    // EQUI-DEPTH HISTOGRAM (the ANALYZE artifact — Piatetsky-Shapiro &
+    // Connell 1984's equi-height buckets, what Spark's
+    // `ANALYZE ... FOR COLUMNS` and every cost-based optimizer
+    // persists; completes the optimizer-stats family: q_zone_maps =
+    // where values LIVE, q_skew_profile = how keys CONCENTRATE,
+    // q_join_cardinality = what a join PRODUCES, this = how values
+    // DISTRIBUTE): 8 buckets over lineitem price cents with bounds at
+    // the exact rank-ceil quantiles (bound_b = min value whose
+    // cumulative count reaches ceil(b·n/8) — pure integers, no
+    // interpolation: histogram bounds are real domain values by
+    // construction) and per bucket the EXACT row count and distinct
+    // count. Heavy values make counts unequal — that is the honest
+    // artifact (a value heavier than n/8 overflows its bucket; the
+    // optimizer reads exactly that from the ndv/count pair). Scale
+    // shape: the q18b count-compress recipe — ONE fact-sized
+    // (value → count) hash agg, then EVERYTHING runs on the price
+    // domain (saturates at any corpus): a domain-ordered cumulative
+    // window, an 8-row broadcast bounds join, one 8-row readout.
+    "q_histogram_equidepth" -> { (s, dir) =>
+      val v = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long")
+          .as("cents"))
+        .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      // value domain + inclusive cumulative + total (domain-sized
+      // windows — the skyline output-sized-merge precedent)
+      val dom = v.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .localCheckpoint(eager = true) // feeds bounds AND assignment
+      val buckets = (1 to 8).map(_.toLong)
+      val bIds = buckets.foldLeft(Seq.empty[org.apache.spark.sql.Column])(
+        (acc, b) => acc :+ lit(b))
+      val bounds = dom
+        .select(col("cents"), col("cum"), col("n"),
+          explode(array(bIds: _*)).as("b"))
+        .filter(col("cum") >= intDiv(col("b") * col("n") + 7L, lit(8L)))
+        .groupBy(col("b")).agg(min(col("cents")).as("bound"))
+      val assigned = dom
+        .join(broadcast(bounds), col("cents") <= col("bound"))
+        .groupBy(col("cents"), col("cnt"))
+        .agg(min(col("b")).as("bucket"))
+      assigned.groupBy(col("bucket"))
+        .agg(min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("ndv"))
+        .orderBy(col("bucket"))
+    },
+
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // covariance, least-squares regression — identical co-moment
     // definitions in both engines; magnitudes keep fp error << 1e-6.
@@ -552,6 +603,34 @@ object AggQueries extends QuerySet {
         |  CAST((2 * s - (n_keys + 1) * n_rows) * 1000000
         |       // (n_keys * n_rows) AS BIGINT) AS gini_micro
         |FROM g ORDER BY col_name""".stripMargin,
+
+    // same count-compress domain, same ceil-rank bounds (all positive,
+    // // == trunc == floor), same min-bucket assignment
+    "q_histogram_equidepth" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |dom AS (
+        |  SELECT cents, cnt,
+        |    sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM v),
+        |bounds AS (
+        |  SELECT b.b, min(cents) AS bound
+        |  FROM dom CROSS JOIN (SELECT unnest(range(1, 9)) AS b) b
+        |  WHERE cum >= (b.b * n + 7) // 8
+        |  GROUP BY 1),
+        |assigned AS (
+        |  SELECT d.cents, d.cnt, CAST(min(bo.b) AS BIGINT) AS bucket
+        |  FROM dom d JOIN bounds bo ON d.cents <= bo.bound
+        |  GROUP BY 1, 2)
+        |SELECT bucket, CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS ndv
+        |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_stat_funcs" ->
       """WITH e AS (SELECT *, epoch(ts) AS ts_s FROM events)

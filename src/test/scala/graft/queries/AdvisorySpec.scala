@@ -37,6 +37,31 @@ class AdvisorySpec extends SparkSpec {
     assert(realSelf > li.count(), "vacuity: no key repeats")
   }
 
+  test("q_histogram_equidepth: buckets partition the table and its " +
+      "value domain exactly, bounds ascend without overlap, and depths " +
+      "deviate from n/8 by at most the heaviest value's multiplicity") {
+    val got = graft.SparkEntry.queries("q_histogram_equidepth")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val n = li.count()
+    val ndv = li.distinct().count()
+    val maxMult = li.groupBy(col("c")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(got.map(_._4).sum == n, "bucket rows must partition the table")
+    assert(got.map(_._5).sum == ndv, "bucket ndv must partition the domain")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"buckets ${a._1}/${b._1} overlap")
+    }
+    got.foreach { g =>
+      assert(g._2 <= g._3, s"bucket ${g._1}: lo > hi")
+      assert(math.abs(g._4 - n / 8) <= maxMult,
+        s"bucket ${g._1} depth ${g._4} deviates beyond a value's weight")
+    }
+    assert(got.map(_._1).toSeq == (1L to 8L), "buckets must be 1..8")
+  }
+
   test("q_merge_upsert applies MERGE semantics exactly: row accounting " +
       "(base − deletes + inserts), provenance counts match the change " +
       "synthesis, and cents shift by the op deltas") {
