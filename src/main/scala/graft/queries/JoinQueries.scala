@@ -100,16 +100,21 @@ object JoinQueries extends QuerySet {
       val base = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val upd = base.filter(pmod(col("k"), lit(10L)) === 3L)
-        .select(col("k"), lit("U").as("op"), col("st").as("c_st"),
-          (col("cents") + 777L).as("c_cents"))
-      val del = base.filter(pmod(col("k"), lit(10L)) === 7L)
-        .select(col("k"), lit("D").as("op"), col("st").as("c_st"),
-          col("cents").as("c_cents"))
-      val ins = base.filter(pmod(col("k"), lit(10L)) === 1L)
-        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
-          col("st").as("c_st"), (col("cents") + 111L).as("c_cents"))
-      val changes = upd.unionByName(del).unionByName(ins)
+      // ONE pass synthesizes all three op classes (a 3-branch union
+      // would scan the base three more times — the aliased-subtree
+      // audit discipline applied at birth; a real deployment's feed
+      // arrives externally and scans nothing)
+      val r10 = pmod(col("k"), lit(10L))
+      val changes = base.filter(r10.isin(1L, 3L, 7L))
+        .select(
+          when(r10 === 1L, col("k") + 10000000L).otherwise(col("k"))
+            .as("k"),
+          when(r10 === 1L, lit("I")).when(r10 === 3L, lit("U"))
+            .otherwise(lit("D")).as("op"),
+          col("st").as("c_st"),
+          when(r10 === 1L, col("cents") + 111L)
+            .when(r10 === 3L, col("cents") + 777L)
+            .otherwise(col("cents")).as("c_cents"))
       base.join(changes, Seq("k"), "full_outer")
         .filter(coalesce(col("op"), lit("")) =!= "D")
         .select(
