@@ -212,7 +212,10 @@ object ScaleBench {
     "q_eval_rankcorr",
     // round-13 third wave: sliced AUC — the q_eval_auc scan shape with
     // (evaluator × source × score)-domain aggs; expect its factor
-    "q_eval_subgroup")
+    "q_eval_subgroup",
+    // round-13 fifth wave: McNemar — one map-only dual-decision pass
+    // into a 1-row agg; pure scan cost
+    "q_eval_mcnemar")
 
   /** The join/window/agg families (round-8 VERDICT #2): the heaviest
     * shuffle shapes outside dedup — the as-of union+window plan (SURVEY

@@ -168,6 +168,57 @@ object TextQueries extends QuerySet {
       aucFromGroups(aucGroups(aucScored(t(s, dir, "documents"))))
     },
 
+    // CLASSIFIER EVALUATION — McNemar's paired comparison (McNemar
+    // 1947; the PAIRED member of the eval family: AUC/calibration
+    // grade one scorer at a time, this asks whether TWO scorers'
+    // error sets differ on the SAME documents — the only sound way to
+    // compare classifiers evaluated on one corpus): language-ID's
+    // argmax-en decision vs the classifier's sign decision (score ≥ 0,
+    // the q_text_classifier keep/drop operating point — the same
+    // threshold-0 detector q_eval_auc grades continuously), both
+    // against the lang == 'en' truth. The readout is the discordant
+    // table (b = langid-only right, c = classifier-only right) and the
+    // EXACT McNemar statistic (b − c)²·1e6 div (b + c) — a pure
+    // integer (int64-safe while |b − c| ≤ 3e6, the q_eval_auc
+    // documented-bound posture); the χ² p-value lookup is the
+    // caller's table, the statistic itself never touches a float.
+    // ONE map-only scoring
+    // pass (shared langidPredicted + the native classifier kernel)
+    // into a 1-row agg. Honest readout at sf0.01: discordants 101 vs
+    // 127 give χ² ≈ 2.96 — UNDER the 3.84 α=0.05 cut, so the two
+    // detectors are statistically indistinguishable at the decision
+    // level, matching their near-tied AUCs (0.529/0.509): exactly the
+    // conclusion a paired test exists to make sound.
+    "q_eval_mcnemar" -> { (s, dir) =>
+      val d = langidPredicted(t(s, dir, "documents"))
+        .withColumn("cs",
+          graft.functions.TextOps.classifier_scores(col("text")))
+        .withColumn("truth", col("lang") === "en")
+        .withColumn("a_right",
+          (col("predicted") === "en") === col("truth"))
+        .withColumn("b_right",
+          (col("cs").getItem(1) + col("cs").getItem(2) >= 0L)
+            === col("truth"))
+      d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a_right") && col("b_right"), 1L).otherwise(0L))
+            .as("both_right"),
+          sum(when(!col("a_right") && !col("b_right"), 1L).otherwise(0L))
+            .as("both_wrong"),
+          sum(when(col("a_right") && !col("b_right"), 1L).otherwise(0L))
+            .as("langid_only"),
+          sum(when(!col("a_right") && col("b_right"), 1L).otherwise(0L))
+            .as("classifier_only"))
+        .select(col("n"), col("both_right"), col("both_wrong"),
+          col("langid_only"), col("classifier_only"),
+          when(col("langid_only") + col("classifier_only") > 0L,
+            intDiv((col("langid_only") - col("classifier_only"))
+              * (col("langid_only") - col("classifier_only"))
+              * lit(1000000L),
+              col("langid_only") + col("classifier_only")))
+            .otherwise(0L).as("mcnemar_x2_micro"))
+    },
+
     // CLASSIFIER EVALUATION — calibration / reliability diagram
     // (Murphy 1973; Guo et al. 2017's ECE): the SAME two shipped
     // scorers and labels as q_eval_auc (shared aucScored), binned into
@@ -1845,6 +1896,47 @@ object TextQueries extends QuerySet {
          |  CAST(sum(tp) OVER () * 1000000 // sum(n_labeled) OVER ()
          |    AS BIGINT) AS acc_micro
          |FROM j ORDER BY class""".stripMargin,
+
+    // same argmax CTEs + the classifier score carried per doc_id; the
+    // same discordant counts and all-integer statistic
+    "q_eval_mcnemar" -> {
+      def wgtSql(v: String): String = TextQueries.wgtSqlDuck(v)
+      s"""WITH $langidPredSql,
+         |cd2 AS (SELECT doc_id, lang, list_filter(string_split(text, ' '),
+         |                tk -> length(tk) > 0) AS w2
+         |        FROM documents),
+         |cb2 AS (SELECT doc_id, lang, w2,
+         |          list_transform(range(1, len(w2)),
+         |            i -> w2[i] || '_' || w2[i + 1]) AS bg
+         |        FROM cd2),
+         |cls2 AS (SELECT doc_id, lang,
+         |          COALESCE(CAST(list_sum(list_transform(w2,
+         |            tk -> ${wgtSql("tk")})) AS BIGINT), 0)
+         |          + COALESCE(CAST(list_sum(list_transform(bg,
+         |            tk -> ${wgtSql("tk")})) AS BIGINT), 0) AS score
+         |        FROM cb2),
+         |j AS (SELECT
+         |        ((p.predicted = 'en') = (c.lang = 'en')) AS a_right,
+         |        ((c.score >= 0) = (c.lang = 'en')) AS b_right
+         |      FROM pred p JOIN cls2 c ON c.doc_id = p.doc_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN a_right AND b_right
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         |        CAST(sum(CASE WHEN NOT a_right AND NOT b_right
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+         |        CAST(sum(CASE WHEN a_right AND NOT b_right
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS langid_only,
+         |        CAST(sum(CASE WHEN NOT a_right AND b_right
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS classifier_only
+         |      FROM j)
+         |SELECT n, both_right, both_wrong, langid_only, classifier_only,
+         |  CAST(CASE WHEN langid_only + classifier_only > 0 THEN
+         |    (langid_only - classifier_only)
+         |    * (langid_only - classifier_only) * 1000000
+         |    // (langid_only + classifier_only) ELSE 0 END
+         |    AS BIGINT) AS mcnemar_x2_micro
+         |FROM g""".stripMargin
+    },
 
     // same scored CTEs with the source slice carried through; the same
     // rank-sum readout keyed by (evaluator, source); the same

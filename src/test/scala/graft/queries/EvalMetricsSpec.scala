@@ -110,6 +110,38 @@ class EvalMetricsSpec extends SparkSpec {
       "vacuity: no negative classifier score reached the clamp")
   }
 
+  test("q_eval_mcnemar equals a naive paired-decision recount, the " +
+      "2×2 table partitions the corpus, and the statistic matches the " +
+      "textbook (b−c)²/(b+c) within one micro") {
+    val rows = TextQueries.langidPredicted(
+      graft.Tables.load(spark, dir, "documents"))
+      .withColumn("cs",
+        graft.functions.TextOps.classifier_scores(col("text")))
+      .select(col("lang"), col("predicted"),
+        (col("cs").getItem(1) + col("cs").getItem(2)).as("score"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cells = rows.map { case (lang, pred, score) =>
+      val truth = lang == "en"
+      ((pred == "en") == truth, (score >= 0L) == truth)
+    }
+    val b = cells.count(c => c._1 && !c._2).toLong
+    val c = cells.count(x => !x._1 && x._2).toLong
+    val expected = (rows.length.toLong,
+      cells.count(x => x._1 && x._2).toLong,
+      cells.count(x => !x._1 && !x._2).toLong, b, c,
+      if (b + c > 0) (b - c) * (b - c) * 1000000L / (b + c) else 0L)
+    val got = graft.SparkEntry.queries("q_eval_mcnemar")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == expected)
+    assert(got._2 + got._3 + got._4 + got._5 == got._1,
+      "2×2 table must partition the corpus")
+    val textbook = math.pow((b - c).toDouble, 2) / (b + c).toDouble
+    assert(math.abs(textbook * 1e6 - got._6) <= 1.0,
+      "statistic drifted from the textbook definition")
+    assert(b + c > 0, "vacuity: no discordant pairs")
+  }
+
   test("q_eval_map equals a naive AP@20 with the same two-stage " +
       "flooring, and differentiates the queries (not saturated)") {
     val nTerms = TextQueries.bm25QueryTerms.groupBy(_._1)
