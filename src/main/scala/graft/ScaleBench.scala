@@ -363,6 +363,11 @@ object ScaleBench {
     // recipe); the measured cost is the sidecar 1-row agg + the PRUNED
     // suffix scan, so the factor should read well under the data ratio
     "q_zone_scan",
+    // round-14: the value-cut pruned scan — no static suffix (values
+    // are layout-uncorrelated), so the factor reads the DPP survivor
+    // semi-join's pruned scan; kept rows grow with surviving data (the
+    // q_zone_scan output-bound caveat applies)
+    "q_zone_scan_value",
     // round-13 second wave: KS drift — one (type, week, cents) hash agg
     // (the cents domain saturates, weeks recur in the replica) + value-
     // domain windows; expect the agg scan to dominate, near-flat tail
@@ -379,6 +384,11 @@ object ScaleBench {
     // base vs the synthesized change feed (both grow K×) + a
     // catalog-sized readout; expect a ≈linear join-bound factor
     "q_merge_upsert",
+    // round-14: the ENGINE merge — warehouse seed + mergeBatch are a
+    // once-per-dir artifact (amortized by the warm-up, the q_zorder_box
+    // recipe); the measured cost is the merged-state partitioned-table
+    // scan + catalog-sized readout agg
+    "q_merge_engine",
     // round-13 fourth wave: equi-depth histogram — one value→count agg
     // (the cents domain saturates) + domain windows; expect the
     // count-compress scan to dominate, near-flat tail
@@ -416,6 +426,11 @@ object ScaleBench {
     // (type, hour) key domain saturates at the replica (hours recur),
     // so expect the delta scan to dominate like q_ivm_rollup
     "q_ivm_events",
+    // round-14: the third registry view — per-source token totals over
+    // the documents fact (1/10th delta tokenize scan + merge; the
+    // source domain is catalog-fixed); expect the delta scan to
+    // dominate like the other two IVM rows
+    "q_ivm_tokens",
     // round-12 second wave: the two graph quality metrics —
     // assortativity is edge build + degree agg + broadcast joins + one
     // six-sum row (expect the K× edge-build scan); modularity rides
@@ -711,7 +726,8 @@ object ScaleBench {
       "q_attribution", "q_drift_psi", "q_stat_funcs",
       "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw",
       "q_seasonal_strength", "q_ivm_events",
-      "q_zone_maps", "q_zone_scan", "q_drift_ks", "q_skew_profile")
+      "q_zone_maps", "q_zone_scan", "q_zone_scan_value", "q_drift_ks",
+      "q_skew_profile", "q_merge_engine")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

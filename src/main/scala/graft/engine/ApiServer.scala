@@ -36,7 +36,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * work) — the 100 TB posture is a thin stateless facade over the cluster.
   */
 class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
-    defaultQueryTimeoutMs: Long = 0)
+    defaultQueryTimeoutMs: Long = 0, viewsDir: Option[String] = None)
     extends org.apache.spark.internal.Logging {
 
   private var http: HttpServer = _
@@ -560,7 +560,9 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
         else if (!engine.seriesExists(series))
           respond(ex, 404, s"""{"error":${quote(s"unknown series $series")}}""")
         else {
-          val rows = engine.tagSkew(series).collect()
+          // version-keyed cache: polling dashboards re-read the cached
+          // readout; any write through this engine invalidates it
+          val rows = engine.tagSkewRows(series)
           val body = rows.map { r =>
             s"""{"tag":${quote(r.getString(0))},""" +
               s""""n_values":${r.getLong(1)},"n_rows":${r.getLong(2)},""" +
@@ -765,6 +767,99 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           respond(ex, 200,
             s"""{"series":${quote(series)},"name":${quote(p("name"))},""" +
               s""""correlated":${jsonArray(body)}}""")
+        }
+      }
+    })
+
+    // Maintained-view registry serving (round-14 VERDICT #8 — the
+    // IncrementalRollup registry's serving story): GET /views lists the
+    // registered standing rollups (name, fact source, group keys);
+    // GET /views/<name> serves that view's maintained readout — the
+    // persisted base-partial store plus ONE delta scan merged per the
+    // view's declared aggregates (store ⊎ delta ≡ recompute, the same
+    // definition the oracle-gated q_ivm_* queries run — serving cannot
+    // drift from the gate). Readouts are catalog-sized by construction
+    // (group-key domains) → plain respond. Requires a configured
+    // viewsDir (the fact directory the registry's views read); without
+    // one the surface says so with 409 rather than pretending the
+    // registry is empty.
+    http.createContext("/views", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        import graft.operators.IncrementalRollup
+        val seg = ex.getRequestURI.getRawPath.stripPrefix("/views")
+          .stripPrefix("/")
+        (ex.getRequestMethod, seg) match {
+          case (m, _) if m != "GET" =>
+            respond(ex, 405, """{"error":"GET required"}""")
+          case (_, "") =>
+            val body = IncrementalRollup.views.toSeq.sortBy(_._1)
+              .map { case (n, v) =>
+                s"""{"name":${quote(n)},"source":${quote(v.sourceFile)},""" +
+                  s""""group_keys":${jsonArray(
+                    v.groupKeys.map(quote))}}"""
+              }
+            respond(ex, 200, s"""{"views":${jsonArray(body)}}""")
+          case (_, name) if !IncrementalRollup.views.contains(name) =>
+            respond(ex, 404,
+              s"""{"error":${quote(s"unknown view $name")}}""")
+          case _ if viewsDir.isEmpty =>
+            respond(ex, 409,
+              """{"error":"no views directory configured on this server"}""")
+          case (_, name) =>
+            val rows = engine.toJsonRows(IncrementalRollup.refresh(
+              engine.spark, viewsDir.get, name))
+            respond(ex, 200, s"""{"view":${quote(name)},""" +
+              s""""rows":${jsonArray(rows)}}""")
+        }
+      }
+    })
+
+    // Full-text BM25 search off the PERSISTED postings store
+    // (Engine.buildSearchIndex — the q_inverted_postings machinery as a
+    // serving surface): GET /search?q=<terms>[&k=N] prunes the store to
+    // the query terms' hash-bucket partitions, scores with the SHARED
+    // TextQueries.bm25Micro formula and returns top-k (series, field,
+    // time) documents — no fact scan at request time (plan-asserted in
+    // ApiServerSpec). POST /search/rebuild refreshes after ingest; a GET
+    // before any build fails 409 with the hint (the /similar posture).
+    // k caps at 100 fail-closed — a huge k is a driver-collect hazard,
+    // not a silent truncation.
+    http.createContext("/search", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        val seg = ex.getRequestURI.getRawPath.stripPrefix("/search")
+          .stripPrefix("/")
+        val p = queryParams(ex)
+        val k = Try(p.getOrElse("k", "10").toInt)
+        val terms = p.getOrElse("q", "")
+          .toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+        (ex.getRequestMethod, seg) match {
+          case ("POST", "rebuild") =>
+            engine.buildSearchIndex()
+            respond(ex, 200, """{"rebuilt":true}""")
+          case ("POST", _) =>
+            respond(ex, 405, """{"error":"POST is only /search/rebuild"}""")
+          case (m, _) if m != "GET" =>
+            respond(ex, 405, """{"error":"GET required"}""")
+          case (_, s) if s.nonEmpty =>
+            respond(ex, 404, """{"error":"not found"}""")
+          case _ if terms.isEmpty =>
+            respond(ex, 400,
+              """{"error":"q parameter with at least one term required"}""")
+          case _ if k.isFailure || k.get < 1 || k.get > 100 =>
+            respond(ex, 400, """{"error":"k must be an int in [1,100]"}""")
+          case _ if !engine.searchIndexExists =>
+            respond(ex, 409,
+              """{"error":"search index not built; POST /search/rebuild"}""")
+          case _ =>
+            val rows = engine.search(terms, k.get)
+            val body = rows.map { case (series, name, tUs, nh, sm) =>
+              s"""{"series":${quote(series)},"name":${quote(name)},""" +
+                s""""time_us":$tUs,"n_terms_hit":$nh,"score_micro":$sm}"""
+            }
+            respond(ex, 200,
+              s"""{"terms":${jsonArray(terms.map(quote))},""" +
+                s""""hits":${jsonArray(body)}}""")
         }
       }
     })

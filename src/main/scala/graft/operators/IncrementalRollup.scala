@@ -93,7 +93,22 @@ object IncrementalRollup {
         col("hr").cast("timestamp_ntz").as("hr"),
         col("n_events"), col("sum_cents"), col("min_cents"),
         col("max_cents"))
-        .orderBy(col("event_type"), col("hr"))))
+        .orderBy(col("event_type"), col("hr"))),
+    // THIRD view (round-14 VERDICT #8) — the documents-side rollup the
+    // LLM-pipeline mixing queries consume: per-source doc and token
+    // totals (EXACTLY q_token_budget_mix's `totals` subtree, so the
+    // budget allocator can read a maintained store instead of
+    // re-tokenizing the corpus per run — at 100 TB the tokenize scan IS
+    // the cost). Pure additive partials.
+    "source_tokens" -> ViewDef(
+      name = "source_tokens",
+      sourceFile = "documents.parquet",
+      groupKeys = Seq("source"),
+      merges = Seq("n_docs" -> (sum(_)), "tokens_total" -> (sum(_))),
+      slice = sourceTokensSlice,
+      readout = m => m.select(col("source"), col("n_docs"),
+        col("tokens_total"))
+        .orderBy(col("source"))))
 
   /** One slice's per-nation partials — dims broadcast; the only
     * fact-sized work is the slice scan + one hash agg. */
@@ -129,6 +144,21 @@ object IncrementalRollup {
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+
+  /** One slice's per-source (doc count, token count) partials — the
+    * q_token_budget_mix whitespace tokenization verbatim (one shared
+    * convention, so the maintained store and the gated allocator agree);
+    * the tokenize+size scan is the only fact-sized work per slice. */
+  private def sourceTokensSlice(spark: SparkSession, dir: String,
+      delta: Boolean): DataFrame =
+    graft.Tables.load(spark, dir, "documents")
+      .filter(if (delta) pmod(col("doc_id"), lit(10L)) === 7L
+              else pmod(col("doc_id"), lit(10L)) =!= 7L)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+          .cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_total"))
 
   private def storePath(spark: SparkSession, dir: String,
       v: ViewDef): String = {

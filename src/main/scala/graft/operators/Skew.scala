@@ -30,6 +30,40 @@ object Skew {
       .agg(sum(col("psum")).as("sum"), sum(col("pcnt")).as("cnt"))
   }
 
+  /** ADVISORY → ACTION (round-14 VERDICT #4 — q_skew_profile diagnosed
+    * the straggler but nothing consumed it; the salting rewrite was
+    * manual): an aggregation that CONSULTS the oracle-gated skew readout
+    * (AggQueries.skewReadout, the exact q_skew_profile formula — the
+    * advisory and the action cannot drift) and salts ONLY when the
+    * measured top-1 key share crosses `thresholdMicro` (default 20% — a
+    * key holding a fifth of the rows pins one reducer to a fifth of the
+    * corpus at 100 TB).
+    *
+    * Opt-in behind `-Dgraft.skew.autosalt=true` (documented cutover: the
+    * advisory costs ONE key-count agg + count-of-counts-domain windows
+    * and a 1-row driver read — cheap, but not free, so it must be asked
+    * for; when off, the plain plan is byte-identical to groupBy/agg).
+    * Equal by construction: the salted branch IS [[saltedSumCount]], the
+    * rewrite SkewSpec pins result-identical to the plain plan.
+    *
+    * Returns (result, salted?) so callers can log which path ran. */
+  def autoSaltedSumCount(df: DataFrame, key: Column, value: Column,
+      buckets: Int = 32, thresholdMicro: Long = 200000L,
+      enabled: Boolean = sys.props.get("graft.skew.autosalt")
+        .contains("true")): (DataFrame, Boolean) = {
+    def plain = df.groupBy(key.as("key"))
+      .agg(sum(value).as("sum"), count(lit(1)).as("cnt"))
+    if (!enabled) (plain, false)
+    else {
+      val share = graft.queries.AggQueries.skewReadout(
+          df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+            .select(lit("key").as("col_name"), col("k"), col("c")))
+        .select(col("top1_share_micro")).head().getLong(0)
+      if (share >= thresholdMicro) (saltedSumCount(df, key, value, buckets), true)
+      else (plain, false)
+    }
+  }
+
   /** Salted equi-join for a skewed fact key against a dimension too large
     * to broadcast: fact rows get a deterministic salt in [0, buckets); the
     * dimension is replicated `buckets` times with explode(sequence(...)),

@@ -316,6 +316,25 @@ object CoreQueries extends QuerySet {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy(col("event_type"))
+    },
+
+    // ZONE-MAP VALUE-CUT SCAN — the Q04-family `value >= X` predicate
+    // THROUGH the sidecar's min/max_value_cents (round-14 VERDICT #2:
+    // a ts-only sidecar made value scans open every surviving-time
+    // block). Value carries no layout order, so there is no static
+    // suffix — pruning is ENTIRELY the dynamic survivor semi-join
+    // (broadcast block-domain survivors → DPP dir skipping), exactly
+    // how engines consult per-row-group value stats. The 300-dollar
+    // cut rides the distribution's heavy tail: per-block maxima span
+    // 252..490 dollars, so ~26% of blocks die at sf0.1 (ZoneMapSpec
+    // pins fewer-files-read + skipped-block soundness). Oracle = the
+    // PLAIN filter+agg — pruning may only change the files read.
+    "q_zone_scan_value" -> { (s, dir) =>
+      graft.operators.ZoneMaps.prunedValueCut(s, dir, 30000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -370,6 +389,15 @@ object CoreQueries extends QuerySet {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS cents
         |FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the same equivalence gate for the value cut: the plain unpruned
+    // filter+agg — the sidecar may only change the files read
+    "q_zone_scan_value" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 30000
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q01_scan_projection" ->

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ingest.IngestPipeline
+import graft.engine.Engine
 
 /** Oracle-checked ingest queries: line-protocol text is BUILT from the
   * events table with Catalyst string expressions, parsed back through the
@@ -58,8 +59,92 @@ object IngestQueries extends QuerySet {
     "q_ingest_generator" -> { (s, dir) =>
       import graft.functions.ExplodeLine.explode_line
       canonOut(builtLines(s, dir).select(explode_line(col("value"))))
+    },
+
+    // ENGINE MERGE, oracle-gated (round-14 VERDICT #1): the events fact
+    // seeds a REAL engine warehouse (writeBatch → series/day partition
+    // dirs), a deterministic CDC feed runs through Engine.mergeBatch
+    // (the copy-on-write MERGE that rewrites ONLY touched (series, day)
+    // partitions through the staged-rename swap — the reference's own
+    // immutability TODO, persistence.rs:39), and the readout aggregates
+    // the MERGED TABLE STATE — so the oracle (DuckDB computing the same
+    // WHEN MATCHED/NOT MATCHED semantics directly over events) gates
+    // the whole engine path: seed write, feed join, partition rewrite,
+    // crash-safe swap, re-read. Feed (keys ≡3 mod 10 update +7.77 and
+    // re-tag, ≡7 delete, ≡1 insert a suffixed new key at +1.11 — the
+    // q_merge_upsert synthesis, zero randomness) is cut to the first
+    // week, so touched = 7 days × 5 series of ~30×5 partitions — the
+    // artifact demonstrates cost tracking touched blocks, not the
+    // corpus. Field names carry the full event_id (key-unique by
+    // construction at ANY replica interleaving). Built once per
+    // (dir, mtime) via staging+rename (the ZoneMaps artifact recipe);
+    // the measured cost is the merged-state scan + catalog-sized agg.
+    "q_merge_engine" -> { (s, dir) => mergedEngine(s, dir).table()
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        sum(when(col("tags").getItem("adj") === "y", 1L).otherwise(0L))
+          .as("n_adjusted"),
+        sum(when(col("name").endsWith("x"), 1L).otherwise(0L))
+          .as("n_inserted"))
+      .orderBy(col("series"))
     }
   )
+
+  /** The merged-warehouse artifact: seed from events, merge the
+    * deterministic feed, reuse per (dir, mtime). */
+  private def mergedEngine(s: org.apache.spark.sql.SparkSession,
+      dir: String): Engine = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"${src.getCanonicalPath}@${src.lastModified}"))
+    val out = s"${sys.props("java.io.tmpdir")}/graft_merge_wh/events_$key"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val stage = new org.apache.hadoop.fs.Path(out + ".staging")
+      fs.delete(stage, true)
+      val ev = graft.Tables.load(s, dir, "events")
+      val seedEngine = new Engine(s, stage.toString)
+      seedEngine.writeBatch(ev.select(
+        col("event_type").as("series"),
+        expr("uuid()").as("id"),
+        col("ts").as("time"),
+        current_timestamp().as("created_at"),
+        concat(lit("m"), col("event_id")).as("name"),
+        col("value"),
+        lit(null).cast("long").as("value_long"),
+        lit(null).cast("string").as("value_str"),
+        lit(null).cast("boolean").as("value_bool"),
+        map(lit("u"), col("user_id").cast("string")).as("tags")),
+        "b-seed")
+      val r10 = pmod(col("event_id"), lit(10L))
+      val feed = ev
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
+          r10.isin(1L, 3L, 7L))
+        .select(
+          when(r10 === 7L, lit("D")).otherwise(lit("U")).as("op"),
+          col("event_type").as("series"),
+          when(r10 === 1L, concat(lit("m"), col("event_id"), lit("x")))
+            .otherwise(concat(lit("m"), col("event_id"))).as("name"),
+          col("ts").as("time"),
+          when(r10 === 1L, col("value") + 1.11)
+            .otherwise(col("value") + 7.77).as("value"),
+          lit(null).cast("long").as("value_long"),
+          lit(null).cast("string").as("value_str"),
+          lit(null).cast("boolean").as("value_bool"),
+          when(r10 === 3L, map(lit("adj"), lit("y")))
+            .otherwise(map().cast("map<string,string>")).as("tags"))
+      seedEngine.mergeBatch(feed)
+      seedEngine.releaseWriterLease()
+      if (!fs.rename(stage, p)) {
+        if (fs.exists(p)) fs.delete(stage, true) // concurrent builder won
+        else throw new java.io.IOException(
+          s"merge artifact: rename $stage -> $p failed with no winner")
+      }
+    }
+    new Engine(s, out)
+  }
 
   private val typedSql =
     """WITH e AS (
@@ -85,6 +170,46 @@ object IngestQueries extends QuerySet {
     "q_ingest_typed" -> typedSql,
     // identical expected rows — the generator must match the typed
     // mapPartitions ingest path exactly
-    "q_ingest_generator" -> typedSql
+    "q_ingest_generator" -> typedSql,
+
+    // the MERGED STATE computed directly: same key (series, m<id>, ts),
+    // same feed synthesis, same WHEN MATCHED/NOT MATCHED semantics as
+    // one full-outer join — the engine's partition-rewrite path must
+    // land exactly these rows
+    "q_merge_engine" ->
+      """WITH base AS (
+        |  SELECT event_type AS series,
+        |         'm' || CAST(event_id AS VARCHAR) AS name, ts, value,
+        |         CAST(NULL AS VARCHAR) AS adj
+        |  FROM events),
+        |feed AS (
+        |  SELECT CASE WHEN event_id % 10 = 7 THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS series,
+        |         CASE WHEN event_id % 10 = 1
+        |              THEN 'm' || CAST(event_id AS VARCHAR) || 'x'
+        |              ELSE 'm' || CAST(event_id AS VARCHAR) END AS name,
+        |         ts,
+        |         CASE WHEN event_id % 10 = 1 THEN value + 1.11
+        |              ELSE value + 7.77 END AS value,
+        |         CASE WHEN event_id % 10 = 3 THEN 'y' END AS adj
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-08' AND event_id % 10 IN (1, 3, 7)),
+        |m AS (
+        |  SELECT coalesce(b.series, f.series) AS series,
+        |         coalesce(b.name, f.name) AS name,
+        |         CASE WHEN f.op IS NOT NULL THEN f.value
+        |              ELSE b.value END AS value,
+        |         CASE WHEN f.op IS NOT NULL THEN f.adj
+        |              ELSE b.adj END AS adj
+        |  FROM base b FULL OUTER JOIN feed f
+        |    ON b.series = f.series AND b.name = f.name AND b.ts = f.ts
+        |  WHERE f.op IS NULL OR f.op <> 'D')
+        |SELECT series, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN adj = 'y' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_adjusted,
+        |  CAST(sum(CASE WHEN name LIKE '%x' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted
+        |FROM m GROUP BY 1 ORDER BY series""".stripMargin
   )
 }

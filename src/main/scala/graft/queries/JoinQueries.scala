@@ -105,6 +105,16 @@ object JoinQueries extends QuerySet {
       // audit discipline applied at birth; a real deployment's feed
       // arrives externally and scans nothing)
       val r10 = pmod(col("k"), lit(10L))
+      // insert keys shift by 1e7, above TPC-H's orderkey ceiling up to
+      // SF ≈ 1.7; past that they would COLLIDE with real keys and both
+      // engines would silently agree on the drifted semantics (the
+      // oracle computes the shift identically, so the gate cannot catch
+      // it — ADVICE r13). The guard is a documented driver read of one
+      // max over the already-scanned key column: loud, not silent.
+      val maxKey = base.agg(max(col("k"))).head().getLong(0)
+      require(maxKey < 10000000L,
+        s"q_merge_upsert: max orderkey $maxKey reaches the 1e7 insert " +
+          "shift — raise the shift before trusting the CDC synthesis")
       val changes = base.filter(r10.isin(1L, 3L, 7L))
         .select(
           when(r10 === 1L, col("k") + 10000000L).otherwise(col("k"))

@@ -643,6 +643,18 @@ object PipelineQueries extends QuerySet {
         .orderBy(col("doc_id"))
     },
 
+    // THIRD maintained view through the IncrementalRollup registry
+    // (round-14 VERDICT #8): the per-source (docs, tokens) rollup that
+    // feeds q_token_budget_mix's allocator — maintained from a persisted
+    // partial store plus ONE delta scan, so the budget mix can re-plan
+    // without re-tokenizing the corpus (at 100 TB the tokenize scan IS
+    // the cost). Same store-⊎-delta ≡ recompute oracle posture as
+    // q_ivm_rollup / q_ivm_events; one registry entry is the whole
+    // implementation, and GET /views serves this same readout over HTTP.
+    "q_ivm_tokens" -> { (s, dir) =>
+      graft.operators.IncrementalRollup.refresh(s, dir, "source_tokens")
+    },
+
     "q_token_budget_mix" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -1018,6 +1030,14 @@ object PipelineQueries extends QuerySet {
         |WHERE ((c0 + w) * 200 + tw - 1) // tw // 2
         |    - (c0 * 200 + tw - 1) // tw // 2 > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the equivalence gate: the FULL per-source recompute — maintenance
+    // changes what is scanned, never the answer
+    "q_ivm_tokens" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0))) AS BIGINT) AS tokens_total
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_token_budget_mix" ->
       """WITH d AS (

@@ -660,8 +660,13 @@ object TextQueries extends QuerySet {
       val perQ = nRel.join(per, Seq("query_id"), "left")
         .na.fill(0L, Seq("n_rel_top20", "sum_prec"))
         .select(col("query_id"), col("n_rel"), col("n_rel_top20"),
-          intDiv(col("sum_prec"), least(col("n_rel"), lit(20L)))
-            .as("ap_micro"))
+          // a query with ZERO relevant docs reads AP = 0 deterministically
+          // instead of dividing by least(0, 20) — engine-dependent NULL/
+          // error behavior (ADVICE r13; non-vacuous only because current
+          // fixtures guarantee ≥ 1 relevant doc per query)
+          when(col("n_rel") > 0L,
+            intDiv(col("sum_prec"), least(col("n_rel"), lit(20L))))
+            .otherwise(0L).as("ap_micro"))
       val overall = perQ.groupBy().agg(
           sum(col("n_rel")).as("n_rel"),
           sum(col("n_rel_top20")).as("n_rel_top20"),
@@ -1379,6 +1384,28 @@ object TextQueries extends QuerySet {
     * semi-join against the broadcast terms (map-side prune of the
     * corpus-sized tf table); the only corpus shuffles are the tf/dl
     * aggs any index build pays. DuckDB twin: [[bm25HitsSql]]. */
+  /** ONE BM25 per-(term, doc) micro-contribution definition — shared by
+    * [[bm25Hits]] (the oracle-gated batch ranking) and the engine's
+    * persisted-postings GET /search serving path (Engine.searchFrame),
+    * so the served ranking cannot drift from the gated formula (the
+    * tagSkew/skewReadout no-drift discipline applied to retrieval).
+    * Lucene-form idf ln((N − df + 0.5)/(df + 0.5) + 1), k1 = 1.2,
+    * b = 0.75, length normalization dl·N/sum_dl; every input is an
+    * exact integer, ONE fixed-order double formula, micro-floored
+    * half-up per term before any summation. */
+  private[graft] def bm25Micro(tf: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+      nDocs: org.apache.spark.sql.Column,
+      sumDl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idf = log((nDocs.cast("double") - df.cast("double") + 0.5) /
+      (df.cast("double") + 0.5) + 1.0)
+    val tfc = (tf.cast("double") * 2.2) /
+      (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        ((dl.cast("double") * nDocs.cast("double")) /
+          sumDl.cast("double"))))
+    micro(idf * tfc)
+  }
+
   private[graft] def bm25Hits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qt = bm25QueryTerms.toDF("query_id", "term")
@@ -1394,19 +1421,14 @@ object TextQueries extends QuerySet {
     val tfq = tf.join(broadcast(qt.select(col("term")).distinct()),
       col("tk") === col("term")).drop("term")
     val dfx = tfq.groupBy(col("tk")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs").cast("double") - col("df").cast("double")
-        + 0.5) / (col("df").cast("double") + 0.5) + 1.0)
-    val tfc = (col("tf").cast("double") * 2.2) /
-      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-        ((col("dl").cast("double") * col("n_docs").cast("double")) /
-          col("sum_dl").cast("double"))))
     tfq
       .join(broadcast(qt), col("tk") === col("term"))
       .join(broadcast(dfx.withColumnRenamed("tk", "dtk")),
         col("tk") === col("dtk"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(corp)) // 1-row corpus totals, no collect
-      .withColumn("c_micro", micro(idf * tfc))
+      .withColumn("c_micro", bm25Micro(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("sum_dl")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("c_micro")).as("score_micro"))
@@ -2213,8 +2235,9 @@ object TextQueries extends QuerySet {
         |j AS (SELECT nr.query_id, nr.n_rel,
         |        CAST(coalesce(per.n_rel_top20, 0) AS BIGINT)
         |          AS n_rel_top20,
-        |        CAST(coalesce(per.sum_prec, 0)
-        |             // least(nr.n_rel, 20) AS BIGINT) AS ap_micro
+        |        CAST(CASE WHEN nr.n_rel > 0
+        |             THEN coalesce(per.sum_prec, 0) // least(nr.n_rel, 20)
+        |             ELSE 0 END AS BIGINT) AS ap_micro
         |      FROM nr LEFT JOIN per ON per.query_id = nr.query_id),
         |ov AS (SELECT CAST(0 AS BIGINT) AS query_id,
         |         CAST(sum(n_rel) AS BIGINT) AS n_rel,

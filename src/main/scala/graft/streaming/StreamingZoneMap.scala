@@ -28,8 +28,9 @@ import graft.operators.ZoneMaps
   */
 object StreamingZoneMap {
 
-  /** `ev`: streaming (event_id, ts) rows. Returns the per-block
-    * sidecar rollup; run it in complete mode into the serving sink. */
+  /** `ev`: streaming (event_id, ts, value) rows. Returns the per-block
+    * sidecar rollup (ts AND value-cents min/max — both prune levels
+    * stay current); run it in complete mode into the serving sink. */
   def sidecar(ev: DataFrame): DataFrame = ZoneMaps.sidecarRollup(ev)
 
   /** The prune decision over the accumulated state: blocks whose

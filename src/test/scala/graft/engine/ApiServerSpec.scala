@@ -706,6 +706,124 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /views lists the IncrementalRollup registry and serves each " +
+      "view's maintained readout (store + delta ≡ recompute), failing " +
+      "closed without a configured views directory") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val engine = new Engine(spark, tmpDir("graft-api-views"))
+    val api = new ApiServer(engine, viewsDir = Some(dir)).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // registry listing: all three registered views, with their shapes
+      val (lc, lb) = call(s"$url/views")
+      assert(lc == 200, lb)
+      for (v <- Seq("nation_revenue", "hourly_activity", "source_tokens"))
+        assert(lb.contains(s""""name":"$v""""), lb)
+      assert(lb.contains(""""source":"documents.parquet""""), lb)
+      assert(lb.contains(""""group_keys":["event_type","hr"]"""), lb)
+      // the served readout equals the full recompute (the oracle-gated
+      // q_ivm_tokens equivalence, read over HTTP)
+      val (vc, vb) = call(s"$url/views/source_tokens")
+      assert(vc == 200, vb)
+      val want = graft.Tables.load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long")).as("tokens_total"))
+        .collect()
+        .map(r => s""""source":${"\"" + r.getString(0) + "\""},""" +
+          s""""n_docs":${r.getLong(1)},"tokens_total":${r.getLong(2)}""")
+      assert(want.nonEmpty)
+      want.foreach(row => assert(vb.contains(row), s"missing $row in $vb"))
+      // validation
+      assert(call(s"$url/views/nope")._1 == 404)
+      assert(call(s"$url/views", "POST", "")._1 == 405)
+      // a server with NO views directory: listing still works, per-view
+      // serving says why it cannot (409), not an empty result
+      val bare = new ApiServer(engine).start()
+      try {
+        assert(call(s"http://127.0.0.1:${bare.boundPort}/views")._1 == 200)
+        val (nc, nb) =
+          call(s"http://127.0.0.1:${bare.boundPort}/views/source_tokens")
+        assert(nc == 409 && nb.contains("configured"), s"$nc $nb")
+      } finally bare.stop()
+    } finally api.stop()
+  }
+
+  test("GET /search serves BM25 top-k from the PERSISTED postings store " +
+      "with hand-derived scores, no fact scan at request time, and " +
+      "fail-closed validation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val engine = new Engine(spark, tmpDir("graft-api-search"))
+    val base = 1700000000000000000L
+    // three 2-token docs (equal dl ⇒ dl·N/sum_dl = 1, so by hand:
+    // tfc = tf·2.2/(tf+1.2) → 1.0 at tf=1, 1.375 at tf=2;
+    // idf(df=2) = ln(1.6) = 0.470004 micro (half-up), idf(df=1) =
+    // ln(8/3) = 0.980829 micro):
+    //   sa: "alpha beta"  sb: "alpha alpha"  sc: "beta gamma"
+    engine.ingestLines(Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha alpha" ${base + 1000000000L}""",
+      s"""sc doc="beta gamma" ${base + 2000000000L}"""))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // before any build: 409 with the rebuild hint
+      val (c0, b0) = call(s"$url/search?q=alpha")
+      assert(c0 == 409 && b0.contains("rebuild"), s"$c0 $b0")
+      assert(call(s"$url/search/rebuild", "POST", "")._1 == 200)
+      // one term: tf decides — sb (tf=2 → 646255) over sa (tf=1 → 470004)
+      val (c1, b1) = call(s"$url/search?q=alpha")
+      assert(c1 == 200, b1)
+      assert(b1.indexOf(""""series":"sb"""") >= 0 &&
+        b1.indexOf(""""series":"sb"""") < b1.indexOf(""""series":"sa""""),
+        b1)
+      assert(b1.contains(""""score_micro":646255""") &&
+        b1.contains(""""score_micro":470004"""), b1)
+      assert(!b1.contains("\"series\":\"sc\""), b1)
+      // two terms: sa hits both (940008) over sb (646255) and sc (470004)
+      val (c2, b2) = call(s"$url/search?q=alpha+beta")
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""series":"sa","name":"doc","time_us":""" +
+        s"""${base / 1000},"n_terms_hit":2,"score_micro":940008"""), b2)
+      assert(b2.indexOf(""""series":"sa"""") <
+        b2.indexOf(""""series":"sb"""") &&
+        b2.indexOf(""""series":"sb"""") < b2.indexOf(""""series":"sc""""),
+        b2)
+      // rare term scores idf(df=1): gamma → sc at 980829
+      val (c3, b3) = call(s"$url/search?q=gamma")
+      assert(c3 == 200 && b3.contains(""""score_micro":980829""") &&
+        !b3.contains("\"series\":\"sa\""), b3)
+      // k truncates
+      val (c4, b4) = call(s"$url/search?q=alpha&k=1")
+      assert(c4 == 200 && b4.contains("\"series\":\"sb\"") &&
+        !b4.contains("\"series\":\"sa\""), b4)
+      // no match: empty hits, not an error (D4)
+      val (c5, b5) = call(s"$url/search?q=zzz")
+      assert(c5 == 200 && b5.contains(""""hits":[]"""), s"$c5 $b5")
+      // validation fails closed
+      assert(call(s"$url/search")._1 == 400)
+      assert(call(s"$url/search?q=alpha&k=0")._1 == 400)
+      assert(call(s"$url/search?q=alpha&k=101")._1 == 400)
+      assert(call(s"$url/search?q=alpha", "POST", "")._1 == 405)
+      assert(call(s"$url/search/xyz")._1 == 404)
+      // THE POINT of persisting the postings: the serving plan reads
+      // ONLY the store (pruned to the terms' hash buckets) — the
+      // measurements fact table is never scanned at request time
+      val q = engine.searchFrame(Seq("alpha"), 5)
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the serving plan")
+      assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("search_index"))),
+        s"serving plan scans beyond the persisted postings:\n$q")
+      assert(scans.head.partitionFilters.nonEmpty,
+        s"term buckets did not become a partition filter:\n${scans.head}")
+    } finally api.stop()
+  }
+
   test("GET /similar serves the PERSISTED item-item neighbor rollup with " +
       "hand-derived cosines, no fact scan at request time, and " +
       "fail-closed validation") {

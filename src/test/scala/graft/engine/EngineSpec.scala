@@ -546,6 +546,57 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed persists equi-height histograms: the CBO prices " +
+      "a range predicate off real bucket bounds (estimate within the " +
+      "bucket depth), while plain ndv/min-max stats assume uniform and " +
+      "overshoot 8x") {
+    val e = new Engine(spark, tmpDir("graft-hist-cbo"))
+    // skewed value distribution: 1900 rows in [0,10), 100 in [90,100) —
+    // `value >= 50` keeps exactly 100 rows, but min/max-uniform pricing
+    // says 50% (~1000)
+    e.ingestLines((1 to 2000).map { i =>
+      val v = if (i <= 1900) i % 10 else 90 + i % 10
+      s"cpu,host=h${i % 7} v=$v.0 17000000${i % 10}0000000000"
+    })
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    def est(t: String): BigInt =
+      spark.table(t).filter(col("value") >= 50.0)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail(s"no rowCount estimate for $t"))
+    try {
+      // control: same data, column stats WITHOUT histograms (the
+      // pre-round-14 ANALYZE) — min/max-uniform pricing
+      e.table().write.bucketBy(4, "series").sortBy("series")
+        .option("path", tmpDir("graft-hist-ctl") + "/t")
+        .saveAsTable("m_hist_ctl")
+      spark.sql("ANALYZE TABLE m_hist_ctl COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE m_hist_ctl COMPUTE STATISTICS " +
+        "FOR COLUMNS `value`")
+      // maintenance slot: compactBucketed now analyzes WITH histograms
+      e.compactBucketed("m_hist_stats", key = "series", buckets = 4)
+      val uniform = est("m_hist_ctl")
+      val histo = est("m_hist_stats")
+      // the uniform control overshoots the 100 true rows massively ...
+      assert(uniform >= 800,
+        s"control did not price uniform (~1000 expected): $uniform")
+      // ... the histogram estimate lands within one bucket depth of the
+      // truth (254 default buckets over 2000 rows ⇒ depth ≈ 8; allow a
+      // generous envelope for endpoint interpolation)
+      assert((histo - 100).abs <= 100,
+        s"histogram estimate $histo not within a bucket bound of 100")
+      assert(histo * 8 <= uniform,
+        s"histograms did not beat uniform pricing: $histo vs $uniform")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS m_hist_ctl")
+      spark.sql("DROP TABLE IF EXISTS m_hist_stats")
+    }
+  }
+
   test("library functions are callable from the engine SQL surface " +
       "(parse_line_expr / vec_dot / vec_cosine)") {
     val r = engine.query(

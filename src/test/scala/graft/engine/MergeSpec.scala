@@ -1,0 +1,181 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Engine-level MERGE contract (round-14 VERDICT #1 — the reference's
+  * immutability TODO, persistence.rs:39, turned into the lakehouse
+  * mutation surface): merged state ≡ what a full recompute of the
+  * semantics would produce; UNTOUCHED partition files byte-identical;
+  * dependent stores (stats) refreshed; a crashed swap rolls back. */
+class MergeSpec extends SparkSpec {
+
+  private def ts(sec: Long) = Timestamp.from(Instant.ofEpochSecond(sec))
+
+  // two series × two days, two fields each → 8 rows, 4 partitions
+  private val t1 = 1700000000L // 2023-11-14
+  private val t2 = 1700200000L // 2023-11-17
+  private def freshEngine(tag: String): Engine = {
+    val e = new Engine(spark, tmpDir(tag))
+    val (ok, err) = e.ingestLines(Seq(
+      s"ma v=1.0,w=2.0 ${t1}000000000",
+      s"ma v=3.0,w=4.0 ${t2}000000000",
+      s"mb v=5.0,w=6.0 ${t1}000000000",
+      s"mb v=7.0,w=8.0 ${t2}000000000"))
+    assert(ok == 8 && err == 0)
+    e
+  }
+
+  private def changes(rows: Seq[(String, String, String, Timestamp,
+      Option[Double], Map[String, String])]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("op", "series", "name", "time", "value", "tags")
+      .withColumn("value_long", lit(null).cast("long"))
+      .withColumn("value_str", lit(null).cast("string"))
+      .withColumn("value_bool", lit(null).cast("boolean"))
+  }
+
+  private def files(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+  }
+
+  test("mergeBatch applies U-matched/U-unmatched/D-matched/D-unmatched, " +
+      "keeps updated row identity, rewrites ONLY touched partitions " +
+      "(untouched files byte-identical), and re-syncs the stats store") {
+    val wh = tmpDir("graft-merge")
+    val e = new Engine(spark, wh)
+    val (ok, _) = e.ingestLines(Seq(
+      s"ma v=1.0,w=2.0 ${t1}000000000",
+      s"ma v=3.0,w=4.0 ${t2}000000000",
+      s"mb v=5.0,w=6.0 ${t1}000000000",
+      s"mb v=7.0,w=8.0 ${t2}000000000"))
+    assert(ok == 8)
+    e.statsRefresh()
+    val idBefore = e.table().filter(col("series") === "ma" &&
+      col("name") === "v" && col("time") === ts(t1))
+      .select(col("id")).head().getString(0)
+    // untouched = both day-2 partitions; snapshot their files
+    val before = files(s"$wh/measurements")
+      .filter(_._1.contains("day=2023-11-17"))
+    assert(before.nonEmpty, "fixture drift: no day-2 files")
+
+    val stats = e.mergeBatch(changes(Seq(
+      ("U", "ma", "v", ts(t1), Some(2.5), Map("k" -> "x")), // update
+      ("U", "ma", "v2", ts(t1), Some(9.0), Map.empty),      // insert
+      ("D", "mb", "v", ts(t1), None, Map.empty),            // delete
+      ("D", "mb", "zz", ts(t1), None, Map.empty))))         // no-op
+    assert(stats("updated") == 1L, s"stats: $stats")
+    assert(stats("inserted") == 1L, s"stats: $stats")
+    assert(stats("deleted") == 1L, s"stats: $stats")
+    assert(stats("kept") == 2L, s"stats: $stats") // ma.w + mb.w on day 1
+    assert(stats("touched_partitions") == 2L, s"stats: $stats")
+
+    // merged state ≡ the semantics applied by hand
+    val got = e.table()
+      .select(col("series"), col("name"), col("value"), col("tags"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getAs[Map[String, String]](3)))
+      .toSet
+    val want = Set(
+      ("ma", "v", 2.5, Map("k" -> "x")), // updated (new value + tags)
+      ("ma", "w", 2.0, Map.empty[String, String]),
+      ("ma", "v2", 9.0, Map.empty[String, String]), // inserted
+      ("ma", "v", 3.0, Map.empty[String, String]),  // untouched day 2
+      ("ma", "w", 4.0, Map.empty[String, String]),
+      ("mb", "w", 6.0, Map.empty[String, String]),  // v deleted
+      ("mb", "v", 7.0, Map.empty[String, String]),  // untouched day 2
+      ("mb", "w", 8.0, Map.empty[String, String]))
+    assert(got == want, s"merged state diverged:\n got=$got\nwant=$want")
+    // updated row KEPT its identity (id unchanged — a correction, not a
+    // delete+insert)
+    val idAfter = e.table().filter(col("series") === "ma" &&
+      col("name") === "v" && col("time") === ts(t1))
+      .select(col("id")).head().getString(0)
+    assert(idAfter == idBefore, "update did not preserve row identity")
+
+    // untouched partitions: every file byte-identical (same path, same
+    // mtime, same length — never opened, never rewritten)
+    val after = files(s"$wh/measurements")
+      .filter(_._1.contains("day=2023-11-17"))
+    assert(after == before,
+      s"untouched files changed:\n before=$before\n after=$after")
+
+    // the stats store re-synced: equals a full recompute from the table
+    val storeRows = e.statsTable()
+      .select(col("series"), col("day").cast("string"), col("name"),
+        col("n"), col("sum_v").cast("double"))
+      .collect().map(_.toSeq.toList).toSet
+    val recompute = e.table()
+      .groupBy(col("series"), col("day").cast("string"), col("name"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(storeRows == recompute,
+      s"stats store diverged:\n store=$storeRows\n recompute=$recompute")
+  }
+
+  test("a feed with an unknown op or duplicate keys is rejected loudly " +
+      "(Delta multi-match parity), leaving the table untouched") {
+    val e = freshEngine("graft-merge-val")
+    val rowsBefore = e.table().count()
+    intercept[IllegalArgumentException] {
+      e.mergeBatch(changes(Seq(
+        ("X", "ma", "v", ts(t1), Some(1.0), Map.empty))))
+    }
+    intercept[IllegalArgumentException] {
+      e.mergeBatch(changes(Seq(
+        ("U", "ma", "v", ts(t1), Some(1.0), Map.empty),
+        ("U", "ma", "v", ts(t1), Some(2.0), Map.empty))))
+    }
+    assert(e.table().count() == rowsBefore)
+  }
+
+  test("a merge crashed between stage-out and swap-in rolls BACK on the " +
+      "next read; one crashed after swap-in rolls FORWARD") {
+    val e = freshEngine("graft-merge-crash")
+    val wh = e.tablePath
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val batchDir = fs.listStatus(p(wh))
+      .filter(_.getPath.getName.startsWith("ingest_batch=")).head.getPath
+    val dayDir = fs.listStatus(
+      fs.listStatus(batchDir).filter(_.getPath.getName
+        .startsWith("series=ma")).head.getPath)
+      .filter(_.getPath.getName.startsWith("day=")).head.getPath
+    val rowsBefore = e.table().count()
+
+    // simulate: stage-out happened (day dir moved to .merge_old with a
+    // manifest), but the merged batch never landed → roll back
+    fs.mkdirs(p(s"$wh.merge_old"))
+    val m = fs.create(p(s"$wh.merge_old/MANIFEST"), true)
+    m.write(s"merge-deadbeef\n0\t$dayDir"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    m.close()
+    assert(fs.rename(dayDir, p(s"$wh.merge_old/0")))
+    assert(e.table().count() == rowsBefore,
+      "roll-back did not restore the staged-out partition")
+    assert(!fs.exists(p(s"$wh.merge_old")), "roll-back left .merge_old")
+
+    // simulate: the merged batch DID land (tag dir present) → roll
+    // forward (staged-out originals are garbage and must be dropped)
+    fs.mkdirs(p(s"$wh/ingest_batch=merge-cafe"))
+    fs.mkdirs(p(s"$wh.merge_old"))
+    val m2 = fs.create(p(s"$wh.merge_old/MANIFEST"), true)
+    m2.write(s"merge-cafe\n0\t$dayDir"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    m2.close()
+    e.table().count()
+    assert(!fs.exists(p(s"$wh.merge_old")), "roll-forward left .merge_old")
+    fs.delete(p(s"$wh/ingest_batch=merge-cafe"), true)
+  }
+}

@@ -39,6 +39,52 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("autoSaltedSumCount consumes the skew advisory: salts a planted " +
+      "hot key (same result, straggler bound honored), leaves a uniform " +
+      "key on the plain plan, and stays off without the opt-in flag") {
+    // 60% hot key — top-1 share 600000 micro, far over the 20% default
+    def hot = spark.range(0, 50000).select(
+      when(col("id") % 5 < 3, lit("hot"))
+        .otherwise(concat(lit("k"), (col("id") % 1000).cast("string")))
+        .as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val plain = hot.groupBy(col("k").as("key"))
+      .agg(sum(col("v")).as("sum"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    // flag off (default): plain plan, advisory never computed
+    val (off, offSalted) = Skew.autoSaltedSumCount(
+      hot, col("k"), col("v"), buckets = 8)
+    assert(!offSalted)
+    assert(off.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == plain)
+    // flag on + hot key: salted, and STILL result-identical
+    val (on, onSalted) = Skew.autoSaltedSumCount(
+      hot, col("k"), col("v"), buckets = 8, enabled = true)
+    assert(onSalted, "advisory failed to trigger on a 60% hot key")
+    assert(on.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == plain)
+    // the straggler bound the salt buys: the partial phase (the SAME
+    // deterministic whole-row-hash salt saltedSumCount applies) spreads
+    // the hot key across all 8 buckets, so no single reducer group
+    // holds more than ~1/8 of its rows
+    val hotRows = 30000L
+    val partials = hot.withColumn("__salt",
+        pmod(hash(hot.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === "hot")
+      .groupBy(col("__salt")).count().collect().map(_.getLong(1))
+    assert(partials.length == 8, s"hot key hit ${partials.length}/8 salts")
+    assert(partials.max <= 2 * hotRows / 8,
+      s"salted partial still straggler-sized: max ${partials.max}")
+    // uniform key: advisory reads under threshold → plain plan kept
+    def uniform = spark.range(0, 50000).select(
+      concat(lit("k"), (col("id") % 1000).cast("string")).as("k"),
+      col("id").cast("double").as("v"))
+    val (_, uniSalted) = Skew.autoSaltedSumCount(
+      uniform, col("k"), col("v"), buckets = 8, enabled = true)
+    assert(!uniSalted, "advisory salted a uniform key")
+  }
+
   test("AQE skew-join engages on a planted hot key — the first line of " +
       "defense at 100 TB — and agrees with the manual salted rewrite") {
     // A key holding 60% of a 200k-row fact side: exactly the shape that

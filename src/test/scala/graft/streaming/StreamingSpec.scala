@@ -2092,31 +2092,31 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingZoneMap
     val dir = "/root/testdata/sf0.001"
     val events = graft.Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("ts"))
+      .select(col("event_id"), col("ts"), col("value"))
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
       .sortBy(_._1)
     val (b1, b2) = events.splitAt(events.length / 2)
     // the split must land INSIDE a block, or the additive-merge claim
     // (min/max folding across batches for one key) is untested
     assert(b1.last._1 / 512 == b2.head._1 / 512,
       "fixture drift: the batch boundary must straddle a block")
-    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val q = StreamingZoneMap
-      .sidecar(in.toDF().toDF("event_id", "ts"))
+      .sidecar(in.toDF().toDF("event_id", "ts", "value"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("st45").start()
-    def batchSidecar(prefix: Array[(Long, java.sql.Timestamp)])
+    def batchSidecar(prefix: Array[(Long, java.sql.Timestamp, Double)])
         : Seq[Seq[Any]] = {
       val sp = spark
       import sp.implicits._
       graft.operators.ZoneMaps.sidecarRollup(
-        prefix.toSeq.toDF("event_id", "ts"))
+        prefix.toSeq.toDF("event_id", "ts", "value"))
         .orderBy(col("blk"))
         .collect().map(_.toSeq.toList).toSeq
     }
     try {
-      var arrived = Array.empty[(Long, java.sql.Timestamp)]
+      var arrived = Array.empty[(Long, java.sql.Timestamp, Double)]
       Seq(b1, b2).foreach { b =>
         in.addData(b.toIndexedSeq: _*)
         q.processAllAvailable()

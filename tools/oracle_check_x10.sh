@@ -10,6 +10,20 @@ SF=${1:?sfDir}
 OUT=${2:?verifyOutDir}
 LOG=${3:-/tmp/oracle_x10.log}
 : > "$LOG"
+# SCALE §9.29 gate: a Verify/Bench JVM still exiting holds tens of GB of
+# heap; a DuckDB comparison started under it can die with "Failed to
+# allocate block" — a spurious, NON-correctness certification failure
+# that passes on isolated re-run. Wait for any graft JVM to exit, then
+# for MemAvailable to recover, before the first comparison.
+for _ in $(seq 1 120); do
+  pgrep -f 'graft\.(Verify|Bench|ScaleBench)' >/dev/null 2>&1 || break
+  sleep 2
+done
+for _ in $(seq 1 60); do
+  avail=$(awk '/MemAvailable/{print $2}' /proc/meminfo 2>/dev/null)
+  [ "${avail:-8388608}" -ge 8388608 ] && break  # >= 8 GiB free
+  sleep 2
+done
 pass=0; fail=0; failed=""
 for d in "$OUT"/*/; do
   q=$(basename "$d")
