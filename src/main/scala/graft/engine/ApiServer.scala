@@ -848,9 +848,28 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
               """{"error":"q parameter with at least one term required"}""")
           case _ if k.isFailure || k.get < 1 || k.get > 100 =>
             respond(ex, 400, """{"error":"k must be an int in [1,100]"}""")
+          case _ if !p.get("rerank").forall(_ == "mmr") =>
+            respond(ex, 400, """{"error":"rerank must be 'mmr'"}""")
+          case _ if p.get("rerank").contains("mmr") && k.get > 20 =>
+            // the MMR pool is 20 docs — a bigger k would silently
+            // truncate to the pool, so it is rejected (the /similar
+            // stored-list posture)
+            respond(ex, 400,
+              """{"error":"k must be in [1,20] with rerank=mmr"}""")
           case _ if !engine.searchIndexExists =>
             respond(ex, 409,
               """{"error":"search index not built; POST /search/rebuild"}""")
+          case _ if p.get("rerank").contains("mmr") =>
+            val rows = engine.searchMmr(terms, k.get)
+            val body = rows.zipWithIndex.map {
+              case ((series, name, tUs, rel, gain), i) =>
+                s"""{"rank":${i + 1},"series":${quote(series)},""" +
+                  s""""name":${quote(name)},"time_us":$tUs,""" +
+                  s""""rel_micro":$rel,"mmr_gain":$gain}"""
+            }
+            respond(ex, 200,
+              s"""{"terms":${jsonArray(terms.map(quote))},""" +
+                s""""rerank":"mmr","hits":${jsonArray(body)}}""")
           case _ =>
             val rows = engine.search(terms, k.get)
             val body = rows.map { case (series, name, tUs, nh, sm) =>

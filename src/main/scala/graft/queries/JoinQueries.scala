@@ -105,19 +105,20 @@ object JoinQueries extends QuerySet {
       // audit discipline applied at birth; a real deployment's feed
       // arrives externally and scans nothing)
       val r10 = pmod(col("k"), lit(10L))
-      // insert keys shift by 1e7, above TPC-H's orderkey ceiling up to
-      // SF ≈ 1.7; past that they would COLLIDE with real keys and both
-      // engines would silently agree on the drifted semantics (the
-      // oracle computes the shift identically, so the gate cannot catch
-      // it — ADVICE r13). The guard is a documented driver read of one
-      // max over the already-scanned key column: loud, not silent.
+      // insert-key shift DERIVED from the key width (ADVICE r13: a
+      // fixed 1e7 silently collides with real orderkeys past TPC-H
+      // SF ≈ 1.7, and both engines would agree on the drifted
+      // semantics): the next power of 10 above max(k), floor 1e7 —
+      // always > every base key, so inserts are collision-free at ANY
+      // SF or replica shift; both engines compute it from the decimal
+      // key width (integer-exact on both). One documented driver read
+      // of a single max over the already-scanned key column.
       val maxKey = base.agg(max(col("k"))).head().getLong(0)
-      require(maxKey < 10000000L,
-        s"q_merge_upsert: max orderkey $maxKey reaches the 1e7 insert " +
-          "shift — raise the shift before trusting the CDC synthesis")
+      val shift = if (maxKey < 10000000L) 10000000L
+        else math.pow(10d, maxKey.toString.length.toDouble).toLong
       val changes = base.filter(r10.isin(1L, 3L, 7L))
         .select(
-          when(r10 === 1L, col("k") + 10000000L).otherwise(col("k"))
+          when(r10 === 1L, col("k") + shift).otherwise(col("k"))
             .as("k"),
           when(r10 === 1L, lit("I")).when(r10 === 3L, lit("U"))
             .otherwise(lit("D")).as("op"),
@@ -1303,13 +1304,18 @@ object JoinQueries extends QuerySet {
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
+        |sh AS (
+        |  SELECT CASE WHEN max(k) < 10000000 THEN 10000000
+        |    ELSE CAST(power(10, len(CAST(max(k) AS VARCHAR))) AS BIGINT)
+        |    END AS shift
+        |  FROM base),
         |changes AS (
         |  SELECT k, 'U' AS op, st AS c_st, cents + 777 AS c_cents
         |  FROM base WHERE k % 10 = 3
         |  UNION ALL
         |  SELECT k, 'D', st, cents FROM base WHERE k % 10 = 7
         |  UNION ALL
-        |  SELECT k + 10000000, 'I', st, cents + 111
+        |  SELECT k + (SELECT shift FROM sh), 'I', st, cents + 111
         |  FROM base WHERE k % 10 = 1),
         |m AS (
         |  SELECT coalesce(b.st, c.c_st) AS st,

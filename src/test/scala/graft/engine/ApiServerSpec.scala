@@ -824,6 +824,49 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /search?rerank=mmr diversifies via the forward index: the " +
+      "duplicate of an already-chosen doc is demoted below a fresh doc " +
+      "(hand-derived greedy gains), k caps at the pool bound") {
+    val engine = new Engine(spark, tmpDir("graft-api-mmr"))
+    val base = 1700000000000000000L
+    // three 2-token docs, query "alpha" matches all at equal rel
+    // (df=3, N=3 ⇒ idf = ln(8/7) → 133531 micro; dl·N/sum_dl = 1):
+    //   s1: "alpha beta"  s2: "alpha beta" (exact dup)  s3: "alpha gamma"
+    // greedy: rk1 = s1 (pool order on ties), gain 7·133531 = 934717;
+    // rk2: s2 gain = 934717 − 3·1000000 (identical sets) = −2065283,
+    //      s3 gain = 934717 − 3·333333 (1-of-3 Jaccard)  =   −65282
+    //      → s3 WINS: the duplicate is demoted; rk3 = s2
+    engine.ingestLines(Seq(
+      s"""s1 doc="alpha beta" $base""",
+      s"""s2 doc="alpha beta" ${base + 1000000000L}""",
+      s"""s3 doc="alpha gamma" ${base + 2000000000L}"""))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      assert(call(s"$url/search/rebuild", "POST", "")._1 == 200)
+      // plain BM25 order: pool tie-break ranks the duplicate (s2) 2nd
+      val (c0, b0) = call(s"$url/search?q=alpha")
+      assert(c0 == 200 && b0.indexOf(""""series":"s2"""") <
+        b0.indexOf(""""series":"s3""""), b0)
+      // MMR flips it: s1, s3, s2 — with the exact hand-derived gains
+      val (c1, b1) = call(s"$url/search?q=alpha&rerank=mmr&k=3")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""rank":1,"series":"s1","name":"doc",""" +
+        s""""time_us":${base / 1000},"rel_micro":133531,""" +
+        """"mmr_gain":934717"""), b1)
+      assert(b1.contains(""""rank":2,"series":"s3"""") &&
+        b1.contains(""""mmr_gain":-65282"""), b1)
+      assert(b1.contains(""""rank":3,"series":"s2"""") &&
+        b1.contains(""""mmr_gain":-2065283"""), b1)
+      // k truncates the greedy emission
+      val (c2, b2) = call(s"$url/search?q=alpha&rerank=mmr&k=2")
+      assert(c2 == 200 && !b2.contains(""""series":"s2""""), b2)
+      // validation: bad rerank value; k over the 20-doc pool bound
+      assert(call(s"$url/search?q=alpha&rerank=xyz")._1 == 400)
+      assert(call(s"$url/search?q=alpha&rerank=mmr&k=21")._1 == 400)
+    } finally api.stop()
+  }
+
   test("GET /similar serves the PERSISTED item-item neighbor rollup with " +
       "hand-derived cosines, no fact scan at request time, and " +
       "fail-closed validation") {

@@ -389,6 +389,31 @@ class EngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest rebuilds the BM25 postings store in its " +
+      "maintenance slot (searchEveryBatches) — GET /search serves " +
+      "newly-streamed string fields") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = new Engine(spark, tmpDir("graft-ssearch"))
+    val in = MemoryStream[String]
+    val q = e.ingestStream(in.toDF().toDF("value"),
+      tmpDir("graft-ssearch-ckpt"), searchEveryBatches = 1)
+    try {
+      in.addData("""sd doc="alpha beta" 1700000000000000000""")
+      q.processAllAvailable()
+      in.addData("""sd doc="alpha gamma" 1700000001000000000""")
+      q.processAllAvailable()
+      // both micro-batches' docs are searchable — the second batch's
+      // rebuild re-indexed the full corpus
+      val hits = e.search(Seq("alpha"), 10)
+      assert(hits.length == 2, s"expected both streamed docs: $hits")
+      val rare = e.search(Seq("gamma"), 10)
+      assert(rare.length == 1 &&
+        rare.head._3 == 1700000001000000L, s"stale index: $rare")
+    } finally q.stop()
+  }
+
   test("sketch rollup answers distinct-cardinality range queries from " +
       "per-day mergeable HLL sketches, no raw scan") {
     val e = new Engine(spark, tmpDir("graft-sketch"))

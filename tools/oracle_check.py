@@ -81,6 +81,15 @@ def connect(sf_dir):
     # 48GB) can raise it per-invocation
     con.execute("SET memory_limit='%s'"
                 % os.environ.get("DUCKDB_MEMLIMIT", "48GB"))
+    # bounded threads (r14): at higher thread counts the ORDERED
+    # aggregates some oracles use (q_ewma's per-group ORDER BY sums)
+    # hold per-thread state that cannot spill — at the 10x replica that
+    # dies with "Failed to allocate block" at threads>=8 even with a
+    # 90GB limit, 100GB+ free RAM and a temp_directory (measured:
+    # threads=4 passes at the default 48GB limit). Correctness runs are
+    # not timed, so the safe default wins; DUCKDB_THREADS overrides.
+    con.execute("SET threads=%d"
+                % int(os.environ.get("DUCKDB_THREADS", "4")))
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
         # partial dirs (ScaleBench replicas) carry only the tables their
