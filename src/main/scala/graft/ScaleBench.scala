@@ -368,6 +368,9 @@ object ScaleBench {
     // semi-join's pruned scan; kept rows grow with surviving data (the
     // q_zone_scan output-bound caveat applies)
     "q_zone_scan_value",
+    // round-14: the composed time+value cut — both prune levels in one
+    // pass; output-bound on the (smaller) conjunctive survivor set
+    "q_zone_scan_both",
     // round-13 second wave: KS drift — one (type, week, cents) hash agg
     // (the cents domain saturates, weeks recur in the replica) + value-
     // domain windows; expect the agg scan to dominate, near-flat tail
@@ -726,7 +729,8 @@ object ScaleBench {
       "q_attribution", "q_drift_psi", "q_stat_funcs",
       "q_ar_forecast", "q_stl_decompose", "q_changepoint", "q_dtw",
       "q_seasonal_strength", "q_ivm_events",
-      "q_zone_maps", "q_zone_scan", "q_zone_scan_value", "q_drift_ks",
+      "q_zone_maps", "q_zone_scan", "q_zone_scan_value",
+      "q_zone_scan_both", "q_drift_ks",
       "q_skew_profile", "q_merge_engine")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")

@@ -771,6 +771,37 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // MERGE over the wire (Engine.mergeBatch's HTTP surface — the
+    // reference's immutability TODO closed end-to-end: corrections
+    // arrive in the same line-protocol dialect as writes, each line
+    // prefixed `U ` (upsert its fields at its timestamp) or `D `
+    // (delete the named fields at that timestamp)). TRANSACTIONAL,
+    // unlike /write: any bad line 400s the whole batch before disk is
+    // touched — a correction batch applies fully or not at all. The
+    // response is the provenance accounting (updated / inserted /
+    // deleted / kept / touched_partitions).
+    http.createContext("/merge", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"POST required"}""")
+        else {
+          val lines = body(ex).split("\n").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+          if (lines.isEmpty)
+            respond(ex, 400, """{"error":"empty merge batch"}""")
+          else try {
+            val counts = engine.mergeLines(lines)
+            respond(ex, 200, counts.toSeq.sortBy(_._1).map {
+              case (k, v) => s"${quote(k)}:$v"
+            }.mkString("{", ",", "}"))
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+          }
+        }
+      }
+    })
+
     // Maintained-view registry serving (round-14 VERDICT #8 — the
     // IncrementalRollup registry's serving story): GET /views lists the
     // registered standing rollups (name, fact source, group keys);

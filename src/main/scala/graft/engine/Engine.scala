@@ -1705,6 +1705,57 @@ class Engine(val spark: SparkSession, warehouse: String)
     counts - "noop" + ("touched_partitions" -> touched.length.toLong)
   }
 
+  /** MERGE over the wire — the [[mergeBatch]] feed expressed in the
+    * reference's own line-protocol dialect so corrections ride the same
+    * format as writes (POST /merge): each line is `U <line>` (upsert
+    * every field the line carries at its timestamp) or `D <line>` (the
+    * parsed field NAMES + timestamp identify the rows to delete; field
+    * values are ignored). Lines parse on the DRIVER (a correction batch
+    * is request-bounded, never corpus-sized — the model-sized-collect
+    * posture in reverse), and the batch is TRANSACTIONAL: any
+    * unparseable line, missing timestamp, or bad prefix rejects the
+    * whole batch before anything touches disk — a correction batch
+    * must apply fully or not at all (unlike /write, whose quarantine
+    * posture keeps good lines and audits bad ones). Timestamps are
+    * REQUIRED: the merge key is (series, name, time), and an
+    * arrival-time fallback would make the key non-deterministic. */
+  def mergeLines(lines: Seq[String]): Map[String, Long] = {
+    import graft.protocol.{FieldValue, LineProtocol}
+    val feedRows = lines.flatMap { raw =>
+      val opc = raw.take(2) match {
+        case "U " => "U"
+        case "D " => "D"
+        case _ => throw new IllegalArgumentException(
+          s"merge line must start with 'U ' or 'D ': $raw")
+      }
+      LineProtocol.parse(raw.drop(2)) match {
+        case Left(err) => throw new IllegalArgumentException(
+          s"merge: unparseable line ($err): $raw")
+        case Right(r) =>
+          val tns = r.timestamp.getOrElse(throw new IllegalArgumentException(
+            s"merge: line needs an explicit timestamp: $raw"))
+          // µs truncation — identical to the ingest path's
+          // timestamp_micros(time_ns div 1000)
+          val t = java.sql.Timestamp.from(
+            java.time.Instant.EPOCH.plus(tns / 1000L,
+              java.time.temporal.ChronoUnit.MICROS))
+          r.fields.map { case (k, v) =>
+            val (d, l, s2, b) = v match {
+              case FieldValue.FloatV(x)  => (Some(x), None, None, None)
+              case FieldValue.IntV(x)    => (None, Some(x), None, None)
+              case FieldValue.StringV(x) => (None, None, Some(x), None)
+              case FieldValue.BoolV(x)   => (None, None, None, Some(x))
+            }
+            (opc, r.measurement, k, t, d, l, s2, b, r.tags.toMap)
+          }
+      }
+    }
+    val sp = spark
+    import sp.implicits._
+    mergeBatch(feedRows.toDF("op", "series", "name", "time", "value",
+      "value_long", "value_str", "value_bool", "tags"))
+  }
+
   /** Roll a crashed [[mergeBatch]] back (or forward): `.merge_old`
     * present means a merge died between its stage-out and its cleanup.
     * The manifest's first line is the merge tag — if that batch dir made

@@ -706,6 +706,55 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("POST /merge applies line-protocol corrections transactionally " +
+      "(U upserts, D deletes by field+timestamp; any bad line rejects " +
+      "the whole batch before disk is touched)") {
+    import org.apache.spark.sql.functions._
+    val engine = new Engine(spark, tmpDir("graft-api-merge"))
+    val t1 = 1700000000000000000L
+    engine.ingestLines(Seq(
+      s"cpu,host=a v=1.0,w=2.0 $t1",
+      s"mem,host=b used=5.0 $t1"))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // U matched (update cpu.v), U unmatched (insert cpu.z),
+      // D matched (delete mem.used) — one batch, one response
+      val (c1, b1) = call(s"$url/merge", "POST",
+        s"cpu,adj=y v=9.5,z=7.0 $t1\nmem used=0 $t1"
+          .split("\n").map(l => if (l.startsWith("mem")) s"D $l" else s"U $l")
+          .mkString("\n"))
+      assert(c1 == 200, s"$c1 $b1")
+      assert(b1.contains(""""updated":1""") &&
+        b1.contains(""""inserted":1""") &&
+        b1.contains(""""deleted":1""") &&
+        b1.contains(""""kept":1"""), b1) // cpu.w untouched
+      val state = engine.table()
+        .select(col("series"), col("name"), col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDouble(2))).toSet
+      assert(state == Set(("cpu", "v", 9.5), ("cpu", "w", 2.0),
+        ("cpu", "z", 7.0)), s"post-merge state: $state")
+      // the update REPLACED tags (adj=y)
+      assert(engine.table().filter(col("name") === "v")
+        .select(col("tags")).head()
+        .getAs[Map[String, String]](0) == Map("adj" -> "y"))
+      // transactional reject: one bad line (no timestamp) → 400, and
+      // the good line did NOT apply
+      val before = engine.table().count()
+      val (c2, b2) = call(s"$url/merge", "POST",
+        s"U cpu v=111 $t1\nU cpu w=3.3")
+      assert(c2 == 400 && b2.contains("timestamp"), s"$c2 $b2")
+      assert(engine.table().count() == before)
+      assert(engine.table().filter(col("name") === "v")
+        .select(col("value")).head().getDouble(0) == 9.5)
+      // validation: bad prefix, empty body, wrong method
+      assert(call(s"$url/merge", "POST", s"X cpu v=1 $t1")._1 == 400)
+      assert(call(s"$url/merge", "POST", "")._1 == 400)
+      assert(call(s"$url/merge")._1 == 405)
+    } finally api.stop()
+  }
+
   test("GET /views lists the IncrementalRollup registry and serves each " +
       "view's maintained readout (store + delta ≡ recompute), failing " +
       "closed without a configured views directory") {
