@@ -1557,7 +1557,10 @@ class Engine(val spark: SparkSession, warehouse: String)
     * touched rows and re-folds the merge batch (delta-sized), sketch /
     * histogram rollups rebuild if present (their documented full-rebuild
     * posture), CQs see the merge batch as unseen and recompute exactly
-    * the touched slices, and the tag index's staleness guard routes
+    * the touched slices — with slices the merge EMPTIED pruned from
+    * every CQ target directly (an empty partition writes no dir, so the
+    * batch-driven dirty discovery alone would leave them stale;
+    * MergeSpec pins it) — and the tag index's staleness guard routes
     * [[queryByTag]] to the direct scan until its next rebuild.
     *
     * Returns provenance counts: kept / updated / inserted / deleted /
@@ -1692,6 +1695,43 @@ class Engine(val spark: SparkSession, warehouse: String)
     }
     writeVersion += 1
     seriesCache = null
+    // CQ consistency for EMPTIED slices: a touched partition whose rows
+    // ALL died in the merge has no directory in the merge batch, so the
+    // batch-driven dirty discovery (refreshCq scans unseen batches)
+    // would never revisit it and its rollup rows would linger stale.
+    // Recomputing an empty slice IS deleting its rollup rows — prune
+    // them from every registered CQ target now (slice dirs match on
+    // UNESCAPED names, the dropSeriesData posture).
+    val mergedPairs: Set[(String, String)] = {
+      val root = new org.apache.hadoop.fs.Path(
+        s"$tablePath/ingest_batch=$mergeTag")
+      if (!fsys.exists(root)) Set.empty
+      else fsys.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("series="))
+        .flatMap { s =>
+          val sName = unescapePathName(
+            s.getPath.getName.stripPrefix("series="))
+          fsys.listStatus(s.getPath).toSeq
+            .filter(d => d.isDirectory && d.getPath.getName.startsWith("day="))
+            .map(d => (sName, d.getPath.getName.stripPrefix("day=")))
+        }.toSet
+    }
+    val emptiedPairs = touchedSet -- mergedPairs
+    if (emptiedPairs.nonEmpty) for ((cqName, _) <- cqCatalog()) {
+      val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
+      if (fsys.exists(tgt)) {
+        for (s <- fsys.listStatus(tgt)
+               if s.isDirectory && s.getPath.getName.startsWith("series=")) {
+          val sName = unescapePathName(
+            s.getPath.getName.stripPrefix("series="))
+          for (d <- fsys.listStatus(s.getPath)
+                 if d.isDirectory && d.getPath.getName.startsWith("day=")
+                 if emptiedPairs(
+                   (sName, d.getPath.getName.stripPrefix("day="))))
+            fsys.delete(d.getPath, true)
+        }
+      }
+    }
     // dependent stores: stats drops its touched rows then re-folds the
     // merge batch (delta-sized — the statsRefresh contract); sketch /
     // histogram rollups rebuild if present (their documented posture,
@@ -1755,6 +1795,30 @@ class Engine(val spark: SparkSession, warehouse: String)
     mergeBatch(feedRows.toDF("op", "series", "name", "time", "value",
       "value_long", "value_str", "value_bool", "tags"))
   }
+
+  /** CONTINUOUS CDC apply — the streaming twin of [[mergeLines]]
+    * (Debezium-style change feeds: upstream corrections arrive on a
+    * stream and fold into the canonical table as they land): each
+    * micro-batch's `U `/`D ` prefixed line-protocol rows collect to the
+    * driver (a correction batch is request-bounded by nature — the
+    * mergeLines posture) and apply through ONE [[mergeBatch]] call, so
+    * every batch gets the full touched-partition copy-on-write
+    * discipline, crash recovery included. A bad line fails its batch
+    * loudly (retried by the stream), never half-applies — exactly-once
+    * per micro-batch comes from mergeBatch's transactional swap plus
+    * Structured Streaming's batch-id replay (a replayed batch re-merges
+    * idempotently: U re-applies the same values, D finds nothing).
+    * `lines` must have a string column `value`. */
+  def mergeStream(lines: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ls = batch.select(col("value")).collect()
+          .map(_.getString(0)).toSeq.filter(_.trim.nonEmpty)
+        if (ls.nonEmpty) { mergeLines(ls); () }
+      }
+      .start()
 
   /** Roll a crashed [[mergeBatch]] back (or forward): `.merge_old`
     * present means a merge died between its stage-out and its cleanup.

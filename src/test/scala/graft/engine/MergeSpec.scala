@@ -139,6 +139,69 @@ class MergeSpec extends SparkSpec {
     assert(e.table().count() == rowsBefore)
   }
 
+  test("a registered continuous query stays consistent through a merge: " +
+      "touched slices recompute via the unseen merge batch, and a slice " +
+      "the merge EMPTIED is pruned from the CQ target (no stale rows)") {
+    val e = freshEngine("graft-merge-cq")
+    e.registerCq("agg", "hour")
+    assert(e.refreshCq("agg") == 4L) // 2 series × 2 days
+    e.mergeBatch(changes(Seq(
+      ("U", "ma", "v", ts(t1), Some(100.0), Map.empty), // update (ma, d1)
+      ("D", "mb", "v", ts(t1), None, Map.empty),        // empty (mb, d1)
+      ("D", "mb", "w", ts(t1), None, Map.empty))))      // ... entirely
+    // only (ma, d1) landed in the merge batch — exactly 1 dirty slice
+    val recomputed = e.refreshCq("agg")
+    assert(recomputed == 1L, s"dirty slices recomputed: $recomputed")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("series"), col("day").cast("string"), col("name"),
+        col("bucket_start").cast("string"), col("n"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .collect().map(_.toSeq.toList).toSet
+    val got = proj(e.cqTable("agg"))
+    val want = proj(e.table()
+      .groupBy(col("series"), col("name"),
+        date_trunc("hour", col("time")).as("bucket_start"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .withColumn("day", col("bucket_start").cast("date")))
+    assert(got == want, s"cq diverged from recompute:\n got=$got\nwant=$want")
+    // the emptied slice left NOTHING behind
+    assert(!got.exists(r => r.head == "mb" &&
+      r(1).toString.startsWith("2023-11-14")), s"stale emptied slice: $got")
+    assert(got.exists(r => r.head == "mb"), "mb day-2 rows must survive")
+  }
+
+  test("mergeStream applies a continuous correction feed batch-by-batch " +
+      "(CDC apply): each micro-batch folds through ONE transactional " +
+      "mergeBatch, state tracks the feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = freshEngine("graft-merge-stream")
+    val in = MemoryStream[String]
+    val q = e.mergeStream(in.toDF().toDF("value"),
+      tmpDir("graft-merge-stream-ckpt"))
+    def state: Set[(String, String, Double)] = e.table()
+      .select(col("series"), col("name"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2))).toSet
+    try {
+      in.addData(s"U ma v=10.0 ${t1}000000000",
+        s"U ma v9=9.0 ${t1}000000000")
+      q.processAllAvailable()
+      assert(state == Set(("ma", "v", 10.0), ("ma", "w", 2.0),
+        ("ma", "v9", 9.0), ("ma", "v", 3.0), ("ma", "w", 4.0),
+        ("mb", "v", 5.0), ("mb", "w", 6.0), ("mb", "v", 7.0),
+        ("mb", "w", 8.0)),
+        s"after batch 1: $state")
+      in.addData(s"D mb v=0 ${t1}000000000")
+      q.processAllAvailable()
+      assert(!state.contains(("mb", "v", 5.0)) &&
+        state.contains(("mb", "v", 7.0)), s"after batch 2: $state")
+    } finally q.stop()
+  }
+
   test("a merge crashed between stage-out and swap-in rolls BACK on the " +
       "next read; one crashed after swap-in rolls FORWARD") {
     val e = freshEngine("graft-merge-crash")
