@@ -1588,6 +1588,12 @@ class Engine(val spark: SparkSession, warehouse: String)
     require(dupKeys == 0L,
       s"mergeBatch: $dupKeys duplicate (series, name, time) keys in the " +
         "feed — MERGE with a multi-match source is ambiguous (Delta parity)")
+    val nullKeys = feed.filter(col("series").isNull ||
+      col("name").isNull || col("time").isNull).count()
+    require(nullKeys == 0L,
+      s"mergeBatch: $nullKeys change rows carry a null series/name/time — " +
+        "an incomplete merge key would route rows into the default " +
+        "partition instead of matching anything")
     // 1. touched partitions — catalog-sized driver read
     val touched = feed.select(col("series"), col("day")).distinct()
       .collect().map(r => (r.getString(0), r.getDate(1)))

@@ -136,6 +136,10 @@ class MergeSpec extends SparkSpec {
         ("U", "ma", "v", ts(t1), Some(1.0), Map.empty),
         ("U", "ma", "v", ts(t1), Some(2.0), Map.empty))))
     }
+    intercept[IllegalArgumentException] { // incomplete merge key
+      e.mergeBatch(changes(Seq(
+        ("U", "ma", null, ts(t1), Some(1.0), Map.empty))))
+    }
     assert(e.table().count() == rowsBefore)
   }
 
