@@ -392,6 +392,12 @@ object ScaleBench {
     // recipe); the measured cost is the merged-state partitioned-table
     // scan + catalog-sized readout agg
     "q_merge_engine",
+    // round-14: the ENGINE search — warehouse seed + index build are a
+    // once-per-dir artifact; the measured cost is the term-bucket
+    // pruned postings scan + per-doc agg + TakeOrdered-20 (the small
+    // synthetic vocab gives near-zero term selectivity, so the factor
+    // reads the pruned-scan growth honestly)
+    "q_search_engine",
     // round-13 fourth wave: equi-depth histogram — one value→count agg
     // (the cents domain saturates) + domain windows; expect the
     // count-compress scan to dominate, near-flat tail
@@ -731,7 +737,7 @@ object ScaleBench {
       "q_seasonal_strength", "q_ivm_events",
       "q_zone_maps", "q_zone_scan", "q_zone_scan_value",
       "q_zone_scan_both", "q_drift_ks",
-      "q_skew_profile", "q_merge_engine")
+      "q_skew_profile", "q_merge_engine", "q_search_engine")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

@@ -953,15 +953,23 @@ class Engine(val spark: SparkSession, warehouse: String)
           unix_micros(col("time")).as("t_us"),
           expr("filter(split(lower(value_str), '[^a-z0-9]+'), " +
             "t -> length(t) > 0)").as("w"))
-      val dl = docs.select(col("series"), col("name"), col("t_us"),
-        size(col("w")).cast("long").as("dl"))
-      val corp = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
       val tf = docs
         .select(col("series"), col("name"), col("t_us"),
           explode(col("w")).as("tk"))
         .groupBy(col("series"), col("name"), col("t_us"), col("tk"))
         .agg(count(lit(1)).as("tf"))
+      // doc identity is the (series, field, time) CELL: multiple rows at
+      // one cell (legal — distinct uuids may share a key; replicas and
+      // merge histories produce them) CONCATENATE into one document, so
+      // dl derives from the token rollup (Σ tf per cell), never from a
+      // per-row size (which would fan the dl join out row × term and
+      // inflate postings — the 10× replica caught exactly that). A
+      // tokenless doc participates in nothing (absent from dl AND from
+      // n_docs — one consistent convention).
+      val dl = tf.groupBy(col("series"), col("name"), col("t_us"))
+        .agg(sum(col("tf")).as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
       val dfx = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val postings = tf
         .join(dfx, "tk")

@@ -79,6 +79,23 @@ object IngestQueries extends QuerySet {
     // construction at ANY replica interleaving). Built once per
     // (dir, mtime) via staging+rename (the ZoneMaps artifact recipe);
     // the measured cost is the merged-state scan + catalog-sized agg.
+    // ENGINE SEARCH, oracle-gated (the q_merge_engine move applied to
+    // the retrieval serving path): events seed a REAL engine warehouse
+    // whose value_str fields form a deterministic 3-token corpus
+    // (w<id%5> w<uid%7> w<id%3> — small synthetic vocab, so tf > 1 rows
+    // exist and ties exercise the total order), buildSearchIndex
+    // persists the postings+forward stores, and the query IS
+    // Engine.searchFrame("w1 w2", k=20) — so the oracle (DuckDB
+    // recomputing BM25 from events with the EXACT bm25Micro operand
+    // order) gates the whole serving path: seed write, index build,
+    // term-bucket pruned scan, shared-formula scoring, TakeOrdered.
+    // The spec-gated /search endpoint serves exactly this frame.
+    // Built once per (dir, mtime); measured cost = the pruned postings
+    // scan + per-doc agg + top-k.
+    "q_search_engine" -> { (s, dir) =>
+      searchableEngine(s, dir).searchFrame(Seq("w1", "w2"), 20)
+    },
+
     "q_merge_engine" -> { (s, dir) => mergedEngine(s, dir).table()
       .groupBy(col("series"))
       .agg(count(lit(1)).as("n"),
@@ -90,6 +107,47 @@ object IngestQueries extends QuerySet {
       .orderBy(col("series"))
     }
   )
+
+  /** The searchable-warehouse artifact: seed string-field docs from
+    * events, build the BM25 postings+forward stores, reuse per
+    * (dir, mtime). */
+  private def searchableEngine(s: org.apache.spark.sql.SparkSession,
+      dir: String): Engine = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"${src.getCanonicalPath}@${src.lastModified}"))
+    val out = s"${sys.props("java.io.tmpdir")}/graft_search_wh/events_$key"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val stage = new org.apache.hadoop.fs.Path(out + ".staging")
+      fs.delete(stage, true)
+      val ev = graft.Tables.load(s, dir, "events")
+      val seed = new Engine(s, stage.toString)
+      seed.writeBatch(ev.select(
+        col("event_type").as("series"),
+        expr("uuid()").as("id"),
+        col("ts").as("time"),
+        current_timestamp().as("created_at"),
+        lit("doc").as("name"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("long").as("value_long"),
+        concat(lit("w"), pmod(col("event_id"), lit(5L)),
+          lit(" w"), pmod(col("user_id"), lit(7L)),
+          lit(" w"), pmod(col("event_id"), lit(3L))).as("value_str"),
+        lit(null).cast("boolean").as("value_bool"),
+        map().cast("map<string,string>").as("tags")),
+        "b-seed")
+      seed.buildSearchIndex()
+      seed.releaseWriterLease()
+      if (!fs.rename(stage, p)) {
+        if (fs.exists(p)) fs.delete(stage, true) // concurrent builder won
+        else throw new java.io.IOException(
+          s"search artifact: rename $stage -> $p failed with no winner")
+      }
+    }
+    new Engine(s, out)
+  }
 
   /** The merged-warehouse artifact: seed from events, merge the
     * deterministic feed, reuse per (dir, mtime). */
@@ -171,6 +229,49 @@ object IngestQueries extends QuerySet {
     // identical expected rows — the generator must match the typed
     // mapPartitions ingest path exactly
     "q_ingest_generator" -> typedSql,
+
+    // BM25 recomputed directly from events with the EXACT bm25Micro
+    // operand order (the bm25HitsSql contrib expression verbatim) —
+    // the engine's persisted-postings serving path must land exactly
+    // this top-20
+    "q_search_engine" ->
+      """WITH d AS (
+        |  SELECT event_type AS series, 'doc' AS name,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |         ['w' || CAST(event_id % 5 AS VARCHAR),
+        |          'w' || CAST(user_id % 7 AS VARCHAR),
+        |          'w' || CAST(event_id % 3 AS VARCHAR)] AS w
+        |  FROM events),
+        |tok AS (SELECT series, name, t_us, unnest(w) AS tk FROM d),
+        |tf AS (SELECT series, name, t_us, tk,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2, 3, 4),
+        |dl AS (SELECT series, name, t_us, CAST(count(*) AS BIGINT) AS dl
+        |       FROM tok GROUP BY 1, 2, 3),
+        |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfx AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        WHERE tk IN ('w1', 'w2') GROUP BY tk),
+        |contrib AS (
+        |  SELECT f.series, f.name, f.t_us,
+        |    CAST(floor(
+        |      ln((CAST(c.n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+        |         / (CAST(x.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(f.tf AS DOUBLE) * 2.2) /
+        |       (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        ((CAST(l.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE))
+        |         / CAST(c.sum_dl AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM tf f JOIN dfx x ON x.tk = f.tk
+        |  JOIN dl l ON l.series = f.series AND l.name = f.name
+        |           AND l.t_us = f.t_us
+        |  CROSS JOIN corp c)
+        |SELECT series, name, t_us,
+        |  CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |FROM contrib GROUP BY 1, 2, 3
+        |ORDER BY score_micro DESC, series, name, t_us
+        |LIMIT 20""".stripMargin,
 
     // the MERGED STATE computed directly: same key (series, m<id>, ts),
     // same feed synthesis, same WHEN MATCHED/NOT MATCHED semantics as
