@@ -398,6 +398,13 @@ object ScaleBench {
     // synthetic vocab gives near-zero term selectivity, so the factor
     // reads the pruned-scan growth honestly)
     "q_search_engine",
+    // round-15: the INCREMENTAL search refresh (artifact builds half,
+    // folds half) and the merge-reconciled search store — both serve
+    // the same pruned-postings read shape as q_search_engine; the
+    // artifact builds amortize per dir, the factor reads the serving
+    // scan
+    "q_search_refresh",
+    "q_search_merge",
     // round-13 fourth wave: equi-depth histogram — one value→count agg
     // (the cents domain saturates) + domain windows; expect the
     // count-compress scan to dominate, near-flat tail
@@ -737,7 +744,8 @@ object ScaleBench {
       "q_seasonal_strength", "q_ivm_events",
       "q_zone_maps", "q_zone_scan", "q_zone_scan_value",
       "q_zone_scan_both", "q_drift_ks",
-      "q_skew_profile", "q_merge_engine", "q_search_engine")
+      "q_skew_profile", "q_merge_engine", "q_search_engine",
+      "q_search_refresh", "q_search_merge")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

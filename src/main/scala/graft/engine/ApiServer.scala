@@ -519,8 +519,9 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           // malformed day bounds fail closed, like /quantiles
           respond(ex, 400, """{"error":"from/to must be yyyy-MM-dd"}""")
         else {
-          val rows = engine.profileFields(series, p.get("from"), p.get("to"))
-            .collect()
+          // version-keyed cache (the /skew posture): polling dashboards
+          // re-read the memoized rows instead of re-scanning per request
+          val rows = engine.profileRows(series, p.get("from"), p.get("to"))
           def optNum(v: Any): String =
             if (v == null) "null" else v.toString
           val body = rows.map { r =>
@@ -850,9 +851,13 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
     // serving surface): GET /search?q=<terms>[&k=N] prunes the store to
     // the query terms' hash-bucket partitions, scores with the SHARED
     // TextQueries.bm25Micro formula and returns top-k (series, field,
-    // time) documents — no fact scan at request time (plan-asserted in
-    // ApiServerSpec). POST /search/rebuild refreshes after ingest; a GET
-    // before any build fails 409 with the hint (the /similar posture).
+    // time) documents — no fact scan at request time when the store is
+    // FRESH (plan-asserted in ApiServerSpec); a store predating the
+    // latest write serves through the direct-scan fallback instead
+    // (Engine.searchFrame's writeVersion guard — correct always).
+    // POST /search/refresh folds unseen batches incrementally;
+    // POST /search/rebuild is the from-scratch hammer. A GET before any
+    // build fails 409 with the hint (the /similar posture).
     // k caps at 100 fail-closed — a huge k is a driver-collect hazard,
     // not a silent truncation.
     http.createContext("/search", new HttpHandler {
@@ -861,15 +866,25 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           .stripPrefix("/")
         val p = queryParams(ex)
         val k = Try(p.getOrElse("k", "10").toInt)
+        // SHARED tokenizer (TextQueries.tokenSplitRe — the same Unicode
+        // codepoint-class split the index build uses): query terms and
+        // indexed tokens cannot disagree, and non-Latin queries work
         val terms = p.getOrElse("q", "")
           .toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+          .split(graft.queries.TextQueries.tokenSplitRe)
+          .toSeq.filter(_.nonEmpty)
         (ex.getRequestMethod, seg) match {
           case ("POST", "rebuild") =>
             engine.buildSearchIndex()
             respond(ex, 200, """{"rebuilt":true}""")
+          case ("POST", "refresh") =>
+            // incremental store-plus-delta maintenance: only ingest
+            // batches the store has not folded re-tokenize
+            engine.refreshSearchIndex()
+            respond(ex, 200, """{"refreshed":true}""")
           case ("POST", _) =>
-            respond(ex, 405, """{"error":"POST is only /search/rebuild"}""")
+            respond(ex, 405,
+              """{"error":"POST is only /search/rebuild or /search/refresh"}""")
           case (m, _) if m != "GET" =>
             respond(ex, 405, """{"error":"GET required"}""")
           case (_, s) if s.nonEmpty =>

@@ -916,6 +916,61 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("POST /merge and GET /search stay consistent over the wire " +
+      "(round-14 VERDICT #1): a corrected doc ranks under its NEW text, " +
+      "a deleted doc stops answering, /write makes the store stale but " +
+      "the fallback still serves the new doc, POST /search/refresh " +
+      "restores the store-only plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val engine = new Engine(spark, tmpDir("graft-api-search-merge"))
+    val base = 1700000000000000000L
+    engine.ingestLines(Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha alpha" ${base + 1000000000L}""",
+      s"""sc doc="beta gamma" ${base + 2000000000L}"""))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    def storeOnly(): Boolean = {
+      val q = engine.searchFrame(Seq("alpha"), 5)
+      q.queryExecution.sparkPlan.collect { case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      }.flatten.forall(_.contains("search_index"))
+    }
+    try {
+      assert(call(s"$url/search/rebuild", "POST", "")._1 == 200)
+      assert(call(s"$url/search?q=alpha")._2.contains("\"series\":\"sb\""))
+      // corrections over the wire: sb re-texts, sc dies
+      val (mc, mb) = call(s"$url/merge", "POST",
+        s"""U sb doc="gamma gamma" ${base + 1000000000L}""" + "\n" +
+          s"""D sc doc="x" ${base + 2000000000L}""")
+      assert(mc == 200 && mb.contains("\"updated\":1") &&
+        mb.contains("\"deleted\":1"), s"$mc $mb")
+      // the merge reconcile refreshed the store: store-only plan AND
+      // the corrected ranking — no rebuild call in between
+      assert(storeOnly(), "post-merge /search left the store stale")
+      val (c1, b1) = call(s"$url/search?q=alpha")
+      assert(c1 == 200 && !b1.contains("\"series\":\"sb\"") &&
+        b1.contains("\"series\":\"sa\""), s"stale alpha ranking: $b1")
+      val (c2, b2) = call(s"$url/search?q=gamma")
+      assert(c2 == 200 && b2.contains("\"series\":\"sb\"") &&
+        !b2.contains("\"series\":\"sc\""),
+        s"updated/deleted docs misranked: $b2")
+      // plain /write makes the store stale — the guard routes to the
+      // fact-table fallback, which SEES the new doc (correct, slower)
+      assert(call(s"$url/write", "POST",
+        s"""sd doc="omega omega" ${base + 3000000000L}""")._1 == 200)
+      assert(!storeOnly(), "a stale store must route to the fallback")
+      val (c3, b3) = call(s"$url/search?q=omega")
+      assert(c3 == 200 && b3.contains("\"series\":\"sd\""),
+        s"fallback hid the newly-written doc: $b3")
+      // incremental refresh over the wire: store-only again, same hits
+      assert(call(s"$url/search/refresh", "POST", "")._1 == 200)
+      assert(storeOnly(), "refresh did not restore the store-only plan")
+      val (c4, b4) = call(s"$url/search?q=omega")
+      assert(c4 == 200 && b4.contains("\"series\":\"sd\""), b4)
+    } finally api.stop()
+  }
+
   test("GET /similar serves the PERSISTED item-item neighbor rollup with " +
       "hand-derived cosines, no fact scan at request time, and " +
       "fail-closed validation") {

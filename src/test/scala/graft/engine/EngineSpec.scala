@@ -154,6 +154,32 @@ class EngineSpec extends SparkSpec {
     assert(e.listSeries() == Seq("cachev_a", "cachev_b")) // write invalidates
   }
 
+  test("/profile and /correlate serve from writeVersion-keyed caches " +
+      "(round-14 VERDICT #7 — the /skew posture): repeat polls return " +
+      "the SAME memoized instance, a write invalidates") {
+    val e = new Engine(spark, tmpDir("graft-servecache"))
+    val h = 3600000000000L
+    val base = 1700000000000000000L
+    e.ingestLines(Seq(
+      s"pc_a v=1.0 $base", s"pc_a v=2.0 ${base + h}",
+      s"pc_a v=4.0 ${base + 2 * h}",
+      s"pc_b v=1.5 $base", s"pc_b v=2.5 ${base + h}",
+      s"pc_b v=4.5 ${base + 2 * h}")) // 3 common hours → r defined
+    val p1 = e.profileRows("pc_a")
+    assert(p1.nonEmpty && (e.profileRows("pc_a") eq p1),
+      "second /profile poll re-scanned instead of serving the cache")
+    val c1 = e.correlate("pc_a", "v", None, None)
+    assert(c1.nonEmpty && (e.correlate("pc_a", "v", None, None) eq c1),
+      "second /correlate poll re-computed instead of serving the cache")
+    // a write bumps the version: both serve FRESH results
+    e.ingestLines(Seq(s"pc_a v=9.0 ${base + 3 * h}"))
+    val p2 = e.profileRows("pc_a")
+    assert(!(p2 eq p1), "/profile cache survived a write")
+    assert(p2.head.getLong(1) == 4L, s"stale profile n: ${p2.head}")
+    assert(!(e.correlate("pc_a", "v", None, None) eq c1),
+      "/correlate cache survived a write")
+  }
+
   test("owned views for vanished series are dropped, not served stale") {
     val e1 = new Engine(spark, tmpDir("graft-van1"))
     e1.ingestLines(Seq("vanish_x v=1.0 1700000000000000000"))

@@ -245,4 +245,114 @@ class MergeSpec extends SparkSpec {
     assert(!fs.exists(p(s"$wh.merge_old")), "roll-forward left .merge_old")
     fs.delete(p(s"$wh/ingest_batch=merge-cafe"), true)
   }
+
+  test("a reader NEVER recovers crashed-merge state under a FOREIGN " +
+      "writer lease (round-14 ADVICE high: the marker may be another " +
+      "JVM's LIVE merge — recovering would abort it and duplicate rows); " +
+      "breakWriterLease unblocks the recovery") {
+    val e = freshEngine("graft-merge-foreign")
+    val wh = e.tablePath
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val batchDir = fs.listStatus(p(wh))
+      .filter(_.getPath.getName.startsWith("ingest_batch=")).head.getPath
+    val dayDir = fs.listStatus(
+      fs.listStatus(batchDir).filter(_.getPath.getName
+        .startsWith("series=ma")).head.getPath)
+      .filter(_.getPath.getName.startsWith("day=")).head.getPath
+    val rowsBefore = e.table().count()
+    // stage a partition out under a manifest (a merge mid-swap)…
+    fs.mkdirs(p(s"$wh.merge_old"))
+    val m = fs.create(p(s"$wh.merge_old/MANIFEST"), true)
+    m.write(s"merge-feed1\n0\t$dayDir"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    m.close()
+    assert(fs.rename(dayDir, p(s"$wh.merge_old/0")))
+    // …and hand the lease to a FOREIGN writer
+    e.breakWriterLease()
+    val lout = fs.create(p(s"$wh.writer.lock"), true)
+    lout.write("jvm-elsewhere-123".getBytes("UTF-8"))
+    lout.close()
+    // the reader must NOT roll anything back: degraded read (missing
+    // partition), recovery state untouched
+    assert(e.table().count() < rowsBefore,
+      "reader recovered (or never lost) the staged-out partition " +
+        "despite the foreign lease")
+    assert(fs.exists(p(s"$wh.merge_old/0")),
+      "reader deleted/renamed staged-out state under a foreign lease")
+    // operator protocol: break the crashed writer's lease → next read
+    // recovers, and does NOT keep a lease it only took transiently
+    e.breakWriterLease()
+    assert(e.table().count() == rowsBefore, "recovery after lease break")
+    assert(!fs.exists(p(s"$wh.merge_old")), "recovery left .merge_old")
+    assert(!fs.exists(p(s"$wh.writer.lock")),
+      "a reader-initiated recovery must not HOLD the writer lease")
+  }
+
+  test("roll-forward recovery REPLAYS the dependent-store reconcile " +
+      "(round-14 ADVICE medium): a crash between swap-in and the " +
+      "reconcile must not leave stats double-counting touched " +
+      "partitions or a merge-emptied CQ slice stale") {
+    val e = freshEngine("graft-merge-replay")
+    val wh = e.tablePath
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    e.statsRefresh()
+    e.registerCq("agg", "hour")
+    assert(e.refreshCq("agg") == 4L)
+    // manufacture the exact post-swap pre-reconcile crash state of a
+    // merge that DELETED every (mb, day-1) row: the touched partition
+    // staged out, the (empty) merged batch live, MANIFEST recording the
+    // touched pair — then die before the stats/CQ reconcile
+    val batchDir = fs.listStatus(p(wh))
+      .filter(_.getPath.getName.startsWith("ingest_batch=")).head.getPath
+    val dayDir = fs.listStatus(
+      fs.listStatus(batchDir).filter(_.getPath.getName
+        .startsWith("series=mb")).head.getPath)
+      .filter(_.getPath.getName.startsWith("day=2023-11-14")).head.getPath
+    fs.mkdirs(p(s"$wh/ingest_batch=merge-replay1")) // swap-in happened
+    fs.mkdirs(p(s"$wh.merge_old"))
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "mb".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = fs.create(p(s"$wh.merge_old/MANIFEST"), true)
+    m.write(s"merge-replay1\ntouched\t$b64\t2023-11-14\n0\t$dayDir"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    m.close()
+    assert(fs.rename(dayDir, p(s"$wh.merge_old/0")))
+    // the next read triggers roll-forward + reconcile REPLAY
+    e.table().count()
+    assert(!fs.exists(p(s"$wh.merge_old")), "roll-forward left .merge_old")
+    // stats: must equal a recompute of the post-merge table — in
+    // particular the staged-out (mb, day-1) rows must be GONE, not
+    // double-counted by the next refresh
+    val storeRows = e.statsTable()
+      .select(col("series"), col("day").cast("string"), col("name"),
+        col("n"), col("sum_v").cast("double"))
+      .collect().map(_.toSeq.toList).toSet
+    val recompute = e.table()
+      .groupBy(col("series"), col("day").cast("string"), col("name"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(storeRows == recompute,
+      s"replayed stats diverged:\n store=$storeRows\n want=$recompute")
+    assert(!storeRows.exists(r => r.head == "mb" &&
+      r(1) == "2023-11-14"), s"stats kept the emptied partition: $storeRows")
+    // a later statsRefresh must not re-fold anything (idempotent end
+    // state: the merge tag is already in the store manifest)
+    e.statsRefresh()
+    val after = e.statsTable()
+      .select(col("series"), col("day").cast("string"), col("name"),
+        col("n"), col("sum_v").cast("double"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(after == storeRows, "statsRefresh after replay changed rows")
+    // CQ: the emptied (mb, day-1) slice was pruned by the replay
+    val cqRows = e.cqTable("agg")
+      .select(col("series"), col("day").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!cqRows.contains(("mb", "2023-11-14")),
+      s"replay left the merge-emptied CQ slice: $cqRows")
+    assert(cqRows.contains(("mb", "2023-11-17")), "mb day-2 must survive")
+  }
 }

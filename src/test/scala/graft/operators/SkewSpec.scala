@@ -85,6 +85,89 @@ class SkewSpec extends SparkSpec {
     assert(!uniSalted, "advisory salted a uniform key")
   }
 
+  test("autoSaltedStatsAgg (the refreshCq-shaped action): salts a hot " +
+      "composite key with IDENTICAL count/sum/min/max, leaves a uniform " +
+      "key plain, stays off without the flag") {
+    def hot = spark.range(0, 50000).select(
+      when(col("id") % 5 < 3, lit("s_hot")).otherwise(
+        concat(lit("s"), (col("id") % 500).cast("string"))).as("series"),
+      lit("v").as("name"),
+      when(col("id") % 5 < 3, lit("2023-11-14 10:00:00"))
+        .otherwise(lit("2023-11-14 11:00:00"))
+        .cast("timestamp").as("bucket_start"),
+      (col("id") % 97).cast("double").as("value"))
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("series"), col("name"),
+        col("bucket_start").cast("string"), col("n"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .collect().map(_.toSeq.toList).toSet
+    val keys = Seq("series", "name", "bucket_start")
+    val plain = proj(hot.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v")))
+    val (off, offSalted) = Skew.autoSaltedStatsAgg(hot, keys, col("value"))
+    assert(!offSalted && proj(off) == plain)
+    val (on, onSalted) = Skew.autoSaltedStatsAgg(hot, keys, col("value"),
+      buckets = 8, enabled = true)
+    assert(onSalted, "advisory failed on a 60% hot composite key")
+    assert(proj(on) == plain, "salted stats agg diverged from plain")
+    def uniform = spark.range(0, 50000).select(
+      concat(lit("s"), (col("id") % 500).cast("string")).as("series"),
+      lit("v").as("name"),
+      lit("2023-11-14 10:00:00").cast("timestamp").as("bucket_start"),
+      col("id").cast("double").as("value"))
+    val (_, uniSalted) = Skew.autoSaltedStatsAgg(uniform, keys,
+      col("value"), buckets = 8, enabled = true)
+    assert(!uniSalted, "advisory salted a uniform composite key")
+  }
+
+  test("refreshCq consumes the advisory→action loop (round-14 VERDICT " +
+      "#4): with the opt-in flag a hot-keyed CQ refresh salts AND lands " +
+      "the identical rollup a flag-off refresh lands") {
+    // 200 points in ONE (series, field, hour) bucket + a uniform tail:
+    // the composite key is hot, the advisory crosses 20%
+    val base = 1700000000000000000L
+    val hotLines = (0 until 200).map(i =>
+      s"cqs v=${i % 7}.0 ${base + i * 1000000000L}") // all in one hour
+    val tailLines = (0 until 100).map(i =>
+      s"cqt$i v=1.0 ${base + i * 3600L * 1000000000L}")
+    def build(tag: String): Engine = {
+      val e = new Engine(spark, tmpDir(tag))
+      val (ok, err) = e.ingestLines(hotLines ++ tailLines)
+      assert(err == 0 && ok == 300)
+      e.registerCq("agg", "hour")
+      assert(e.refreshCq("agg") > 0)
+      e
+    }
+    def proj(e: Engine) = e.cqTable("agg")
+      .select(col("series"), col("day").cast("string"), col("name"),
+        col("bucket_start").cast("string"), col("n"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .collect().map(_.toSeq.toList).toSet
+    val off = proj(build("graft-cq-plain"))
+    val prev = sys.props.get("graft.skew.autosalt")
+    sys.props("graft.skew.autosalt") = "true"
+    try {
+      // the action itself fires on this data shape (direct pin, since
+      // refreshCq only logs which branch ran)
+      val e2 = new Engine(spark, tmpDir("graft-cq-salted"))
+      e2.ingestLines(hotLines ++ tailLines)
+      val keyed = e2.table().withColumn("bucket_start",
+        date_trunc("hour", col("time")))
+      val (_, salted) = Skew.autoSaltedStatsAgg(keyed,
+        Seq("series", "name", "bucket_start"), col("value"))
+      assert(salted, "CQ data shape did not trip the advisory")
+      // and the engine path lands the identical rollup
+      e2.registerCq("agg", "hour")
+      assert(e2.refreshCq("agg") > 0)
+      assert(proj(e2) == off,
+        "salted CQ refresh diverged from the plain refresh")
+    } finally prev match {
+      case Some(v) => sys.props("graft.skew.autosalt") = v
+      case None => sys.props.remove("graft.skew.autosalt")
+    }
+  }
+
   test("AQE skew-join engages on a planted hot key — the first line of " +
       "defense at 100 TB — and agrees with the manual salted rewrite") {
     // A key holding 60% of a 200k-row fact side: exactly the shape that
