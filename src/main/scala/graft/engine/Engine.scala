@@ -2471,8 +2471,24 @@ class Engine(val spark: SparkSession, warehouse: String)
     * schema that depends on which footer Spark samples — with the fixed
     * schema, old files surface the newer columns as nulls deterministically
     * (round-2 ADVICE fix). Partition columns (ingest_batch/series/day) are
-    * matched by name against the directory structure. */
-  def table(): DataFrame =
+    * matched by name against the directory structure.
+    *
+    * SNAPSHOT READ (round-14 VERDICT #5): construction — the recovery
+    * check plus Spark's eager leaf-file listing — runs under the table
+    * lock, so a reader's file snapshot is ALWAYS a consistent pre- or
+    * post-state of any in-process write (mergeBatch's multi-directory
+    * stage-out/swap-in in particular: without the lock, a listing that
+    * raced the renames silently missed the touched partitions). A
+    * pre-merge snapshot whose files the merge then moves fails LOUDLY
+    * at execution (FileNotFoundException, ignoreMissingFiles stays
+    * false) — a reader retries and lands on post-state; it can never
+    * silently return the gap (MergeSpec pins this with a hammering
+    * concurrent reader). The price: DataFrame construction blocks for
+    * the duration of a concurrent maintenance write — the documented
+    * single-writer availability trade; cross-JVM readers remain outside
+    * the posture (a multi-driver deployment needs a commit-log table
+    * format, SCALE.md §durability). Uncontended, the lock is a no-op. */
+  def table(): DataFrame = Engine.tableLock(tablePath).synchronized {
     if (exists)
       spark.read.schema(Engine.canonicalSchema).parquet(tablePath)
         .drop("ingest_batch")
@@ -2483,6 +2499,7 @@ class Engine(val spark: SparkSession, warehouse: String)
           "value DOUBLE, value_long BIGINT, value_str STRING, " +
           "value_bool BOOLEAN, tags MAP<STRING,STRING>, series STRING, " +
           "day DATE"))
+  }
 
   private def exists: Boolean = {
     // Fast path (no recovery markers): lock-free pure existence check.
