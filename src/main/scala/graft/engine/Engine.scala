@@ -1072,6 +1072,7 @@ class Engine(val spark: SparkSession, warehouse: String)
     if (newTags.isEmpty && haveStore && !invalid && keep.isEmpty) {
       // store already covers every batch on disk — nothing to fold
       searchIndexBuiltAt = v0
+      searchDiskTrusted = java.lang.Boolean.TRUE
       return
     }
     def emptyPartials = spark.createDataFrame(
@@ -1153,6 +1154,7 @@ class Engine(val spark: SparkSession, warehouse: String)
     }
     deletePath(old)
     searchIndexBuiltAt = v0
+    searchDiskTrusted = java.lang.Boolean.TRUE // covers everything now
   }
 
   /** The persisted postings store — typed empty frame when never built. */
@@ -1178,11 +1180,35 @@ class Engine(val spark: SparkSession, warehouse: String)
     pathExists(s"$searchPath/postings")
   }
 
-  /** True iff the persisted store covers every write this JVM has
-    * observed — the serving paths below fall back to a direct fact scan
-    * when it does not (the [[queryByTag]] posture). */
+  /** One-shot cross-restart verification verdict: whether a store
+    * found on disk at startup covers every batch on disk. null = not
+    * yet checked. Re-set by every build/refresh (they land covering
+    * everything); benign to race (idempotent recompute). */
+  @volatile private var searchDiskTrusted: java.lang.Boolean = null
+
+  /** True iff the persisted store covers every write — the serving
+    * paths below fall back to a direct fact scan when it does not (the
+    * [[queryByTag]] posture). In-JVM: the writeVersion marker. ACROSS
+    * restarts the store is BETTER than the tag index (whose disk copy
+    * must be trusted blindly — documented single-writer caveat): its
+    * persisted manifest names exactly the batches it folded, so a
+    * fresh JVM verifies `on-disk batches ⊆ folded` ONCE (two metadata
+    * reads, cached) and routes to the fallback if a previous process
+    * wrote after its last refresh — stale-after-restart serves
+    * correctly instead of silently hiding the tail. */
   def searchIndexFresh: Boolean =
-    searchIndexExists && searchIndexBuiltAt >= writeVersion
+    if (!searchIndexExists) false
+    else if (writeVersion > 0 || searchIndexBuiltAt > 0)
+      searchIndexBuiltAt >= writeVersion
+    else {
+      var t = searchDiskTrusted
+      if (t == null) {
+        t = java.lang.Boolean.valueOf(
+          batchTags().subsetOf(searchFoldedTags()))
+        searchDiskTrusted = t
+      }
+      t.booleanValue()
+    }
 
   /** The serving read behind GET /search: BM25 top-k over the PERSISTED
     * postings — statically pruned to the query terms' hash buckets,
@@ -2325,6 +2351,28 @@ class Engine(val spark: SparkSession, warehouse: String)
           if (searchIndexExists)
             refreshSearchStore(Some(col("day") >= to_date(lit(beforeDay))),
               fullRebuild = false)
+          // CQ rollup targets: expired days must stop answering
+          // cqTable (round-15, the dropSeries symmetry). Bucket units
+          // divide a day, so a CQ slice's day partition equals its
+          // data's day — the same lexicographic cut applies EXACTLY,
+          // as directory deletes.
+          for ((cqName, _) <- cqCatalog()) {
+            val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
+            val cfs = fs(cqTargetPath(cqName))
+            if (cfs.exists(tgt)) {
+              for (s <- cfs.listStatus(tgt)
+                     if s.isDirectory &&
+                       s.getPath.getName.startsWith("series=")) {
+                for (d <- cfs.listStatus(s.getPath)
+                       if d.isDirectory &&
+                         d.getPath.getName.startsWith("day=")
+                       if d.getPath.getName.stripPrefix("day=") < beforeDay)
+                  cfs.delete(d.getPath, true)
+                if (cfs.listStatus(s.getPath).isEmpty)
+                  cfs.delete(s.getPath, true)
+              }
+            }
+          }
         }
         dropped
       }
@@ -2395,6 +2443,25 @@ class Engine(val spark: SparkSession, warehouse: String)
         if (searchIndexExists)
           refreshSearchStore(Some(col("series") =!= series),
             fullRebuild = false)
+        // CQ rollup targets: a dropped series must stop answering
+        // cqTable too (round-15 — the merge path prunes emptied slices
+        // since r14; drop now applies the same directory-delete
+        // symmetry as sketch/hist, closing the last side store the
+        // dependent-store discipline missed). Batch-driven dirty
+        // discovery alone would never revisit these slices: a drop
+        // writes no new batch.
+        for ((cqName, _) <- cqCatalog()) {
+          val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
+          val cfs = fs(cqTargetPath(cqName))
+          if (cfs.exists(tgt)) {
+            for (s <- cfs.listStatus(tgt)
+                   if s.isDirectory &&
+                     s.getPath.getName.startsWith("series=")
+                   if unescapePathName(
+                     s.getPath.getName.stripPrefix("series=")) == series)
+              cfs.delete(s.getPath, true)
+          }
+        }
       }
       hit
     }

@@ -154,6 +154,31 @@ class EngineSpec extends SparkSpec {
     assert(e.listSeries() == Seq("cachev_a", "cachev_b")) // write invalidates
   }
 
+  test("dropSeries and applyRetention prune CQ rollup targets (the " +
+      "merge emptied-slice discipline extended): a dropped series / " +
+      "expired day stops answering cqTable, survivors keep answering") {
+    val e = new Engine(spark, tmpDir("graft-cq-prune"))
+    val d = 86400000000000L // one day in ns
+    val base = 1700000000000000000L // 2023-11-14
+    e.ingestLines(Seq(
+      s"cqa v=1.0 $base", s"cqa v=2.0 ${base + 3 * d}",
+      s"cqb v=3.0 $base", s"cqb v=4.0 ${base + 3 * d}"))
+    e.registerCq("agg", "hour")
+    assert(e.refreshCq("agg") == 4L)
+    def slices = e.cqTable("agg")
+      .select(col("series"), col("day").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(slices.size == 4)
+    // a drop writes no new batch — without the prune, batch-driven
+    // dirty discovery would never revisit these slices
+    assert(e.dropSeries("cqa"))
+    assert(!slices.exists(_._1 == "cqa"),
+      s"dropped series still answering cqTable: $slices")
+    assert(e.applyRetention("2023-11-17") == 1L) // cqb day-1 expires
+    assert(slices == Set(("cqb", "2023-11-17")),
+      s"expired day still answering cqTable: $slices")
+  }
+
   test("/profile and /correlate serve from writeVersion-keyed caches " +
       "(round-14 VERDICT #7 — the /skew posture): repeat polls return " +
       "the SAME memoized instance, a write invalidates") {

@@ -143,6 +143,41 @@ class SearchStoreSpec extends SparkSpec {
       "expired documents still answering /search")
   }
 
+  test("cross-restart staleness: a fresh engine instance VERIFIES the " +
+      "disk store's manifest against the on-disk batches — a store a " +
+      "previous process left behind without refreshing routes to the " +
+      "fallback instead of silently hiding the unfolded tail") {
+    val wh = tmpDir("graft-search-restart")
+    val e1 = new Engine(spark, wh)
+    e1.ingestLines(Seq(s"""sa doc="alpha beta" $base"""))
+    e1.buildSearchIndex()
+    e1.releaseWriterLease()
+    // a restarted process over a store that DOES cover everything:
+    // trusted, store-only serving
+    val e2 = new Engine(spark, wh)
+    assert(e2.searchIndexFresh,
+      "restart must trust a store whose manifest covers all batches")
+    assert(scanPaths(e2.searchFrame(Seq("alpha"), 5))
+      .forall(_.contains("search_index")))
+    // the writer ingests more and dies WITHOUT refreshing…
+    e1.ingestLines(Seq(s"""sb doc="alpha alpha" ${base + 1000000000L}"""))
+    e1.releaseWriterLease()
+    // …a fresh restart must NOT trust the store (manifest misses the
+    // new batch): the guard routes to the fact-table fallback, which
+    // sees the unfolded doc
+    val e3 = new Engine(spark, wh)
+    assert(!e3.searchIndexFresh,
+      "restart trusted a store missing an on-disk batch")
+    val hits = rows(e3.searchFrame(Seq("alpha"), 5))
+    assert(hits.map(_._1) == Seq("sb", "sa"),
+      s"restart fallback hid the unfolded batch: $hits")
+    // refresh folds the tail; the store serves again
+    e3.refreshSearchIndex()
+    assert(e3.searchIndexFresh)
+    assert(rows(e3.searchFrame(Seq("alpha"), 5)) == hits)
+    e3.releaseWriterLease()
+  }
+
   test("Unicode tokenizer (VERDICT #3): Cyrillic and CJK documents are " +
       "findable, queries tokenize with the SAME shared definition, and " +
       "ASCII behavior is unchanged") {
