@@ -35,7 +35,8 @@ object ZoneProbe {
         sum(when(col("max_ts") >= cutTs &&
           col("max_value_cents") >= minCents, 1L).otherwise(0L)).as("tv"))
         .head()
-      println(s"""{"dir":"$dir","blocks":${row.getLong(0)},""" +
+      val qd = dir.replace("\\", "\\\\").replace("\"", "\\\"")
+      println(s"""{"dir":"$qd","blocks":${row.getLong(0)},""" +
         s""""open_time":${row.getLong(1)},"open_value":${row.getLong(2)},""" +
         s""""open_both":${row.getLong(3)}}""")
     }

@@ -800,7 +800,11 @@ class Engine(val spark: SparkSession, warehouse: String)
     if (hit != null && hit._1 == v0) hit._2
     else {
       val rows = correlateCompute(series, name, fromDay, toDay, k)
-      if (writeVersion == v0) correlateCache.put(key, (v0, rows))
+      if (writeVersion == v0) {
+        // bounded like profileCache — the key space is user-supplied
+        if (correlateCache.size >= 512) correlateCache.clear()
+        correlateCache.put(key, (v0, rows))
+      }
       rows
     }
   }
@@ -1059,7 +1063,21 @@ class Engine(val spark: SparkSession, warehouse: String)
     val haveStore = !fullRebuild && pathExists(s"$searchPath/partials")
     val folded: Set[String] =
       if (haveStore) searchFoldedTags() else Set.empty
-    val invalid = haveStore && keep.isEmpty && !folded.subsetOf(current)
+    // Manifest validity: a folded tag missing from disk is forgiven
+    // ONLY under a keep prune AND only while some folded tag still
+    // exists. The keep-mutations (merge / dropSeries / retention)
+    // remove batch dirs whose EVERY partial row their predicate also
+    // prunes — exact. A LAYOUT REWRITE (compact: all tags replaced at
+    // once, zero overlap) is not such a mutation: forgiving it would
+    // union the keep-filtered stale base with a full re-tokenized
+    // delta and DOUBLE-COUNT every surviving document while the new
+    // manifest claims consistency (review fix, round 15) — so no
+    // overlap means the loud from-scratch rebuild, keep ignored (the
+    // table already reflects the mutation; re-deriving from scratch is
+    // exact and costs what the forgiven path would have paid anyway
+    // when nothing overlaps).
+    val invalid = haveStore && !folded.subsetOf(current) &&
+      (keep.isEmpty || (folded intersect current).isEmpty)
     if (invalid)
       logWarning("search store manifest lists folded batches no longer " +
         s"on disk (${(folded -- current).take(3).mkString(", ")}…) — " +
@@ -1603,7 +1621,13 @@ class Engine(val spark: SparkSession, warehouse: String)
     if (hit != null && hit._1 == v0) hit._2
     else {
       val rows = profileFields(series, from, to).collect().toSeq
-      if (writeVersion == v0) profileCache.put(key, (v0, rows))
+      if (writeVersion == v0) {
+        // bound the memoization (keys carry user-supplied day ranges —
+        // unbounded growth would leak driver heap under sliding-window
+        // polling; clearing loses nothing but warmth)
+        if (profileCache.size >= 512) profileCache.clear()
+        profileCache.put(key, (v0, rows))
+      }
       rows
     }
   }
@@ -1711,6 +1735,12 @@ class Engine(val spark: SparkSession, warehouse: String)
     // invalid; refresh eagerly (one full pass — compaction already paid
     // one) instead of leaving the loud rebuild to the next reader
     if (statsStoreExists) statsRefresh()
+    // same wholesale invalidation hits the search store's manifest —
+    // rebuild eagerly for the same reason (and so a later keep-pruned
+    // refresh from merge/drop/retention never runs against a manifest
+    // compact orphaned; refreshSearchStore's no-overlap guard would
+    // catch that too, with the same full re-tokenize this pays now)
+    if (searchIndexExists) refreshSearchIndex()
   }}
 
   /** Remove orphaned staging state a crashed maintenance op can leave
@@ -1848,7 +1878,17 @@ class Engine(val spark: SparkSession, warehouse: String)
     * [[queryByTag]] to the direct scan until its next rebuild.
     *
     * Returns provenance counts: kept / updated / inserted / deleted /
-    * touched_partitions. */
+    * touched_partitions.
+    *
+    * Availability trade, stated: the table lock is held through the
+    * dependent-store reconcile (stats fold, sketch/hist rebuilds,
+    * search-store refresh), so concurrent reads that construct a
+    * DataFrame block for the whole maintenance window. Releasing the
+    * lock between swap and reconcile would let reads through sooner but
+    * admits writer interleavings between a merge's swap and its store
+    * reconcile (two merges' keep-prunes crossing) — correctness keeps
+    * the lock; the declared multi-writer fix remains a commit-log table
+    * format. */
   def mergeBatch(changes: DataFrame, maxTouched: Int = 4096)
       : Map[String, Long] = Engine.tableLock(tablePath).synchronized {
     acquireWriterLease()
@@ -2010,6 +2050,30 @@ class Engine(val spark: SparkSession, warehouse: String)
     }
   }
 
+  /** Delete every CQ target's (series, day) slice dirs matching
+    * `dead` — ONE walk with ONE escaping rule, shared by the merge
+    * emptied-slice reconcile, [[dropSeriesData]], and
+    * [[applyRetention]] (their prunes must stay in lock-step with the
+    * data deletes they mirror). Emptied series parents are dropped so
+    * listings shrink. Idempotent (pure directory deletes). */
+  private def pruneCqSlices(dead: (String, String) => Boolean): Unit =
+    for ((cqName, _) <- cqCatalog()) {
+      val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
+      val cfs = fs(cqTargetPath(cqName))
+      if (cfs.exists(tgt)) {
+        for (s <- cfs.listStatus(tgt)
+               if s.isDirectory && s.getPath.getName.startsWith("series=")) {
+          val sName = unescapePathName(
+            s.getPath.getName.stripPrefix("series="))
+          for (d <- cfs.listStatus(s.getPath)
+                 if d.isDirectory && d.getPath.getName.startsWith("day=")
+                 if dead(sName, d.getPath.getName.stripPrefix("day=")))
+            cfs.delete(d.getPath, true)
+          if (cfs.listStatus(s.getPath).isEmpty) cfs.delete(s.getPath, true)
+        }
+      }
+    }
+
   /** The batch tags a [[statsRefresh]] has already folded — empty when
     * the store was never built. */
   private def statsFoldedTags(): Set[String] =
@@ -2055,21 +2119,8 @@ class Engine(val spark: SparkSession, warehouse: String)
         }.toSet
     }
     val emptiedPairs = touchedSet -- mergedPairs
-    if (emptiedPairs.nonEmpty) for ((cqName, _) <- cqCatalog()) {
-      val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
-      if (fsys.exists(tgt)) {
-        for (s <- fsys.listStatus(tgt)
-               if s.isDirectory && s.getPath.getName.startsWith("series=")) {
-          val sName = unescapePathName(
-            s.getPath.getName.stripPrefix("series="))
-          for (d <- fsys.listStatus(s.getPath)
-                 if d.isDirectory && d.getPath.getName.startsWith("day=")
-                 if emptiedPairs(
-                   (sName, d.getPath.getName.stripPrefix("day="))))
-            fsys.delete(d.getPath, true)
-        }
-      }
-    }
+    if (emptiedPairs.nonEmpty)
+      pruneCqSlices((s, d) => emptiedPairs((s, d)))
     if (statsStoreExists && !statsFoldedTags().contains(mergeTag)) {
       val touchedKeys = touchedSet.map { case (s, d) =>
         s + "\u0000" + d }.toSeq
@@ -2173,15 +2224,20 @@ class Engine(val spark: SparkSession, warehouse: String)
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val n = batch.count()
-        require(n <= maxLinesPerBatch,
-          s"mergeStream: micro-batch carries $n lines > " +
-            s"maxLinesPerBatch=$maxLinesPerBatch — a correction feed " +
-            "must stay request-bounded (the batch will retry until the " +
-            "upstream is fixed or the cap raised)")
-        val ls = batch.select(col("value")).collect()
-          .map(_.getString(0)).toSeq.filter(_.trim.nonEmpty)
-        if (ls.nonEmpty) { mergeLines(ls); () }
+        // persist: the cap check and the collect must not evaluate the
+        // micro-batch source twice (double-read on the hot CDC path)
+        val rows = batch.select(col("value")).persist()
+        try {
+          val n = rows.count()
+          require(n <= maxLinesPerBatch,
+            s"mergeStream: micro-batch carries $n lines > " +
+              s"maxLinesPerBatch=$maxLinesPerBatch — a correction feed " +
+              "must stay request-bounded (the batch will retry until " +
+              "the upstream is fixed or the cap raised)")
+          val ls = rows.collect()
+            .map(_.getString(0)).toSeq.filter(_.trim.nonEmpty)
+          if (ls.nonEmpty) { mergeLines(ls); () }
+        } finally { rows.unpersist(); () }
       }
       .start()
 
@@ -2354,25 +2410,8 @@ class Engine(val spark: SparkSession, warehouse: String)
           // CQ rollup targets: expired days must stop answering
           // cqTable (round-15, the dropSeries symmetry). Bucket units
           // divide a day, so a CQ slice's day partition equals its
-          // data's day — the same lexicographic cut applies EXACTLY,
-          // as directory deletes.
-          for ((cqName, _) <- cqCatalog()) {
-            val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
-            val cfs = fs(cqTargetPath(cqName))
-            if (cfs.exists(tgt)) {
-              for (s <- cfs.listStatus(tgt)
-                     if s.isDirectory &&
-                       s.getPath.getName.startsWith("series=")) {
-                for (d <- cfs.listStatus(s.getPath)
-                       if d.isDirectory &&
-                         d.getPath.getName.startsWith("day=")
-                       if d.getPath.getName.stripPrefix("day=") < beforeDay)
-                  cfs.delete(d.getPath, true)
-                if (cfs.listStatus(s.getPath).isEmpty)
-                  cfs.delete(s.getPath, true)
-              }
-            }
-          }
+          // data's day — the same lexicographic cut applies EXACTLY.
+          pruneCqSlices((_, d) => d < beforeDay)
         }
         dropped
       }
@@ -2450,18 +2489,7 @@ class Engine(val spark: SparkSession, warehouse: String)
         // dependent-store discipline missed). Batch-driven dirty
         // discovery alone would never revisit these slices: a drop
         // writes no new batch.
-        for ((cqName, _) <- cqCatalog()) {
-          val tgt = new org.apache.hadoop.fs.Path(cqTargetPath(cqName))
-          val cfs = fs(cqTargetPath(cqName))
-          if (cfs.exists(tgt)) {
-            for (s <- cfs.listStatus(tgt)
-                   if s.isDirectory &&
-                     s.getPath.getName.startsWith("series=")
-                   if unescapePathName(
-                     s.getPath.getName.stripPrefix("series=")) == series)
-              cfs.delete(s.getPath, true)
-          }
-        }
+        pruneCqSlices((s, _) => s == series)
       }
       hit
     }

@@ -222,12 +222,18 @@ object IngestQueries extends QuerySet {
     * reconcile refreshes the search store. */
   private def searchMergedEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_merge_wh") { e =>
+    engineArtifact(s, dir, "graft_search_merge_wh2") { e =>
       val ev = graft.Tables.load(s, dir, "events")
       e.writeBatch(searchDocRows(ev,
         concat(lit("d"), col("event_id"))), "b-seed")
       e.buildSearchIndex()
       val r10 = pmod(col("event_id"), lit(10L))
+      // the U re-text leads with an UPPERCASE GREEK token ("Ψ9"): both
+      // engines must lowercase it and split it out through the SHARED
+      // tokenizer definition (Spark searchTokens here, the DuckDB
+      // searchTokensSql twin in the oracle) — dl/n_docs/sum_dl feel
+      // any divergence, so the Java-regex-vs-RE2 \p{L} agreement is
+      // ORACLE-GATED, not just spec prose
       val feed = ev
         .filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
           r10.isin(4L, 6L))
@@ -238,7 +244,7 @@ object IngestQueries extends QuerySet {
           col("ts").as("time"),
           lit(null).cast("double").as("value"),
           lit(null).cast("long").as("value_long"),
-          when(r10 === 4L, concat(lit("w9 w"),
+          when(r10 === 4L, concat(lit("Ψ9 w"),
             pmod(col("user_id"), lit(7L)))).otherwise(lit(null)
             .cast("string")).as("value_str"),
           lit(null).cast("boolean").as("value_bool"),
@@ -441,26 +447,31 @@ object IngestQueries extends QuerySet {
         |LIMIT 20""".stripMargin,
 
     // the POST-MERGE document set computed directly (first-week docs
-    // with id≡6 deleted, id≡4 re-texted to 'w9 w<uid%7>'), then the
-    // same BM25 — the engine's merge-reconciled search store must land
-    // exactly this top-20 (deleted docs stop ranking, updated docs rank
-    // under their new text)
+    // with id≡6 deleted, id≡4 re-texted to 'Ψ9 w<uid%7>'), tokenized
+    // through the searchTokensSql TWIN of the shared Unicode tokenizer
+    // (lower + \p{L}\p{Nd} split — so Java-regex-vs-RE2 agreement on a
+    // non-ASCII token is part of the gate), then the same BM25 — the
+    // engine's merge-reconciled search store must land exactly this
+    // top-20 (deleted docs stop ranking, updated docs rank under their
+    // new text)
     "q_search_merge" ->
-      """WITH d0 AS (
+      s"""WITH d0 AS (
         |  SELECT event_type AS series,
         |         'd' || CAST(event_id AS VARCHAR) AS name,
         |         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
-        |         event_id % 10 AS r10, user_id,
-        |         (ts < TIMESTAMP '2024-01-08') AS wk1,
-        |         event_id % 5 AS a, user_id % 7 AS b, event_id % 3 AS c
+        |         CASE
+        |           WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 6
+        |           THEN NULL
+        |           WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 4
+        |           THEN 'Ψ9 w' || CAST(user_id % 7 AS VARCHAR)
+        |           ELSE 'w' || CAST(event_id % 5 AS VARCHAR) || ' w' ||
+        |                CAST(user_id % 7 AS VARCHAR) || ' w' ||
+        |                CAST(event_id % 3 AS VARCHAR) END AS text
         |  FROM events),
         |d AS (
         |  SELECT series, name, t_us,
-        |    CASE WHEN wk1 AND r10 = 4
-        |         THEN ['w9', 'w' || CAST(b AS VARCHAR)]
-        |         ELSE ['w' || CAST(a AS VARCHAR), 'w' || CAST(b AS VARCHAR),
-        |               'w' || CAST(c AS VARCHAR)] END AS w
-        |  FROM d0 WHERE NOT (wk1 AND r10 = 6)),
+        |    ${graft.queries.TextQueries.searchTokensSql("text")} AS w
+        |  FROM d0 WHERE text IS NOT NULL),
         |tok AS (SELECT series, name, t_us, unnest(w) AS tk FROM d),
         |tf AS (SELECT series, name, t_us, tk,
         |         CAST(count(*) AS BIGINT) AS tf

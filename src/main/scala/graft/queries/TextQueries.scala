@@ -1405,8 +1405,15 @@ object TextQueries extends QuerySet {
     * Engine.buildSearchIndex / refreshSearchIndex / the stale-read
     * direct scan, the /search query-term parser, and the DuckDB oracle
     * twin [[searchTokensSql]] — Java regex and DuckDB's RE2 agree on
-    * the \p{L}/\p{Nd} categories (spec-pinned in TokenizerSpec), so the
-    * oracle gate moves with the definition. */
+    * the \p{L}/\p{Nd} categories: the Spark side is pinned on
+    * Cyrillic/CJK fixtures in SearchStoreSpec, and the CROSS-ENGINE
+    * agreement is oracle-gated by q_search_merge, whose corpus carries
+    * a Greek 'Ψ9' token tokenized by searchTokens on the engine side
+    * and by [[searchTokensSql]] in the DuckDB oracle. Locale caveat,
+    * documented: query-term lowercasing uses Locale.ROOT while Spark's
+    * lower() folds per its collation rules — they agree everywhere but
+    * a Turkish-default-locale JVM's dotted-I (outside this deployment's
+    * posture). */
   private[graft] val tokenSplitRe = "[^\\p{L}\\p{Nd}]+"
 
   /** Spark side of the shared tokenizer: value -> array of tokens. */

@@ -143,6 +143,42 @@ class SearchStoreSpec extends SparkSpec {
       "expired documents still answering /search")
   }
 
+  test("a layout rewrite cannot poison a keep-pruned refresh: compact " +
+      "refreshes the search store eagerly, and the no-overlap guard " +
+      "rebuilds from scratch instead of double-counting stale partials") {
+    val wh = tmpDir("graft-search-compact")
+    val e = new Engine(spark, wh)
+    val (ok, err) = e.ingestLines(Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha gamma" $day2"""))
+    assert(ok == 2 && err == 0)
+    e.buildSearchIndex()
+    val before = rows(e.searchFrame(Seq("alpha"), 5))
+    e.compact() // rewrites every batch tag → manifest would be orphaned
+    assert(e.searchIndexFresh,
+      "compact must refresh the search store eagerly (the stats posture)")
+    assert(rows(e.searchFrame(Seq("alpha"), 5)) == before,
+      "compact changed the served ranking")
+    // manufacture the orphaned-manifest state a compact that died
+    // before its search refresh would leave: the manifest references
+    // tags no longer on disk, ZERO overlap with the current layout
+    val sp = spark
+    import sp.implicits._
+    Seq("b-vanished").toDF("batch_tag").coalesce(1).write
+      .mode("overwrite").parquet(s"$wh/search_index/manifest")
+    // a keep-pruned refresh (retention) must take the loud from-scratch
+    // rebuild — forgiving this would union the stale keep-filtered
+    // partials with a FULL re-tokenized delta and double every tf
+    assert(e.applyRetention("2023-11-15") == 1L) // sa's day expires
+    val tfs = e.searchTable()
+      .select(col("series"), col("tk"), col("tf"), col("dl"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(tfs == Set(("sb", "alpha", 1L, 2L), ("sb", "gamma", 1L, 2L)),
+      s"stale partials double-counted (or wrong survivors): $tfs")
+    assert(rows(e.searchFrame(Seq("alpha"), 5)).map(_._1) == Seq("sb"))
+  }
+
   test("cross-restart staleness: a fresh engine instance VERIFIES the " +
       "disk store's manifest against the on-disk batches — a store a " +
       "previous process left behind without refreshing routes to the " +
