@@ -405,6 +405,10 @@ object ScaleBench {
     // scan
     "q_search_refresh",
     "q_search_merge",
+    // round-16: the scoped serving read — same artifact, the candidate
+    // filter rides the pruned postings scan; the factor reads the
+    // (smaller) scoped read against the K× store
+    "q_search_scoped",
     // round-13 fourth wave: equi-depth histogram — one value→count agg
     // (the cents domain saturates) + domain windows; expect the
     // count-compress scan to dominate, near-flat tail
@@ -745,7 +749,7 @@ object ScaleBench {
       "q_zone_maps", "q_zone_scan", "q_zone_scan_value",
       "q_zone_scan_both", "q_drift_ks",
       "q_skew_profile", "q_merge_engine", "q_search_engine",
-      "q_search_refresh", "q_search_merge")
+      "q_search_refresh", "q_search_merge", "q_search_scoped")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

@@ -27,13 +27,18 @@ object ZoneProbe {
     val minCents = 30000L
     for (dir <- args) {
       val (_, sidecar) = graft.operators.ZoneMaps.eventsLayout(spark, dir)
+      // coalesce: sum() over an EMPTY sidecar (zero blocks) is NULL and
+      // getLong would NPE — an empty dir must print a zero-count line
+      // (round-15 ADVICE)
       val row = sidecar.agg(
         count(lit(1)).as("blocks"),
-        sum(when(col("max_ts") >= cutTs, 1L).otherwise(0L)).as("t"),
-        sum(when(col("max_value_cents") >= minCents, 1L).otherwise(0L))
-          .as("v"),
-        sum(when(col("max_ts") >= cutTs &&
-          col("max_value_cents") >= minCents, 1L).otherwise(0L)).as("tv"))
+        coalesce(sum(when(col("max_ts") >= cutTs, 1L).otherwise(0L)),
+          lit(0L)).as("t"),
+        coalesce(sum(when(col("max_value_cents") >= minCents, 1L)
+          .otherwise(0L)), lit(0L)).as("v"),
+        coalesce(sum(when(col("max_ts") >= cutTs &&
+          col("max_value_cents") >= minCents, 1L).otherwise(0L)), lit(0L))
+          .as("tv"))
         .head()
       val qd = dir.replace("\\", "\\\\").replace("\"", "\\\"")
       println(s"""{"dir":"$qd","blocks":${row.getLong(0)},""" +

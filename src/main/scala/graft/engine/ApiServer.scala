@@ -873,6 +873,11 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           .toLowerCase(java.util.Locale.ROOT)
           .split(graft.queries.TextQueries.tokenSplitRe)
           .toSeq.filter(_.nonEmpty)
+        // scoped search (round-15 VERDICT #3): series=/from=/to= push as
+        // candidate filters after the term-bucket prune (µs, inclusive)
+        val scopeSeries = p.get("series")
+        val fromUs = p.get("from").map(v => Try(v.toLong))
+        val toUs = p.get("to").map(v => Try(v.toLong))
         (ex.getRequestMethod, seg) match {
           case ("POST", "rebuild") =>
             engine.buildSearchIndex()
@@ -894,8 +899,16 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
               """{"error":"q parameter with at least one term required"}""")
           case _ if k.isFailure || k.get < 1 || k.get > 100 =>
             respond(ex, 400, """{"error":"k must be an int in [1,100]"}""")
+          case _ if fromUs.exists(_.isFailure) || toUs.exists(_.isFailure) =>
+            respond(ex, 400,
+              """{"error":"from/to must be integer epoch microseconds"}""")
           case _ if !p.get("rerank").forall(_ == "mmr") =>
             respond(ex, 400, """{"error":"rerank must be 'mmr'"}""")
+          case _ if p.get("rerank").contains("mmr") &&
+              (scopeSeries.nonEmpty || fromUs.nonEmpty || toUs.nonEmpty) =>
+            // silently ignoring a scope would be worse than rejecting it
+            respond(ex, 400,
+              """{"error":"series/from/to are not supported with rerank=mmr"}""")
           case _ if p.get("rerank").contains("mmr") && k.get > 20 =>
             // the MMR pool is 20 docs — a bigger k would silently
             // truncate to the pool, so it is rejected (the /similar
@@ -905,6 +918,13 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
           case _ if !engine.searchIndexExists =>
             respond(ex, 409,
               """{"error":"search index not built; POST /search/rebuild"}""")
+          case _ if engine.searchFailWhenStale && !engine.searchIndexFresh =>
+            // fail-closed stale serving (round-15 VERDICT #5, opt-in):
+            // reject-over-scan with a refresh hint — the /similar 409
+            // posture — instead of the corpus-priced direct fallback
+            respond(ex, 409,
+              """{"error":"search store is stale and fail-closed serving """ +
+                """is configured; POST /search/refresh, then retry"}""")
           case _ if p.get("rerank").contains("mmr") =>
             val rows = engine.searchMmr(terms, k.get)
             val body = rows.zipWithIndex.map {
@@ -917,7 +937,8 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
               s"""{"terms":${jsonArray(terms.map(quote))},""" +
                 s""""rerank":"mmr","hits":${jsonArray(body)}}""")
           case _ =>
-            val rows = engine.search(terms, k.get)
+            val rows = engine.search(terms, k.get, scopeSeries,
+              fromUs.map(_.get), toUs.map(_.get))
             val body = rows.map { case (series, name, tUs, nh, sm) =>
               s"""{"series":${quote(series)},"name":${quote(name)},""" +
                 s""""time_us":$tUs,"n_terms_hit":$nh,"score_micro":$sm}"""

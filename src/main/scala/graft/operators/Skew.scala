@@ -88,7 +88,16 @@ object Skew {
     df.withColumn("__salt",
         // map-typed columns are dropped from the salt input; the
         // remaining columns (row ids, times, values) already spread a
-        // hot key deterministically
+        // hot key deterministically. LIMITATION (round-15 ADVICE,
+        // documented): rows that are EXACT duplicates across every
+        // non-map column hash to one salt bucket, so a hot key made of
+        // identical rows gets no spread (results stay correct — only
+        // the skew relief is lost). The engine's CQ consumer is safe
+        // (uuid/created_at differ per row); generic duplicate-heavy
+        // inputs should pre-mix a row discriminator into the frame
+        // (spark_partition_id/monotonically_increasing_id are ruled out
+        // HERE because the salt must be deterministic under stage
+        // retry/resume — a caller-supplied stable id is not).
         pmod(hash(df.schema.fields.filterNot(f => containsMap(f.dataType))
           .map(f => col(f.name)).toIndexedSeq: _*), lit(buckets)))
       .groupBy((keyNames.map(col) :+ col("__salt")): _*)

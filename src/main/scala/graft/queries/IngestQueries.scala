@@ -133,6 +133,20 @@ object IngestQueries extends QuerySet {
     // from the merged document set directly.
     "q_search_merge" -> { (s, dir) =>
       searchMergedEngine(s, dir).searchFrame(Seq("w1", "w2"), 20)
+    },
+
+    // SCOPED SEARCH, oracle-gated (round-15 VERDICT #3): the same
+    // searchable warehouse, but the query is "w1 w2, in series 'click',
+    // Jan 8–21" — series/from/to ride the store-only term-bucket-pruned
+    // scan as candidate filters while the BM25 statistics stay GLOBAL
+    // (the Lucene filter-query semantics; the oracle recomputes corpus
+    // stats over ALL docs, then restricts candidates to the slice, so a
+    // pass certifies both the pushdown AND that scoping does not
+    // re-weight the corpus). Same artifact as q_search_engine — the
+    // measured cost is the scoped pruned read, no extra build.
+    "q_search_scoped" -> { (s, dir) =>
+      searchableEngine(s, dir).searchFrame(Seq("w1", "w2"), 20,
+        Some("click"), Some(1704672000000000L), Some(1705881599999999L))
     }
   )
 
@@ -194,7 +208,7 @@ object IngestQueries extends QuerySet {
     * round 15. */
   private def searchableEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_wh3") { e =>
+    engineArtifact(s, dir, "graft_search_wh4") { e =>
       e.writeBatch(searchDocRows(graft.Tables.load(s, dir, "events"),
         lit("doc")), "b-seed")
       e.buildSearchIndex()
@@ -204,7 +218,7 @@ object IngestQueries extends QuerySet {
     * the corpus, ingest the rest, fold it in INCREMENTALLY. */
   private def refreshedSearchEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_refresh_wh") { e =>
+    engineArtifact(s, dir, "graft_search_refresh_wh2") { e =>
       val ev = graft.Tables.load(s, dir, "events")
       e.writeBatch(searchDocRows(
         ev.filter(pmod(col("event_id"), lit(2L)) === 0L), lit("doc")),
@@ -222,7 +236,7 @@ object IngestQueries extends QuerySet {
     * reconcile refreshes the search store. */
   private def searchMergedEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_merge_wh2") { e =>
+    engineArtifact(s, dir, "graft_search_merge_wh3") { e =>
       val ev = graft.Tables.load(s, dir, "events")
       e.writeBatch(searchDocRows(ev,
         concat(lit("d"), col("event_id"))), "b-seed")
@@ -496,6 +510,51 @@ object IngestQueries extends QuerySet {
         |  JOIN dl l ON l.series = f.series AND l.name = f.name
         |           AND l.t_us = f.t_us
         |  CROSS JOIN corp c)
+        |SELECT series, name, t_us,
+        |  CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |FROM contrib GROUP BY 1, 2, 3
+        |ORDER BY score_micro DESC, series, name, t_us
+        |LIMIT 20""".stripMargin,
+
+    // scoped search: GLOBAL corpus statistics (df/dl/n_docs/sum_dl over
+    // every doc), candidates RESTRICTED to (series='click', Jan 8–21) —
+    // exactly the engine's filter-after-prune semantics
+    "q_search_scoped" ->
+      """WITH d AS (
+        |  SELECT event_type AS series, 'doc' AS name,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |         ['w' || CAST(event_id % 5 AS VARCHAR),
+        |          'w' || CAST(user_id % 7 AS VARCHAR),
+        |          'w' || CAST(event_id % 3 AS VARCHAR)] AS w
+        |  FROM events),
+        |tok AS (SELECT series, name, t_us, unnest(w) AS tk FROM d),
+        |tf AS (SELECT series, name, t_us, tk,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2, 3, 4),
+        |dl AS (SELECT series, name, t_us, CAST(count(*) AS BIGINT) AS dl
+        |       FROM tok GROUP BY 1, 2, 3),
+        |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfx AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        WHERE tk IN ('w1', 'w2') GROUP BY tk),
+        |contrib AS (
+        |  SELECT f.series, f.name, f.t_us,
+        |    CAST(floor(
+        |      ln((CAST(c.n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+        |         / (CAST(x.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(f.tf AS DOUBLE) * 2.2) /
+        |       (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        ((CAST(l.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE))
+        |         / CAST(c.sum_dl AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM tf f JOIN dfx x ON x.tk = f.tk
+        |  JOIN dl l ON l.series = f.series AND l.name = f.name
+        |           AND l.t_us = f.t_us
+        |  CROSS JOIN corp c
+        |  WHERE f.series = 'click'
+        |    AND f.t_us >= 1704672000000000
+        |    AND f.t_us <= 1705881599999999)
         |SELECT series, name, t_us,
         |  CAST(count(*) AS BIGINT) AS n_terms_hit,
         |  CAST(sum(c_micro) AS BIGINT) AS score_micro

@@ -873,6 +873,60 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /search scope params (series/from/to) filter candidates " +
+      "with GLOBAL scores over the wire; bad scopes 400; the fail-closed " +
+      "stale mode serves 409-with-refresh-hint instead of the corpus " +
+      "fallback (round-15 VERDICT #3/#5)") {
+    val engine = new Engine(spark, tmpDir("graft-api-search-scope"))
+    val base = 1700000000000000000L
+    engine.ingestLines(Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha alpha" ${base + 1000000000L}""",
+      s"""sc doc="beta gamma" ${base + 2000000000L}"""))
+    val api = new ApiServer(engine).start()
+    val url = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      assert(call(s"$url/search/rebuild", "POST", "")._1 == 200)
+      val score = (body: String, series: String) => {
+        val re = ("\"series\":\"" + series +
+          "\"[^}]*\"score_micro\":(-?\\d+)").r
+        re.findFirstMatchIn(body).map(_.group(1).toLong)
+      }
+      val (cu, bu) = call(s"$url/search?q=alpha")
+      assert(cu == 200 && score(bu, "sa").nonEmpty, bu)
+      // series scope: only sa ranks, and its score is IDENTICAL to the
+      // unscoped read — a filter, not a per-scope re-weighting
+      val (ca, ba) = call(s"$url/search?q=alpha&series=sa")
+      assert(ca == 200 && !ba.contains("\"series\":\"sb\""), ba)
+      assert(score(ba, "sa") == score(bu, "sa"),
+        s"scoped score diverged: $ba vs $bu")
+      // time scope: from just past sa's µs timestamp excludes sa only
+      val t0 = base / 1000L
+      val (ct, bt) = call(s"$url/search?q=alpha&from=${t0 + 1}")
+      assert(ct == 200 && !bt.contains("\"series\":\"sa\"") &&
+        bt.contains("\"series\":\"sb\""), bt)
+      assert(score(bt, "sb") == score(bu, "sb"),
+        s"time-scoped score diverged: $bt vs $bu")
+      // validation: non-numeric bounds and scope-with-mmr reject
+      assert(call(s"$url/search?q=alpha&from=abc")._1 == 400)
+      assert(call(s"$url/search?q=alpha&to=2024-01-01")._1 == 400)
+      assert(call(s"$url/search?q=alpha&rerank=mmr&series=sa")._1 == 400)
+      // default stale posture: the corpus-priced fallback serves (200)
+      assert(call(s"$url/write", "POST",
+        s"""sd doc="omega" ${base + 3000000000L}""")._1 == 200)
+      assert(call(s"$url/search?q=alpha")._1 == 200)
+      // fail-closed mode: the same stale read now 409s with the hint
+      engine.searchFailWhenStale = true
+      val (cx, bx) = call(s"$url/search?q=alpha")
+      assert(cx == 409 && bx.contains("refresh"), s"$cx $bx")
+      // refresh restores serving under the same mode
+      assert(call(s"$url/search/refresh", "POST", "")._1 == 200)
+      val (cy, by2) = call(s"$url/search?q=omega")
+      assert(cy == 200 && by2.contains("\"series\":\"sd\""), by2)
+      engine.searchFailWhenStale = false
+    } finally api.stop()
+  }
+
   test("GET /search?rerank=mmr diversifies via the forward index: the " +
       "duplicate of an already-chosen doc is demoted below a fresh doc " +
       "(hand-derived greedy gains), k caps at the pool bound") {

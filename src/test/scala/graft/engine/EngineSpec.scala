@@ -280,9 +280,12 @@ class EngineSpec extends SparkSpec {
   test("pre-extension batch dirs read with the pinned schema: new typed " +
       "columns surface as nulls deterministically (round-2 ADVICE fix)") {
     val e = new Engine(spark, tmpDir("graft-compat"))
-    e.ingestLines(Seq("mix,h=a v=1.5,n=7i,s=\"x\" 1700000000000000000"))
     // simulate a warehouse written BEFORE value_long/value_str/value_bool
-    // existed: a batch dir whose files carry only the original columns
+    // existed: a batch dir whose files carry only the original columns,
+    // present BEFORE the engine's first write (the real upgrade order —
+    // the first mutation bootstraps the manifest from the full listing,
+    // so the legacy dir joins the committed version; dirs planted AFTER
+    // a manifest exists need the explicit repairManifest() escape hatch)
     val legacy = spark.sql(
       """SELECT 'old-id' AS id,
         |       timestamp'2023-11-14 22:13:20' AS time,
@@ -291,6 +294,7 @@ class EngineSpec extends SparkSpec {
         |       map('h', 'z') AS tags""".stripMargin)
     legacy.write.parquet(
       s"${e.tablePath}/ingest_batch=legacy/series=oldmix/day=2023-11-14")
+    e.ingestLines(Seq("mix,h=a v=1.5,n=7i,s=\"x\" 1700000000000000000"))
     // footer sampling order must not matter: the pinned schema surfaces
     // the missing typed columns as nulls on the legacy rows
     val rows = e.table().filter(col("series") === "oldmix").collect()

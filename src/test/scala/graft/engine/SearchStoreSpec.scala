@@ -159,13 +159,23 @@ class SearchStoreSpec extends SparkSpec {
       "compact must refresh the search store eagerly (the stats posture)")
     assert(rows(e.searchFrame(Seq("alpha"), 5)) == before,
       "compact changed the served ranking")
-    // manufacture the orphaned-manifest state a compact that died
-    // before its search refresh would leave: the manifest references
-    // tags no longer on disk, ZERO overlap with the current layout
-    val sp = spark
-    import sp.implicits._
-    Seq("b-vanished").toDF("batch_tag").coalesce(1).write
-      .mode("overwrite").parquet(s"$wh/search_index/manifest")
+    // manufacture the orphaned-registry state a compact that died
+    // before its search refresh would leave: the folded tags reference
+    // batches no longer on disk, ZERO overlap with the current layout
+    // (segment lines preserved — only the tag set is poisoned)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val regPath = new org.apache.hadoop.fs.Path(s"$wh/search_index/REGISTRY")
+    val regIn = fs.open(regPath)
+    val regLines = scala.io.Source.fromInputStream(regIn, "UTF-8")
+      .getLines().toList
+    regIn.close()
+    val poisoned = "tag\tb-vanished" ::
+      regLines.filterNot(_.startsWith("tag\t"))
+    val regOut = fs.create(regPath, true)
+    regOut.write(poisoned.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    regOut.close()
     // a keep-pruned refresh (retention) must take the loud from-scratch
     // rebuild — forgiving this would union the stale keep-filtered
     // partials with a FULL re-tokenized delta and double every tf
@@ -212,6 +222,108 @@ class SearchStoreSpec extends SparkSpec {
     assert(e3.searchIndexFresh)
     assert(rows(e3.searchFrame(Seq("alpha"), 5)) == hits)
     e3.releaseWriterLease()
+  }
+
+  test("the store is SEGMENTED (round-15 VERDICT #4): a refresh APPENDS " +
+      "one delta-sized segment instead of rewriting the index; serving " +
+      "merges-on-read exactly; past the segment bound the refresh " +
+      "compacts back to one segment") {
+    val e = fresh("graft-search-seg", Seq(
+      s"""sa doc="alpha beta" $base"""))
+    val segRoot = new java.io.File(
+      e.tablePath.stripSuffix("/measurements") + "/search_index/segments")
+    def segCount: Int = segRoot.listFiles()
+      .count(f => f.isDirectory && !f.getName.endsWith(".staging"))
+    e.buildSearchIndex()
+    assert(segCount == 1, s"build must land one segment, got $segCount")
+    for (i <- 1 to 7) {
+      val (ok, _) = e.ingestLines(Seq(
+        s"""s$i doc="alpha tok$i" ${base + i * 1000000000L}"""))
+      assert(ok == 1)
+      e.refreshSearchIndex()
+      assert(segCount == 1 + i,
+        s"refresh $i must APPEND a segment (got $segCount)")
+    }
+    // serving at 8 segments merges-on-read across all of them: every
+    // alpha doc ranks (multi-segment equivalence-to-rebuild is pinned
+    // by the refresh≡rebuild test and the q_search_refresh oracle)
+    val hits8 = rows(e.searchFrame(Seq("alpha"), 10))
+    assert(hits8.length == 8 && hits8.map(_._1).toSet ==
+      (Set("sa") ++ (1 to 7).map("s" + _)),
+      s"8-segment serving missed docs: $hits8")
+    // one more refresh crosses searchMaxSegments → compaction to 1
+    e.ingestLines(Seq(s"""s8 doc="alpha tok8" ${base + 8000000000L}"""))
+    e.refreshSearchIndex()
+    assert(segCount == 1,
+      s"refresh past the bound must compact to one segment, got $segCount")
+    // the compacted store ≡ a from-scratch rebuild over the same corpus
+    def proj(df: DataFrame) = df.collect().map(_.toSeq.toList).toSet
+    val hitsC = rows(e.searchFrame(Seq("alpha"), 10))
+    val logicalC = proj(e.searchTable())
+    e.buildSearchIndex()
+    assert(rows(e.searchFrame(Seq("alpha"), 10)) == hitsC,
+      "compacted serving diverged from a from-scratch rebuild")
+    assert(proj(e.searchTable()) == logicalC,
+      "compacted logical postings diverged from a rebuild")
+  }
+
+  test("scoped search is a candidate FILTER with GLOBAL statistics: a " +
+      "series/time-scoped read returns exactly the matching rows of the " +
+      "unscoped ranking, scores unchanged (no per-scope re-weighting)") {
+    val e = fresh("graft-search-scope", Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha alpha" ${base + 1000000000L}""",
+      s"""sc doc="alpha gamma" $day2"""))
+    e.buildSearchIndex()
+    val all = rows(e.searchFrame(Seq("alpha", "beta"), 10))
+    assert(all.map(_._1).toSet == Set("sa", "sb", "sc"))
+    // series scope: exactly the sb row of the global ranking
+    val bySeries = rows(e.searchFrame(Seq("alpha", "beta"), 10,
+      Some("sb"), None, None))
+    assert(bySeries == all.filter(_._1 == "sb"),
+      s"series scope changed scores: $bySeries vs $all")
+    // time scope: day-1 docs only (sa, sb), scores identical to global
+    val dayOneEnd = (base / 1000L) + 86400L * 1000000L
+    val byTime = rows(e.searchFrame(Seq("alpha", "beta"), 10,
+      None, None, Some(dayOneEnd)))
+    assert(byTime == all.filter(_._3 <= dayOneEnd),
+      s"time scope changed scores: $byTime vs $all")
+    // the stale fallback honors the same scope semantics
+    e.ingestLines(Seq(s"""sd doc="delta" ${base + 5000000000L}"""))
+    assert(!e.searchIndexFresh)
+    val fallback = rows(e.searchFrame(Seq("alpha", "beta"), 10,
+      Some("sb"), None, None))
+    assert(fallback.map(_._1) == Seq("sb"),
+      s"stale-scope fallback wrong: $fallback")
+  }
+
+  test("a crash between dropSeries' intent journal and its store prunes " +
+      "REPLAYS on the next read: the dropped series stops answering " +
+      "/search and the journal clears (round-15 ADVICE — drop/retention " +
+      "join the merge's replay discipline)") {
+    val e = fresh("graft-search-dropcrash", Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha gamma" ${base + 1000000000L}"""))
+    e.buildSearchIndex()
+    // fabricate the exact crash state: intent journaled, NOTHING else
+    // done yet (the replay body is the whole idempotent tail)
+    val fs = new org.apache.hadoop.fs.Path(e.tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "sa".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(e.maintJournalPath), true)
+    out.write(s"op\tdrop\t$b64"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // next read replays: data gone, search store pruned, journal gone
+    assert(!e.listSeries().contains("sa"),
+      "replay did not drop the journaled series")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(e.maintJournalPath)),
+      "replay left the maintenance journal")
+    assert(e.searchIndexFresh, "replay must leave the store fresh")
+    assert(rows(e.searchFrame(Seq("alpha"), 5)).map(_._1) == Seq("sb"),
+      "dropped series still answering /search after replay")
   }
 
   test("Unicode tokenizer (VERDICT #3): Cyrillic and CJK documents are " +
