@@ -289,8 +289,24 @@ object AggQueries extends QuerySet {
 
     // Statistical aggregates: sample stddev/variance, Pearson correlation,
     // covariance, least-squares regression — identical co-moment
-    // definitions in both engines; magnitudes keep fp error << 1e-6.
+    // definitions in both engines; magnitudes keep fp error << 1e-6 for
+    // the normalized members (sd/vr/corr/slope). cov_vu is the one
+    // UN-normalized cross-moment of two large-magnitude columns, and
+    // native covar_samp accumulates doubles in engine-specific order —
+    // at the 10× replica (1M-row groups, user_ids up to 1e7) that
+    // landed a 1-ulp disagreement exactly ON a round(·,6) boundary
+    // (round-16 x10 re-oracle). So cov_vu is computed from EXACT
+    // integer sums (cents × user_id fits int64 per row; DECIMAL(38,0)
+    // accumulation) with an identically-written double tail — every
+    // double op is exactly rounded over identical operands, so both
+    // engines land the same bits at ANY scale. cov(value,·) ≡
+    // cov(cents,·)/100 because value is 2-decimal by construction.
     "q_stat_funcs" -> { (s, dir) =>
+      val cents = round(col("value") * 100).cast("long")
+      val prod = (cents * col("user_id"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
       t(s, dir, "events")
         .withColumn("ts_s", col("ts").cast("double"))
         .groupBy(col("event_type"))
@@ -298,7 +314,11 @@ object AggQueries extends QuerySet {
           r6(stddev_samp(col("value"))).as("sd"),
           r6(var_samp(col("value"))).as("vr"),
           r6(corr(col("value"), col("ts_s"))).as("corr_vt"),
-          r6(covar_samp(col("value"), col("user_id").cast("double")))
+          r6(((sum(prod).cast("double") -
+            sum(dec(cents)).cast("double") *
+              sum(dec(col("user_id"))).cast("double") /
+              count(lit(1)).cast("double")) /
+            (count(lit(1)).cast("double") - 1.0d) / 100.0d))
             .as("cov_vu"),
           r6(expr("regr_slope(value, ts_s)") * 86400 * 1000).as("slope_md"),
           count(lit(1)).as("n"))
@@ -632,13 +652,21 @@ object AggQueries extends QuerySet {
         |  CAST(count(*) AS BIGINT) AS ndv
         |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // cov_vu mirrors the Spark side's exact-integer co-moment with an
+    // IDENTICALLY-WRITTEN double tail (sum(BIGINT) is exact HUGEINT
+    // here, exact DECIMAL(38,0) there; each cast/op is exactly rounded
+    // over identical operands — same bits at any scale)
     "q_stat_funcs" ->
-      """WITH e AS (SELECT *, epoch(ts) AS ts_s FROM events)
+      """WITH e AS (SELECT *, epoch(ts) AS ts_s,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  round(stddev_samp(value), 6) AS sd,
         |  round(var_samp(value), 6) AS vr,
         |  round(corr(value, ts_s), 6) AS corr_vt,
-        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_vu,
+        |  round((CAST(sum(cents * user_id) AS DOUBLE) -
+        |     CAST(sum(cents) AS DOUBLE) * CAST(sum(user_id) AS DOUBLE) /
+        |     CAST(count(*) AS DOUBLE)) /
+        |    (CAST(count(*) AS DOUBLE) - 1.0) / 100.0, 6) AS cov_vu,
         |  round(regr_slope(value, ts_s) * 86400 * 1000, 6) AS slope_md,
         |  count(*) AS n
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
