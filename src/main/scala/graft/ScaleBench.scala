@@ -409,6 +409,17 @@ object ScaleBench {
     // filter rides the pruned postings scan; the factor reads the
     // (smaller) scoped read against the K× store
     "q_search_scoped",
+    // round-16: time travel — the artifact (two writes + merge +
+    // retention-aware vacuum) amortizes per dir; the measured cost is
+    // three snapshot scans (two AS OF retired versions resolved via
+    // O(keep-window) driver metadata, one current) + catalog-sized
+    // aggs, so the factor reads ≈3 corpus scans at any K — snapshot
+    // resolution itself is scale-invariant
+    "q_time_travel",
+    // round-16: version diff — one corpus-sized full-outer equi-join of
+    // two snapshot reads + a catalog-sized readout; expect a ≈linear
+    // join-bound factor (the q_merge_upsert shape over engine versions)
+    "q_version_diff",
     // round-13 fourth wave: equi-depth histogram — one value→count agg
     // (the cents domain saturates) + domain windows; expect the
     // count-compress scan to dominate, near-flat tail
@@ -749,7 +760,8 @@ object ScaleBench {
       "q_zone_maps", "q_zone_scan", "q_zone_scan_value",
       "q_zone_scan_both", "q_drift_ks",
       "q_skew_profile", "q_merge_engine", "q_search_engine",
-      "q_search_refresh", "q_search_merge", "q_search_scoped")
+      "q_search_refresh", "q_search_merge", "q_search_scoped",
+      "q_time_travel", "q_version_diff")
     val eventsHeavy = Set("q_ewma", "q_ewma_recurrence", "q32_json_funcs",
       "q_ingest_typed", "q_ingest_generator", "q_approx_quantiles")
     val needDocs = selected.exists(q =>

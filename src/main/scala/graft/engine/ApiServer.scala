@@ -384,6 +384,22 @@ class ApiServer(engine: Engine, port: Int = 0, poolSize: Int = 8,
       }
     })
 
+    // GET /versions → the committed manifest history still inside the
+    // keep window (DESCRIBE HISTORY analog, round-16): version numbers
+    // with the op that published each. Read-only, lock-free — the same
+    // listing [[Engine.history]] serves; time travel itself is an
+    // embedding-API surface (Engine.tableAt), not exposed over the
+    // anonymous HTTP query path.
+    http.createContext("/versions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = safely(ex) {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"GET required"}""")
+        else respond(ex, 200, s"""{"versions":${jsonArray(
+          engine.history().map { case (v, op) =>
+            s"""{"version":$v,"op":${quote(op)}}""" })}}""")
+      }
+    })
+
     // Decode one path segment from the RAW (still-escaped) request path:
     // getPath is already percent-decoded by the JDK, so decoding IT would
     // double-decode (literal '%' throws, '%2B' becomes '+'); and

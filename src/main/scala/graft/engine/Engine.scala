@@ -300,7 +300,7 @@ class Engine(val spark: SparkSession, warehouse: String)
       val (_, base) = ensureManifest()
       val prefix = s"ingest_batch=$batchTag/"
       publishLeaves(base.filterNot(_.startsWith(prefix)) ++
-        leavesOfBatch(batchTag))
+        leavesOfBatch(batchTag), s"write:$batchTag")
       writeVersion += 1
       seriesCache = null // new partitions may add series
     }
@@ -383,7 +383,7 @@ class Engine(val spark: SparkSession, warehouse: String)
   private[engine] def manifestVersion(): Option[Long] =
     listVersionFiles().lastOption
 
-  private def readManifestFile(v: Long): Seq[String] = {
+  private def readManifestLines(v: Long): List[String] = {
     val f = fs(manifestRoot)
     val in = f.open(
       new org.apache.hadoop.fs.Path(s"$manifestRoot/${versionFileName(v)}"))
@@ -391,6 +391,20 @@ class Engine(val spark: SparkSession, warehouse: String)
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** Leaf dirs of version `v` — header lines (`# key=value`, round-16
+    * provenance metadata) are filtered out, so files written before the
+    * headers existed parse identically. */
+  private def readManifestFile(v: Long): Seq[String] =
+    readManifestLines(v).filterNot(_.startsWith("#"))
+
+  /** The operation that published version `v` (`write:<batchTag>`,
+    * `merge`, `compact`, `drop:<series>`, `retention:<day>`, `repair`,
+    * `bootstrap`) — "write" for pre-header files. */
+  private def readManifestOp(v: Long): String =
+    readManifestLines(v).collectFirst {
+      case l if l.startsWith("# op=") => l.stripPrefix("# op=")
+    }.getOrElse("write")
 
   /** The current committed (version, live leaf dirs) snapshot — the
     * cross-JVM read anchor. Retries once if the resolved version file is
@@ -449,13 +463,14 @@ class Engine(val spark: SparkSession, warehouse: String)
   /** Atomically publish `leaves` as version `v` (tmp write + rename), then
     * prune version files beyond the keep window. Caller holds the table
     * lock, so `v` cannot race another publish. */
-  private def publishVersion(v: Long, leaves: Seq[String]): Unit = {
+  private def publishVersion(v: Long, leaves: Seq[String],
+      op: String = "write"): Unit = {
     val f = fs(manifestRoot)
     f.mkdirs(new org.apache.hadoop.fs.Path(manifestRoot))
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/${versionFileName(v)}.tmp")
     val out = f.create(tmp, true)
-    try out.write(leaves.sorted.mkString("\n")
+    try out.write((s"# op=$op" +: leaves.sorted).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp,
@@ -468,9 +483,10 @@ class Engine(val spark: SparkSession, warehouse: String)
   }
 
   /** Publish `leaves` as the next version; returns it. */
-  private def publishLeaves(leaves: Seq[String]): Long = {
+  private def publishLeaves(leaves: Seq[String],
+      op: String = "write"): Long = {
     val v = manifestVersion().getOrElse(0L) + 1L
-    publishVersion(v, leaves)
+    publishVersion(v, leaves, op)
     v
   }
 
@@ -480,7 +496,7 @@ class Engine(val spark: SparkSession, warehouse: String)
   private def ensureManifest(): (Long, Seq[String]) =
     currentManifest().getOrElse {
       val leaves = fsLeafDirs()
-      (publishLeaves(leaves), leaves)
+      (publishLeaves(leaves, "bootstrap"), leaves)
     }
 
   /** MSCK REPAIR TABLE analog — the operator escape hatch for partition
@@ -493,7 +509,7 @@ class Engine(val spark: SparkSession, warehouse: String)
     * Returns the published version. */
   def repairManifest(): Long = Engine.tableLock(tablePath).synchronized {
     acquireWriterLease()
-    val v = publishLeaves(fsLeafDirs())
+    val v = publishLeaves(fsLeafDirs(), "repair")
     writeVersion += 1
     seriesCache = null
     v
@@ -1246,17 +1262,37 @@ class Engine(val spark: SparkSession, warehouse: String)
   private val segDlSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "series STRING, name STRING, t_us BIGINT, dl BIGINT, dbkt INT")
 
+  /** The compacted segment's partials carry two extra baked columns
+    * (round-16 fast path); reading them with [[segPartialsSchema]]
+    * simply prunes the extras, so every merge-on-read consumer is
+    * layout-agnostic. */
+  private val segPartialsDenormSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "series STRING, day DATE, name STRING, t_us BIGINT, dbkt INT, " +
+        "tk STRING, tf BIGINT, tbkt INT, df BIGINT, dl BIGINT")
+
   /** Segment-count bound before the append path compacts everything into
     * one segment (serving unions the live segments, so the tail must
     * stay bounded — the Lucene tiered-merge idea at its simplest). */
   private val searchMaxSegments = 8
 
+  /** `denorm` (round-16): the segment's partials rows ALSO carry baked
+    * global df/dl columns — written only by the COMPACT path (which
+    * rewrites the whole store, so baking the stats costs one extra
+    * index-sized derivation inside an already index-priced mutation) and
+    * valid exactly while the registry lists that ONE segment alone
+    * (every later mutation either appends a segment or re-compacts, so
+    * single-denorm-segment ⟹ the baked stats are current). [[searchFrame]]
+    * serves that steady state with the round-15 single-scan plan: no
+    * regroup, no df recompute, no dl join. */
   private case class SearchSegment(name: String, nNewDocs: Long,
-    sumDl: Long)
+    sumDl: Long, denorm: Boolean = false)
 
   private def searchRegistryPath = s"$searchPath/REGISTRY"
 
-  /** Parse REGISTRY → (folded tags, live segments in fold order). */
+  /** Parse REGISTRY → (folded tags, live segments in fold order). The
+    * optional 4th segment field is the denorm marker (registries written
+    * before round-16 carry none → merge-on-read serving, still exact). */
   private def readSearchRegistry(): (Set[String], Seq[SearchSegment]) =
     if (!pathExists(searchRegistryPath)) (Set.empty, Seq.empty)
     else {
@@ -1264,8 +1300,9 @@ class Engine(val spark: SparkSession, warehouse: String)
       val tags = lines.collect { case l if l.startsWith("tag\t") =>
         l.stripPrefix("tag\t") }.toSet
       val segs = lines.collect { case l if l.startsWith("seg\t") =>
-        val Array(_, n, nd, sd) = l.split("\t", 4)
-        SearchSegment(n, nd.toLong, sd.toLong) }
+        val f = l.split("\t")
+        SearchSegment(f(1), f(2).toLong, f(3).toLong,
+          f.length > 4 && f(4) == "denorm") }
       (tags, segs)
     }
 
@@ -1277,7 +1314,8 @@ class Engine(val spark: SparkSession, warehouse: String)
     val base = if (root == null) searchPath else root
     writeJournalFile(s"$base/REGISTRY",
       (tags.toSeq.sorted.map(t => s"tag\t$t") ++
-        segs.map(s => s"seg\t${s.name}\t${s.nNewDocs}\t${s.sumDl}"))
+        segs.map(s => s"seg\t${s.name}\t${s.nNewDocs}\t${s.sumDl}" +
+          (if (s.denorm) "\tdenorm" else "")))
         .mkString("\n"))
   }
 
@@ -1454,7 +1492,14 @@ class Engine(val spark: SparkSession, warehouse: String)
       // COMPACT path (first build, keep-prune mutations, invalid
       // registry, or a segment tail at the bound): fold the surviving
       // base partials and the delta into ONE segment under a staged
-      // root, recompute totals exactly, swap the whole store
+      // root, recompute totals exactly, swap the whole store. The
+      // compacted segment is DENORMALIZED (round-16): global df/dl bake
+      // into its partials rows — one extra index-sized derivation
+      // inside an already index-priced mutation — so steady-state
+      // serving (one live segment) is a single pruned scan with no
+      // joins, while the stats can never go stale (any later mutation
+      // either appends a segment, which disables the fast path, or
+      // re-compacts, which re-bakes them).
       val base0: DataFrame =
         if (!haveStore || invalid) emptySeg
         else segs0.map(s => segPartials(s.name))
@@ -1468,7 +1513,37 @@ class Engine(val spark: SparkSession, warehouse: String)
       val staging = searchPath + ".staging"
       val old = searchPath + ".old"
       deletePath(staging); deletePath(old)
-      val tf = writeSegmentDirs(s"$staging/segments/s00001", all)
+      val segRoot = s"$staging/segments/s00001"
+      // land the folded tf ONCE (plain), derive the global stats from
+      // the landed copy (no index-sized memory residency), bake them
+      // into the final partials, then derive dl/forward as usual
+      all.write.mode("overwrite").partitionBy("tbkt")
+        .parquet(s"$segRoot/partials0")
+      val tf0 = spark.read.schema(segPartialsSchema)
+        .parquet(s"$segRoot/partials0")
+      val dfx = tf0.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val dlx = tf0.groupBy(col("series"), col("name"), col("t_us"))
+        .agg(sum(col("tf")).as("dl"))
+      tf0.join(dfx, "tk")
+        .join(dlx, Seq("series", "name", "t_us"))
+        .select((segPartialsSchema.fieldNames.map(col) :+
+          col("df") :+ col("dl")): _*)
+        .write.mode("overwrite").partitionBy("tbkt")
+        .parquet(s"$segRoot/partials")
+      deletePath(s"$segRoot/partials0")
+      val tf = spark.read.schema(segPartialsSchema)
+        .parquet(s"$segRoot/partials")
+      tf.groupBy(col("series"), col("name"), col("t_us"), col("dbkt"))
+        .agg(sum(col("tf")).as("dl"))
+        .select(segDlSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite").partitionBy("dbkt")
+        .parquet(s"$segRoot/dl")
+      tf.select(concat_ws(cellKeySep, col("series"), col("name"),
+          col("t_us")).as("dkey"), col("tk"), col("dbkt"))
+        .distinct()
+        .select(forwardSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite").partitionBy("dbkt")
+        .parquet(s"$segRoot/forward")
       val tot = tf.groupBy(col("series"), col("name"), col("t_us"))
         .agg(sum(col("tf")).as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -1476,7 +1551,7 @@ class Engine(val spark: SparkSession, warehouse: String)
       val nDocs = if (tot.isNullAt(0)) 0L else tot.getLong(0)
       val sumDl = if (tot.isNullAt(1)) 0L else tot.getLong(1)
       writeSearchRegistry(current,
-        Seq(SearchSegment("s00001", nDocs, sumDl)), staging)
+        Seq(SearchSegment("s00001", nDocs, sumDl, denorm = true)), staging)
       if (pathExists(searchPath) && !renamePath(searchPath, old))
         throw new java.io.IOException(
           s"search store: cannot stage out $searchPath")
@@ -1687,6 +1762,26 @@ class Engine(val spark: SparkSession, warehouse: String)
     // (driver metadata — no corpus read)
     val nDocs = segs.map(_.nNewDocs).sum
     val sumDl = segs.map(_.sumDl).sum
+    if (segs.length == 1 && segs.head.denorm) {
+      // STEADY-STATE FAST PATH (round-16): one compacted segment with
+      // baked global df/dl — a single term-bucket-pruned scan, the
+      // per-doc agg and top-k; no regroup (compaction folded (cell,
+      // token) unique), no df recompute, no dl join. Exact because
+      // single-denorm-segment ⟹ no mutation since the bake (see
+      // [[SearchSegment]]); scope stays candidate-only, stats global.
+      val rows = spark.read.schema(segPartialsDenormSchema)
+        .parquet(s"$searchPath/segments/${segs.head.name}/partials")
+        .filter(col("tbkt").isin(bkts: _*) && col("tk").isin(tnorm: _*))
+      return scope.foldLeft(rows)((df, c) => df.filter(c))
+        .withColumn("c_micro", graft.queries.TextQueries.bm25Micro(
+          col("tf"), col("df"), col("dl"), lit(nDocs), lit(sumDl)))
+        .groupBy(col("series"), col("name"), col("t_us"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("c_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("series"), col("name"),
+          col("t_us"))
+        .limit(k)
+    }
     // term rows from every live segment, statically pruned to the query
     // terms' tbkt partitions, re-grouped so a doc cell spanning
     // segments scores as ONE document (exact merged tf)
@@ -2208,7 +2303,7 @@ class Engine(val spark: SparkSession, warehouse: String)
       }
       // COMMIT: the fresh tree is garbage-free by construction, so a
       // full listing IS the new live leaf set
-      publishVersion(curVer + 1, fsLeafDirs())
+      publishVersion(curVer + 1, fsLeafDirs(), "compact")
       deletePath(old)
       writeVersion += 1
       seriesCache = null // batch dirs were rewritten
@@ -2237,8 +2332,17 @@ class Engine(val spark: SparkSession, warehouse: String)
     * loudly afterwards (the Delta/Iceberg VACUUM-vs-time-travel trade).
     * Under the table lock nothing can be mid-publish, so FS-minus-
     * manifest is exactly the garbage set. Returns the number of
-    * directories removed. */
-  def vacuum(): Int = Engine.tableLock(tablePath).synchronized {
+    * directories removed.
+    *
+    * `keepVersions` (round-16, the Delta `VACUUM RETAIN` analog) keeps
+    * the leaf dirs of the last N still-listed versions alive so
+    * [[tableAt]] time travel keeps working across the retained window:
+    * the default 1 reclaims everything but the current snapshot
+    * (maximum space, no history — the posture every earlier round
+    * certified); `keepVersions >= manifestKeepVersions` reclaims only
+    * dirs no listed version references. */
+  def vacuum(keepVersions: Int = 1): Int =
+      Engine.tableLock(tablePath).synchronized {
     // a foreign JVM's maintenance must not delete staging another writer
     // is actively producing (review fix: vacuum is a write, lease it)
     acquireWriterLease()
@@ -2261,8 +2365,15 @@ class Engine(val spark: SparkSession, warehouse: String)
       }
     }
     if (pathExists(tablePath)) currentManifest() match {
-      case Some((_, leaves)) =>
-        val live = leaves.toSet
+      case Some(_) =>
+        // live = the union over the last `keepVersions` listed versions
+        // (>= 1: the current version is always retained); a version file
+        // pruned mid-loop simply contributes nothing
+        val retained = listVersionFiles().takeRight(keepVersions.max(1))
+        val live = retained.flatMap(v =>
+          try readManifestFile(v)
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        ).toSet
         val dead = fsLeafDirs().filterNot(live)
         dead.foreach { l => deletePath(s"$tablePath/$l"); n += 1 }
         if (dead.nonEmpty) pruneEmptyTableParents()
@@ -2546,7 +2657,7 @@ class Engine(val spark: SparkSession, warehouse: String)
     // COMMIT: one atomic publish — readers switch from the full
     // pre-merge leaf set to (survivors + merged batch) in one step
     publishVersion(plannedVersion,
-      (curLeaves.filterNot(retired) ++ leavesOfBatch(mergeTag)))
+      (curLeaves.filterNot(retired) ++ leavesOfBatch(mergeTag)), "merge")
     writeVersion += 1
     seriesCache = null
     (mergeTag, touchedSet,
@@ -2899,7 +3010,8 @@ class Engine(val spark: SparkSession, warehouse: String)
     currentManifest().foreach { case (_, leaves) =>
       val kept = leaves.filterNot(
         _.split("/")(2).stripPrefix("day=") < beforeDay)
-      if (kept.size != leaves.size) publishLeaves(kept)
+      if (kept.size != leaves.size)
+        publishLeaves(kept, s"retention:$beforeDay")
     }
     val fsys = fs(tablePath)
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -3001,7 +3113,7 @@ class Engine(val spark: SparkSession, warehouse: String)
     currentManifest().foreach { case (_, leaves) =>
       val kept = leaves.filterNot(l => unescapePathName(
         l.split("/")(1).stripPrefix("series=")) == series)
-      if (kept.size != leaves.size) publishLeaves(kept)
+      if (kept.size != leaves.size) publishLeaves(kept, s"drop:$series")
     }
     val fsys = fs(tablePath)
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -3096,7 +3208,7 @@ class Engine(val spark: SparkSession, warehouse: String)
           // swap-in completed, publish did not — finish the commit
           logWarning(s"finishing crashed compact $tag: publishing the " +
             "swapped-in tree as the next manifest version")
-          publishVersion(planned, fsLeafDirs())
+          publishVersion(planned, fsLeafDirs(), "compact")
           deletePath(tablePath + ".old")
         } // else: the swap never happened (or the .old swap-back already
           // restored the previous tree) — the journal is moot
@@ -3226,6 +3338,62 @@ class Engine(val spark: SparkSession, warehouse: String)
           else emptyCanonicalFrame.drop("ingest_batch")
         }
     }
+  }
+
+  /** DESCRIBE HISTORY analog (round-16): the committed (version, op)
+    * pairs still inside the manifest keep window, ascending. Ops carry
+    * their argument where one exists (`write:<batchTag>`,
+    * `drop:<series>`, `retention:<beforeDay>`; `merge`/`compact`/
+    * `repair`/`bootstrap` bare). Bounded to `manifestKeepVersions`
+    * entries by construction — the history a version file prune retires
+    * is gone (commit-log compaction, the same trade every table format
+    * with a bounded log makes). */
+  def history(): Seq[(Long, String)] = {
+    exists // surface any pending crash recovery first
+    listVersionFiles().flatMap { v =>
+      // a version pruned between the listing and the read just drops out
+      try Some((v, readManifestOp(v)))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+  }
+
+  /** TIME TRAVEL (round-16): the table AS OF committed version `v` —
+    * the manifest read path's natural dividend. The version file is
+    * immutable and merge-retired leaf dirs stay physically in place
+    * until [[vacuum]]/[[compact]] collect them, so any version whose
+    * file is still listed AND whose leaves survive is exactly
+    * reconstructable, lock-free, from any JVM. Fails LOUDLY (never a
+    * partial snapshot) when
+    *  - the version file was pruned past `manifestKeepVersions`
+    *    publishes (IllegalArgumentException naming the readable window),
+    *  - a leaf it references was garbage-collected — [[vacuum]] with
+    *    `keepVersions` smaller than the distance, a [[compact]] (full
+    *    rewrite), or a destructive [[dropSeries]]/[[applyRetention]]
+    *    (IllegalStateException naming the first missing leaf).
+    * The existence pre-check is O(leaf dirs) driver FS metadata — the
+    * same cost class as the partition listing any snapshot read pays. */
+  def tableAt(version: Long): DataFrame = {
+    exists // run pending crash recovery before trusting the manifest
+    val listed = listVersionFiles()
+    if (!listed.contains(version))
+      throw new IllegalArgumentException(
+        s"version $version of $tablePath is not readable: retained " +
+          s"versions are [${listed.headOption.getOrElse(-1L)}" +
+          s"..${listed.lastOption.getOrElse(-1L)}] (version files prune " +
+          s"past $manifestKeepVersions publishes)")
+    val leaves = readManifestFile(version)
+    val f = fs(tablePath)
+    leaves.find(l =>
+        !f.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$l")))
+      .foreach(gone => throw new IllegalStateException(
+        s"version $version of $tablePath references $gone, which was " +
+          "garbage-collected (vacuum/compact/drop/retention ran since) " +
+          "— snapshot no longer reconstructable"))
+    if (leaves.isEmpty) emptyCanonicalFrame.drop("ingest_batch")
+    else spark.read.schema(Engine.canonicalSchema)
+      .option("basePath", tablePath)
+      .parquet(leaves.map(l => s"$tablePath/$l"): _*)
+      .drop("ingest_batch")
   }
 
   private def exists: Boolean = {

@@ -72,12 +72,19 @@ class SignatureStore(spark: SparkSession, val path: String) {
     * double-append it, and duplicate doc_id rows silently fan out every
     * downstream signature join (q_dedup_cross's verify join would count
     * matches once per duplicate). An exclusive create of a `.lock`
-    * sibling serializes mutators (atomic create on HDFS; close-enough
-    * check-and-create on the local FS — the store's two mutation sites
-    * both go through here, which is the race that actually exists);
+    * sibling serializes CROSS-JVM mutators (atomic create on HDFS);
     * readers stay lock-free. A lock older than 10 min is presumed
-    * abandoned (writer killed mid-hold) and broken. */
-  private def withWriteLock[T](body: => T): T = {
+    * abandoned (writer killed mid-hold) and broken. IN-PROCESS mutators
+    * additionally serialize on a JVM-wide per-path monitor (the
+    * Engine.tableLock pattern, round-16): the local filesystem's
+    * `create(overwrite = false)` is check-then-create, NOT atomic — two
+    * same-JVM refreshes racing under load could both "acquire" the file
+    * lock and double-sign (observed once in a loaded full-suite run);
+    * the monitor closes that window entirely for the single-JVM driver
+    * scenario, and the file lock still excludes foreign JVMs where the
+    * FS create is atomic. */
+  private def withWriteLock[T](body: => T): T =
+      SignatureStore.pathLock(path).synchronized {
     val lock = new Path(path + ".lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
@@ -164,6 +171,15 @@ class SignatureStore(spark: SparkSession, val path: String) {
 }
 
 object SignatureStore {
+
+  /** JVM-wide per-store-path monitor for [[SignatureStore.withWriteLock]]
+    * (two store INSTANCES over one dir must share it — the spec's racing
+    * scenario and any multi-threaded driver's). */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[engine] def pathLock(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
 
   /** Signature rows for `docs` (doc_id, text): ONE explode + ONE
     * doc_id-keyed aggregate computes the set size, the sorted shingle

@@ -147,6 +147,69 @@ object IngestQueries extends QuerySet {
     "q_search_scoped" -> { (s, dir) =>
       searchableEngine(s, dir).searchFrame(Seq("w1", "w2"), 20,
         Some("click"), Some(1704672000000000L), Some(1705881599999999L))
+    },
+
+    // TIME TRAVEL, oracle-gated (round-16 — the manifest read path's
+    // natural dividend): two writes land the corpus in halves (batch
+    // b1 = even event_ids, b2 = odd), then a deterministic U/D merge
+    // rewrites first-week rows — THREE committed versions of one
+    // warehouse. The query reads all three AS OF their versions
+    // (resolved from history() by op, never hardcoded numbers):
+    // tableAt(write:b1) must see HALF the corpus, tableAt(write:b2)
+    // the whole pre-merge corpus (even though the merge has since
+    // retired some of those batches' leaf dirs in place), and table()
+    // the merged state — while the oracle recomputes each state
+    // directly from events. A retention-aware vacuum(keepVersions=8)
+    // runs inside the artifact build AFTER the merge: the pass also
+    // certifies that snapshot-retaining GC keeps every referenced leaf
+    // (a current-version-only vacuum would delete the retired dirs and
+    // tableAt would fail loudly). One oracle row gates version
+    // resolution, snapshot reconstruction, merge isolation and GC
+    // retention together.
+    "q_time_travel" -> { (s, dir) =>
+      val e = timeTravelEngine(s, dir)
+      val vByOp = e.history().map(_.swap).toMap
+      def state(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(lit(tag).as("snapshot"), col("series"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      state(e.tableAt(vByOp("write:b1")), "b1")
+        .unionAll(state(e.tableAt(vByOp("write:b2")), "b1b2"))
+        .unionAll(state(e.table(), "merged"))
+        .orderBy(col("snapshot"), col("series"))
+    },
+
+    // VERSION DIFF, oracle-gated (round-16 — the Delta CDF /
+    // table_changes analog, composed from time travel): the change
+    // feed BETWEEN two committed versions of the same warehouse,
+    // recovered post-hoc from the snapshots themselves — ONE
+    // full-outer join of tableAt(pre-merge) vs table() on the merge
+    // key (series, name, time), rows classified deleted / changed /
+    // unchanged (q_snapshot_diff DETECTS changes between synthesized
+    // states; this recovers them between ENGINE versions — what an
+    // incremental consumer reads after the fact when the mutation
+    // didn't emit its own CDC). Readout per (series, change): row
+    // count and the exact net cents delta — one mis-recovered row
+    // flips the hash. Scale shape: a two-snapshot diff is inherently
+    // one corpus-sized equi-join (AQE skew-safe); everything after is
+    // catalog-sized.
+    "q_version_diff" -> { (s, dir) =>
+      val e = timeTravelEngine(s, dir)
+      val vByOp = e.history().map(_.swap).toMap
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100).cast("long")
+      e.tableAt(vByOp("write:b2")).as("p")
+        .join(e.table().as("c"),
+          Seq("series", "name", "time"), "full_outer")
+        .select(col("series"),
+          when(col("c.id").isNull, "deleted")
+            .when(col("p.value") =!= col("c.value"), "changed")
+            .otherwise("unchanged").as("change"),
+          (coalesce(cents(col("c.value")), lit(0L)) -
+            coalesce(cents(col("p.value")), lit(0L))).as("delta"))
+        .groupBy(col("series"), col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("delta")).as("cents_delta"))
+        .orderBy(col("series"), col("change"))
     }
   )
 
@@ -208,7 +271,7 @@ object IngestQueries extends QuerySet {
     * round 15. */
   private def searchableEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_wh4") { e =>
+    engineArtifact(s, dir, "graft_search_wh5") { e =>
       e.writeBatch(searchDocRows(graft.Tables.load(s, dir, "events"),
         lit("doc")), "b-seed")
       e.buildSearchIndex()
@@ -218,7 +281,7 @@ object IngestQueries extends QuerySet {
     * the corpus, ingest the rest, fold it in INCREMENTALLY. */
   private def refreshedSearchEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_refresh_wh2") { e =>
+    engineArtifact(s, dir, "graft_search_refresh_wh3") { e =>
       val ev = graft.Tables.load(s, dir, "events")
       e.writeBatch(searchDocRows(
         ev.filter(pmod(col("event_id"), lit(2L)) === 0L), lit("doc")),
@@ -236,7 +299,7 @@ object IngestQueries extends QuerySet {
     * reconcile refreshes the search store. */
   private def searchMergedEngine(s: org.apache.spark.sql.SparkSession,
       dir: String): Engine =
-    engineArtifact(s, dir, "graft_search_merge_wh3") { e =>
+    engineArtifact(s, dir, "graft_search_merge_wh4") { e =>
       val ev = graft.Tables.load(s, dir, "events")
       e.writeBatch(searchDocRows(ev,
         concat(lit("d"), col("event_id"))), "b-seed")
@@ -264,6 +327,49 @@ object IngestQueries extends QuerySet {
           lit(null).cast("boolean").as("value_bool"),
           map().cast("map<string,string>").as("tags"))
       e.mergeBatch(feed)
+      ()
+    }
+
+  /** The time-travel artifact (q_time_travel): the corpus in two write
+    * batches (even / odd event_ids), one deterministic U/D merge
+    * (first-week rows: ≡2 mod 10 update +5.55, ≡5 delete), then a
+    * RETENTION-AWARE vacuum — three reconstructable versions. */
+  private def timeTravelEngine(s: org.apache.spark.sql.SparkSession,
+      dir: String): Engine =
+    engineArtifact(s, dir, "graft_timetravel_wh1") { e =>
+      val ev = graft.Tables.load(s, dir, "events")
+      def rows(half: org.apache.spark.sql.DataFrame) = half.select(
+        col("event_type").as("series"),
+        expr("uuid()").as("id"),
+        col("ts").as("time"),
+        current_timestamp().as("created_at"),
+        concat(lit("m"), col("event_id")).as("name"),
+        col("value"),
+        lit(null).cast("long").as("value_long"),
+        lit(null).cast("string").as("value_str"),
+        lit(null).cast("boolean").as("value_bool"),
+        map().cast("map<string,string>").as("tags"))
+      e.writeBatch(rows(ev.filter(pmod(col("event_id"), lit(2L)) === 0L)),
+        "b1")
+      e.writeBatch(rows(ev.filter(pmod(col("event_id"), lit(2L)) === 1L)),
+        "b2")
+      val r10 = pmod(col("event_id"), lit(10L))
+      e.mergeBatch(ev
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp") &&
+          r10.isin(2L, 5L))
+        .select(
+          when(r10 === 5L, lit("D")).otherwise(lit("U")).as("op"),
+          col("event_type").as("series"),
+          concat(lit("m"), col("event_id")).as("name"),
+          col("ts").as("time"),
+          (col("value") + 5.55).as("value"),
+          lit(null).cast("long").as("value_long"),
+          lit(null).cast("string").as("value_str"),
+          lit(null).cast("boolean").as("value_bool"),
+          map().cast("map<string,string>").as("tags")))
+      // snapshot-retaining GC: keeps the merge-retired leaves every
+      // still-listed version references (tableAt below depends on it)
+      e.vacuum(keepVersions = 8)
       ()
     }
 
@@ -560,6 +666,51 @@ object IngestQueries extends QuerySet {
         |  CAST(sum(c_micro) AS BIGINT) AS score_micro
         |FROM contrib GROUP BY 1, 2, 3
         |ORDER BY score_micro DESC, series, name, t_us
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // the three committed states recomputed directly: b1 = even
+    // event_ids, b1b2 = the whole corpus, merged = U (+5.55 on ≡2 mod
+    // 10, first week) / D (≡5, first week) applied — the engine side
+    // must reconstruct the first two AS OF retired versions
+    "q_time_travel" ->
+      """WITH st AS (
+        |  SELECT 'b1' AS snapshot, event_type AS series, value
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'b1b2', event_type, value FROM events
+        |  UNION ALL
+        |  SELECT 'merged', event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-08'
+        |                   AND event_id % 10 = 2
+        |              THEN value + 5.55 ELSE value END
+        |  FROM events
+        |  WHERE NOT (ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 5))
+        |SELECT snapshot, series, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM st GROUP BY snapshot, series
+        |ORDER BY snapshot, series""".stripMargin,
+
+    // the recovered change feed per row class: the merge deleted ≡5
+    // (delta = -cents), re-valued ≡2 (delta = cents(v+5.55) −
+    // cents(v)), left the rest unchanged (delta 0) — first week only
+    "q_version_diff" ->
+      """WITH d AS (
+        |  SELECT event_type AS series,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 5
+        |         THEN 'deleted'
+        |         WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 2
+        |         THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 5
+        |         THEN -CAST(round(value * 100) AS BIGINT)
+        |         WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 10 = 2
+        |         THEN CAST(round((value + 5.55) * 100) AS BIGINT)
+        |              - CAST(round(value * 100) AS BIGINT)
+        |         ELSE 0 END AS delta
+        |  FROM events)
+        |SELECT series, change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(delta) AS BIGINT) AS cents_delta
+        |FROM d GROUP BY series, change
+        |ORDER BY series, change""".stripMargin
   )
 }

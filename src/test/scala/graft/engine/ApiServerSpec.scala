@@ -1129,4 +1129,22 @@ class ApiServerSpec extends SparkSpec {
         s"serving plan scans beyond the persisted store:\n$q")
     } finally api.stop()
   }
+
+  test("GET /versions serves the committed manifest history with per-op " +
+      "provenance (DESCRIBE HISTORY analog, round-16)") {
+    val engine = new Engine(spark, tmpDir("graft-api-versions"))
+    val api = new ApiServer(engine).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // empty warehouse → empty history, not an error
+      assert(call(s"$base/versions") == (200, """{"versions":[]}"""))
+      engine.ingestLines(Seq("cpu v=1.0 1700000000000000000"))
+      engine.ingestLines(Seq("cpu v=2.0 1700200000000000000"))
+      val (c, b) = call(s"$base/versions")
+      assert(c == 200 && b.contains(""""op":"bootstrap""""), b)
+      assert(b.split(""""op":"write:""", -1).length == 3,
+        s"expected two write publishes: $b")
+      assert(call(s"$base/versions", "POST", "")._1 == 405)
+    } finally api.stop()
+  }
 }

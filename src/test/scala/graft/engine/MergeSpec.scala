@@ -487,4 +487,45 @@ class MergeSpec extends SparkSpec {
       s"replay left the merge-emptied CQ slice: $cqRows")
     assert(cqRows.contains(("mb", "2023-11-17")), "mb day-2 must survive")
   }
+
+  test("time travel (round-16): history() carries per-op provenance, " +
+      "tableAt() reconstructs a pre-merge snapshot from retired leaf " +
+      "dirs, vacuum(keepVersions) retains them, and the default vacuum " +
+      "collapses history with a LOUD stale read — never a partial one") {
+    val e = new Engine(spark, tmpDir("graft-timetravel"))
+    e.ingestLines(Seq(s"ma v=1.0 ${t1}000000000"))
+    e.ingestLines(Seq(s"ma v=3.0 ${t2}000000000"))
+    val hist = e.history()
+    // ascending versions; first publish is the bootstrap, every write
+    // names its batch tag
+    assert(hist.map(_._1) == hist.map(_._1).sorted)
+    assert(hist.head._2 == "bootstrap", s"unexpected history: $hist")
+    assert(hist.count(_._2.startsWith("write:")) == 2,
+      s"expected two write publishes: $hist")
+    val preMerge = hist.last._1
+    e.mergeBatch(changes(Seq(
+      ("U", "ma", "v", ts(t1), Some(9.0), Map.empty))))
+    assert(e.history().last._2 == "merge")
+    def vals(df: DataFrame): Seq[Double] = df
+      .filter(col("name") === "v")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(vals(e.table()) == Seq(3.0, 9.0), "merged current state")
+    assert(vals(e.tableAt(preMerge)) == Seq(1.0, 3.0),
+      "pre-merge snapshot must serve the RETIRED leaf dir's row")
+    // retention-aware GC: every leaf some listed version references
+    // survives, so the snapshot keeps working
+    assert(e.vacuum(keepVersions = 8) == 0,
+      "nothing is garbage while all versions are retained")
+    assert(vals(e.tableAt(preMerge)) == Seq(1.0, 3.0))
+    // default vacuum = current-snapshot-only: the retired dir goes and
+    // the stale snapshot read fails loudly, naming the missing leaf
+    assert(e.vacuum() > 0, "the merge-retired leaf dir is now garbage")
+    assert(vals(e.table()) == Seq(3.0, 9.0), "current read unchanged")
+    val gone = intercept[IllegalStateException](e.tableAt(preMerge))
+    assert(gone.getMessage.contains("garbage-collected"))
+    // a version outside the keep window is rejected by name, before
+    // any filesystem read
+    val unknown = intercept[IllegalArgumentException](e.tableAt(9999L))
+    assert(unknown.getMessage.contains("not readable"))
+  }
 }

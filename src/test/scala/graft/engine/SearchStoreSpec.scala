@@ -348,4 +348,42 @@ class SearchStoreSpec extends SparkSpec {
     assert(rows(e.searchFrame(Seq("世界"), 5)).map(_._1) == Seq("zh"))
     assert(rows(e.searchFrame(Seq("hello"), 5)).map(_._1) == Seq("en"))
   }
+
+  test("a compacted store serves through the DENORMALIZED fast path " +
+      "(round-16): one baked segment → a single pruned postings scan, " +
+      "NO joins; an appended segment disengages it (merge-on-read); the " +
+      "next compaction re-engages it with an identical ranking") {
+    val e = fresh("graft-search-fast", Seq(
+      s"""sa doc="alpha beta" $base""",
+      s"""sb doc="alpha alpha" ${base + 1000000000L}"""))
+    e.buildSearchIndex() // compact path → denorm segment
+    def joins(df: DataFrame): Int = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size
+    val fast = e.searchFrame(Seq("alpha", "beta"), 10)
+    assert(joins(fast) == 0,
+      s"fast path must be join-free:\n${fast.queryExecution.sparkPlan}")
+    assert(scanPaths(fast).nonEmpty &&
+      scanPaths(fast).forall(_.contains("/partials")),
+      s"fast path must scan only baked partials: ${scanPaths(fast)}")
+    assert(rows(fast).map(_._1) == Seq("sa", "sb"))
+    // an append adds a second, un-baked segment: serving must fall back
+    // to the exact merge-on-read plan (the baked stats are now stale —
+    // guarded structurally by the single-denorm-segment condition)
+    e.ingestLines(Seq(s"""sc doc="gamma beta" ${base + 2000000000L}"""))
+    e.refreshSearchIndex()
+    val merged = e.searchFrame(Seq("alpha", "beta"), 10)
+    assert(joins(merged) > 0,
+      "two-segment serving must merge-on-read (df/dl recomputed)")
+    val mergedRows = rows(merged)
+    // recompaction re-bakes: the fast plan returns, the ranking over
+    // the same corpus is IDENTICAL to the merge-on-read one
+    e.buildSearchIndex()
+    val fast2 = e.searchFrame(Seq("alpha", "beta"), 10)
+    assert(joins(fast2) == 0, "recompacted store must re-engage the " +
+      "fast path")
+    assert(rows(fast2) == mergedRows,
+      s"fast path diverged from merge-on-read: ${rows(fast2)} vs " +
+        s"$mergedRows")
+  }
 }
