@@ -3381,7 +3381,17 @@ class Engine(val spark: SparkSession, warehouse: String)
           s"versions are [${listed.headOption.getOrElse(-1L)}" +
           s"..${listed.lastOption.getOrElse(-1L)}] (version files prune " +
           s"past $manifestKeepVersions publishes)")
-    val leaves = readManifestFile(version)
+    val leaves =
+      try readManifestFile(version)
+      catch {
+        // listed, then pruned by a concurrent publish before the read —
+        // same outcome as not-listed, reported the same loud way
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"version $version of $tablePath was pruned by a concurrent " +
+              s"publish (version files prune past $manifestKeepVersions " +
+              "publishes)")
+      }
     val f = fs(tablePath)
     leaves.find(l =>
         !f.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$l")))

@@ -527,5 +527,14 @@ class MergeSpec extends SparkSpec {
     // any filesystem read
     val unknown = intercept[IllegalArgumentException](e.tableAt(9999L))
     assert(unknown.getMessage.contains("not readable"))
+    // compact is a FULL rewrite: every pre-compact version's leaves are
+    // gone, so snapshot reads across the boundary fail the same loud
+    // way (never a partial tree), while history names the compact
+    val preCompact = e.history().last._1
+    e.compact()
+    assert(e.history().last._2 == "compact")
+    assert(vals(e.table()) == Seq(3.0, 9.0))
+    val across = intercept[IllegalStateException](e.tableAt(preCompact))
+    assert(across.getMessage.contains("garbage-collected"))
   }
 }
