@@ -40,9 +40,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Measurement hygiene (r16): drop any RDD blocks a query left
+    // persisted (localCheckpoint materializations) BETWEEN timed runs.
+    // Queries never share persisted state by design (cross-run caching
+    // is banned), but leaked blocks from dozens of prior runs otherwise
+    // accumulate storage-memory pressure that bleeds into later queries'
+    // readings (r16 full-suite diff: the regressed set was exactly the
+    // alphabetically-later queries). Blocking, and OUTSIDE the timer —
+    // each timed run starts from the same clean storage state.
+    def dropLeakedBlocks(): Unit =
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
+
     // JVM / codegen / file-index warm-up (untimed)
     try run(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
+    dropLeakedBlocks()
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY="q_a,q_b" restricts the set (the
     // driver never sets it, so driver runs always measure everything)
@@ -54,8 +68,11 @@ object Bench {
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
           val ts = (1 to runs).flatMap { _ =>
-            try Some(time(run(fn(spark, sfDir))))
-            catch { case _: Throwable => None }
+            try {
+              val t = time(run(fn(spark, sfDir)))
+              dropLeakedBlocks()
+              Some(t)
+            } catch { case _: Throwable => dropLeakedBlocks(); None }
           }.sorted
           // a failed query must NOT shrink the total silently: surface it
           name -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
@@ -91,8 +108,11 @@ object Bench {
         .filter { case (n, _) => retry.contains(n) }
         .map { case (name, fn) =>
           val ts = (1 to runs).flatMap { _ =>
-            try Some(time(run(fn(spark, sfDir))))
-            catch { case _: Throwable => None }
+            try {
+              val t = time(run(fn(spark, sfDir)))
+              dropLeakedBlocks()
+              Some(t)
+            } catch { case _: Throwable => dropLeakedBlocks(); None }
           }.sorted
           name -> (if (ts.isEmpty) None else Some(ts(ts.length / 2)))
         }.toMap

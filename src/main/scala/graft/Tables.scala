@@ -21,6 +21,16 @@ object Tables {
     * bit-identical. Set ONCE at session build time by every entry point
     * (Verify/Bench/Explain/IngestBench and the test harness) — a loader
     * must not mutate session-global parquet semantics as a side effect. */
+  // NOTE (r16, measured and REJECTED): size-based AQE partition
+  // coalescing (coalescePartitions.parallelismFirst=false + a small
+  // advisoryPartitionSizeInBytes) looked like the fix for tiny-byte
+  // stages scheduling 32 tasks of fixed overhead — but the bench's
+  // shuffles are CPU-bound, not byte-bound (md5 minhash aggregation,
+  // quadratic pair sorts over narrow rows), and byte-sized coalescing
+  // starved them of cores: q_triangle_count 6.1 → 14.9 s, q_theil_sen
+  // 2.4 → 5.7 s, q_weighted_median 2.2 → 4.3 s isolated. Spark's
+  // parallelismFirst default is right for this workload; left at the
+  // default on purpose.
   val sessionConfig: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 

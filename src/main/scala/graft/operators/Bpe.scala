@@ -59,13 +59,108 @@ object Bpe {
           .as("syms"),
         col("cnt"))
 
+  /** Vocabulary bound under which training runs ON THE DRIVER from the
+    * collected histogram (r16 optimization): the corpus compresses to its
+    * word histogram before any merge round, so when that histogram is
+    * driver-sized (the Bloom-build collect policy — default 1M distinct
+    * words ≈ tens of MB of symbol arrays) the 24-round driver-coordinated
+    * Spark loop is pure fixed job overhead (measured at sf0.1: ~3.4 s of
+    * per-round collect round-trips over a 31-row histogram; local ≈ ms).
+    * Past the bound (a 100 TB corpus vocabulary can reach 1e7) training
+    * keeps the distributed loop unchanged. Override:
+    * -Dgraft.bpe.localMaxVocab=N / SPARK_GRAFT_BPE_LOCAL_MAX_VOCAB. */
+  private def localMaxVocab: Long =
+    sys.props.get("graft.bpe.localMaxVocab")
+      .orElse(sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX_VOCAB"))
+      .map(_.toLong).getOrElse(1000000L)
+
   /** Learn up to `numMerges` merges. Stops early when no adjacent pair
     * occurs at least `minCount` times (default 2 — merging a singleton
-    * pair cannot compress anything). */
+    * pair cannot compress anything). Dispatches to driver-local training
+    * when the word histogram is driver-sized (see [[localMaxVocab]]);
+    * both paths compute the IDENTICAL merge table (BpeSpec pins
+    * local == distributed on a fixture): same pair weights (exact long
+    * sums), same (count DESC, left ASC, right ASC) argmax with the tie
+    * compared on UTF-8 BYTES (Spark's UTF8String binary order — a JVM
+    * String.compareTo would disagree on supplementary-plane symbols). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
     val raw = wordHistogram(docs, textCol).cache()
+    try trainOnHistogram(raw, numMerges, minCount)
+    finally raw.unpersist() // no-op if the distributed path already did
+  }
+
+  /** Train from a pre-built [[wordHistogram]] frame — lets a caller that
+    * also inspects the histogram (q_bpe_invariants' cross-checks) share
+    * ONE corpus aggregation with training. Takes ownership of `raw`'s
+    * cache on the distributed path (it is unpersisted after re-packing);
+    * the local path leaves the caller's cache alone. */
+  def trainOnHistogram(raw: DataFrame, numMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
     val nWords = raw.count() // materialize before the loop
+    if (nWords <= localMaxVocab) {
+      val hist = raw.collect().map { r =>
+        (r.getSeq[String](0).toIndexedSeq, r.getLong(1))
+      }
+      trainLocal(hist, numMerges, minCount)
+    } else trainDistributed(raw, nWords, numMerges, minCount)
+  }
+
+  /** UTF-8 byte order on strings — the order Spark's ORDER BY uses. */
+  private def u8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge loop over the collected histogram — the exact
+    * argmax/apply semantics of the distributed loop on driver-sized
+    * vocabularies. */
+  private[operators] def trainLocal(hist0: Array[(IndexedSeq[String], Long)],
+      numMerges: Int, minCount: Long): Seq[Merge] = {
+    var hist = hist0
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var done = false
+    var round = 0
+    while (!done && round < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      hist.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      val top = counts.reduceOption { (p, q) =>
+        if (p._2 != q._2) { if (p._2 > q._2) p else q }
+        else if (u8Lt(p._1._1, q._1._1)) p
+        else if (u8Lt(q._1._1, p._1._1)) q
+        else if (u8Lt(p._1._2, q._1._2)) p else q
+      }
+      top match {
+        case Some(((l, r), c)) if c >= minCount =>
+          merges += Merge(round, l, r, c)
+          hist = hist.map { case (syms, cnt) =>
+            (applyMerge(syms, l, r), cnt)
+          }
+          round += 1
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop (vocabularies past [[localMaxVocab]]).
+    * Takes ownership of the cached histogram. */
+  private[operators] def trainDistributed(raw: DataFrame, nWords: Long,
+      numMerges: Int, minCount: Long): Seq[Merge] = {
     // the histogram is vocabulary-bounded, but it comes out of the
     // corpus agg at CORPUS parallelism — dozens of near-empty partitions
     // whose fixed task cost is then paid EVERY merge round (the round-10

@@ -270,16 +270,26 @@ object AggQueries extends QuerySet {
       val buckets = (1 to 8).map(_.toLong)
       val bIds = buckets.foldLeft(Seq.empty[org.apache.spark.sql.Column])(
         (acc, b) => acc :+ lit(b))
-      val bounds = dom
+      // 8 bucket bounds are ONE driver-sized collect (the q_basket_rules
+      // nOrders policy) folded into a map-side CASE over the checkpointed
+      // domain — r16: the former cents<=bound broadcast theta-join planned
+      // as BroadcastNestedLoopJoin emitting up to 8× the domain, then paid
+      // a (cents, cnt) re-group to take min(b); bucket = first ascending
+      // bound with cents <= bound is the same min by monotonicity
+      val bArr = dom
         .select(col("cents"), col("cum"), col("n"),
           explode(array(bIds: _*)).as("b"))
         .filter(col("cum") >= intDiv(col("b") * col("n") + 7L, lit(8L)))
         .groupBy(col("b")).agg(min(col("cents")).as("bound"))
-      val assigned = dom
-        .join(broadcast(bounds), col("cents") <= col("bound"))
-        .groupBy(col("cents"), col("cnt"))
-        .agg(min(col("b")).as("bucket"))
-      assigned.groupBy(col("bucket"))
+        .orderBy(col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val bucketCol = bArr.init.foldRight(
+          lit(bArr.last._1): org.apache.spark.sql.Column) {
+        case ((b, bound), acc) =>
+          when(col("cents") <= lit(bound), lit(b)).otherwise(acc)
+      }
+      dom.select(col("cents"), col("cnt"), bucketCol.as("bucket"))
+        .groupBy(col("bucket"))
         .agg(min(col("cents")).as("lo_cents"),
           max(col("cents")).as("hi_cents"),
           sum(col("cnt")).as("n_rows"),

@@ -204,6 +204,53 @@ object DedupQueries extends QuerySet {
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb")).distinct()
   }
 
+  /** Per-doc distinct shingle SET as one array row — the probe-side twin
+    * of [[shingles]] (same slice/array_join expression, collected with
+    * array_distinct instead of explode+distinct, so the sets are equal by
+    * construction). */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
+          "i -> array_join(slice(w, i, 5), ' ')))").as("shs"))
+
+  /** Verified near-dup pairs — LSH candidates + exact word-5-gram Jaccard
+    * intersection counts as (doc_a, doc_b, na, nb, ni) — the shared
+    * subtree of the five verify-consuming queries (jaccard_verify / apply
+    * / components / cluster_stats / keep_best). The intersection is ONE
+    * map-side array_intersect over the per-doc shingle-set arrays (the
+    * q_dedup_cross / SignatureStore discipline) instead of the former
+    * exploded (doc, shingle)-row probe joins — r16 measure: the probes
+    * fanned every candidate pair back out to ~|set| rows through two
+    * shuffled joins and re-aggregated them, which dominated every
+    * consumer of this subtree. A candidate pair with an EMPTY
+    * intersection now survives to this frame with ni = 0 (the exploded
+    * inner join dropped it); every consumer filters on J ≥ 0.5, so the
+    * results are unchanged. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val arrs = shingleArrays(s, dir)
+    candidates(s, dir)
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("sha")),
+        Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("shb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("ni"))
+  }
+
+  /** [[verifiedPairs]] filtered to J ≥ 0.5 and MATERIALIZED — the input
+    * shape the three ConnectedComponents consumers need: CC's symmetrized
+    * union + per-round label joins re-read its input, so the verify
+    * pipeline must land once (the frame is verified-pair-sized — a few k
+    * rows at sf0.1, duplicate-density-bounded at any corpus). */
+  private def verifiedPairKeys(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
+      .filter(micro(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
+
   /** The exact prefix-filtered Jaccard self-join (q_dedup_prefix_join's
     * body, shared with the LSH recall evaluator): pairs with word-5-gram
     * shingle-set Jaccard ≥ 3/5 as (doc_a, doc_b, inter, uni,
@@ -216,33 +263,45 @@ object DedupQueries extends QuerySet {
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
         "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
+    // the tokenized-set table is materialized ONCE (localCheckpoint) and
+    // every consumer — df agg, prefix window, BOTH verify probes — reads
+    // the materialization instead of re-shingling (r16 measure: the four
+    // re-derivations were 8 documents scans in the executed plan; this IS
+    // the "persist the tokenized-set table once" discipline the earlier
+    // round documented for 100 TB runs, applied at fixture scale too).
+    // The PREFIX table is materialized as well: the candidate self-join
+    // reads it twice and exchange reuse does not unify aliased sides —
+    // without the cut the df-join + per-doc window subtree runs per side.
     val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
       explode(col("sset")).as("tk"))
+      .localCheckpoint(eager = true)
     val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val pref = tok.join(dfreq, "tk")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
       .filter(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
       .select(col("tk"), col("doc_id"), col("n"))
+      .localCheckpoint(eager = true)
     val cand = pref.toDF("tk", "doc_a", "na")
       .join(pref.toDF("tk", "doc_b", "nb"), "tk")
       .filter(col("doc_a") < col("doc_b") &&
         col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
-    // the verify probes read tok directly: at fixture scale AQE
-    // broadcasts the probe sides (cheap re-scan), at 100 TB a real run
-    // would persist the tokenized-set table once and every consumer —
-    // df agg, prefix, both probes — reads that materialization instead
-    // of re-shingling (measured: forcing the probes through the
-    // windowed subtree for ReusedExchange doubled fixture latency and
-    // the reuse never materialized under AQE)
+    // verification is ONE map-side array_intersect over the per-doc hash
+    // arrays (the q_dedup_cross / SignatureStore discipline) — r16: the
+    // former (doc, hash)-row probe joins fanned every candidate back out
+    // to ~|set| rows through two shuffles and re-aggregated them; that
+    // fan-out, not the scans, dominated the query. The threshold filter
+    // keeps the output row set identical (a candidate pair never has an
+    // empty intersection — its prefixes share a token by construction).
     cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
-        Seq("doc_b", "tk"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).cast("long").as("uni"),
@@ -305,14 +364,7 @@ object DedupQueries extends QuerySet {
     // candidate pairs (see candidates()), so the only joins back to the
     // shingle subtree are the two intersection-count probes.
     "q_dedup_jaccard_verify" -> { (s, dir) =>
-      val sets = shingleSets(s, dir)
-      val inter = candidates(s, dir)
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("ni"))
-      inter
+      verifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b"),
           micro(col("ni").cast("double") /
             (col("na") + col("nb") - col("ni")).cast("double"))
@@ -325,13 +377,7 @@ object DedupQueries extends QuerySet {
     // near-dup pair (plus exact dups), keep canonical survivors — the
     // actual corpus-cleaning step, not just the pair report.
     "q_dedup_apply" -> { (s, dir) =>
-      val sets = shingleSets(s, dir)
-      val losers = candidates(s, dir)
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("ni"))
+      val losers = verifiedPairs(s, dir)
         .filter(micro(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
         .select(col("doc_b").as("doc_id")).distinct()
@@ -353,17 +399,7 @@ object DedupQueries extends QuerySet {
     // collapse to ONE survivor even when A!~C. Oracle: DuckDB recursive
     // transitive closure.
     "q_dedup_components" -> { (s, dir) =>
-      val sets = shingleSets(s, dir)
-      val pairs = candidates(s, dir)
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("ni"))
-        .filter(micro(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
-        .select(col("doc_a"), col("doc_b"))
-      graft.operators.ConnectedComponents.run(pairs)
+      graft.operators.ConnectedComponents.run(verifiedPairKeys(s, dir))
         .orderBy(col("doc_id"))
     },
 
@@ -379,17 +415,7 @@ object DedupQueries extends QuerySet {
     // q_dedup_components; the stats are two catalog-sized hash aggs on
     // top of the CC output.
     "q_dedup_cluster_stats" -> { (s, dir) =>
-      val sets = shingleSets(s, dir)
-      val pairs = candidates(s, dir)
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("ni"))
-        .filter(micro(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
-        .select(col("doc_a"), col("doc_b"))
-      graft.operators.ConnectedComponents.run(pairs)
+      graft.operators.ConnectedComponents.run(verifiedPairKeys(s, dir))
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
@@ -411,21 +437,11 @@ object DedupQueries extends QuerySet {
     // candidate/verify subtree shared with q_dedup_components).
     "q_dedup_keep_best" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val sets = shingleSets(s, dir)
-      val pairs = candidates(s, dir)
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("ni"))
-        .filter(micro(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double")) >= 500000)
-        .select(col("doc_a"), col("doc_b"))
       val quality = TextQueries.withQuality(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_micro"))
       val w = Window.partitionBy(col("component"))
         .orderBy(col("quality_micro").desc, col("doc_id"))
-      graft.operators.ConnectedComponents.run(pairs)
+      graft.operators.ConnectedComponents.run(verifiedPairKeys(s, dir))
         .join(quality, Seq("doc_id"))
         .withColumn("rk", row_number().over(w))
         .groupBy(col("component"))
@@ -839,26 +855,35 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id"), expr(
           "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
           "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
+      // same materialization discipline as prefixJoinPairs (r16): tok
+      // feeds df agg + prefix + probe side + BOTH intersection probes,
+      // pref feeds the candidate join — checkpoint each once
       val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
         explode(col("sset")).as("tk"))
+        .localCheckpoint(eager = true)
       val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val pref = tok.join(dfreq, "tk")
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
         .filter(col("pos") <= col("n") - expr("(4 * n + 4) div 5") + 1)
         .select(col("tk"), col("doc_id"), col("n"))
+        .localCheckpoint(eager = true)
       val cand = pref.toDF("tk", "doc_src", "na")
         .join(tok.toDF("doc_in", "nb", "tk"), "tk")
         .filter(col("doc_src") =!= col("doc_in"))
         .select(col("doc_src"), col("doc_in"), col("na"), col("nb"))
         .distinct()
+      // map-side array_intersect verification — same r16 rationale as
+      // prefixJoinPairs: the exploded probe joins fanned every candidate
+      // pair to ~|set| rows; candidates always share ≥ 1 token, so the
+      // row set after the threshold filter is identical
       cand
-        .join(tok.select(col("doc_id").as("doc_src"), col("tk")),
+        .join(sets.select(col("doc_id").as("doc_src"), col("sset").as("sa")),
           Seq("doc_src"))
-        .join(tok.select(col("doc_id").as("doc_in"), col("tk")),
-          Seq("doc_in", "tk"))
-        .groupBy(col("doc_src"), col("doc_in"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
+        .join(sets.select(col("doc_id").as("doc_in"), col("sset").as("sb")),
+          Seq("doc_in"))
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .filter(col("inter") * 5 >= col("na") * 4)
         .select(col("doc_src"), col("doc_in"),
           col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),

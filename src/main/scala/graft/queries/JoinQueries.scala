@@ -512,6 +512,11 @@ object JoinQueries extends QuerySet {
       // container, the same bound the wedge algorithm's input needs),
       // so the per-group state is tiny and partials combine map-side.
       // sort_array makes the generated pairs (a < b) without a filter.
+      // e is materialized BEFORE its three consumers (both deg branches +
+      // the orientation join base): exchange reuse does not unify the
+      // deg-broadcast jobs with the main job, so without the cut the
+      // whole lineitem agg → pair explode → distinct chain re-ran inside
+      // each broadcast build (r16 measure; e is edge-sized, ~400k rows)
       val e = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("o"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -519,6 +524,7 @@ object JoinQueries extends QuerySet {
         .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
           size(col("ps")) - col("i") - lit(1))).as("b"))
         .distinct()
+        .localCheckpoint(eager = true)
       val deg = e.select(col("a").as("n"))
         .union(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -539,42 +545,54 @@ object JoinQueries extends QuerySet {
           when(aFirst, col("b")).otherwise(col("a")).as("v"),
           when(aFirst, col("db")).otherwise(col("da")).as("dv"))
         .localCheckpoint(eager = true)
-      // Runtime pair filter (round-11, measured at sf0.1): the wedge join
-      // emits ~41M candidates but only ~1M close into triangles — the
-      // dominant cost was shuffling all 41M to the (v1,v2) closing join
-      // (12.5 s; sub-stage timing put the wedge join itself at 0.5 s).
-      // A Bloom filter over the m edge keys, probed MAP-SIDE in the same
-      // stage as the wedge join, drops the non-closing majority before
-      // the exchange; the exact closing join still runs on the survivors,
-      // so false positives cost only wasted shuffle rows, never wrong
-      // results. Sizing: the filter is ∝ m (1 MB per ~1M edges) — the
-      // q_decontaminate_bloom collect policy, fine through ~1e9 edges; a
-      // graph beyond that drops the prefilter and pays the plain
-      // shuffle join (delete the filter line — the plan is unchanged
-      // otherwise).
-      import org.apache.spark.sql.Column
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      import org.apache.spark.sql.types.BinaryType
-      val pairHash = (x: Column, y: Column) =>
-        ColumnBridge.expression(xxhash64(x, y))
-      val bloomBytes = en.select(ColumnBridge.column(
-          new BloomFilterAggregate(pairHash(col("u"), col("v")), 1L << 22)
-            .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      val closes = ColumnBridge.column(new BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType), pairHash(col("v1"), col("v2"))))
-      val wedges = en.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      // Wedge generation stays the en⋈en self-join: the generator
+      // alternative (sorted neighbor lists + posexplode/slice, the
+      // basket pair-gen shape) was MEASURED SLOWER here (r16) — wedge
+      // neighbor lists are O(√m)-sized, so the per-row slice() copies
+      // O(d²) struct arrays per center, where the self-join emits the
+      // same ~41M rows from one reused exchange with no allocation.
+      val wedges0 = en.select(col("u"), col("v").as("v1"),
+          col("dv").as("dv1"))
         .join(en.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
           "u")
         .filter(col("dv1") < col("dv2") ||
           (col("dv1") === col("dv2") && col("v1") < col("v2")))
-        .filter(closes)
-      val tris = wedges
-        .join(en.select(col("u").as("v1"), col("v").as("v2")),
-          Seq("v1", "v2"))
-        .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+        .select(col("u"), col("v1"), col("v2"))
+      // Closing is SIZE-ADAPTIVE (r16, guide §3.1 — broadcast the side
+      // that fits): when the oriented edge list fits a broadcast hash
+      // relation (~16 B/edge; bound operable via
+      // -Dgraft.triangle.broadcastMaxEdges, default 20M ≈ 320 MB), the
+      // closing test runs MAP-SIDE in the SAME stage as wedge generation
+      // — no wedge exchange at all, and the Bloom prefilter (whose only
+      // job was cutting that exchange) disappears along with its
+      // build-and-collect job. Past the bound, the round-11 plan stands
+      // unchanged: Bloom prefilter (∝ m, fine through ~1e9 edges) + the
+      // exact shuffle closing join.
+      val mEdges = en.count() // metadata-priced: en is checkpointed
+      val bcastMax = sys.props.get("graft.triangle.broadcastMaxEdges")
+        .map(_.toLong).getOrElse(20000000L)
+      val tris = (if (mEdges <= bcastMax) {
+        wedges0.join(broadcast(en.select(col("u").as("v1"),
+            col("v").as("v2"))),
+          Seq("v1", "v2"), "left_semi")
+      } else {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.types.BinaryType
+        val pairHash = (x: Column, y: Column) =>
+          ColumnBridge.expression(xxhash64(x, y))
+        val bloomBytes = en.select(ColumnBridge.column(
+            new BloomFilterAggregate(pairHash(col("u"), col("v")), 1L << 22)
+              .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val closes = ColumnBridge.column(new BloomFilterMightContain(
+          Literal(bloomBytes, BinaryType), pairHash(col("v1"), col("v2"))))
+        wedges0.filter(closes)
+          .join(en.select(col("u").as("v1"), col("v").as("v2")),
+            Seq("v1", "v2"), "left_semi")
+      }).select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
       // one closing join, three corners exploded map-side — the
       // union-of-three-selects form re-ran the join per branch (only the
       // exchanges below it were reusable)
@@ -676,9 +694,14 @@ object JoinQueries extends QuerySet {
     // (the DECIMAL(38) first cut cost 2.8 s of the pair stage for
     // headroom nothing here needs).
     "q_supplier_similarity" -> { (s, dir) =>
+      // m is materialized before its two agg consumers (norms + byPart —
+      // each re-ran the fact-sized (sk, pk) aggregate without the cut);
+      // it is catalog-pair-sized (591k rows at sf0.1, bounded by
+      // |suppliers|×|parts| at any scale)
       val m = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
+        .localCheckpoint(eager = true)
       val norms = m.groupBy(col("sk"))
         .agg(sum(col("q") * col("q")).as("n2"))
       val byPart = m.groupBy(col("pk"))
@@ -691,6 +714,11 @@ object JoinQueries extends QuerySet {
             size(col("ss")) - col("i") - lit(1))).as("sb_s"))
         .groupBy(col("sa"), col("sb_s.sk").as("sb"))
         .agg(sum(col("qa") * col("sb_s.q")).as("dot"))
+        // half feeds both union branches (dot is symmetric — the swap
+        // re-emits it mirrored): materialize once or the per-part vector
+        // explode + pair aggregate runs per branch (r16 measure); the
+        // frame is supplier-pair-sized, catalog²-bounded at any scale
+        .localCheckpoint(eager = true)
       val pairs = half.unionAll(half.select(
         col("sb").as("sa"), col("sa").as("sb"), col("dot")))
       val w = Window.partitionBy(col("sa"))
@@ -757,7 +785,10 @@ object JoinQueries extends QuerySet {
         .groupBy(col("u"), col("w"))
         .agg(sum(col("c")).as("ra_micro"), count(lit(1)).as("n_common"))
       pairs
-        .join(e.select(col("a").as("u"), col("b").as("w")),
+        // broadcast the edge side of the anti join (node-pair-domain
+        // sized): the wedge-pair table is the big side and would
+        // otherwise shuffle on (u, w) just for the membership test
+        .join(broadcast(e.select(col("a").as("u"), col("b").as("w"))),
           Seq("u", "w"), "left_anti")
         .orderBy(col("ra_micro").desc, col("u"), col("w"))
         .limit(50)
@@ -902,16 +933,19 @@ object JoinQueries extends QuerySet {
       // joins so the fact-sized pair relation never shuffles on (a,b)
       // for membership tests
       val f2 = f0.filter(col("s") >= minSup).select(col("a"), col("b"))
-      // a basket's pairs that are frequent corpus-wide — computed once,
-      // severed: it feeds both sides of the candidate self-join
+      // a basket's pairs that are frequent corpus-wide, then candidate
+      // triples GENERATED map-side from each (basket, leading item)'s
+      // sorted frequent-successor set — the same generator shape as the
+      // basket pair-gen itself (r16: the former fpr⋈fpr self-join paid an
+      // eager checkpoint of fpr plus two exchanges and a join hash build
+      // to produce exactly these (b, c) combinations; one (o, a) hash agg
+      // + posexplode emits each ordered pair once with no join at all)
       val fpr = pr.join(broadcast(f2), Seq("a", "b"), "left_semi")
-        .localCheckpoint(eager = true)
-      fpr.as("x")
-        .join(fpr.as("y"),
-          col("x.o") === col("y.o") && col("x.a") === col("y.a") &&
-            col("x.b") < col("y.b"))
-        .select(col("x.a").as("a"), col("x.b").as("b"),
-          col("y.b").as("c"))
+      fpr.groupBy(col("o"), col("a"))
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+        .select(col("a"), col("bs"), posexplode(col("bs")).as(Seq("i", "b")))
+        .select(col("a"), col("b"), explode(slice(col("bs"), col("i") + lit(2),
+          size(col("bs")) - col("i") - lit(1))).as("c"))
         // downward closure: the third face (b,c) must be frequent too
         .join(broadcast(f2.select(col("a").as("b"), col("b").as("c"))),
           Seq("b", "c"), "left_semi")
@@ -1245,15 +1279,18 @@ object JoinQueries extends QuerySet {
     var lab = und.select(col("u").as("n")).distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint(eager = true)
-    val wTop = Window.partitionBy(col("u"))
-      .orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to 4) {
+      // per-node mode with smallest-label tie-break as a SECOND hash agg
+      // (max of (count, -label) picks max count then min label) — r16:
+      // the former row_number window paid an extra exchange + sort per
+      // round where this agg partial-aggregates map-side; labels are
+      // positive part keys, so the negation never overflows
       lab = und
-        .join(lab.withColumnRenamed("n", "v"), Seq("v"))
+        .join(broadcast(lab.withColumnRenamed("n", "v")), Seq("v"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") === 1)
-        .select(col("u").as("n"), col("lbl"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("n"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(eager = true)
     }
     (und, lab)

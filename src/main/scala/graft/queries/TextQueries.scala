@@ -875,8 +875,14 @@ object TextQueries extends QuerySet {
       import graft.operators.Bpe
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val merges = Bpe.train(docs, "text", numMerges = 24)
+      // ONE corpus aggregation feeds training, the round-0 cross-check
+      // AND the top-word list (r16 — the three separate corpus
+      // explode+agg passes were the query's whole residual cost after
+      // the driver-local training cutover): the histogram row for a word
+      // is (its characters, its corpus count), so the word itself is
+      // array_join(syms) and top-20-by-count reads off the cache.
       val hist = Bpe.wordHistogram(docs, "text").cache()
+      val merges = Bpe.trainOnHistogram(hist, numMerges = 24)
       // independent round-0 argmax: posexplode adjacency instead of the
       // training loop's transform+try_element_at lambda
       val top0 = hist
@@ -888,10 +894,8 @@ object TextQueries extends QuerySet {
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
         .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
         .collect().head
-      val topWords = docs
-        .select(explode(split(col("text"), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val topWords = hist
+        .select(array_join(col("syms"), "").as("w"), col("cnt"))
         .orderBy(desc("cnt"), asc("w")).limit(20)
         .collect().map(_.getString(0)).toSeq
       hist.unpersist()

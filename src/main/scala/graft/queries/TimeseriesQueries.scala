@@ -1619,10 +1619,24 @@ object TimeseriesQueries extends QuerySet {
         .select(col("user_id"),
           micro((col("cb") - col("ca")).cast("double")
             / (col("tb") - col("ta")).cast("double")).as("slope_micro"))
+      // pair count per series computed ANALYTICALLY from the per-second
+      // point multiplicities — cnt = C(L,2) − Σ_t C(k_t,2), every term
+      // even before its halving so the integer arithmetic is exact —
+      // instead of the former count() window, whose unbounded frame
+      // buffered the QUADRATIC pair table a second time (r16: one full
+      // WindowExec pass over the pair fan-out removed; the count now
+      // partial-aggregates over the series-point table and broadcasts)
+      val cnts = p.groupBy(col("user_id"), col("tt"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("len"),
+          sum(col("k") * (col("k") - 1)).as("t2"))
+        .select(col("user_id"),
+          (intDiv(col("len") * (col("len") - 1), lit(2L))
+            - intDiv(col("t2"), lit(2L))).as("cnt"))
       val wr = Window.partitionBy(col("user_id")).orderBy(col("slope_micro"))
       sl.withColumn("rk", row_number().over(wr))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .join(broadcast(cnts), Seq("user_id"))
         .filter(col("rk") === intDiv(col("cnt") + 1, lit(2)))
         .select(col("user_id"), col("cnt").as("n_pairs"),
           col("slope_micro").as("ts_slope_micro"))

@@ -29,8 +29,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_dtw", // 50-row top-N-blocked PAA vector table both sides — pair count 1225 by construction
     "q_eval_mrr", // 1-row broadcast corpus totals via the shared bm25Hits (q_text_bm25 pattern)
     "q_curriculum", // 1-row broadcast corpus total N into the stage split
-    "q_join_cardinality", // two 1-row broadcast side totals per profiled join
-    "q_histogram_equidepth") // 8-row broadcast bucket-bounds side against the saturating value domain
+    "q_join_cardinality") // two 1-row broadcast side totals per profiled join
+  // (q_histogram_equidepth left the allowlist in r16: its 8-row
+  // bucket-bounds side is now a driver collect folded into a map-side
+  // CASE — no nested-loop join remains in the plan)
 
   test("no unbounded cartesian/nested-loop joins in any query plan") {
     val dir = "/root/testdata/sf0.001"

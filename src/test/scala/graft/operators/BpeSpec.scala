@@ -47,6 +47,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("xyz", ranks) == Seq("x", "y", "z"))
   }
 
+  test("driver-local training equals the distributed loop (r16 cutover)") {
+    // the sf0.001 corpus vocabulary is under the local cutover, so
+    // train() takes the driver path; run the distributed loop explicitly
+    // on the same histogram and pin byte-identical merge tables
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val local = Bpe.train(docs, "text", numMerges = 24)
+    val raw = Bpe.wordHistogram(docs, "text").cache()
+    val dist = Bpe.trainDistributed(raw, raw.count(), 24, 2L)
+    assert(local == dist, "local and distributed BPE training must agree")
+  }
+
   test("tokens() is map-only and shrinks token counts vs characters") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
