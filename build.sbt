@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a tail of stdout and parses the last JSON
+// line. sbt's default output strategy routes the forked process through
+// its logger, prefixing every line with "[info] " — which makes the
+// bench's final JSON line unparseable (BENCH_r15/r16 "parsed": null).
+// StdoutOutput passes the forked JVM's stdout through verbatim, so
+// Bench's JSON lines arrive bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,6 +74,19 @@ object Bpe {
       .orElse(sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX_VOCAB"))
       .map(_.toLong).getOrElse(1000000L)
 
+  /** Companion SYMBOL bound for the cutover (r17, from the r16 advice):
+    * the collected histogram costs ~50 B per single-character boxed
+    * String on the driver, so a row-count bound alone under-estimates
+    * long-word vocabularies — 1M rows × 30 chars would be ~1.5 GB of
+    * JVM objects, not "tens of MB". Both bounds must hold: ≤1M words
+    * AND ≤8M total symbols (~400 MB boxed worst case, inside the 8 GiB
+    * driver with the collect itself bounded by maxResultSize). Override:
+    * -Dgraft.bpe.localMaxSyms / SPARK_GRAFT_BPE_LOCAL_MAX_SYMS. */
+  private def localMaxSyms: Long =
+    sys.props.get("graft.bpe.localMaxSyms")
+      .orElse(sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX_SYMS"))
+      .map(_.toLong).getOrElse(8000000L)
+
   /** Learn up to `numMerges` merges. Stops early when no adjacent pair
     * occurs at least `minCount` times (default 2 — merging a singleton
     * pair cannot compress anything). Dispatches to driver-local training
@@ -97,8 +110,12 @@ object Bpe {
     * the local path leaves the caller's cache alone. */
   def trainOnHistogram(raw: DataFrame, numMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
-    val nWords = raw.count() // materialize before the loop
-    if (nWords <= localMaxVocab) {
+    // ONE job materializes the cache and reads BOTH cutover scalars
+    // (row count + total symbol count — see localMaxSyms)
+    val st = raw.agg(count(lit(1)),
+      coalesce(sum(size(col("syms"))), lit(0L))).head()
+    val (nWords, nSyms) = (st.getLong(0), st.getLong(1))
+    if (nWords <= localMaxVocab && nSyms <= localMaxSyms) {
       val hist = raw.collect().map { r =>
         (r.getSeq[String](0).toIndexedSeq, r.getLong(1))
       }

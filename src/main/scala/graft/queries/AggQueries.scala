@@ -283,11 +283,17 @@ object AggQueries extends QuerySet {
         .groupBy(col("b")).agg(min(col("cents")).as("bound"))
         .orderBy(col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val bucketCol = bArr.init.foldRight(
-          lit(bArr.last._1): org.apache.spark.sql.Column) {
-        case ((b, bound), acc) =>
-          when(col("cents") <= lit(bound), lit(b)).otherwise(acc)
-      }
+      // empty value domain ⇒ bArr is empty (r16 advice: .init/.last would
+      // throw where the former broadcast join returned no rows) — any
+      // constant works as the CASE fallback because dom has no rows to
+      // classify; the aggregate below is then the same empty frame
+      val bucketCol =
+        if (bArr.isEmpty) lit(1L)
+        else bArr.init.foldRight(
+            lit(bArr.last._1): org.apache.spark.sql.Column) {
+          case ((b, bound), acc) =>
+            when(col("cents") <= lit(bound), lit(b)).otherwise(acc)
+        }
       dom.select(col("cents"), col("cnt"), bucketCol.as("bucket"))
         .groupBy(col("bucket"))
         .agg(min(col("cents")).as("lo_cents"),

@@ -195,9 +195,20 @@ object DedupQueries extends QuerySet {
 
   /** LSH candidate pairs (one banded equi-join, no cross product), with the
     * per-doc shingle-set sizes carried along so verification needs no extra
-    * joins back to the expensive subtree. */
-  private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val br = bandRows(shingleSets(s, dir))
+    * joins back to the expensive subtree.
+    *
+    * `materialize` (r17): the self-join's two aliased sides each re-derive
+    * the scan → shingle explode → distinct → minhash agg subtree (exchange
+    * reuse does not unify them — 2 documents scans in every consumer's
+    * executed plan). Opt-in localCheckpoint of the band rows (3 rows/doc —
+    * doc-sized at any corpus) cuts that to ONE derivation for consumers
+    * heavy enough to amortize the materialization job; it stays OFF by
+    * default because it REGRESSES the sub-second consumers
+    * (q_dedup_minhash_lsh 0.17 → 1.03 isolated, r16 measurement). */
+  private def candidates(s: SparkSession, dir: String,
+      materialize: Boolean = false): DataFrame = {
+    val br0 = bandRows(shingleSets(s, dir))
+    val br = if (materialize) br0.localCheckpoint(eager = true) else br0
     val a = br.select(col("doc_id").as("doc_a"), col("n").as("na"), col("bk"))
     val b = br.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("bk"))
     a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))
@@ -257,24 +268,27 @@ object DedupQueries extends QuerySet {
     * jacc_micro). See the query's comment for the algorithm and the
     * measured plan choices. */
   private[graft] def prefixJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    // the per-doc SET table is the one materialization (localCheckpoint,
+    // r17): every consumer — the df agg + prefix window (via tok, a
+    // map-side explode off the checkpoint) and BOTH verify probes (the
+    // per-doc hash arrays, read as-is) — reads it instead of re-scanning
+    // and re-shingling documents (r16 checkpointed the exploded tok
+    // instead, which left the two probes re-deriving sets from documents:
+    // 2 extra scans in the executed plan, the r16 verdict's item 3; sets
+    // is doc-sized — strictly smaller than the shingle-instance-sized
+    // tok — so this is the cheaper cut as well as the wider one).
+    // The PREFIX table is materialized too: the candidate self-join
+    // reads it twice and exchange reuse does not unify aliased sides —
+    // without the cut the df-join + per-doc window subtree runs per side.
     val sets = t(s, dir, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
         "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
-    // the tokenized-set table is materialized ONCE (localCheckpoint) and
-    // every consumer — df agg, prefix window, BOTH verify probes — reads
-    // the materialization instead of re-shingling (r16 measure: the four
-    // re-derivations were 8 documents scans in the executed plan; this IS
-    // the "persist the tokenized-set table once" discipline the earlier
-    // round documented for 100 TB runs, applied at fixture scale too).
-    // The PREFIX table is materialized as well: the candidate self-join
-    // reads it twice and exchange reuse does not unify aliased sides —
-    // without the cut the df-join + per-doc window subtree runs per side.
+      .localCheckpoint(eager = true)
     val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
       explode(col("sset")).as("tk"))
-      .localCheckpoint(eager = true)
     val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val pref = tok.join(dfreq, "tk")
       .withColumn("pos", row_number().over(
@@ -821,7 +835,9 @@ object DedupQueries extends QuerySet {
     // is 4 rows.
     "q_dedup_lsh_recall" -> { (s, dir) =>
       val truth = prefixJoinPairs(s, dir)
-      val cand = candidates(s, dir)
+      // materialize the band rows: this is the one candidates() consumer
+      // heavy enough to amortize the cut (see candidates' scaladoc)
+      val cand = candidates(s, dir, materialize = true)
         .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
       truth
         .join(cand, Seq("doc_a", "doc_b"), "left")
@@ -849,18 +865,22 @@ object DedupQueries extends QuerySet {
     // prefix(src) ⋈ tokens(container) on the rare hashes. Thresholds
     // exact rationals (×5 ≥ ×4); shuffles carry xxhash64 hashes only.
     "q_dedup_containment" -> { (s, dir) =>
+      // same materialization discipline as prefixJoinPairs (r17): the
+      // per-doc SET table is checkpointed once and feeds EVERYTHING —
+      // tok (df agg + prefix window + candidate probe side, a map-side
+      // explode off the checkpoint) and both intersection probes (the
+      // hash arrays as-is); pref feeds the candidate join twice, so it
+      // keeps its own cut. r16 checkpointed tok instead, leaving the two
+      // probes re-scanning + re-shingling documents (verdict item 3).
       val sets = t(s, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> length(t) > 0)").as("w"))
         .select(col("doc_id"), expr(
           "array_distinct(transform(sequence(1, greatest(size(w) - 4, 1)), " +
           "i -> xxhash64(array_join(slice(w, i, 5), ' '))))").as("sset"))
-      // same materialization discipline as prefixJoinPairs (r16): tok
-      // feeds df agg + prefix + probe side + BOTH intersection probes,
-      // pref feeds the candidate join — checkpoint each once
+        .localCheckpoint(eager = true)
       val tok = sets.select(col("doc_id"), size(col("sset")).as("n"),
         explode(col("sset")).as("tk"))
-        .localCheckpoint(eager = true)
       val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val pref = tok.join(dfreq, "tk")
         .withColumn("pos", row_number().over(

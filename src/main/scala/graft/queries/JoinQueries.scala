@@ -569,8 +569,13 @@ object JoinQueries extends QuerySet {
       // unchanged: Bloom prefilter (∝ m, fine through ~1e9 edges) + the
       // exact shuffle closing join.
       val mEdges = en.count() // metadata-priced: en is checkpointed
+      // default 5M edges: a BroadcastHashJoin relation of two longs
+      // costs ~40-60 B/row (UnsafeRow + hash-map overhead) plus a
+      // driver copy — ~250-300 MB at 5M, safe headroom where the r16
+      // 20M default (sized at 16 B/edge raw payload) risked an OOM in
+      // a range the Bloom+shuffle path handles fine (r16 advice)
       val bcastMax = sys.props.get("graft.triangle.broadcastMaxEdges")
-        .map(_.toLong).getOrElse(20000000L)
+        .map(_.toLong).getOrElse(5000000L)
       val tris = (if (mEdges <= bcastMax) {
         wedges0.join(broadcast(en.select(col("u").as("v1"),
             col("v").as("v2"))),
@@ -784,11 +789,21 @@ object JoinQueries extends QuerySet {
         .filter(col("u") < col("w"))
         .groupBy(col("u"), col("w"))
         .agg(sum(col("c")).as("ra_micro"), count(lit(1)).as("n_common"))
+      // The existing-edge side of the anti join is EDGE-sized (it grows
+      // with the corpus — ~400k rows at sf0.1 — not node-pair-domain
+      // sized), so the broadcast is SIZE-ADAPTIVE like q_triangle_count's
+      // closing join (r17, guide §3.1): below the bound, broadcasting
+      // keeps the wedge-pair table (the big side) from shuffling on
+      // (u, w) just for a membership test; past it, the anti join runs
+      // as a plain shuffled join — AQE's own size check resumes instead
+      // of being pinned by an unconditional hint. e is checkpointed, so
+      // the count is metadata-priced.
+      val mEdges = e.count()
+      val bcastMax = sys.props.get("graft.linkpredict.broadcastMaxEdges")
+        .map(_.toLong).getOrElse(5000000L)
+      val eUW = e.select(col("a").as("u"), col("b").as("w"))
       pairs
-        // broadcast the edge side of the anti join (node-pair-domain
-        // sized): the wedge-pair table is the big side and would
-        // otherwise shuffle on (u, w) just for the membership test
-        .join(broadcast(e.select(col("a").as("u"), col("b").as("w"))),
+        .join(if (mEdges <= bcastMax) broadcast(eUW) else eUW,
           Seq("u", "w"), "left_anti")
         .orderBy(col("ra_micro").desc, col("u"), col("w"))
         .limit(50)
