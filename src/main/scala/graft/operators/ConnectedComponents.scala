@@ -54,6 +54,30 @@ object ConnectedComponents {
     val sym = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     val symCk = cut(sym)
+    // DRIVER-LOCAL CUTOVER (r17 — queries.GraphLocal's q_kcore policy
+    // applied to the CC loop): the label table is vertex-sized and the
+    // symmetrized edge list is already materialized by `cut`, so under
+    // the bound the log-diameter propagation rounds (3 driver jobs
+    // each) collapse to one collect + union-find with min
+    // representatives — the same (doc_id, component=min reachable)
+    // labeling (GraphLocalSpec pins equality against this loop). Gated
+    // on int64 vertex ids (the collect types them) AND on the reliable
+    // checkpoint conf being unset — that conf is the caller declaring
+    // cluster-scale fault posture, where per-round reliable state (not
+    // a driver collect) is the point; any other key type or a count
+    // past the bound likewise keeps the distributed loop — the 100 TB
+    // path.
+    val localMax = sys.props.get("graft.cc.localMaxEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES"))
+      .map(_.toLong).getOrElse(2000000L)
+    val longKeyed = symCk.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (ckptDir.isEmpty && longKeyed && symCk.count() <= localMax) {
+      val arr = symCk.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return spark.createDataFrame(
+          graft.queries.GraphLocal.connectedComponents(arr))
+        .toDF("doc_id", "component")
+    }
     var labels = cut(symCk.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")))
     var converged = false

@@ -525,6 +525,23 @@ object JoinQueries extends QuerySet {
           size(col("ps")) - col("i") - lit(1))).as("b"))
         .distinct()
         .localCheckpoint(eager = true)
+      // DRIVER-LOCAL CUTOVER (r17, the q_kcore policy — see
+      // GraphLocal.triangleCounts): under the bound the degree agg,
+      // both orientation broadcasts, the en checkpoint, the ~41M-row
+      // wedge self-join and the closing semi join all collapse to one
+      // collect + a primitive-array merge-intersection sweep on the
+      // driver (exact combinatorics — the per-node triangle count has
+      // one value; GraphLocalSpec pins local == distributed). Past the
+      // bound (e.count() is metadata-priced — e is checkpointed) the
+      // distributed plan below stands unchanged: the 100 TB path,
+      // including its own broadcast-vs-Bloom closing cutover.
+      if (e.count() <= GraphLocal.maxEdges) {
+        val arr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        s.createDataFrame(GraphLocal.triangleCounts(arr))
+          .toDF("p_partkey", "n_triangles")
+          .select(col("p_partkey"), col("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("p_partkey"))
+      } else {
       val deg = e.select(col("a").as("n"))
         .union(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -605,6 +622,7 @@ object JoinQueries extends QuerySet {
         .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
         .select(col("n").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))
+      }
     },
 
     // K-CORE DECOMPOSITION (k=80) of the part co-order graph — the
@@ -649,34 +667,51 @@ object JoinQueries extends QuerySet {
         .distinct()
       var edges = e0.localCheckpoint(eager = true)
       var m = edges.count()
-      var done = false
-      while (!done) {
-        val deg = edges.select(col("a").as("n"))
-          .unionAll(edges.select(col("b").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        // bad is node-domain-sized (the part catalog bounds it at ANY
-        // data scale) — broadcast makes both anti joins MAP-SIDE, so a
-        // peel round never shuffles the edge list at all: one degree
-        // agg exchange per round is the whole shuffle budget
-        val bad = deg.filter(col("d") < k).select(col("n"))
-        // LAZY checkpoint + count: the count action materializes the
-        // checkpoint blocks and reads the fixpoint probe in the SAME
-        // job — one driver round-trip per peel round total
-        val next = edges
-          .join(broadcast(bad.withColumnRenamed("n", "a")),
-            Seq("a"), "left_anti")
-          .join(broadcast(bad.withColumnRenamed("n", "b")),
-            Seq("b"), "left_anti")
-          .localCheckpoint(eager = false)
-        val m2 = next.count()
-        if (m2 == m) done = true
-        else { edges = next; m = m2 }
+      // DRIVER-LOCAL CUTOVER (r17 — the Bpe.trainLocal policy applied
+      // to the graph loops): every per-round state here is
+      // node-domain-sized and already broadcast to every executor; the
+      // only data-sized input is the checkpointed edge list. Under the
+      // operable bound the ~6 peel rounds are pure fixed job overhead
+      // (2 driver round-trips + a 32-task micro-stage each), so the
+      // IDENTICAL peel runs on the collected edges (GraphLocal.kcorePeel
+      // mirrors the degree/peel/fixpoint logic exactly; GraphLocalSpec
+      // pins local == distributed). Past the bound the distributed loop
+      // below stands unchanged — the 100 TB path.
+      if (m <= GraphLocal.maxEdges) {
+        val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        s.createDataFrame(GraphLocal.kcorePeel(arr, k))
+          .toDF("p_partkey", "core_deg")
+          .orderBy(col("p_partkey"))
+      } else {
+        var done = false
+        while (!done) {
+          val deg = edges.select(col("a").as("n"))
+            .unionAll(edges.select(col("b").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          // bad is node-domain-sized (the part catalog bounds it at ANY
+          // data scale) — broadcast makes both anti joins MAP-SIDE, so a
+          // peel round never shuffles the edge list at all: one degree
+          // agg exchange per round is the whole shuffle budget
+          val bad = deg.filter(col("d") < k).select(col("n"))
+          // LAZY checkpoint + count: the count action materializes the
+          // checkpoint blocks and reads the fixpoint probe in the SAME
+          // job — one driver round-trip per peel round total
+          val next = edges
+            .join(broadcast(bad.withColumnRenamed("n", "a")),
+              Seq("a"), "left_anti")
+            .join(broadcast(bad.withColumnRenamed("n", "b")),
+              Seq("b"), "left_anti")
+            .localCheckpoint(eager = false)
+          val m2 = next.count()
+          if (m2 == m) done = true
+          else { edges = next; m = m2 }
+        }
+        edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+          .select(col("node").as("p_partkey"), col("core_deg"))
+          .orderBy(col("p_partkey"))
       }
-      edges.select(col("a").as("node"))
-        .unionAll(edges.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
-        .select(col("node").as("p_partkey"), col("core_deg"))
-        .orderBy(col("p_partkey"))
     },
 
     // ITEM-ITEM COLLABORATIVE SIMILARITY (the recommender workhorse —
@@ -1082,24 +1117,40 @@ object JoinQueries extends QuerySet {
       val edges = eb.select(col("a").as("u"), col("b").as("v"), col("w"))
         .unionAll(eb.select(col("b").as("u"), col("a").as("v"), col("w")))
         .localCheckpoint(eager = true)
-      val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
-      var dist = hubSelect(deg).localCheckpoint(eager = true)
-      var probe = (-1L, -1L)
-      var done = false
-      while (!done) {
-        val relaxed = relaxStep(edges, dist)
-        val next = dist.unionAll(relaxed)
-          .groupBy(col("n")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(eager = false)
-        // coalesce: an empty backbone must converge to (0, 0), not NPE
-        val r = next
-          .agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).first()
-        val p2 = (r.getLong(0), r.getLong(1))
-        if (p2 == probe) done = true
-        else { dist = next; probe = p2 }
+      // DRIVER-LOCAL CUTOVER (r17, the q_kcore policy): the dist table
+      // is node-domain-sized and broadcast every round anyway; under
+      // the bound the ~7 Bellman-Ford rounds are one fixed-cost job
+      // each over a 7.1k-row backbone (sf0.1) — GraphLocal.hubDistances
+      // mirrors the hub cut, relax, and fixpoint witness exactly;
+      // distributed loop unchanged past the bound (the 100 TB path).
+      if (edges.count() <= GraphLocal.maxEdges) {
+        val arr = edges.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        s.createDataFrame(GraphLocal.hubDistances(arr, 128))
+          .toDF("p_partkey", "dist")
+          .orderBy(col("p_partkey"))
+      } else {
+        val deg = edges.groupBy(col("u").as("n"))
+          .agg(count(lit(1)).as("d"))
+        var dist = hubSelect(deg).localCheckpoint(eager = true)
+        var probe = (-1L, -1L)
+        var done = false
+        while (!done) {
+          val relaxed = relaxStep(edges, dist)
+          val next = dist.unionAll(relaxed)
+            .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(eager = false)
+          // coalesce: an empty backbone must converge to (0, 0), not NPE
+          val r = next
+            .agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+            .first()
+          val p2 = (r.getLong(0), r.getLong(1))
+          if (p2 == probe) done = true
+          else { dist = next; probe = p2 }
+        }
+        dist.select(col("n").as("p_partkey"), col("dist"))
+          .orderBy(col("p_partkey"))
       }
-      dist.select(col("n").as("p_partkey"), col("dist"))
-        .orderBy(col("p_partkey"))
     },
 
     // DEGREE ASSORTATIVITY (Newman 2002) of the support-2 co-order
@@ -1212,31 +1263,44 @@ object JoinQueries extends QuerySet {
       val edges = eb.select(col("a").as("u"), col("b").as("v"))
         .unionAll(eb.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint(eager = true)
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      // edges carry the tail's out-degree so the per-round spread join
-      // needs no second lookup; built once, severed before the loop
-      val ewd = edges.join(broadcast(deg), Seq("u"))
-        .localCheckpoint(eager = true)
-      val srcs = deg.orderBy(col("d").desc, col("u")).limit(8)
-        .select(col("u").as("s")).localCheckpoint(eager = true)
-      val restart = srcs.select(col("s").as("src"), col("s").as("n"),
-        lit(150000L).as("m"))
-      var p = srcs.select(col("s").as("src"), col("s").as("n"),
-        lit(1000000L).as("m")).localCheckpoint(eager = true)
-      for (_ <- 1 to 4) {
-        val spread = ewd
-          .join(broadcast(p.withColumnRenamed("n", "u")), Seq("u"))
-          .select(col("src"), col("v").as("n"),
-            intDiv(lit(85L) * intDiv(col("m"), col("d")), lit(100L))
-              .as("m"))
-        p = spread.unionAll(restart)
-          .groupBy(col("src"), col("n")).agg(sum(col("m")).as("m"))
-          .filter(col("m") > 0)
+      // DRIVER-LOCAL CUTOVER (r17, the q_kcore policy): under the bound
+      // the 4 spread rounds plus the ewd/srcs/p checkpoint builds are
+      // ~8 fixed-cost driver jobs over a 7.1k-row backbone (sf0.1) —
+      // GraphLocal.ppr mirrors the source cut, integer spread division
+      // and zero-mass prune exactly; distributed loop unchanged past
+      // the bound (the 100 TB path).
+      if (edges.count() <= GraphLocal.maxEdges) {
+        val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        s.createDataFrame(GraphLocal.ppr(arr, 8, 4))
+          .toDF("src", "p_partkey", "mass_micro")
+          .orderBy(col("src"), col("p_partkey"))
+      } else {
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        // edges carry the tail's out-degree so the per-round spread join
+        // needs no second lookup; built once, severed before the loop
+        val ewd = edges.join(broadcast(deg), Seq("u"))
           .localCheckpoint(eager = true)
+        val srcs = deg.orderBy(col("d").desc, col("u")).limit(8)
+          .select(col("u").as("s")).localCheckpoint(eager = true)
+        val restart = srcs.select(col("s").as("src"), col("s").as("n"),
+          lit(150000L).as("m"))
+        var p = srcs.select(col("s").as("src"), col("s").as("n"),
+          lit(1000000L).as("m")).localCheckpoint(eager = true)
+        for (_ <- 1 to 4) {
+          val spread = ewd
+            .join(broadcast(p.withColumnRenamed("n", "u")), Seq("u"))
+            .select(col("src"), col("v").as("n"),
+              intDiv(lit(85L) * intDiv(col("m"), col("d")), lit(100L))
+                .as("m"))
+          p = spread.unionAll(restart)
+            .groupBy(col("src"), col("n")).agg(sum(col("m")).as("m"))
+            .filter(col("m") > 0)
+            .localCheckpoint(eager = true)
+        }
+        p.select(col("src"), col("n").as("p_partkey"),
+            col("m").as("mass_micro"))
+          .orderBy(col("src"), col("p_partkey"))
       }
-      p.select(col("src"), col("n").as("p_partkey"),
-          col("m").as("mass_micro"))
-        .orderBy(col("src"), col("p_partkey"))
     }
   )
 
@@ -1291,24 +1355,40 @@ object JoinQueries extends QuerySet {
     val und = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(eager = true)
-    var lab = und.select(col("u").as("n")).distinct()
-      .withColumn("lbl", col("n"))
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to 4) {
-      // per-node mode with smallest-label tie-break as a SECOND hash agg
-      // (max of (count, -label) picks max count then min label) — r16:
-      // the former row_number window paid an extra exchange + sort per
-      // round where this agg partial-aggregates map-side; labels are
-      // positive part keys, so the negation never overflows
-      lab = und
-        .join(broadcast(lab.withColumnRenamed("n", "v")), Seq("v"))
-        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("u").as("n"), (-col("m.nl")).as("lbl"))
+    // DRIVER-LOCAL CUTOVER (r17, the q_kcore policy): under the bound
+    // the 4 rounds × (join + 2 hash aggs + eager checkpoint) are ~12
+    // fixed-cost driver jobs over a 7.1k-row backbone (sf0.1) —
+    // GraphLocal.lpa mirrors the vote count and (max count, min label)
+    // tie-break exactly; the label frame returned to both consumers is
+    // the same (n, lbl) relation either way, so their tails (one agg
+    // for q_label_prop, two broadcast joins + two aggs for
+    // q_graph_modularity) are untouched. Distributed loop unchanged
+    // past the bound (the 100 TB path).
+    if (und.count() <= GraphLocal.maxEdges) {
+      val arr = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lab = s.createDataFrame(GraphLocal.lpa(arr, 4).toSeq)
+        .toDF("n", "lbl")
+      (und, lab)
+    } else {
+      var lab = und.select(col("u").as("n")).distinct()
+        .withColumn("lbl", col("n"))
         .localCheckpoint(eager = true)
+      for (_ <- 1 to 4) {
+        // per-node mode with smallest-label tie-break as a SECOND hash
+        // agg (max of (count, -label) picks max count then min label) —
+        // r16: the former row_number window paid an extra exchange +
+        // sort per round where this agg partial-aggregates map-side;
+        // labels are positive part keys, so the negation never overflows
+        lab = und
+          .join(broadcast(lab.withColumnRenamed("n", "v")), Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("u").as("n"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint(eager = true)
+      }
+      (und, lab)
     }
-    (und, lab)
   }
 
   /** Lead-validity interval formulation of the q13 as-of join (shared
