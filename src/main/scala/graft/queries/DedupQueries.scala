@@ -772,15 +772,38 @@ object DedupQueries extends QuerySet {
         .rowsBetween(Window.unboundedPreceding, -1)
       t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
+        // Per-WORD char hash + base power, computed ONCE (r17): the
+        // former h3 re-joined and re-split the 3-word window into
+        // CHARACTERS per position — O(window chars) of array churn per
+        // exploded row where the window fold below needs two
+        // element_at lookups and ~4 integer ops per window word. The
+        // rolling hash decomposes exactly by the polynomial identity
+        // H(s1 ++ s2) = H(s1)·131^|s2| + H(s2) (mod 1000003), with the
+        // joining space folded explicitly (ascii 32) — bit-identical
+        // h3 (oracle- and CdcHashSpec-pinned), never re-derived. NOTE
+        // Spark's split(s, '') yields exactly the characters with NO
+        // trailing zero-width element (unlike raw Java String.split
+        // with limit -1 — CdcHashSpec caught the difference), so there
+        // is no trailing-artifact shift; the filter(c != '') below
+        // only normalizes the empty-word case (split('', '') = ['']).
+        .select(col("doc_id"), col("ws"), expr(
+            "transform(transform(ws, w -> filter(split(w, ''), " +
+            "c -> c != '')), cs -> aggregate(cs, CAST(0 AS BIGINT), " +
+            "(a, c) -> (a * 131 + CAST(ascii(c) AS BIGINT)) % 1000003))")
+            .as("hws"),
+          expr(
+            "transform(transform(ws, w -> filter(split(w, ''), " +
+            "c -> c != '')), cs -> aggregate(cs, CAST(1 AS BIGINT), " +
+            "(a, c) -> (a * 131) % 1000003))").as("pws"))
+        .select(col("doc_id"), col("hws"), col("pws"), col("ws"),
           explode(expr("sequence(1, greatest(size(ws), 1))")).as("pos"))
         .select(col("doc_id"), col("pos"),
           element_at(col("ws"), col("pos")).as("word"),
-          expr("aggregate(transform(split(array_join(" +
-            "slice(ws, greatest(pos - 2, 1), " +
-            "pos - greatest(pos - 2, 1) + 1), ' '), ''), " +
-            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
-            "(a, c) -> (a * 131 + c) % 1000003)").as("h3"))
+          expr("CASE WHEN pos = 1 THEN element_at(hws, 1) ELSE " +
+            "aggregate(sequence(greatest(pos - 2, 1) + 1, pos), " +
+            "element_at(hws, greatest(pos - 2, 1)), " +
+            "(a, j) -> ((a * 131 + 32) % 1000003 * element_at(pws, j) " +
+            "+ element_at(hws, j)) % 1000003) END").as("h3"))
         .withColumn("chunk_id",
           coalesce(sum(when(col("h3") % 8 === 0, 1L).otherwise(0L))
             .over(wPre), lit(0L)))
