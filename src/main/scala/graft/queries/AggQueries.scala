@@ -384,12 +384,23 @@ object AggQueries extends QuerySet {
     // log bins — the SAME bin math Engine.histogramRollup persists and
     // st18 streams — next to the exact interpolated percentile. The
     // exact values hash-match DuckDB for real; the within-2% booleans
-    // (bin midpoint error ≤ ~0.5% + rank-vs-interpolation delta) are
-    // pinned TRUE by the oracle, so a bin-math regression flips a
-    // boolean and fails the driver's hash gate. Scale shape: one
+    // are pinned TRUE by the oracle, so a bin-math regression flips a
+    // boolean and fails the driver's hash gate. The booleans compare
+    // the bin representative against the DISCRETE rank statistic (the
+    // first value whose cumulative count crosses q·n — the IDENTICAL
+    // `cum >= q*total` predicate the bin selection uses, so both sides
+    // share one rank convention down to the fp product): that value
+    // lies INSIDE the selected bin, making the ≤2% bound structural
+    // (half a 1% log bin) at EVERY data size. The r17 fix — the former
+    // reference was the INTERPOLATED percentile, whose rank-vs-
+    // interpolation slack is data-dependent and exceeded 2% on the
+    // sparse p95 tail at sf0.001 (pre-existing at every round; the
+    // sf0.01 certification never saw it). Scale shape: one
     // catalog-sized bin aggregate + per-group cumulative windows over
-    // ≤ a few hundred bins; rep() is monotone in bin, so min(rep) over
-    // cum≥target selects the first qualifying bin without a rank pass.
+    // ≤ a few hundred bins, plus one per-type value-rank window for
+    // the discrete reference; rep() is monotone in bin, so min(rep)
+    // over cum≥target selects the first qualifying bin without a rank
+    // pass.
     "q_approx_quantiles" -> { (s, dir) =>
       import graft.operators.LogHistogram
       import org.apache.spark.sql.expressions.Window
@@ -397,6 +408,16 @@ object AggQueries extends QuerySet {
       val exact = ev.groupBy(col("event_type"))
         .agg(r6(expr("percentile(value, 0.5)")).as("p50_exact"),
           r6(expr("percentile(value, 0.95)")).as("p95_exact"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val disc = ev.select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rn") >= lit(0.5) * col("n"), col("value")))
+            .as("d50"),
+          min(when(col("rn") >= lit(0.95) * col("n"), col("value")))
+            .as("d95"))
       val cum = ev
         .groupBy(col("event_type"),
           LogHistogram.binExpr(col("value")).as("bin"))
@@ -411,10 +432,11 @@ object AggQueries extends QuerySet {
       val approx = cum.groupBy(col("event_type"))
         .agg(hq(0.5).as("p50_hist"), hq(0.95).as("p95_hist"))
       exact.join(approx, Seq("event_type"))
+        .join(disc, Seq("event_type"))
         .select(col("event_type"), col("p50_exact"), col("p95_exact"),
-          (abs(col("p50_hist") - col("p50_exact")) / col("p50_exact")
+          (abs(col("p50_hist") - col("d50")) / col("p50_exact")
             <= 0.02).as("p50_within_tol"),
-          (abs(col("p95_hist") - col("p95_exact")) / col("p95_exact")
+          (abs(col("p95_hist") - col("d95")) / col("p95_exact")
             <= 0.02).as("p95_within_tol"))
         .orderBy(col("event_type"))
     },
